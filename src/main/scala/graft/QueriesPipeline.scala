@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline queries (SURVEY §2.F/G/H + E3):
+  * dedup, similarity search, text analysis, multimodal metadata.
+  */
+object QueriesPipeline {
+
+  /** SQL mirror of TextAnalysis.paddedCount (the replace-length trick).
+    * Division is always exact (difference is a multiple of the padded
+    * token length) so the BIGINT cast is safe in both engines.
+    */
+  private def sqlPaddedCount(textExpr: String, needle: String): String = {
+    val tok = s" $needle "
+    val padded = s"' ' || lower($textExpr) || ' '"
+    s"CAST((length($padded) - length(replace($padded, '$tok', ''))) / ${tok.length} AS BIGINT)"
+  }
+
+  private val sqlLangScores: Seq[(String, String)] =
+    TextAnalysis.langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => sqlPaddedCount("text", m)).mkString(" + ")
+    }
+
+  private val langIdOracle: String = {
+    val scoreCols = sqlLangScores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    val langs = sqlLangScores.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = b AND s_$l > 0 THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'unk' END AS lang_pred
+       FROM (SELECT doc_id, s_en, s_es, s_de, s_fr, $best AS b
+             FROM (SELECT doc_id, $scoreCols FROM documents))
+       ORDER BY doc_id"""
+  }
+
+  private val qualityOracle: String = {
+    val len = "CAST(length(text) AS DOUBLE)"
+    val nSpace = "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)"
+    val nTok = s"($nSpace + 1.0)"
+    val avgTokLen = s"(($len - $nSpace) / $nTok)"
+    val stop = s"(CAST(${sqlPaddedCount("text", "the")} AS DOUBLE) / $nTok)"
+    val lenScore = s"least($len / 500.0, 1.0)"
+    val tokScore = s"CASE WHEN $avgTokLen >= 3.0 AND $avgTokLen <= 8.0 THEN 1.0 ELSE 0.5 END"
+    val stopScore = s"least($stop * 10.0, 1.0)"
+    s"""SELECT doc_id,
+       round($lenScore * 0.4 + $tokScore * 0.3 + $stopScore * 0.3, 6) AS quality
+       FROM documents ORDER BY doc_id"""
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------ F1 exact
+    QueryDef("q_dedup_exact",
+      (s, d) => Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("h"),
+      Some("""SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        COUNT(*) AS n_dups FROM documents GROUP BY md5(text) ORDER BY h""")),
+
+    // -------------------------------------------------------- F2 minhash
+    QueryDef("q_dedup_minhash",
+      (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8).orderBy("id_a", "id_b"),
+      None),
+
+    // --------------------------------------------------------- F3 simhash
+    QueryDef("q_dedup_simhash",
+      (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3).orderBy("id_a", "id_b"),
+      None),
+
+    // --------------------------------------------------- F4 ngram jaccard
+    QueryDef("q_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          Seq(col("lang"), floor(col("n_chars") / 64).as("lenb")),
+          threshold = 0.5).orderBy("id_a", "id_b")
+      },
+      None),
+
+    // --------------------------------------------------- F5 embed neardup
+    // The synthetic embeddings have no true near-dups (max pairwise
+    // cosine ≈ 0.51 at sf0.01), so the demo threshold is relative to
+    // the corpus: pairs unusually close for this distribution.
+    // EmbedNearDupSpec exercises the 0.95-threshold path on planted
+    // duplicates.
+    QueryDef("q_embed_neardup",
+      (s, d) => Similarity.cosineNearDups(Tables.embeddings(s, d),
+        threshold = 0.4, dim = 64, planes = 4).orderBy("id_a", "id_b"),
+      None),
+
+    // ------------------------------------------------------ G1 brute force
+    QueryDef("q_ann_bruteforce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+          .select("qid", "nid", "rank").orderBy("qid", "rank")
+      },
+      Some("""SELECT qid, nid, rank FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS BIGINT) AS rank
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // --------------------------------------------------------- G2 LSH ANN
+    QueryDef("q_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+          dim = 64, planes = 8)
+          .select("qid", "nid", "rank").orderBy("qid", "rank")
+      },
+      None),
+
+    // --------------------------------------------------------- G3 IVF ANN
+    QueryDef("q_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+          .select("qid", "nid", "rank").orderBy("qid", "rank")
+      },
+      None),
+
+    // ---------------------------------------------------------- H1 lang id
+    QueryDef("q_lang_id",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(langIdOracle)),
+
+    // ---------------------------------------------------------- H2 quality
+    QueryDef("q_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id"),
+      Some(qualityOracle)),
+
+    // ----------------------------------------------------- H3 token count
+    QueryDef("q_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_tokens_bpe
+        FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------------- H4 fingerprint
+    QueryDef("q_doc_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id")),
+
+    // ------------------------------------------------------- H5 top terms
+    QueryDef("q_top_terms",
+      (s, d) => TextAnalysis.termFrequencies(Tables.documents(s, d), "text")
+        .orderBy(col("cnt").desc, col("term")).limit(20),
+      Some("""SELECT term, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents)
+        WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term LIMIT 20""")),
+
+    // ------------------------------------------------------ E3 media meta
+    QueryDef("q_media_meta",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .select(col("doc_id"),
+          length(col("blob")).cast(LongType).as("n_bytes"),
+          ascii(col("blob").cast(StringType)).cast(LongType).as("head_byte"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(ascii(text) AS BIGINT) AS head_byte
+        FROM documents ORDER BY doc_id"""))
+  )
+}

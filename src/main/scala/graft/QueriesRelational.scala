@@ -1,0 +1,376 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QueryDef._
+import graft.operators.Compute
+
+/** Relational layer (SURVEY §2.A/B/C): table ops, compute kernels, and
+  * the TPC-H-shaped query suite. Every query is a declarative
+  * DataFrame plan — Catalyst does pushdown/pruning/join-selection; we
+  * only add explicit `broadcast()` on dimension tables.
+  */
+object QueriesRelational {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------- C3 flagship
+    QueryDef("q1_agg",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        l.where(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+              .cast(DoubleType).as("sum_disc_price"),
+            (sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+            (sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sqlDsum("l_quantity")} AS sum_qty,
+        ${sqlDsum("l_extendedprice")} AS sum_base_price,
+        ${sqlRevenue("l_extendedprice", "l_discount")} AS sum_disc_price,
+        ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty,
+        ${sqlDsum("l_extendedprice")} / COUNT(*) AS avg_price,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------------------------ A2
+    QueryDef("q_select_project",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))
+        .orderBy("id"),
+      Some("""SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+        FROM customer ORDER BY id""")),
+
+    // ------------------------------------------------------------------ A3
+    QueryDef("q_slice",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .offset(50).limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 50""")),
+
+    // ------------------------------------------------------------------ A4
+    QueryDef("q_concat_union",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+        .unionAll(Tables.supplier(s, d)
+          .select(col("s_suppkey").as("k"), col("s_name").as("nm")))
+        .orderBy("k", "nm"),
+      Some("""SELECT c_custkey AS k, c_name AS nm FROM customer
+        UNION ALL SELECT s_suppkey, s_name FROM supplier
+        ORDER BY k, nm""")),
+
+    // ------------------------------------------------------------------ A5
+    QueryDef("q_add_column",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          revenueTerm(col("l_extendedprice"), col("l_discount"))
+            .cast(DoubleType).as("net_price"),
+          (col("l_quantity") > 25).as("bulk"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
+        l_quantity > 25 AS bulk
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // -------------------------------------------------------------- B1 cast
+    QueryDef("q_cast",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("price_dec"),
+          col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType).as("price_str"),
+          col("o_orderkey").cast(StringType).as("key_str"),
+          col("o_orderkey").cast(StringType).cast(LongType).as("key_roundtrip"),
+          to_date(col("o_orderdate")).as("od"),
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          (col("o_orderstatus") === "F").cast(LongType).as("flag_int"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+        CAST(o_orderkey AS VARCHAR) AS key_str,
+        CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+        CAST(o_orderdate AS DATE) AS od,
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(o_orderstatus = 'F' AS BIGINT) AS flag_int
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------ B2 unique
+    QueryDef("q_unique",
+      (s, d) => Compute.unique(Tables.customer(s, d), "c_mktsegment").orderBy("v"),
+      Some("SELECT DISTINCT c_mktsegment AS v FROM customer ORDER BY v")),
+
+    // ------------------------------------------------- B3 dictionary encode
+    QueryDef("q_dictionary_encode",
+      (s, d) => Compute.dictionaryEncode(Tables.customer(s, d), "c_mktsegment")
+        .select("c_custkey", "value", "code").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment AS value,
+        CAST(dense_rank() OVER (ORDER BY c_mktsegment) AS BIGINT) - 1 AS code
+        FROM customer ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------ B4 value counts
+    QueryDef("q_value_counts",
+      (s, d) => Compute.valueCounts(Tables.orders(s, d), "o_orderpriority")
+        .orderBy("value"),
+      Some("""SELECT o_orderpriority AS value, COUNT(*) AS cnt
+        FROM orders GROUP BY o_orderpriority ORDER BY value""")),
+
+    // ---------------------------------------------------------- B5 hash64
+    // xxhash64 has no DuckDB builtin — rows-only check + HashSpec.
+    QueryDef("q_hash64",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"), Compute.hash64(col("c_name")).as("h64"))
+        .orderBy("c_custkey"),
+      None),
+
+    // ------------------------------------------------------- C1 pushdown
+    QueryDef("q_pushdown_scan",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_quantity") > 45 &&
+          col("l_shipdate") >= to_timestamp(lit("1999-01-01")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        FROM lineitem WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1999-01-01'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ------------------------------------------------------------ C2 sort
+    QueryDef("q_sort",
+      (s, d) => Tables.supplier(s, d)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .orderBy(col("s_nationkey").desc, col("s_acctbal").asc, col("s_suppkey").asc),
+      Some("""SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        ORDER BY s_nationkey DESC, s_acctbal ASC, s_suppkey ASC""")),
+
+    // ------------------------------------------------------ C4 shuffle join
+    QueryDef("q_join_large",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---------------------------------------------------- C5 broadcast join
+    QueryDef("q_join_broadcast",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ------------------------------------------------------- C6 outer/semi
+    QueryDef("q_join_left",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    QueryDef("q_join_semi",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        c.join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "leftsemi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // Anti join vs *recent* orders so the result is non-trivial (every
+    // customer has some order in the full table).
+    QueryDef("q_join_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val recent = Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
+        c.join(recent, col("o_custkey") === col("c_custkey"), "leftanti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+        ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------- C7 windows
+    QueryDef("q_window",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast(LongType).as("rn"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          sum(dec2(col("o_totalprice"))).over(wRows).cast(DoubleType).as("run_spend"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(row_number() OVER w AS BIGINT) AS rn,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rn""")),
+
+    // ----------------------------------------------------------- C8 having
+    QueryDef("q_having",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("spend"))
+        .where(col("n") > 3)
+        .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS spend
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) > 3 ORDER BY o_custkey""")),
+
+    // --------------------------------------------------- C9 distinct rows
+    QueryDef("q_distinct_rows",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // --------------------------------------------------------- C10 TPC-H 3
+    QueryDef("q_tpch3",
+      (s, d) => {
+        val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, d)
+          .where(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        val li = Tables.lineitem(s, d)
+          .where(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+        broadcast(cust)
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate,
+        ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // --------------------------------------------------------- C11 TPC-H 5
+    QueryDef("q_tpch5",
+      (s, d) => {
+        val joined = Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA" &&
+            col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        joined.groupBy("n_name")
+          .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name, ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // --------------------------------------------------------- C12 TPC-H 6
+    QueryDef("q_tpch6",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // ---------------------------------------------------------- C13 rollup
+    QueryDef("q_rollup",
+      (s, d) => Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority"),
+      Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ------------------------------------------------------- C14 functions
+    QueryDef("q_functions",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("pfx"),
+          length(col("p_name")).cast(LongType).as("name_len"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          replace(col("p_type"), lit("A"), lit("@")).as("type_sub"),
+          lower(col("p_name")).as("low_name"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        upper(substr(p_name, 1, 8)) AS pfx,
+        CAST(length(p_name) AS BIGINT) AS name_len,
+        p_brand || '#' || p_type AS brand_type,
+        replace(p_type, 'A', '@') AS type_sub,
+        lower(p_name) AS low_name
+        FROM part ORDER BY p_partkey""")),
+
+    // ------------------------------------------------------ C15 case expr
+    QueryDef("q_case_expr",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("bal_band"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg2"),
+          nullif(col("c_nationkey"), lit(0)).cast(LongType).as("nat_nz"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+        CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band,
+        COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2,
+        CAST(NULLIF(c_nationkey, 0) AS BIGINT) AS nat_nz
+        FROM customer ORDER BY c_custkey"""))
+  )
+}

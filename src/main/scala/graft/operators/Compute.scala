@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-native analogs of the reference's compute kernels
+  * (reference: cpp/src/arrow/compute/kernels/cast.h, hash.h).
+  *
+  * Arrow at this revision ships exactly three kernels — Cast, Unique,
+  * DictionaryEncode. Re-expressed declaratively they all reduce to
+  * Catalyst expressions / aggregates, which keeps them inside
+  * whole-stage codegen and lets them distribute for free.
+  */
+object Compute {
+
+  /** Cast kernel (reference: cpp/src/arrow/compute/kernels/cast.h:60).
+    * Spark `cast` covers the same matrix (numeric↔numeric,
+    * string↔numeric, ts→date, bool↔int) and fails→null like Arrow's
+    * safe mode with options relaxed; `try_cast` is the explicit safe
+    * variant.
+    */
+  def castColumns(df: DataFrame, casts: (String, DataType)*): DataFrame =
+    casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+
+  /** Unique kernel (reference: cpp/src/arrow/compute/kernels/hash.h:62).
+    * Distributed: partial hash-distinct per partition, shuffle on the
+    * value, final distinct — Catalyst plans exactly that for
+    * `dropDuplicates`. At 100 TB this is a single shuffle keyed on the
+    * value with map-side combine.
+    */
+  def unique(df: DataFrame, column: String): DataFrame =
+    df.select(col(column).as("v")).distinct()
+
+  /** DictionaryEncode (reference: cpp/src/arrow/compute/kernels/hash.h:72).
+    * Arrow assigns codes by order of first appearance — nondeterministic
+    * under distribution, so we define the dictionary by sorted value
+    * order (deterministic everywhere). The dictionary is tiny relative
+    * to the data (that's the point of dictionary encoding), so we build
+    * it with a distinct + a single-partition windowed row_number, then
+    * broadcast-join the codes back: no global sort of the data itself.
+    */
+  def dictionaryEncode(df: DataFrame, column: String): DataFrame = {
+    val dict = df.select(col(column).as("value")).distinct()
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("value"))) - 1).cast(LongType))
+    df.join(broadcast(dict), df(column) === dict("value"))
+  }
+
+  /** Dictionary itself (value → code), sorted-value code assignment. */
+  def dictionary(df: DataFrame, column: String): DataFrame =
+    df.select(col(column).as("value")).distinct()
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("value"))) - 1).cast(LongType))
+
+  /** value_counts — the hash-kernel family's natural companion
+    * (pyarrow exposes it alongside unique in later revisions).
+    */
+  def valueCounts(df: DataFrame, column: String): DataFrame =
+    df.groupBy(col(column).as("value")).agg(count(lit(1)).as("cnt"))
+
+  /** Stable 64-bit column hash (xxhash64), the Spark-native analog of
+    * arrow's internal hashing used by the hash kernels.
+    */
+  def hash64(c: Column): Column = xxhash64(c)
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All of these are pure `org.apache.spark.sql.functions` compositions
+  * (whole-stage-codegen'd, no UDFs) so they run at full scan speed and
+  * distribute trivially: each is a narrow map over the documents scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish token estimate: unicode chars / 4, the standard rough
+    * chars-per-token heuristic, as ceil(len/4).
+    */
+  def tokenCountBpe(text: Column): Column =
+    ceil(length(text).cast(DoubleType) / 4.0).cast(LongType)
+
+  /** Count non-overlapping occurrences of `needle` in `'  '+text+' '`
+    * padded with spaces — the replace-length trick, chosen because it
+    * mirrors exactly into ANSI SQL for the DuckDB oracle.
+    */
+  def paddedCount(text: Column, needle: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val tok = s" $needle "
+    ((length(padded) - length(replace(padded, lit(tok), lit(""))))
+      / tok.length).cast(LongType)
+  }
+
+  /** Stopword-marker language ID. A tiny deterministic classifier:
+    * argmax of per-language stopword hit counts, 'unk' when no marker
+    * hits. Ties broken in fixed language order (en,es,de,fr).
+    * Real-world quality comes from bigger marker sets; the operator
+    * shape (pure column expr, no shuffle) is the point at 100 TB.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => paddedCount(text, m)).reduce(_ + _)
+    }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unk"): Column) { case ((lang, s), elseC) =>
+      when(s === best && s > 0, lit(lang)).otherwise(elseC)
+    }
+  }
+
+  /** Quality score in [0,1]: blend of length band, alpha ratio and
+    * stopword density — the usual cheap pre-filter before expensive
+    * dedup/classification stages.
+    */
+  def qualityParts(text: Column): (Column, Column, Column) = {
+    val len = length(text).cast(DoubleType)
+    val nSpace = (length(text) - length(replace(text, lit(" "), lit("")))).cast(DoubleType)
+    val nTok = nSpace + 1.0
+    val avgTokLen = (len - nSpace) / nTok
+    val stop = paddedCount(text, "the").cast(DoubleType) / nTok
+    (len, avgTokLen, stop)
+  }
+
+  def qualityScore(text: Column): Column = {
+    val (len, avgTokLen, stop) = qualityParts(text)
+    val lenScore = least(len / 500.0, lit(1.0))
+    val tokScore = when(avgTokLen >= 3.0 && avgTokLen <= 8.0, 1.0).otherwise(0.5)
+    val stopScore = least(stop * 10.0, lit(1.0))
+    lenScore * 0.4 + tokScore * 0.3 + stopScore * 0.3
+  }
+
+  /** Content fingerprint: md5 of lowercased text (hex). Identical
+    * builtin exists in DuckDB, so exact-dedup results are
+    * oracle-checkable end to end.
+    */
+  def fingerprintMd5(text: Column): Column = md5(lower(text))
+
+  /** Rolling polynomial hash (base 31, mod 2^61-1) over characters —
+    * the classic Rabin-Karp document fingerprint; spec-tested (not
+    * SQL-mirrorable). Uses aggregate() over the char codes: stays in
+    * codegen, no UDF.
+    */
+  def fingerprintRolling(text: Column): Column = {
+    val mod = 2305843009213693951L // 2^61-1
+    val codes = transform(split(text, ""), ch => ascii(ch).cast(LongType))
+    aggregate(codes, lit(0L),
+      (acc, c) => pmod(acc * 31L + c, lit(mod)))
+  }
+
+  /** Term frequencies: explode + count. Map-side combine makes this a
+    * single shuffle keyed by term; vocabulary is much smaller than the
+    * corpus at any scale.
+    */
+  def termFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+}
