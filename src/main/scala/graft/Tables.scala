@@ -35,10 +35,15 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // Runtime-settable; must be on before the scan is planned. Spark
+    // otherwise rejects the file with PARQUET_TYPE_ILLEGAL.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        // integer `div`, NOT `/`: true division routes the ~1.7e18 ns
+        // epoch through a double and loses microseconds past 2^53.
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _ => raw
     }
   }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ComputeSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("castColumns applies the cast matrix") {
+    val df = Seq(("1", 2.7, true)).toDF("s", "d", "b")
+    val out = Compute.castColumns(df,
+      "s" -> LongType, "d" -> IntegerType, "b" -> IntegerType).head()
+    assert(out.getLong(0) == 1L)
+    assert(out.getInt(1) == 2) // truncation, like arrow unsafe cast
+    assert(out.getInt(2) == 1)
+  }
+
+  test("safe cast (try_cast) yields null on malformed input, like arrow's safe mode") {
+    // Spark 4 runs ANSI: plain cast throws (like arrow unsafe cast);
+    // try_cast is the safe variant.
+    val out = Seq(("abc")).toDF("s")
+      .select(expr("try_cast(s AS INT)")).head()
+    assert(out.isNullAt(0))
+  }
+
+  test("unique returns distinct values") {
+    val vals = Compute.unique(Seq("a", "b", "a", "c").toDF("x"), "x")
+      .as[String].collect().sorted
+    assert(vals.sameElements(Array("a", "b", "c")))
+  }
+
+  test("dictionaryEncode assigns sorted-order codes and joins back") {
+    val df = Seq("cherry", "apple", "banana", "apple").toDF("fruit")
+    val enc = Compute.dictionaryEncode(df, "fruit")
+      .select("fruit", "code").as[(String, Long)].collect().toSet
+    assert(enc == Set(("apple", 0L), ("banana", 1L), ("cherry", 2L)))
+  }
+
+  test("dictionary is value->code, dense from 0") {
+    val d = Compute.dictionary(Seq("b", "a", "b").toDF("x"), "x")
+      .as[(String, Long)].collect().toSet
+    assert(d == Set(("a", 0L), ("b", 1L)))
+  }
+
+  test("valueCounts") {
+    val vc = Compute.valueCounts(Seq("a", "b", "a").toDF("x"), "x")
+      .as[(String, Long)].collect().toSet
+    assert(vc == Set(("a", 2L), ("b", 1L)))
+  }
+
+  test("hash64 is deterministic and spreads values") {
+    val h = Seq("a", "b", "a").toDF("x")
+      .select(Compute.hash64(col("x")).as("h")).as[Long].collect()
+    assert(h(0) == h(2))
+    assert(h(0) != h(1))
+  }
+}

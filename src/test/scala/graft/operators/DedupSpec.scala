@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  // Two exact dups, one heavy near-dup pair, two unrelated docs.
+  private val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private val nearDup = base.replace("today", "tonight")
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, nearDup),
+    (3L, "completely different content about spark query engines and columnar formats for analytics"),
+    (4L, "yet another unrelated document mentioning benchmarks and shuffle partitions in clusters")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds the exact duplicate pair") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 4)
+    val dupGroup = g.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("dropExactDuplicates keeps one representative") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(0L, 2L, 3L, 4L)))
+  }
+
+  test("minhash near-dups finds exact and near pairs, not unrelated ones") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair must be found")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      s"near-dup pairs must be found, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature jaccard estimates real jaccard") {
+    val sigs = Dedup.minhashSignature(docs, "doc_id", "text", numPerm = 128)
+    val est = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        Dedup.signatureJaccard($"a.sig", $"b.sig").as("est"))
+      .where($"a.doc_id" === 0 && $"b.doc_id" === 2)
+      .select("est").as[Double].head()
+    // true 3-shingle jaccard of base vs nearDup is ~0.71 (12..13 of 17 differ by 3)
+    assert(est > 0.4 && est < 0.95, s"estimate $est should be near true jaccard")
+  }
+
+  test("simhash: identical docs identical hash; near-dups close; unrelated far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) <= 12, s"near-dup hamming ${ham(sh(0L), sh(2L))}")
+    assert(ham(sh(0L), sh(3L)) > 12, s"unrelated hamming ${ham(sh(0L), sh(3L))}")
+  }
+
+  test("simhashNearDups surfaces the exact-dup pair") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L && p._1 == 3L))
+  }
+
+  test("ngram jaccard pairs within blocks") {
+    val blocked = docs.withColumn("lang", lit("en"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
+      Seq(col("lang")), threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("shingles produce distinct word n-grams; short docs degrade to whole text") {
+    val sh = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import sqlImplicits._
+
+  // 4-dim toy corpus with an obvious structure: 0≈1 (near-dup),
+  // 2 orthogonal, 3 antiparallel to 0.
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.99f, 0.1f, 0f, 0f)),
+    (2L, Array(0f, 1f, 0f, 0f)),
+    (3L, Array(-1f, 0f, 0f, 0f)),
+    (4L, Array(0.7f, 0.7f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine basics") {
+    val c01 = vecs.as("a").join(vecs.as("b"), $"a.vec_id" === 0 && $"b.vec_id" === 1)
+      .select(Similarity.cosine($"a.embedding", $"b.embedding")).as[Double].head()
+    assert(c01 > 0.99)
+    val c03 = vecs.as("a").join(vecs.as("b"), $"a.vec_id" === 0 && $"b.vec_id" === 3)
+      .select(Similarity.cosine($"a.embedding", $"b.embedding")).as[Double].head()
+    assert(math.abs(c03 + 1.0) < 1e-9)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val res = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), k = 2)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(res.map(_._2).toSeq == Seq(1L, 4L), s"got ${res.toSeq}")
+  }
+
+  test("cosineNearDups finds the planted near-duplicate at 0.95") {
+    val pairs = Similarity.cosineNearDups(vecs, threshold = 0.95, dim = 4, planes = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"got $pairs")
+  }
+
+  test("lshTopK returns subsets of brute-force with correct ranks") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), k = 4)
+      .select("nid").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 0), k = 4, dim = 4, planes = 2)
+      .select("nid").as[Long].collect().toSet
+    assert(lsh.subsetOf(brute + 0L))
+    assert(lsh.nonEmpty, "bucket must at least contain the near-identical vector")
+  }
+
+  test("ivfTopK assigns cells and probes them") {
+    val res = Similarity.ivfTopK(vecs, vecs.where($"vec_id" === 0), k = 3,
+      nCells = 2, stride = 2, nprobe = 2)
+      .select("nid").as[Long].collect().toSet
+    assert(res.nonEmpty)
+    assert(!res.contains(0L), "self must be excluded")
+  }
+
+  test("brute force on real embeddings: top1 of each query has highest cosine") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val res = Similarity.bruteForceTopK(emb, emb.where($"vec_id" < 3), k = 1)
+      .select("qid", "cos").as[(Long, Double)].collect()
+    assert(res.length == 3)
+    assert(res.forall { case (_, c) => c > -1.0 && c < 1.0 })
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq(text).toDF("text").select(c).head()
+
+  test("tokenCount counts whitespace tokens") {
+    assert(one("the quick  brown fox", TextAnalysis.tokenCount(col("text"))).getLong(0) == 4L)
+  }
+
+  test("bpe-ish token estimate is ceil(len/4)") {
+    assert(one("abcdefgh", TextAnalysis.tokenCountBpe(col("text"))).getLong(0) == 2L)
+    assert(one("abcdefghi", TextAnalysis.tokenCountBpe(col("text"))).getLong(0) == 3L)
+  }
+
+  test("langId classifies by stopword markers") {
+    assert(one("the cat and the dog is here", TextAnalysis.langId(col("text"))).getString(0) == "en")
+    assert(one("el perro y la casa de que", TextAnalysis.langId(col("text"))).getString(0) == "es")
+    assert(one("der hund und die katze das", TextAnalysis.langId(col("text"))).getString(0) == "de")
+    assert(one("le chien et les chats une", TextAnalysis.langId(col("text"))).getString(0) == "fr")
+    assert(one("xyzzy plugh foobar", TextAnalysis.langId(col("text"))).getString(0) == "unk")
+  }
+
+  test("paddedCount counts word occurrences") {
+    assert(one("the cat the dog the", TextAnalysis.paddedCount(col("text"), "the")).getLong(0) == 3L)
+    assert(one("other theory lathe", TextAnalysis.paddedCount(col("text"), "the")).getLong(0) == 0L)
+  }
+
+  test("qualityScore is within [0,1] and rewards english-like text") {
+    val good = one("the quick brown fox jumps over the lazy dog " * 12,
+      TextAnalysis.qualityScore(col("text"))).getDouble(0)
+    val bad = one("zz zz zz", TextAnalysis.qualityScore(col("text"))).getDouble(0)
+    assert(good >= 0.0 && good <= 1.0)
+    assert(bad >= 0.0 && bad <= 1.0)
+    assert(good > bad)
+  }
+
+  test("md5 fingerprint is stable and case-normalized") {
+    val a = one("Hello World", TextAnalysis.fingerprintMd5(col("text"))).getString(0)
+    val b = one("hello world", TextAnalysis.fingerprintMd5(col("text"))).getString(0)
+    assert(a == b)
+    assert(a == "5eb63bbbe01eeed093cb22bb8f5acdc3") // known md5("hello world")
+  }
+
+  test("rolling fingerprint: stable, order-sensitive") {
+    val a = one("abc", TextAnalysis.fingerprintRolling(col("text"))).getLong(0)
+    val b = one("abc", TextAnalysis.fingerprintRolling(col("text"))).getLong(0)
+    val c = one("acb", TextAnalysis.fingerprintRolling(col("text"))).getLong(0)
+    assert(a == b)
+    assert(a != c)
+    // polynomial base-31: 'a'=97,'b'=98,'c'=99 → ((97*31)+98)*31+99
+    assert(a == ((97L * 31 + 98) * 31 + 99))
+  }
+
+  test("termFrequencies counts exploded tokens") {
+    val df = Seq("a b a", "b c").toDF("text")
+    val tf = TextAnalysis.termFrequencies(df, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tf == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+}

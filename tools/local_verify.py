@@ -28,6 +28,8 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.10g}"
+    if hasattr(v, "isoformat"):  # datetime.datetime / date / pd.Timestamp
+        return v.isoformat()
     return repr(v)
 
 
