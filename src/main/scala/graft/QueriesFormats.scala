@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink queries (SURVEY §2.D): these run a real write+read
+  * through the format under test and are then checked against the
+  * DuckDB oracle computed straight from the original parquet — a
+  * faithful roundtrip is exactly a hash match.
+  */
+object QueriesFormats {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------- D1/D2 arrow ipc
+    QueryDef("q_arrow_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-arrow-rt").toString
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_shipdate")
+          .write.format("arrow").mode("overwrite").save(dir)
+        s.read.format("arrow").load(dir)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        l_returnflag, l_shipdate
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---------------------------------------- D7 partitioned dataset
+    // write_to_dataset(partition_cols=['o_orderstatus']) analog +
+    // partition-pruned read (reference: python/pyarrow/parquet.py
+    // write_to_dataset / ParquetDataset filters).
+    QueryDef("q_partitioned_dataset",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-partds").toString
+        Tables.orders(s, d)
+          .write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+        s.read.parquet(dir)
+          .where(col("o_orderstatus") === "F")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            QueryDef.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+        ${QueryDef.sqlDsum("o_totalprice")} AS sum_price
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------- D8 ORC
+    QueryDef("q_orc_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-orc").toString
+        Tables.supplier(s, d).write.mode("overwrite").orc(dir)
+        s.read.orc(dir).select("s_suppkey", "s_name", "s_acctbal")
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        ORDER BY s_suppkey""")),
+
+    // ------------------------------------------------------ D9 JSON
+    QueryDef("q_json_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-json").toString
+        Tables.nation(s, d).write.mode("overwrite").json(dir)
+        s.read.json(dir)
+          .select(col("n_nationkey").cast("int").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+        ORDER BY n_nationkey""")),
+
+    // ------------------------------------------------------- D10 CSV
+    QueryDef("q_csv_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-csv").toString
+        Tables.region(s, d).write.mode("overwrite")
+          .option("header", "true").csv(dir)
+        s.read.option("header", "true").option("inferSchema", "false")
+          .schema("r_regionkey INT, r_name STRING").csv(dir)
+          .orderBy("r_regionkey")
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+  )
+}

@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[QueryDef] =
-    QueriesRelational.all ++ QueriesPipeline.all ++ QueriesEvents.all
+    QueriesRelational.all ++ QueriesPipeline.all ++ QueriesEvents.all ++
+      QueriesFormats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

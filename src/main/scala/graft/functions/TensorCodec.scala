@@ -1,0 +1,74 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Tensor IPC codec as native Catalyst expressions (SURVEY §2.E2).
+  *
+  * Layout mirrors the reference's dense-tensor message (reference:
+  * cpp/src/arrow/tensor.h WriteTensor, format/Tensor.fbs): row-major,
+  * self-describing — [ndim:i32][shape:i32*ndim][n:i32][data:f32*n],
+  * little-endian like all arrow buffers.
+  *
+  * Catalyst Expression (not a UDF) so null handling, eval, and
+  * serialization plumbing follow the engine's contract; CodegenFallback
+  * keeps surrounding operators inside whole-stage codegen.
+  */
+case class TensorPack(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "tensor_pack"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val shape = row.getArray(0)
+    val data = row.getArray(1)
+    val ndim = shape.numElements()
+    val n = data.numElements()
+    val buf = ByteBuffer.allocate(4 + 4 * ndim + 4 + 4 * n)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(ndim)
+    var i = 0
+    while (i < ndim) { buf.putInt(shape.getInt(i)); i += 1 }
+    buf.putInt(n)
+    i = 0
+    while (i < n) { buf.putFloat(data.getFloat(i)); i += 1 }
+    buf.array()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TensorPack =
+    copy(child = newChild)
+}
+
+case class TensorUnpack(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("shape", ArrayType(IntegerType, containsNull = false)),
+    StructField("data", ArrayType(FloatType, containsNull = false))))
+  override def prettyName: String = "tensor_unpack"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val ndim = buf.getInt
+    val shape = new Array[Any](ndim)
+    var i = 0
+    while (i < ndim) { shape(i) = buf.getInt; i += 1 }
+    val n = buf.getInt
+    val data = new Array[Any](n)
+    i = 0
+    while (i < n) { data(i) = buf.getFloat; i += 1 }
+    InternalRow(new GenericArrayData(shape): ArrayData,
+      new GenericArrayData(data): ArrayData)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TensorUnpack =
+    copy(child = newChild)
+}

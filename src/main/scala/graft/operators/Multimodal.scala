@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (SURVEY §2.E3/E4): media as opaque `binary`
+  * columns with typed metadata, and batched feature extraction.
+  *
+  * The container has no image/audio codecs, so `decode` is STUBBED:
+  * media here is a deterministic fake format ("GRFT" magic + LE
+  * width/height + payload). Everything around the stub — schema,
+  * partition-level batching, feature shape, downstream ANN
+  * composition — is real Spark plumbing and is what carries over
+  * unchanged when a real codec (JNI/pandas UDF) replaces the stub.
+  *
+  * Scala-side batching uses mapPartitions over typed Datasets: the
+  * JVM twin of `mapInPandas` — each task processes its partition as
+  * one streamed batch, no per-row UDF dispatch.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class MediaMeta(doc_id: Long, media_type: String, width: Int,
+                       height: Int, n_bytes: Long)
+  case class MediaFeatures(doc_id: Long, embedding: Array[Float])
+
+  val MAGIC: Array[Byte] = "GRFT".getBytes("ASCII")
+
+  /** Deterministic fake encoder: text → media binary (the stand-in for
+    * real image bytes; width/height derive from the content).
+    */
+  def encodeFake(docId: Long, text: String): Array[Byte] = {
+    val payload = text.getBytes("UTF-8")
+    val w = 16 + (math.abs(docId) % 64).toInt
+    val h = 16 + (payload.length % 64)
+    val buf = ByteBuffer.allocate(4 + 4 + 4 + payload.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(MAGIC).putInt(w).putInt(h).put(payload)
+    buf.array()
+  }
+
+  /** documents → media table (doc_id, media binary). */
+  def fakeMediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => MediaRow(id, encodeFake(id, text)) }
+  }
+
+  /** STUB decode: parse the fake header. A real deployment swaps the
+    * body of `decodeOne` for an actual codec; the operator shape
+    * (mapPartitions over binary, typed output schema) is the product.
+    */
+  def decodeOne(id: Long, media: Array[Byte]): MediaMeta = {
+    val buf = ByteBuffer.wrap(media).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4)
+    buf.get(magic)
+    val ok = java.util.Arrays.equals(magic, MAGIC)
+    val w = if (ok) buf.getInt else -1
+    val h = if (ok) buf.getInt else -1
+    MediaMeta(id, if (ok) "grft" else "unknown", w, h, media.length.toLong)
+  }
+
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m => decodeOne(m.doc_id, m.media)))
+  }
+
+  /** Batched feature extraction: byte-histogram → 16-dim L2-normalized
+    * float vector (deterministic fake for a vision encoder). Batch
+    * shape = the partition; output feeds Similarity.* directly.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val hist = new Array[Float](dim)
+        var i = 0
+        while (i < m.media.length) {
+          hist((m.media(i) & 0xFF) % dim) += 1f
+          i += 1
+        }
+        var norm = 0.0
+        var j = 0
+        while (j < dim) { norm += hist(j) * hist(j); j += 1 }
+        val inv = if (norm > 0) (1.0 / math.sqrt(norm)).toFloat else 0f
+        j = 0
+        while (j < dim) { hist(j) *= inv; j += 1 }
+        MediaFeatures(m.doc_id, hist)
+      }
+    }
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: split payload
+    * into `frameBytes` chunks, keep every `stride`-th (the schema +
+    * explode pattern; the chunking stands in for frame decode).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+                   stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val payload = m.media.drop(12)
+      payload.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (frame, idx) => (m.doc_id, idx, frame) }
+    }.toDF("doc_id", "frame_idx", "frame")
+  }
+}

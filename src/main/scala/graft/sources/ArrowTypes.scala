@@ -1,0 +1,104 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.types._
+
+/** Arrow ⇄ Spark type/schema mapping (SURVEY §2.A1).
+  *
+  * Covers the reference's Schema.fbs surface (reference:
+  * format/Schema.fbs, cpp/src/arrow/type.h): null, bool, signed ints,
+  * fp32/64, decimal, utf8, binary, fixed_size_binary, date32,
+  * timestamps, list, struct. Unsigned ints widen to the next signed
+  * Spark type; union and interval have no Spark analog and are
+  * rejected with a clear error (documented divergence).
+  */
+object ArrowTypes {
+
+  def toArrowType(dt: DataType): ArrowType = dt match {
+    case BooleanType => ArrowType.Bool.INSTANCE
+    case ByteType => new ArrowType.Int(8, true)
+    case ShortType => new ArrowType.Int(16, true)
+    case IntegerType => new ArrowType.Int(32, true)
+    case LongType => new ArrowType.Int(64, true)
+    case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case StringType => ArrowType.Utf8.INSTANCE
+    case BinaryType => ArrowType.Binary.INSTANCE
+    case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
+    case DateType => new ArrowType.Date(DateUnit.DAY)
+    case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+    case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+    case _: NullType => ArrowType.Null.INSTANCE
+    case other =>
+      throw new UnsupportedOperationException(s"graft arrow: unsupported Spark type $other")
+  }
+
+  def toArrowField(name: String, dt: DataType, nullable: Boolean): Field = dt match {
+    case ArrayType(elem, containsNull) =>
+      new Field(name, if (nullable) FieldType.nullable(ArrowType.List.INSTANCE)
+        else FieldType.notNullable(ArrowType.List.INSTANCE),
+        List(toArrowField("element", elem, containsNull)).asJava)
+    case StructType(fields) =>
+      new Field(name, if (nullable) FieldType.nullable(ArrowType.Struct.INSTANCE)
+        else FieldType.notNullable(ArrowType.Struct.INSTANCE),
+        fields.map(f => toArrowField(f.name, f.dataType, f.nullable)).toList.asJava)
+    case simple =>
+      val at = toArrowType(simple)
+      new Field(name, if (nullable) FieldType.nullable(at) else FieldType.notNullable(at),
+        List.empty[Field].asJava)
+  }
+
+  def toArrowSchema(schema: StructType): ArrowSchema =
+    new ArrowSchema(schema.fields.map(f => toArrowField(f.name, f.dataType, f.nullable)).toList.asJava)
+
+  def fromArrowType(t: ArrowType): DataType = t match {
+    case _: ArrowType.Bool => BooleanType
+    case i: ArrowType.Int =>
+      (i.getBitWidth, i.getIsSigned) match {
+        case (8, true) => ByteType
+        case (16, true) => ShortType
+        case (32, true) => IntegerType
+        case (64, true) => LongType
+        // unsigned widens (64-bit unsigned → long, may overflow: documented)
+        case (8, false) => ShortType
+        case (16, false) => IntegerType
+        case (32, false) => LongType
+        case (64, false) => LongType
+        case other => throw new UnsupportedOperationException(s"arrow int $other")
+      }
+    case f: ArrowType.FloatingPoint => f.getPrecision match {
+      case FloatingPointPrecision.SINGLE => FloatType
+      case FloatingPointPrecision.DOUBLE => DoubleType
+      case p => throw new UnsupportedOperationException(s"arrow fp $p")
+    }
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.LargeUtf8 => StringType
+    case _: ArrowType.Binary => BinaryType
+    case _: ArrowType.LargeBinary => BinaryType
+    case _: ArrowType.FixedSizeBinary => BinaryType
+    case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+    case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
+    case d: ArrowType.Date if d.getUnit == DateUnit.MILLISECOND => DateType
+    case ts: ArrowType.Timestamp =>
+      if (ts.getTimezone == null) TimestampNTZType else TimestampType
+    case _: ArrowType.Null => NullType
+    case other =>
+      throw new UnsupportedOperationException(s"graft arrow: unsupported Arrow type $other")
+  }
+
+  def fromArrowField(f: Field): StructField = f.getType match {
+    case _: ArrowType.List =>
+      val elem = fromArrowField(f.getChildren.get(0))
+      StructField(f.getName, ArrayType(elem.dataType, elem.nullable), f.isNullable)
+    case _: ArrowType.Struct =>
+      StructField(f.getName,
+        StructType(f.getChildren.asScala.map(fromArrowField).toArray), f.isNullable)
+    case t => StructField(f.getName, fromArrowType(t), f.isNullable)
+  }
+
+  def fromArrowSchema(s: ArrowSchema): StructType =
+    StructType(s.getFields.asScala.map(fromArrowField).toArray)
+}

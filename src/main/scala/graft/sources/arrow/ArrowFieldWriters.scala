@@ -1,0 +1,139 @@
+package graft.sources.arrow
+
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.types._
+
+/** Spark InternalRow → Arrow vector writers.
+  *
+  * Same shape as Spark's internal arrow bridge (which is private[sql]
+  * and therefore not usable from a library): one small writer per
+  * type, a `count` cursor per vector so list children can advance
+  * independently of the row index.
+  *
+  * Re-expresses the reference's builder layer (reference:
+  * cpp/src/arrow/builder.h) on Spark's row representation.
+  */
+private[arrow] abstract class AFWriter {
+  def vector: ValueVector
+  var count: Int = 0
+  def setNull(): Unit
+  def setValue(g: SpecializedGetters, ordinal: Int): Unit
+  final def write(g: SpecializedGetters, ordinal: Int): Unit = {
+    if (g.isNullAt(ordinal)) setNull() else setValue(g, ordinal)
+    count += 1
+  }
+  def finish(): Unit = vector.setValueCount(count)
+  def reset(): Unit = { vector.reset(); count = 0 }
+}
+
+private[arrow] object AFWriter {
+  def apply(v: ValueVector, dt: DataType): AFWriter = (v, dt) match {
+    case (x: BitVector, BooleanType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit =
+        x.setSafe(count, if (g.getBoolean(o)) 1 else 0)
+    }
+    case (x: TinyIntVector, ByteType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getByte(o))
+    }
+    case (x: SmallIntVector, ShortType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getShort(o))
+    }
+    case (x: IntVector, IntegerType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getInt(o))
+    }
+    case (x: BigIntVector, LongType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getLong(o))
+    }
+    case (x: Float4Vector, FloatType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getFloat(o))
+    }
+    case (x: Float8Vector, DoubleType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getDouble(o))
+    }
+    case (x: VarCharVector, StringType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit =
+        x.setSafe(count, g.getUTF8String(o).getBytes)
+    }
+    case (x: VarBinaryVector, BinaryType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getBinary(o))
+    }
+    case (x: DecimalVector, d: DecimalType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit =
+        x.setSafe(count, g.getDecimal(o, d.precision, d.scale).toJavaBigDecimal)
+    }
+    case (x: DateDayVector, DateType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getInt(o))
+    }
+    case (x: TimeStampMicroTZVector, TimestampType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getLong(o))
+    }
+    case (x: TimeStampMicroVector, TimestampNTZType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getLong(o))
+    }
+    case (x: ListVector, ArrayType(elem, _)) => new AFWriter {
+      val vector = x
+      private val elemWriter = AFWriter(x.getDataVector, elem)
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = {
+        val arr = g.getArray(o)
+        x.startNewValue(count)
+        var j = 0
+        while (j < arr.numElements()) { elemWriter.write(arr, j); j += 1 }
+        x.endValue(count, arr.numElements())
+      }
+      override def finish(): Unit = { elemWriter.finish(); super.finish() }
+      override def reset(): Unit = { elemWriter.reset(); super.reset() }
+    }
+    case (x: StructVector, st: StructType) => new AFWriter {
+      val vector = x
+      private val children: Array[AFWriter] =
+        st.fields.zipWithIndex.map { case (f, i) =>
+          AFWriter(x.getChildByOrdinal(i), f.dataType)
+        }
+      def setNull(): Unit = {
+        // children must stay aligned with the struct's row index
+        children.foreach { c => c.setNull(); c.count += 1 }
+        x.setNull(count)
+      }
+      def setValue(g: SpecializedGetters, o: Int): Unit = {
+        val row = g.getStruct(o, children.length)
+        x.setIndexDefined(count)
+        var j = 0
+        while (j < children.length) { children(j).write(row, j); j += 1 }
+      }
+      override def finish(): Unit = { children.foreach(_.finish()); super.finish() }
+      override def reset(): Unit = { children.foreach(_.reset()); super.reset() }
+    }
+    case (other, dt) =>
+      throw new UnsupportedOperationException(
+        s"graft arrow writer: unsupported (${other.getClass.getSimpleName}, $dt)")
+  }
+}

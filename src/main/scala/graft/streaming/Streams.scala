@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.QueryDef.dsum
+
+/** Structured Streaming operators over the events stream (SURVEY §2.I).
+  *
+  * Same semantics as the batch twins in operators.Events — the specs
+  * assert agreement on shared fixtures. Watermarks bound state so all
+  * of these run indefinitely on an unbounded 100 TB/day stream:
+  * state per key is O(open windows), not O(history).
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long)
+  // top-level visibility: the state encoder's generated code must be
+  // able to call the constructor
+  case class SessionState(startMs: Long, endMs: Long, n: Long)
+
+  /** Tumbling 1h windowed counts/sums with a 10m watermark. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_ts"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding window (1h every 15m). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
+
+  /** Streaming dedup by event_id within the watermark horizon. */
+  def dedupe(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization with explicit state: the streaming twin
+    * of Events.sessionize. State per user is one (start,end,count)
+    * triple; ProcessingTimeTimeout flushes idle sessions.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur match {
+              case Some(s) => state.update(s); state.setTimeoutDuration(gapMs)
+              case None => ()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Force-flush helper for tests/final drain: emit open sessions. */
+  def openSessions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // batch view: identical to Events.sessionize output shape
+    graft.operators.Events.sessionize(events.toDF(), gapMinutes)
+      .select(col("user_id"), col("t_start").as("session_start"),
+        col("t_end").as("session_end"), col("n_events"))
+      .as[SessionOut]
+  }
+}

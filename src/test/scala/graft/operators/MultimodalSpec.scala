@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private lazy val docs = graft.Tables.documents(spark, sfDir).limit(50)
+  private lazy val media = Multimodal.fakeMediaTable(docs)
+
+  test("fake media table has binary payload with magic header") {
+    val first = media.head()
+    assert(first.media.take(4).sameElements(Multimodal.MAGIC))
+  }
+
+  test("decode stub extracts typed metadata") {
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.length == 50)
+    assert(meta.forall(_.media_type == "grft"))
+    assert(meta.forall(m => m.width >= 16 && m.width < 80))
+    assert(meta.forall(m => m.n_bytes > 12))
+  }
+
+  test("decode stub flags unknown format instead of crashing") {
+    val bogus = Seq(Multimodal.MediaRow(99L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)))
+      .toDS()
+    val meta = Multimodal.decodeMeta(bogus).head()
+    assert(meta.media_type == "unknown")
+    assert(meta.width == -1)
+  }
+
+  test("feature extraction yields L2-normalized fixed-dim vectors") {
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(feats.length == 50)
+    assert(feats.forall(_.embedding.length == 16))
+    feats.foreach { f =>
+      val norm = math.sqrt(f.embedding.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5, s"norm $norm for ${f.doc_id}")
+    }
+  }
+
+  test("features are deterministic (same content, same vector)") {
+    val a = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f.embedding.toSeq).toMap
+    val b = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f.embedding.toSeq).toMap
+    assert(a == b)
+  }
+
+  test("features compose with similarity search") {
+    val featsDs = Multimodal.extractFeatures(media, dim = 16)
+    val firstId = featsDs.head().doc_id
+    val feats = featsDs.toDF().withColumnRenamed("doc_id", "vec_id")
+    val top = Similarity.bruteForceTopK(feats, feats.where($"vec_id" === firstId), k = 3)
+    assert(top.count() == 3)
+  }
+
+  test("frame sampling chunks payload with stride") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    assert(perDoc.nonEmpty)
+    val f = frames.where($"doc_id" === media.head().doc_id)
+      .orderBy("frame_idx").collect()
+    assert(f.forall(_.getAs[Int]("frame_idx") % 2 == 0))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class ArrowIpcSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft-arrow-$tag").toString
+    d
+  }
+
+  test("roundtrip: primitives with nulls") {
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("b", BooleanType)))
+    val rows = Seq(Row(1, 10L, 1.5, "x", true), Row(null, null, null, null, null),
+      Row(3, 30L, 3.5, "z", false))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val dir = tmpDir("prim")
+    df.write.format("arrow").mode("overwrite").save(dir)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("i", "l", "d", "s", "b"))
+    assert(back.collect().toSet == rows.toSet)
+  }
+
+  test("roundtrip: lineitem slice including decimal/timestamp/date") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
+        col("l_shipdate"), to_date(col("l_shipdate")).as("ship_day"),
+        col("l_returnflag"))
+      .limit(500)
+    val dir = tmpDir("lineitem")
+    li.write.format("arrow").mode("overwrite").save(dir)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.schema == li.schema)
+    assert(back.count() == 500)
+    val a = li.orderBy("l_orderkey", "l_quantity", "price_dec").collect().toSeq
+    val b = back.orderBy("l_orderkey", "l_quantity", "price_dec").collect().toSeq
+    assert(a == b)
+  }
+
+  test("roundtrip: array<float> embeddings column") {
+    val emb = graft.Tables.embeddings(spark, sfDir).limit(100)
+    val dir = tmpDir("emb")
+    emb.write.format("arrow").mode("overwrite").save(dir)
+    val back = spark.read.format("arrow").load(dir)
+    val a = emb.orderBy("vec_id").collect().toSeq
+    val b = back.orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("roundtrip: struct column") {
+    val df = Seq((1L, ("a", 2.0)), (2L, ("b", 3.0)))
+      .toDF("id", "st")
+    val dir = tmpDir("struct")
+    df.write.format("arrow").mode("overwrite").save(dir)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("stream format roundtrip via ipc.format=stream") {
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val dir = tmpDir("stream")
+    df.write.format("arrow").option("ipc.format", "stream").mode("overwrite").save(dir)
+    val files = graft.sources.arrow.ArrowIo.dataFiles(dir)
+    assert(files.forall(_.endsWith(".arrows")))
+    assert(files.forall(f => !graft.sources.arrow.ArrowIo.isFileFormat(f)))
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
+  }
+
+  test("feather v2 is the IPC file format: read a .feather written by the sink") {
+    val df = Seq((1, 1.5), (2, 2.5)).toDF("k", "x")
+    val dir = tmpDir("feather")
+    df.write.format("arrow").mode("overwrite").save(dir)
+    // rename the part file to .feather; the reader sniffs magic, not extension
+    val f = graft.sources.arrow.ArrowIo.dataFiles(dir).head
+    val feather = f.stripSuffix(".arrow") + ".feather"
+    Files.move(Paths.get(f), Paths.get(feather))
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
+  }
+
+  test("column pruning reaches the arrow scan") {
+    val emb = graft.Tables.embeddings(spark, sfDir).limit(10)
+    val dir = tmpDir("prune")
+    emb.write.format("arrow").mode("overwrite").save(dir)
+    val pruned = spark.read.format("arrow").load(dir).select("vec_id")
+    val scanSchemas = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s.scan.readSchema()
+    }
+    assert(scanSchemas.nonEmpty && scanSchemas.head.fieldNames.sameElements(Array("vec_id")),
+      s"scan must read only vec_id, got $scanSchemas")
+  }
+
+  test("dictionary-encoded column decodes on read") {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider, DictionaryEncoder}
+    import org.apache.arrow.vector.types.pojo.DictionaryEncoding
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import java.nio.channels.Channels
+
+    val alloc = graft.sources.arrow.ArrowIo.rootAllocator()
+    val dictVec = new VarCharVector("dict", alloc)
+    dictVec.allocateNew()
+    Seq("apple", "banana", "cherry").zipWithIndex.foreach { case (s, i) =>
+      dictVec.setSafe(i, s.getBytes("UTF-8"))
+    }
+    dictVec.setValueCount(3)
+    val dict = new Dictionary(dictVec, new DictionaryEncoding(7L, false, null))
+
+    val raw = new VarCharVector("fruit", alloc)
+    raw.allocateNew()
+    val values = Seq("banana", "apple", "banana", "cherry")
+    values.zipWithIndex.foreach { case (s, i) => raw.setSafe(i, s.getBytes("UTF-8")) }
+    raw.setValueCount(values.length)
+    val encoded = DictionaryEncoder.encode(raw, dict).asInstanceOf[FieldVector]
+
+    val root = new VectorSchemaRoot(Seq(encoded).asJava)
+    val provider = new DictionaryProvider.MapDictionaryProvider(dict)
+    val dir = tmpDir("dict")
+    val file = s"$dir/part-00000-0.arrow"
+    val ch = Channels.newChannel(Files.newOutputStream(Paths.get(file)))
+    val w = new ArrowFileWriter(root, provider, ch)
+    w.start(); w.writeBatch(); w.end(); w.close()
+    root.close(); raw.close(); dictVec.close(); alloc.close()
+
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.schema.head.dataType == StringType)
+    assert(back.as[String].collect().toSeq == values)
+  }
+}

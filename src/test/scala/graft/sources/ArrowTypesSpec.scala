@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.arrow.vector.types.pojo.ArrowType
+import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ArrowTypesSpec extends AnyFunSuite {
+
+  private val roundtrippable: Seq[DataType] = Seq(
+    BooleanType, ByteType, ShortType, IntegerType, LongType,
+    FloatType, DoubleType, StringType, BinaryType,
+    DecimalType(12, 2), DecimalType(38, 10), DateType,
+    TimestampType, TimestampNTZType,
+    ArrayType(FloatType, containsNull = false),
+    ArrayType(StringType, containsNull = true),
+    StructType(Seq(StructField("a", IntegerType), StructField("b", StringType))))
+
+  test("spark → arrow → spark roundtrips for the full Schema.fbs surface") {
+    roundtrippable.foreach { dt =>
+      val f = ArrowTypes.toArrowField("c", dt, nullable = true)
+      val back = ArrowTypes.fromArrowField(f)
+      assert(back.dataType == dt, s"for $dt got ${back.dataType}")
+      assert(back.nullable)
+    }
+  }
+
+  test("nullability is preserved both ways") {
+    val f = ArrowTypes.toArrowField("c", IntegerType, nullable = false)
+    assert(!f.isNullable)
+    assert(!ArrowTypes.fromArrowField(f).nullable)
+  }
+
+  test("timestamp timezone distinguishes TZ from NTZ") {
+    val tz = ArrowTypes.toArrowType(TimestampType).asInstanceOf[ArrowType.Timestamp]
+    assert(tz.getTimezone == "UTC" && tz.getUnit == TimeUnit.MICROSECOND)
+    val ntz = ArrowTypes.toArrowType(TimestampNTZType).asInstanceOf[ArrowType.Timestamp]
+    assert(ntz.getTimezone == null)
+  }
+
+  test("unsigned arrow ints widen to signed spark types") {
+    assert(ArrowTypes.fromArrowType(new ArrowType.Int(8, false)) == ShortType)
+    assert(ArrowTypes.fromArrowType(new ArrowType.Int(16, false)) == IntegerType)
+    assert(ArrowTypes.fromArrowType(new ArrowType.Int(32, false)) == LongType)
+  }
+
+  test("half-float and union are rejected with a clear error") {
+    intercept[UnsupportedOperationException] {
+      ArrowTypes.fromArrowType(new ArrowType.FloatingPoint(FloatingPointPrecision.HALF))
+    }
+    intercept[UnsupportedOperationException] {
+      ArrowTypes.toArrowType(CalendarIntervalType)
+    }
+  }
+}

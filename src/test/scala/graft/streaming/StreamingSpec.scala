@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+  import sqlImplicits._
+  import Streams._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def fixture: Seq[Event] = Seq(
+    Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+    Event(2, ts("2024-01-01 10:10:00"), 1, "a", 2.0),
+    Event(3, ts("2024-01-01 10:55:00"), 1, "b", 3.0),
+    Event(4, ts("2024-01-01 09:00:00"), 2, "a", 4.0),
+    Event(2, ts("2024-01-01 10:10:00"), 1, "a", 2.0) // duplicate event_id=2
+  )
+
+  private def runToMemory[T](df: org.apache.spark.sql.Dataset[T], name: String,
+                             mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+  }
+
+  test("I1: tumbling hourly agg with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(fixture.distinct: _*)
+    // complete mode: a single AvailableNow batch never advances the
+    // watermark past the data, so append would emit nothing yet —
+    // complete shows every open window.
+    runToMemory(hourlyAgg(input.toDF()), "t_hourly", mode = "complete")
+    val rows = spark.table("t_hourly")
+      .select("event_type", "n_events", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows == Set(("a", 1L, 4.0), ("a", 2L, 3.0), ("b", 1L, 3.0)))
+  }
+
+  test("I2: sliding windows produce overlapping buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(fixture.distinct: _*)
+    runToMemory(slidingAgg(input.toDF()), "t_sliding", mode = "complete")
+    val n = spark.table("t_sliding").count()
+    // each event lands in 4 sliding buckets (1h window, 15m slide)
+    assert(n > 4, s"expected overlapping windows, got $n rows")
+  }
+
+  test("I3: dropDuplicatesWithinWatermark removes the duplicate event") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(fixture: _*)
+    runToMemory(dedupe(input.toDF()), "t_dedup")
+    val ids = spark.table("t_dedup").select("event_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L, 4L)))
+  }
+
+  test("I4: streaming sessionization agrees with the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(fixture.distinct: _*)
+    // batch twin on the same fixture
+    val batch = openSessions(fixture.distinct.toDS(), gapMinutes = 30).collect().toSet
+    val q = sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("t_sess")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("t_sess").as[SessionOut].collect().toSet
+    // append-mode flatMapGroupsWithState only emits *closed* sessions;
+    // user 1's first session closes when the 10:55 event arrives.
+    assert(streamed.subsetOf(batch),
+      s"streamed $streamed must be a subset of batch $batch")
+    assert(streamed.exists(s => s.user_id == 1 && s.n_events == 2),
+      s"user 1's closed first session must be emitted, got $streamed")
+  }
+}
