@@ -72,13 +72,12 @@ object QueriesPipeline {
       None),
 
     // --------------------------------------------------- F4 ngram jaccard
+    // exact Jaccard verify pass over wide-band LSH candidates (see
+    // Dedup.ngramJaccardViaLsh scale notes); the blocked variant
+    // (ngramJaccardPairs) is spec-tested separately.
     QueryDef("q_ngram_jaccard",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          Seq(col("lang"), floor(col("n_chars") / 64).as("lenb")),
-          threshold = 0.5).orderBy("id_a", "id_b")
-      },
+      (s, d) => Dedup.ngramJaccardViaLsh(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5).orderBy("id_a", "id_b"),
       None),
 
     // --------------------------------------------------- F5 embed neardup

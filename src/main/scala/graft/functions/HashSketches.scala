@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash-sketch expressions (SURVEY §2.F2/F3 hot path).
+  *
+  * The composed form (explode shingles → 64 min/sum aggregates)
+  * computes correct sketches but pays an explode + a shuffle per
+  * document set. These expressions compute the whole sketch in one
+  * narrow pass over the shingle array — per-row, no shuffle, which is
+  * the difference between a map stage and an exchange at 100 TB.
+  *
+  * Hashing: 64-bit FNV-1a over the token bytes, finalized with a
+  * splitmix64 mix; per-permutation values derive from one content
+  * hash via multiply-add (odd multiplier) — the standard one-hash
+  * minhash construction.
+  */
+object Sketch {
+  @inline final def mix64(zIn: Long): Long = {
+    var z = zIn
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  final def contentHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Odd multiplier + offset for permutation p (derived, stateless). */
+  @inline final def permA(p: Int): Long = mix64(0x9e3779b97f4a7c15L * (p + 1)) | 1L
+  @inline final def permB(p: Int): Long = mix64(0x2545f4914f6cdd1dL * (p + 1))
+}
+
+/** minhash_sig(array<string>, numPerm) → array<long>: per-permutation
+  * minima in a single pass. Null/empty arrays → null.
+  */
+case class MinHashSignature(child: Expression, numPerm: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = Sketch.contentHash(arr.getUTF8String(i))
+      var p = 0
+      while (p < numPerm) {
+        val hp = Sketch.permA(p) * h + Sketch.permB(p)
+        if (hp < mins(p)) mins(p) = hp
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** simhash64(array<string>) → long: sign of per-bit vote over token
+  * hashes, one pass. Empty/null → null.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = Sketch.contentHash(arr.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

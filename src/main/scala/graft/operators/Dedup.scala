@@ -15,6 +15,18 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Fan a small-file scan out to all cores before compute-heavy
+    * per-row work (shingling, sketching). A single parquet file scans
+    * as one partition; without this every sketch below runs on one
+    * core. At real scale inputs arrive in many partitions and the
+    * round-robin exchange is a no-op cost-wise (it moves ids+text
+    * once, far cheaper than serializing the compute).
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup groups: content hash → representative (min id) + count.
@@ -46,19 +58,17 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** MinHash signature: numPerm permutations simulated as
-    * xxhash64(perm, shingle); min per permutation. Computed by
-    * exploding distinct shingles and taking numPerm `min` aggregates —
-    * one shuffle keyed by doc id, map-side partial mins, all codegen.
+  /** MinHash signature via the MinHashSignature Catalyst expression:
+    * the whole numPerm-wide sketch in one narrow pass per document —
+    * no explode, no shuffle (the composed explode+64-aggregate form
+    * costs an exchange; at 100 TB that exchange IS the job).
     */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        numPerm: Int = 64, shingleN: Int = 3): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), shingleN)).as("sh"))
-    val mins = (0 until numPerm).map(p => min(xxhash64(lit(p), col("sh"))).as(s"m$p"))
-    val agged = exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    agged.select(col("doc_id"),
-      array((0 until numPerm).map(p => col(s"m$p")): _*).as("sig"))
+    import graft.functions.{exprs, MinHashSignature}
+    fanOut(docs).select(col(idCol).as("doc_id"),
+      exprs.toColumn(MinHashSignature(
+        exprs.toExpr(shingles(col(textCol), shingleN)), numPerm)).as("sig"))
   }
 
   /** LSH band keys: signature split into `bands` bands of
@@ -73,19 +83,35 @@ object Dedup {
     }: _*)
   }
 
+  /** All (a &lt; b) pairs from a sorted id array, as array expressions. */
+  private def pairsOf(ids: Column): Column = {
+    val sorted = sort_array(ids)
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + 2, greatest(size(sorted) - i - 1, lit(0))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+  }
+
   /** Candidate pairs from LSH: docs sharing any band bucket.
-    * Shuffle is keyed by (band, bandhash) — pairs only form within a
-    * bucket, and `a < b` halves the pair space.
+    *
+    * One shuffle keyed by (band, bandhash), buckets aggregated with
+    * collect_list and expanded to pairs with array expressions — no
+    * self-join, so signatures are computed exactly once. Buckets
+    * larger than `maxBucket` are dropped: a bucket that a sizable
+    * fraction of the corpus hashes into carries no similarity signal
+    * and would otherwise produce quadratic pairs (the LSH skew
+    * guard — at 100 TB this bound is what keeps the reduce side
+    * finite under adversarial/degenerate content).
     */
-  def minhashCandidates(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16): DataFrame = {
-    val banded = sigs.select(col("doc_id"), col("sig"),
+  def minhashCandidates(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 256): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
         explode(lshBands(col("sig"), numPerm, bands)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    banded.groupBy("band", "bh")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
@@ -103,7 +129,7 @@ object Dedup {
                       bands: Int = 16, shingleN: Int = 3): DataFrame = {
     val sigs = minhashSignature(docs, idCol, textCol, numPerm, shingleN)
     val cands = minhashCandidates(sigs, numPerm, bands)
-    val sets = docs.select(col(idCol).as("doc_id"),
+    val sets = fanOut(docs).select(col(idCol).as("doc_id"),
       shingles(col(textCol), shingleN).as("shset"))
     val verified = cands
       .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shset", "set_a"), "id_a")
@@ -118,23 +144,15 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: bit i is the sign of the
-    * token-count-weighted sum of (bit i of xxhash64(token)) mapped to
-    * ±1. Expressed as 64 conditional-sum aggregates over the exploded
-    * tokens — single shuffle by doc, map-side combine, codegen.
+    * per-token vote on bit i of the token hash. Computed by the
+    * SimHash64 Catalyst expression in one narrow pass — no explode,
+    * no shuffle (see MinHashSignature note above).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .where(col("tok") =!= "")
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i")
-    }
-    val agged = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    agged.select(col("doc_id"), sig.as("simhash"))
+    import graft.functions.{exprs, SimHash64}
+    fanOut(docs).select(col(idCol).as("doc_id"),
+      exprs.toColumn(SimHash64(
+        exprs.toExpr(TextAnalysis.tokens(col(textCol))))).as("simhash"))
   }
 
   /** SimHash near-dup candidates: 4 bands of 16 bits — any pair with
@@ -143,25 +161,54 @@ object Dedup {
     * bucket-local join; verified by bit_count(xor) <= maxHamming.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     val sigs = simhash(docs, idCol, textCol)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    val banded = sigs.select(col("doc_id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bits").as("bits"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val cands = banded.groupBy("band", "bits")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+    val h = sigs.select(col("doc_id"), col("simhash"))
+    cands
+      .join(h.withColumnRenamed("doc_id", "id_a").withColumnRenamed("simhash", "sh_a"), "id_a")
+      .join(h.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
   // ------------------------------------------------------ n-gram jaccard
+
+  /** Exact n-gram Jaccard verify pass over LSH candidate pairs: the
+    * cheap-candidates → exact-verify composition. Bands are widened
+    * (rows-per-band = 2 → s-curve threshold ≈ 0.18) so recall at low
+    * thresholds stays high while the pair count remains bucket-local.
+    * At 100 TB the shuffle keys are (band, bandhash) then the two
+    * candidate-id join keys — never a quadratic block.
+    */
+  def ngramJaccardViaLsh(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, numPerm: Int = 64,
+                         bands: Int = 32, n: Int = 3): DataFrame = {
+    val sigs = minhashSignature(docs, idCol, textCol, numPerm, n)
+    val cands = minhashCandidates(sigs, numPerm, bands)
+    val sets = fanOut(docs).select(col(idCol).as("doc_id"),
+      shingles(col(textCol), n).as("grams"))
+    cands
+      .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+      .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast(DoubleType) /
+          size(array_union(col("grams_a"), col("grams_b"))).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
 
   /** Character/word n-gram Jaccard over blocked candidate pairs.
     * Blocking keys (e.g. (lang, length bucket)) bound bucket sizes so
@@ -171,7 +218,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], threshold: Double,
                         n: Int = 3): DataFrame = {
-    val prepped = docs.select(col(idCol).as("doc_id"),
+    val prepped = fanOut(docs).select(col(idCol).as("doc_id"),
       shingles(col(textCol), n).as("grams"),
       struct(blockCols: _*).as("blk"))
     val a = prepped.as("a")

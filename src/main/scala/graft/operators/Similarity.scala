@@ -23,6 +23,14 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** See Dedup.fanOut: spread a small-file scan across cores before
+    * per-row vector math (bucketing, pairwise cosine).
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Sequential-order double dot product of two float-array columns. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
@@ -36,7 +44,7 @@ object Similarity {
     * One pass over the corpus, per-query top-k via window rank.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.as("c")
+    val joined = fanOut(corpus).as("c")
       .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
         cosine(col("q.embedding"), col("c.embedding")).as("cos"))
@@ -65,7 +73,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, planes: Int = 8): DataFrame = {
-    val cb = corpus.withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes))
+    val cb = fanOut(corpus).withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes))
     val qb = queries.withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes))
     val joined = cb.as("c")
       .join(broadcast(qb.as("q")),
@@ -86,7 +94,7 @@ object Similarity {
     val cents = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    val scored = corpus.as("c").join(broadcast(cents.as("k")))
+    val scored = fanOut(corpus).as("c").join(broadcast(cents.as("k")))
       .select(col("c.vec_id").as("vec_id"), col("c.embedding").as("embedding"),
         col("k.cent_id").as("cent_id"),
         cosine(col("c.embedding"), col("k.cent")).as("ccos"))
@@ -123,7 +131,7 @@ object Similarity {
     */
   def cosineNearDups(corpus: DataFrame, threshold: Double,
                      dim: Int, planes: Int = 6): DataFrame = {
-    val b = corpus.withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes))
+    val b = fanOut(corpus).withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes))
     b.as("a").join(b.as("x"),
         col("a.bucket") === col("x.bucket") && col("a.vec_id") < col("x.vec_id"))
       .withColumn("cos", cosine(col("a.embedding"), col("x.embedding")))
