@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
   *
   * Scale design: every candidate-generation step is *bucket-local* —
   * work is shuffled by (band, hash) or (band, bits) keys and pairs are
-  * only formed inside a bucket. There is never a global cross join, so
-  * cost is O(data) + O(sum of bucket^2) which LSH keeps tiny. All
-  * hashing is xxhash64 via Catalyst (codegen'd, no UDFs).
+  * only formed inside a bucket (capped by maxBucket). There is never a
+  * global cross join, so cost is O(data) + O(sum of bucket^2) which
+  * LSH keeps tiny. Sketches are computed by the single-pass native
+  * expressions in graft.functions (FNV64+splitmix hashing, multiply-
+  * add permutations); bucket keys use Catalyst xxhash64.
   */
 object Dedup {
 

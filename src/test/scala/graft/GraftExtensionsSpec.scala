@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  // a second session in the same JVM, with extensions installed.
+  // getOrCreate returns any live default session (ignoring
+  // withExtensions), so clear the defaults first and restore after —
+  // the SparkContext is shared either way.
+  private lazy val extSpark: SparkSession = {
+    val prior = spark // force the shared session to exist first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(prior.sparkContext.master)
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(prior)
+    SparkSession.setActiveSession(prior)
+    s
+  }
+
+  test("minhash_sig and simhash64 are callable from SQL") {
+    val row = extSpark.sql(
+      """SELECT size(minhash_sig(array('a b c','b c d'), 32)) AS n,
+                simhash64(array('x','y')) AS sh""").head()
+    assert(row.getInt(0) == 32)
+    assert(!row.isNullAt(1))
+  }
+
+  test("tensor_pack/tensor_unpack roundtrip from SQL") {
+    val row = extSpark.sql(
+      """SELECT tensor_unpack(tensor_pack(named_struct(
+           'shape', array(2, 2), 'data', array(1.0F, 2.0F, 3.0F, 4.0F)))) AS t""")
+      .selectExpr("t.shape", "t.data").head()
+    assert(row.getSeq[Int](0) == Seq(2, 2))
+    assert(row.getSeq[Float](1) == Seq(1f, 2f, 3f, 4f))
+  }
+
+  test("default minhash_sig arity uses 64 permutations") {
+    val n = extSpark.sql("SELECT size(minhash_sig(array('a'))) AS n").head().getInt(0)
+    assert(n == 64)
+  }
+}
