@@ -36,6 +36,31 @@ object QueriesPipeline {
        ORDER BY doc_id"""
   }
 
+  /** Exact all-pairs 3-shingle Jaccard in DuckDB — the ground truth
+    * the LSH pipelines must reproduce. Quadratic, but the oracle runs
+    * at sf0.01 (500 docs) where that's cheap; Spark-side LSH recall
+    * was verified equal to exact on this data (deterministic, so it
+    * stays equal).
+    */
+  private def exactJaccardOracle(threshold: Double): String = {
+    val jac = """CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)"""
+    s"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+       ), sh AS (
+         SELECT doc_id,
+           CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> array_to_string(t[i:i+2], ' ')))
+           END AS g
+         FROM toks
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, round($jac, 6) AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE $jac >= $threshold
+       ORDER BY id_a, id_b"""
+  }
+
   private val qualityOracle: String = {
     val len = "CAST(length(text) AS DOUBLE)"
     val nSpace = "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)"
@@ -63,7 +88,7 @@ object QueriesPipeline {
     QueryDef("q_dedup_minhash",
       (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8).orderBy("id_a", "id_b"),
-      None),
+      Some(exactJaccardOracle(0.8))),
 
     // --------------------------------------------------------- F3 simhash
     QueryDef("q_dedup_simhash",
@@ -78,7 +103,7 @@ object QueriesPipeline {
     QueryDef("q_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardViaLsh(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5).orderBy("id_a", "id_b"),
-      None),
+      Some(exactJaccardOracle(0.5))),
 
     // --------------------------------------------------- F5 embed neardup
     // The synthetic embeddings have no true near-dups (max pairwise
