@@ -357,6 +357,98 @@ object QueriesRelational {
         lower(p_name) AS low_name
         FROM part ORDER BY p_partkey""")),
 
+    // ------------------------------------------- C3b count distinct
+    QueryDef("q_count_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------- C7b top-N per group
+    QueryDef("q_topn_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .where(col("rn") <= 2)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          FROM orders)
+        WHERE rn <= 2 ORDER BY o_custkey, rn""")),
+
+    // ------------------------------------------------ C6b full outer
+    QueryDef("q_join_full",
+      (s, d) => {
+        val recent = Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit("2001-06-01")))
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_recent"))
+        Tables.customer(s, d)
+          .where(col("c_custkey") <= 100)
+          .join(recent, col("c_custkey") === col("o_custkey"), "full")
+          .select(col("c_custkey"), col("o_custkey"), col("n_recent"))
+          .orderBy(col("c_custkey").asc_nulls_first, col("o_custkey").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey, o_custkey, n_recent
+        FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 100) c
+        FULL JOIN (SELECT o_custkey, COUNT(*) AS n_recent FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+                   GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+        ORDER BY c_custkey ASC NULLS FIRST, o_custkey ASC NULLS FIRST""")),
+
+    // ---------------------------------------------- C14b string agg
+    QueryDef("q_string_agg",
+      (s, d) => Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ------------------------------------------------ C3c percentile
+    QueryDef("q_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(min(col("l_quantity")), 6).as("qmin"),
+          round(max(col("l_quantity")), 6).as("qmax"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        round(MIN(l_quantity), 6) AS qmin, round(MAX(l_quantity), 6) AS qmax
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------- C3d moment stats
+    // rounded: both engines use stable one-pass moment updates but
+    // accumulate in different orders, so last-bit noise is expected.
+    QueryDef("q_stats",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        round(stddev_samp(l_discount), 6) AS sd_disc,
+        round(var_samp(l_discount), 6) AS var_disc,
+        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ------------------------------------------------------ C15 case expr
     QueryDef("q_case_expr",
       (s, d) => Tables.customer(s, d)
