@@ -75,6 +75,41 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** hyperplane_bucket(array<float>, planes) → long: sign pattern of
+  * `planes` pseudo-random hyperplane projections, packed into a long.
+  * Plane weights derive deterministically from mix64(plane*8191+dim),
+  * centered to [-0.5, 0.5). Replaces a planes×dim-term expression tree
+  * (which Janino has to compile per query) with one tight loop.
+  */
+case class HyperplaneBucket(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < dim) {
+        val w = (Sketch.mix64(p.toLong * 8191L + d) & 1023L) / 1024.0 - 0.5
+        proj += arr.getFloat(d) * w
+        d += 1
+      }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 /** simhash64(array<string>) → long: sign of per-bit vote over token
   * hashes, one pass. Empty/null → null.
   */

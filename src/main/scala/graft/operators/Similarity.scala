@@ -53,19 +53,14 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Random-hyperplane signature: `planes` pseudo-random hyperplanes,
-    * derived deterministically from xxhash64(plane, dim) → centered to
-    * [-0.5, 0.5). Sign pattern packed into a long bucket key.
+  /** Random-hyperplane signature: `planes` deterministic pseudo-random
+    * hyperplanes; sign pattern packed into a long bucket key. Native
+    * expression — one pass over the vector (`dim` is taken from the
+    * array itself; the parameter is kept for API stability).
     */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = (0 until dim).map { d =>
-        val w = (pmod(xxhash64(lit(p), lit(d)), lit(1000L)).cast(DoubleType) / 1000.0) - 0.5
-        vec.getItem(d).cast(DoubleType) * w
-      }.reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
+    import graft.functions.{exprs, HyperplaneBucket}
+    exprs.toColumn(HyperplaneBucket(exprs.toExpr(vec), planes))
   }
 
   /** LSH ANN: same-bucket candidates only, then exact cosine + top-k.
