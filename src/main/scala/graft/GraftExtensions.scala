@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.CodecElimination)
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(arr[, numPerm]) - minhash signature of a string array"),

@@ -14,6 +14,18 @@ object QueriesEvents {
 
   val all: Seq[QueryDef] = Seq(
 
+    // semi-structured: parse the JSON props column (the pipeline's
+    // metadata sidecar pattern); DuckDB mirrors via json_extract.
+    QueryDef("q_json_props",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy()
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k")),
+      Some("""SELECT CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k
+        FROM events""")),
+
     QueryDef("q_events_window",
       (s, d) => Events.hourlyAgg(Tables.events(s, d))
         .orderBy("hour_ts", "event_type"),

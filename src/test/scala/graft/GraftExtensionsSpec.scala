@@ -41,6 +41,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Float](1) == Seq(1f, 2f, 3f, 4f))
   }
 
+  test("optimizer rule eliminates tensor codec roundtrips") {
+    // file-backed source so ConvertToLocalRelation can't pre-evaluate
+    extSpark.read.parquet(s"$sfDir/embeddings.parquet")
+      .createOrReplaceTempView("emb_ext")
+    val df = extSpark.sql(
+      """SELECT tensor_unpack(tensor_pack(named_struct(
+           'shape', array(64), 'data', embedding))) AS t FROM emb_ext""")
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    assert(!optimized.contains("tensor_pack"),
+      s"codec pair should be eliminated:\n$optimized")
+    // and the session WITHOUT the extension keeps the codecs
+    import org.apache.spark.sql.functions._
+    import graft.operators.Tensor
+    val plain = graft.Tables.embeddings(spark, sfDir)
+      .select(Tensor.unpack(Tensor.pack(
+        Tensor.tensor(array(lit(64)), col("embedding")))).as("t"))
+    assert(plain.queryExecution.optimizedPlan.toString().contains("tensor_pack"))
+  }
+
   test("default minhash_sig arity uses 64 permutations") {
     val n = extSpark.sql("SELECT size(minhash_sig(array('a'))) AS n").head().getInt(0)
     assert(n == 64)
