@@ -1,18 +1,20 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Hash-sketch expressions (SURVEY §2.F2/F3 hot path).
+/** Hash-sketch expressions (SURVEY §2.F2/F3/G2 hot path).
   *
   * The composed form (explode shingles → 64 min/sum aggregates)
   * computes correct sketches but pays an explode + a shuffle per
   * document set. These expressions compute the whole sketch in one
-  * narrow pass over the shingle array — per-row, no shuffle, which is
-  * the difference between a map stage and an exchange at 100 TB.
+  * narrow pass over the array — per-row, no shuffle, which is the
+  * difference between a map stage and an exchange at 100 TB. They
+  * codegen as a static call into SketchRuntime, so the surrounding
+  * projection stays inside whole-stage codegen.
   *
   * Hashing: 64-bit FNV-1a over the token bytes, finalized with a
   * splitmix64 mix; per-permutation values derive from one content
@@ -47,29 +49,24 @@ object Sketch {
   * minima in a single pass. Null/empty arrays → null.
   */
 case class MinHashSignature(child: Expression, numPerm: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return null
-    val mins = Array.fill(numPerm)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val h = Sketch.contentHash(arr.getUTF8String(i))
-      var p = 0
-      while (p < numPerm) {
-        val hp = Sketch.permA(p) * h + Sketch.permB(p)
-        if (hp < mins(p)) mins(p) = hp
-        p += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
+    if (arr.numElements() == 0) null
+    else SketchRuntime.minhashSig(arr, numPerm)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.SketchRuntime.minhashSig($c, $numPerm);
+      }""")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -82,29 +79,17 @@ case class MinHashSignature(child: Expression, numPerm: Int)
   * (which Janino has to compile per query) with one tight loop.
   */
 case class HyperplaneBucket(child: Expression, planes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_bucket"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val dim = arr.numElements()
-    var bucket = 0L
-    var p = 0
-    while (p < planes) {
-      var proj = 0.0
-      var d = 0
-      while (d < dim) {
-        val w = (Sketch.mix64(p.toLong * 8191L + d) & 1023L) / 1024.0 - 0.5
-        proj += arr.getFloat(d) * w
-        d += 1
-      }
-      if (proj > 0) bucket |= (1L << p)
-      p += 1
-    }
-    bucket
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    SketchRuntime.hyperplaneBucket(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchRuntime.hyperplaneBucket($c, $planes)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
@@ -114,34 +99,24 @@ case class HyperplaneBucket(child: Expression, planes: Int)
   * hashes, one pass. Empty/null → null.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return null
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < n) {
-      val h = Sketch.contentHash(arr.getUTF8String(i))
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) sig |= (1L << b)
-      b += 1
-    }
-    sig
+    if (arr.numElements() == 0) null
+    else SketchRuntime.simhash64(arr)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.SketchRuntime.simhash64($c);
+      }""")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

@@ -4,29 +4,14 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** Tensor IPC codec as native Catalyst expressions (SURVEY §2.E2).
-  *
-  * Layout mirrors the reference's dense-tensor message (reference:
-  * cpp/src/arrow/tensor.h WriteTensor, format/Tensor.fbs): row-major,
-  * self-describing — [ndim:i32][shape:i32*ndim][n:i32][data:f32*n],
-  * little-endian like all arrow buffers.
-  *
-  * Catalyst Expression (not a UDF) so null handling, eval, and
-  * serialization plumbing follow the engine's contract; CodegenFallback
-  * keeps surrounding operators inside whole-stage codegen.
-  */
-case class TensorPack(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** Static runtime for the tensor codec (see TensorPack). */
+object TensorRuntime {
 
-  override def dataType: DataType = BinaryType
-  override def prettyName: String = "tensor_pack"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val row = input.asInstanceOf[InternalRow]
+  def pack(row: InternalRow): Array[Byte] = {
     val shape = row.getArray(0)
     val data = row.getArray(1)
     val ndim = shape.numElements()
@@ -42,20 +27,7 @@ case class TensorPack(child: Expression)
     buf.array()
   }
 
-  override protected def withNewChildInternal(newChild: Expression): TensorPack =
-    copy(child = newChild)
-}
-
-case class TensorUnpack(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = StructType(Seq(
-    StructField("shape", ArrayType(IntegerType, containsNull = false)),
-    StructField("data", ArrayType(FloatType, containsNull = false))))
-  override def prettyName: String = "tensor_unpack"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  def unpack(bytes: Array[Byte]): InternalRow = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val ndim = buf.getInt
     val shape = new Array[Any](ndim)
@@ -68,6 +40,45 @@ case class TensorUnpack(child: Expression)
     InternalRow(new GenericArrayData(shape): ArrayData,
       new GenericArrayData(data): ArrayData)
   }
+}
+
+/** Tensor IPC codec as native Catalyst expressions (SURVEY §2.E2).
+  *
+  * Layout mirrors the reference's dense-tensor message (reference:
+  * cpp/src/arrow/tensor.h WriteTensor, format/Tensor.fbs): row-major,
+  * self-describing — [ndim:i32][shape:i32*ndim][n:i32][data:f32*n],
+  * little-endian like all arrow buffers. Codegens as a static call so
+  * surrounding operators stay in whole-stage codegen.
+  */
+case class TensorPack(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "tensor_pack"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TensorRuntime.pack(input.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TensorRuntime.pack($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TensorPack =
+    copy(child = newChild)
+}
+
+case class TensorUnpack(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("shape", ArrayType(IntegerType, containsNull = false)),
+    StructField("data", ArrayType(FloatType, containsNull = false))))
+  override def prettyName: String = "tensor_unpack"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TensorRuntime.unpack(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TensorRuntime.unpack($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TensorUnpack =
     copy(child = newChild)

@@ -41,6 +41,17 @@ object ArrowTypes {
       new Field(name, if (nullable) FieldType.nullable(ArrowType.List.INSTANCE)
         else FieldType.notNullable(ArrowType.List.INSTANCE),
         List(toArrowField("element", elem, containsNull)).asJava)
+    case MapType(kt, vt, valueContainsNull) =>
+      // arrow maps: one non-nullable "entries" struct child with
+      // non-nullable "key" and (possibly nullable) "value"
+      val entries = new Field("entries",
+        FieldType.notNullable(ArrowType.Struct.INSTANCE),
+        List(toArrowField("key", kt, nullable = false),
+          toArrowField("value", vt, valueContainsNull)).asJava)
+      new Field(name,
+        if (nullable) FieldType.nullable(new ArrowType.Map(false))
+        else FieldType.notNullable(new ArrowType.Map(false)),
+        List(entries).asJava)
     case StructType(fields) =>
       new Field(name, if (nullable) FieldType.nullable(ArrowType.Struct.INSTANCE)
         else FieldType.notNullable(ArrowType.Struct.INSTANCE),
@@ -90,7 +101,16 @@ object ArrowTypes {
   }
 
   def fromArrowField(f: Field): StructField = f.getType match {
+    case _: ArrowType.Map =>
+      val entries = f.getChildren.get(0)
+      val key = fromArrowField(entries.getChildren.get(0))
+      val value = fromArrowField(entries.getChildren.get(1))
+      StructField(f.getName,
+        MapType(key.dataType, value.dataType, value.nullable), f.isNullable)
     case _: ArrowType.List =>
+      val elem = fromArrowField(f.getChildren.get(0))
+      StructField(f.getName, ArrayType(elem.dataType, elem.nullable), f.isNullable)
+    case _: ArrowType.FixedSizeList =>
       val elem = fromArrowField(f.getChildren.get(0))
       StructField(f.getName, ArrayType(elem.dataType, elem.nullable), f.isNullable)
     case _: ArrowType.Struct =>

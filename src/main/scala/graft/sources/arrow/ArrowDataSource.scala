@@ -129,7 +129,7 @@ class ArrowColumnarReader(file: String, requiredSchema: StructType)
     val has = reader.loadNextBatch()
     if (has) {
       val root = reader.getVectorSchemaRoot
-      val vecs = ArrowIo.decodedVectors(reader, root, indices)
+      val vecs = ArrowIo.decodedVectors(reader, root, indices, alloc)
       decodedToClose = vecs.collect { case (v, true) => v }
       val cols: Array[ColumnVector] =
         vecs.map { case (v, _) => new ArrowColumnVector(v): ColumnVector }.toArray

@@ -112,6 +112,33 @@ private[arrow] object AFWriter {
       override def finish(): Unit = { elemWriter.finish(); super.finish() }
       override def reset(): Unit = { elemWriter.reset(); super.reset() }
     }
+    case (x: org.apache.arrow.vector.complex.MapVector, MapType(kt, vt, _)) => new AFWriter {
+      val vector = x
+      private val entries = x.getDataVector.asInstanceOf[StructVector]
+      private val keyWriter = AFWriter(entries.getChildByOrdinal(0), kt)
+      private val valWriter = AFWriter(entries.getChildByOrdinal(1), vt)
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = {
+        val map = g.getMap(o)
+        val keys = map.keyArray()
+        val vals = map.valueArray()
+        x.startNewValue(count)
+        var j = 0
+        while (j < map.numElements()) {
+          entries.setIndexDefined(keyWriter.count)
+          keyWriter.write(keys, j)
+          valWriter.write(vals, j)
+          j += 1
+        }
+        x.endValue(count, map.numElements())
+      }
+      override def finish(): Unit = {
+        keyWriter.finish(); valWriter.finish()
+        entries.setValueCount(keyWriter.count)
+        super.finish()
+      }
+      override def reset(): Unit = { keyWriter.reset(); valWriter.reset(); super.reset() }
+    }
     case (x: StructVector, st: StructType) => new AFWriter {
       val vector = x
       private val children: Array[AFWriter] =

@@ -72,20 +72,60 @@ object ArrowIo {
   }
 
   /** Decode any dictionary-encoded vectors in the loaded batch
-    * (reference: cpp/src/arrow/ipc/dictionary.h). Returned vectors
-    * are fresh (caller closes); plain vectors pass through.
+    * (reference: cpp/src/arrow/ipc/dictionary.h), and widen
+    * fixed-size-list vectors to regular lists (Spark's
+    * ArrowColumnVector has no FSL accessor). Returned converted
+    * vectors are fresh (caller closes); plain vectors pass through.
     */
   def decodedVectors(reader: ArrowReader, root: VectorSchemaRoot,
-                     indices: Seq[Int]): Seq[(FieldVector, Boolean)] = {
+                     indices: Seq[Int],
+                     alloc: BufferAllocator): Seq[(FieldVector, Boolean)] = {
     indices.map { i =>
       val v = root.getVector(i)
       val encoding = v.getField.getDictionary
-      if (encoding == null) (v, false)
-      else {
+      if (encoding != null) {
         val dict = reader.lookup(encoding.getId)
         (DictionaryEncoder.decode(v, dict).asInstanceOf[FieldVector], true)
+      } else v match {
+        case fsl: org.apache.arrow.vector.complex.FixedSizeListVector =>
+          (fslToList(fsl, alloc), true)
+        case other => (other, false)
       }
     }
+  }
+
+  /** Copy a fixed-size-list vector into an equivalent variable list. */
+  def fslToList(fsl: org.apache.arrow.vector.complex.FixedSizeListVector,
+                alloc: BufferAllocator): FieldVector = {
+    import org.apache.arrow.vector.complex.ListVector
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    val elemField = fsl.getField.getChildren.get(0)
+    val listField = new Field(fsl.getField.getName,
+      FieldType.nullable(ArrowType.List.INSTANCE), List(elemField).asJava)
+    val list = listField.createVector(alloc).asInstanceOf[ListVector]
+    list.allocateNew()
+    val size = fsl.getListSize
+    val from = fsl.getDataVector
+    val to = list.getDataVector
+    var childIdx = 0
+    var i = 0
+    while (i < fsl.getValueCount) {
+      if (fsl.isNull(i)) list.setNull(i)
+      else {
+        list.startNewValue(i)
+        var j = 0
+        while (j < size) {
+          to.copyFromSafe(i * size + j, childIdx, from)
+          childIdx += 1
+          j += 1
+        }
+        list.endValue(i, size)
+      }
+      i += 1
+    }
+    to.setValueCount(childIdx)
+    list.setValueCount(fsl.getValueCount)
+    list
   }
 
   /** Write a partition's rows as one IPC file/stream. Batches of

@@ -68,6 +68,54 @@ class ArrowIpcSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("roundtrip: map column") {
+    val df = Seq((1L, Map("a" -> 1, "b" -> 2)), (2L, Map("c" -> 3)))
+      .toDF("id", "m")
+    val dir = tmpDir("map")
+    df.write.format("arrow").mode("overwrite").save(dir)
+    val back = spark.read.format("arrow").load(dir)
+    val a = df.select("id", "m").as[(Long, Map[String, Int])].collect().toMap
+    val b = back.select("id", "m").as[(Long, Map[String, Int])].collect().toMap
+    assert(a == b)
+  }
+
+  test("fixed-size-list files read as array columns") {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.FixedSizeListVector
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import java.nio.channels.Channels
+    import scala.jdk.CollectionConverters._
+
+    val alloc = graft.sources.arrow.ArrowIo.rootAllocator()
+    val elemField = new Field("element",
+      FieldType.notNullable(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)), null)
+    val fslField = new Field("vec",
+      FieldType.notNullable(new ArrowType.FixedSizeList(2)), List(elemField).asJava)
+    val fsl = fslField.createVector(alloc).asInstanceOf[FixedSizeListVector]
+    fsl.allocateNew()
+    val data = fsl.getDataVector.asInstanceOf[Float4Vector]
+    (0 until 3).foreach { i =>
+      fsl.setNotNull(i)
+      data.setSafe(i * 2, i.toFloat)
+      data.setSafe(i * 2 + 1, i + 0.5f)
+    }
+    data.setValueCount(6)
+    fsl.setValueCount(3)
+    val root = new VectorSchemaRoot(Seq(fsl.asInstanceOf[FieldVector]).asJava)
+    val dir = tmpDir("fsl")
+    val ch = Channels.newChannel(Files.newOutputStream(Paths.get(s"$dir/part-00000-0.arrow")))
+    val w = new ArrowFileWriter(root, null, ch)
+    w.start(); w.writeBatch(); w.end(); w.close()
+    root.close(); alloc.close()
+
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.schema.head.dataType.typeName == "array")
+    val rows = back.as[Seq[Float]].collect()
+    assert(rows.toSeq == Seq(Seq(0f, 0.5f), Seq(1f, 1.5f), Seq(2f, 2.5f)))
+  }
+
   test("stream format roundtrip via ipc.format=stream") {
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val dir = tmpDir("stream")
