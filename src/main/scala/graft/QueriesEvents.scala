@@ -12,6 +12,17 @@ import graft.operators.Events
   */
 object QueriesEvents {
 
+  /** The 4 hour-long, 15-min-slide window starts covering `ts`:
+    * floor(ts, 15min) - k*15min for k in 0..3.
+    */
+  private def window_slide_starts(ts: org.apache.spark.sql.Column) = {
+    val us15 = 900000000L // 15 min in micros
+    val tsUs = unix_micros(ts.cast("timestamp"))
+    val floored = tsUs - pmod(tsUs, lit(us15))
+    transform(sequence(lit(0L), lit(3L)),
+      k => timestamp_micros(floored - k * us15).cast("timestamp_ntz"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // semi-structured: parse the JSON props column (the pipeline's
@@ -33,6 +44,24 @@ object QueriesEvents {
         COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
         FROM events GROUP BY date_trunc('hour', ts), event_type
         ORDER BY hour_ts, event_type""")),
+
+    // batch twin of the sliding-window stream op: each event lands in
+    // the 4 hour-long windows sliding by 15m that cover it
+    QueryDef("q_events_sliding",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          explode(window_slide_starts(col("ts"))).as("w_start"))
+        .groupBy("w_start", "event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("w_start", "event_type"),
+      Some("""SELECT w_start, event_type, COUNT(*) AS n_events
+        FROM (
+          SELECT event_type,
+            date_trunc('hour', ts) - INTERVAL 45 MINUTE
+              + to_minutes(15 * s.g) AS w_start, ts
+          FROM events, generate_series(0, 6) s(g))
+        WHERE ts >= w_start AND ts < w_start + INTERVAL 60 MINUTE
+        GROUP BY w_start, event_type ORDER BY w_start, event_type""")),
 
     QueryDef("q_sessionize",
       (s, d) => Events.sessionize(Tables.events(s, d), gapMinutes = 30)

@@ -449,6 +449,51 @@ object QueriesRelational {
         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---------------------------------------------- C13b cube grouping
+    QueryDef("q_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        COALESCE(l_linestatus, 'ALL') AS ls,
+        COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    // ------------------------------------------------- C14c regexp
+    QueryDef("q_regexp",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+          (regexp_count(col("p_name"), lit("a")).cast(LongType)).as("n_a"),
+          regexp_replace(col("p_type"), "[AEIOU]", "_").as("devowel"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+        CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
+        regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devowel
+        FROM part ORDER BY p_partkey""")),
+
+    // ----------------------------------------- J2 salted join (oracle)
+    // salting is semantics-preserving, so the oracle is the plain join
+    QueryDef("q_salted_join",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.operators.Skew.saltedJoin(Tables.lineitem(s, d), orders,
+            "l_orderkey", salts = 8)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ------------------------------------------------------ C15 case expr
     QueryDef("q_case_expr",
       (s, d) => Tables.customer(s, d)

@@ -43,7 +43,10 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         // integer `div`, NOT `/`: true division routes the ~1.7e18 ns
         // epoch through a double and loses microseconds past 2^53.
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // NTZ (naive) like the source data and like DuckDB reads it —
+        // session tz is UTC so the wall clock is unchanged.
+        raw.withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       case _ => raw
     }
   }

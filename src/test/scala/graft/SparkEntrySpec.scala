@@ -1,0 +1,39 @@
+package graft
+
+/** Driver-contract invariants: these are what the round harness
+  * actually calls, so breakage here is a zero-score round.
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry() returns rows on sf0.001 (driver smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("registry names are unique") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicates: ${names.diff(names.distinct)}")
+  }
+
+  test("all queries have output column names matching their oracle aliases") {
+    // structural check: no query output column may contain '(' — an
+    // unaliased aggregate like sum(x) can never hash-match the oracle
+    SparkEntry.registry.filter(_.oracle.isDefined).foreach { q =>
+      val cols = q.fn(spark, sfDir).columns
+      val bad = cols.filter(c => c.contains("(") || c.contains(" "))
+      assert(bad.isEmpty, s"${q.name}: unaliased output columns $bad")
+    }
+  }
+
+  test("every query at sf0.001 returns a non-null schema and is executable") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.schema.nonEmpty, s"$name has empty schema")
+    }
+  }
+}

@@ -42,7 +42,7 @@ class EventsSpec extends SparkSpec {
 
   test("events table loads with microsecond timestamps at sf0.001") {
     val e = graft.Tables.events(spark, sfDir)
-    assert(e.schema("ts").dataType.typeName == "timestamp")
+    assert(e.schema("ts").dataType.typeName == "timestamp_ntz")
     assert(e.count() == 1000)
   }
 }
