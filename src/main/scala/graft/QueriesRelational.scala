@@ -494,6 +494,30 @@ object QueriesRelational {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ------------------------------------- A8 set ops / table compare
+    // (reference: cpp/src/arrow/compare.cc — array/table equality;
+    // relationally that's EXCEPT/INTERSECT)
+    QueryDef("q_set_ops",
+      (s, d) => {
+        val f = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("k"))
+        val o = Tables.orders(s, d).where(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("k"))
+        f.except(o).withColumn("tag", lit("f_only"))
+          .unionAll(f.intersect(o).withColumn("tag", lit("both")))
+          .orderBy("tag", "k")
+      },
+      Some("""SELECT k, 'f_only' AS tag FROM (
+          SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        UNION ALL
+        SELECT k, 'both' AS tag FROM (
+          SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        ORDER BY tag, k""")),
+
     // ------------------------------------------------------ C15 case expr
     QueryDef("q_case_expr",
       (s, d) => Tables.customer(s, d)

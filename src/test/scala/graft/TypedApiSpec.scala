@@ -29,6 +29,16 @@ class TypedApiSpec extends SparkSpec {
     assert(back.schema == df.schema)
   }
 
+  test("arbitrary JVM object serialization via kryo encoder (serialization.py analog)") {
+    // the reference serializes arbitrary (non-schema) objects; in
+    // Spark that's an opaque binary encoder
+    implicit val enc = org.apache.spark.sql.Encoders.kryo[Map[String, List[Int]]]
+    val objs = Seq(Map("a" -> List(1, 2)), Map("b" -> List(3)))
+    val ds = spark.createDataset(objs)
+    assert(ds.schema.head.dataType.typeName == "binary")
+    assert(ds.collect().toSeq == objs)
+  }
+
   test("typed aggregation: groupByKey mapGroups") {
     val ds = Seq(Li(1, 1.0, "A"), Li(2, 2.0, "A"), Li(3, 3.0, "B")).toDS()
     val sums = ds.groupByKey(_.l_returnflag)
