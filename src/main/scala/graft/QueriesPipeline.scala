@@ -185,6 +185,30 @@ object QueriesPipeline {
         .orderBy("doc_id"),
       Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id")),
 
+    // ------------------------------------------------------ H6 chunking
+    QueryDef("q_chunk_docs",
+      (s, d) => TextAnalysis.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 32, overlap = 8).orderBy("doc_id", "chunk_idx"),
+      Some("""SELECT doc_id,
+          CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+          array_to_string(t[s : s + 31], ' ') AS chunk,
+          CAST(least(len(t) - s + 1, 32) AS BIGINT) AS n_chunk_tokens
+        FROM (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
+            unnest(range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) + 1, 24)) AS s
+          FROM documents)
+        ORDER BY doc_id, chunk_idx""")),
+
+    // ------------------------------------------------ B6 approx distinct
+    // HLL sketches differ between engines — rows-only + ComputeSpec
+    // error-bound test.
+    QueryDef("q_approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ------------------------------------------------------- H5 top terms
     QueryDef("q_top_terms",
       (s, d) => TextAnalysis.termFrequencies(Tables.documents(s, d), "text")

@@ -99,6 +99,27 @@ object TextAnalysis {
       (acc, c) => pmod(acc * 31L + c, lit(mod)))
   }
 
+  /** Fixed-size token chunking with overlap — the standard prep step
+    * before tokenizer/packing stages in a training pipeline. Chunk
+    * starts advance by (size - overlap); the trailing chunk may be
+    * short. Narrow map + explode: distributes as a flat map, no
+    * shuffle.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(stride)))
+          .as("s0"), col("t"))
+      .select(col("doc_id"),
+        (col("s0") / stride).cast(LongType).as("chunk_idx"),
+        concat_ws(" ", slice(col("t"), col("s0") + 1, lit(chunkSize))).as("chunk"),
+        least(size(col("t")) - col("s0"), lit(chunkSize)).cast(LongType).as("n_chunk_tokens"))
+  }
+
   /** Term frequencies: explode + count. Map-side combine makes this a
     * single shuffle keyed by term; vocabulary is much smaller than the
     * corpus at any scale.

@@ -49,6 +49,14 @@ class ComputeSpec extends SparkSpec {
     assert(vc == Set(("a", 2L), ("b", 1L)))
   }
 
+  test("approx_count_distinct is within HLL error bounds of exact") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val exact = li.select(countDistinct(col("l_partkey"))).as[Long].head()
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).as[Long].head()
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr < 0.1, s"approx=$approx exact=$exact relErr=$relErr")
+  }
+
   test("hash64 is deterministic and spreads values") {
     val h = Seq("a", "b", "a").toDF("x")
       .select(Compute.hash64(col("x")).as("h")).as[Long].collect()

@@ -57,6 +57,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == ((97L * 31 + 98) * 31 + 99))
   }
 
+  test("chunkDocs: overlapping fixed-size chunks with short tail") {
+    val df = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocs(df, "doc_id", "text", chunkSize = 32, overlap = 8)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_chunk_tokens", "chunk")
+      .collect()
+    assert(chunks.length == 2) // starts at token 0 and 24
+    assert(chunks(0).getLong(1) == 32L)
+    assert(chunks(1).getLong(1) == 16L) // tokens 25..40
+    assert(chunks(0).getString(2).startsWith("w1 w2"))
+    assert(chunks(1).getString(2).startsWith("w25 "))
+    // overlap region appears in both chunks
+    assert(chunks(0).getString(2).contains("w30"))
+    assert(chunks(1).getString(2).contains("w30"))
+  }
+
   test("termFrequencies counts exploded tokens") {
     val df = Seq("a b a", "b c").toDF("text")
     val tf = TextAnalysis.termFrequencies(df, "text").collect()
