@@ -12,7 +12,9 @@ import graft.sources.ArrowTypes
 
 /** Row-at-a-time arrow IPC writer with bounded memory: rows accumulate
   * into one VectorSchemaRoot and flush as a record batch every
-  * `batchRows`. The executor never holds more than one batch.
+  * `batchRows`. The executor never holds more than one batch — the
+  * same batching contract as the reference's RecordBatchFileWriter
+  * (reference: cpp/src/arrow/ipc/writer.h:90).
   */
 class IncrementalArrowWriter(path: String, schema: StructType,
                              stream: Boolean, batchRows: Int = 4096 * 4) {
