@@ -324,6 +324,56 @@ object QueriesRelational {
         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
 
+    // -------------------------------------------------- C12b TPC-H 14
+    QueryDef("q_tpch14",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+        val rev = sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        val promoRev = sum(when(col("p_type") === "PROMO",
+          revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(0).cast(DecimalType(18, 2))))
+        li.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .agg((promoRev.cast(DoubleType) * 100.0 / rev.cast(DoubleType))
+            .as("promo_revenue_pct"))
+      },
+      Some("""SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'""")),
+
+    // --------------------------------------------------- C12c TPC-H 4-ish
+    // (adapted: no commit/receipt dates in this schema — "late
+    // shipment" = any line shipped >60 days after the order date)
+    QueryDef("q_tpch4",
+      (s, d) => {
+        val late = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+          .join(late,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "leftsemi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---------------------------------------------------------- C13 rollup
     QueryDef("q_rollup",
       (s, d) => Tables.orders(s, d)
