@@ -78,18 +78,18 @@ case class MinHashSignature(child: Expression, numPerm: Int)
   * centered to [-0.5, 0.5). Replaces a planes×dim-term expression tree
   * (which Janino has to compile per query) with one tight loop.
   */
-case class HyperplaneBucket(child: Expression, planes: Int)
+case class HyperplaneBucket(child: Expression, planes: Int, seed: Int = 0)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_bucket"
 
   override protected def nullSafeEval(input: Any): Any =
-    SketchRuntime.hyperplaneBucket(input.asInstanceOf[ArrayData], planes)
+    SketchRuntime.hyperplaneBucket(input.asInstanceOf[ArrayData], planes, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SketchRuntime.hyperplaneBucket($c, $planes)")
+      s"graft.functions.SketchRuntime.hyperplaneBucket($c, $planes, $seed)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)

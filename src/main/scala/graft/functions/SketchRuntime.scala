@@ -48,7 +48,7 @@ object SketchRuntime {
     sig
   }
 
-  def hyperplaneBucket(arr: ArrayData, planes: Int): Long = {
+  def hyperplaneBucket(arr: ArrayData, planes: Int, seed: Int): Long = {
     val dim = arr.numElements()
     var bucket = 0L
     var p = 0
@@ -56,7 +56,7 @@ object SketchRuntime {
       var proj = 0.0
       var d = 0
       while (d < dim) {
-        val w = (Sketch.mix64(p.toLong * 8191L + d) & 1023L) / 1024.0 - 0.5
+        val w = (Sketch.mix64((seed.toLong * 524287L + p) * 8191L + d) & 1023L) / 1024.0 - 0.5
         proj += arr.getFloat(d) * w
         d += 1
       }

@@ -54,6 +54,33 @@ class SimilaritySpec extends SparkSpec {
     assert(!res.contains(0L), "self must be excluded")
   }
 
+  test("kmeans centroids converge toward cluster structure") {
+    // two tight clusters around e1 and e2
+    val clustered = (
+      (0 until 10).map(i => (i.toLong, Array(1f, 0.05f * i, 0f, 0f))) ++
+      (10 until 20).map(i => (i.toLong, Array(0f, 0.05f * (i - 10), 1f, 0f)))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(clustered, nCells = 2, stride = 10, iters = 3)
+      .orderBy("cent_id").collect()
+    assert(cents.length == 2)
+    val c0 = cents(0).getSeq[Float](1)
+    val c1 = cents(1).getSeq[Float](1)
+    // each centroid should be dominated by its cluster's axis
+    assert(c0(0) > 0.5f && c0(2) < 0.3f, s"c0=$c0")
+    assert(c1(2) > 0.5f && c1(0) < 0.3f, s"c1=$c1")
+  }
+
+  test("ivf recall: with enough probes ivf matches brute force on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = emb.where($"vec_id" === 0)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 3)
+      .select("nid").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, k = 3, nCells = 4, stride = 7, nprobe = 4)
+      .select("nid").as[Long].collect().toSet
+    // nprobe == nCells → exhaustive → must equal brute force
+    assert(ivf == brute, s"ivf $ivf vs brute $brute")
+  }
+
   test("brute force on real embeddings: top1 of each query has highest cosine") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val res = Similarity.bruteForceTopK(emb, emb.where($"vec_id" < 3), k = 1)
