@@ -205,13 +205,16 @@ object ArrowIo {
   def dataFiles(path: String): Seq[String] = {
     val p = Paths.get(path)
     if (Files.isDirectory(p)) {
-      Files.list(p).iterator().asScala
-        .map(_.toString)
-        .filter { f =>
-          val n = Paths.get(f).getFileName.toString
-          !n.startsWith(".") && !n.startsWith("_")
-        }
-        .toSeq.sorted
+      val stream = Files.list(p)
+      try {
+        stream.iterator().asScala
+          .map(_.toString)
+          .filter { f =>
+            val n = Paths.get(f).getFileName.toString
+            !n.startsWith(".") && !n.startsWith("_")
+          }
+          .toList.sorted
+      } finally stream.close()
     } else if (Files.exists(p)) Seq(path)
     else Seq.empty
   }
