@@ -25,9 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig", "minhash_sig(arr[, numPerm]) - minhash signature of a string array"),
       (args: Seq[Expression]) => args match {
         case Seq(a) => MinHashSignature(a, 64)
-        case Seq(a, n) => MinHashSignature(a,
-          n.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException("minhash_sig(arr[, numPerm])")
+        case Seq(a, n) if n.foldable => n.eval() match {
+          case i: java.lang.Number => MinHashSignature(a, i.intValue())
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: numPerm must be an integer literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(arr[, numPerm]) — numPerm must be a literal")
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),

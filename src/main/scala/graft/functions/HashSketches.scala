@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -50,8 +51,16 @@ object Sketch {
   */
 case class MinHashSignature(child: Expression, numPerm: Int)
     extends UnaryExpression {
+  require(numPerm > 0, s"numPerm must be positive, got $numPerm")
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // empty arrays yield null regardless of child nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -80,7 +89,14 @@ case class MinHashSignature(child: Expression, numPerm: Int)
   */
 case class HyperplaneBucket(child: Expression, planes: Int, seed: Int = 0)
     extends UnaryExpression {
+  require(planes >= 1 && planes <= 64,
+    s"planes must be in [1, 64] (bits of the bucket key), got $planes")
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_bucket"
 
@@ -101,7 +117,14 @@ case class HyperplaneBucket(child: Expression, planes: Int, seed: Int = 0)
 case class SimHash64(child: Expression)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
   override def dataType: DataType = LongType
+  // empty arrays yield null regardless of child nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
   override protected def nullSafeEval(input: Any): Any = {

@@ -3,6 +3,7 @@ package graft.functions
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -53,6 +54,14 @@ object TensorRuntime {
 case class TensorPack(child: Expression)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(
+      StructField(_, ArrayType(IntegerType, _), _, _),
+      StructField(_, ArrayType(FloatType, _), _, _))) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires struct<shape:array<int>,data:array<float>>, got $other")
+  }
   override def dataType: DataType = BinaryType
   override def prettyName: String = "tensor_pack"
 
@@ -69,6 +78,11 @@ case class TensorPack(child: Expression)
 case class TensorUnpack(child: Expression)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got $other")
+  }
   override def dataType: DataType = StructType(Seq(
     StructField("shape", ArrayType(IntegerType, containsNull = false)),
     StructField("data", ArrayType(FloatType, containsNull = false))))

@@ -42,15 +42,18 @@ object Compute {
     * broadcast-join the codes back: no global sort of the data itself.
     */
   def dictionaryEncode(df: DataFrame, column: String): DataFrame = {
-    val dict = df.select(col(column).as("value")).distinct()
+    // null values stay null-coded (left join), matching arrow's
+    // kernel: nulls are not dictionary members
+    val dict = df.where(col(column).isNotNull)
+      .select(col(column).as("value")).distinct()
       .withColumn("code",
         (row_number().over(Window.orderBy(col("value"))) - 1).cast(LongType))
-    df.join(broadcast(dict), df(column) === dict("value"))
+    df.join(broadcast(dict), df(column) === dict("value"), "left")
   }
 
   /** Dictionary itself (value → code), sorted-value code assignment. */
   def dictionary(df: DataFrame, column: String): DataFrame =
-    df.select(col(column).as("value")).distinct()
+    df.where(col(column).isNotNull).select(col(column).as("value")).distinct()
       .withColumn("code",
         (row_number().over(Window.orderBy(col("value"))) - 1).cast(LongType))
 

@@ -26,7 +26,12 @@ object Dedup {
     */
   private def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // inputFiles inspects the plan without executing it (df.rdd under
+    // AQE would materialize upstream stages). Raw scans of fewer
+    // files than cores get spread out; derived plans (joins/aggs
+    // upstream) already carry shuffle parallelism and pass through.
+    val files = df.inputFiles.length
+    if (files > 0 && files < target) df.repartition(target) else df
   }
 
   // ---------------------------------------------------------------- exact
@@ -77,6 +82,8 @@ object Dedup {
     * numPerm/bands rows; each band hashed to one bucket key.
     */
   def lshBands(sig: Column, numPerm: Int, bands: Int): Column = {
+    require(bands >= 1 && bands <= numPerm && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
     val rows = numPerm / bands
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -29,7 +29,9 @@ object Similarity {
     */
   private def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // see Dedup.fanOut: plan-only probe, no AQE materialization
+    val files = df.inputFiles.length
+    if (files > 0 && files < target) df.repartition(target) else df
   }
 
   /** Sequential-order double dot product of two float-array columns. */

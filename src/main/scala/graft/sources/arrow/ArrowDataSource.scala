@@ -178,7 +178,14 @@ class ArrowBatchWrite(schema: StructType, path: String, stream: Boolean)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ArrowWriterFactory(schema, path, stream)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  // tasks write hidden temp files and rename on task-commit; a job
+  // abort removes anything tasks already renamed so a failed job
+  // never leaves a readable partial dataset
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ArrowCommit(file, _) => Files.deleteIfExists(Paths.get(file))
+      case _ => ()
+    }
 }
 
 class ArrowWriterFactory(schema: StructType, path: String, stream: Boolean)
@@ -192,21 +199,34 @@ case class ArrowCommit(file: String, rows: Long) extends WriterCommitMessage
 /** Streams rows straight into arrow batches — constant memory in the
   * partition size (one in-flight batch), which is what survives 100 TB
   * partitions. No whole-partition buffering.
+  *
+  * Commit protocol: rows stream into a hidden `.part-...tmp` file
+  * (ignored by dataFiles), which is atomically renamed into place on
+  * task commit — so readers never observe files from uncommitted or
+  * speculatively-duplicated tasks, and a crashed task leaves only
+  * ignorable temp litter.
   */
 class ArrowDataWriter(schema: StructType, dir: String, partitionId: Int,
                       taskId: Long, stream: Boolean)
     extends DataWriter[InternalRow] {
   private val ext = if (stream) "arrows" else "arrow"
   private val file = f"$dir/part-$partitionId%05d-$taskId.$ext"
-  private val inc = new IncrementalArrowWriter(file, schema, stream)
+  private val tmp = f"$dir/.part-$partitionId%05d-$taskId.$ext.tmp"
+  private val inc = new IncrementalArrowWriter(tmp, schema, stream)
 
   override def write(record: InternalRow): Unit = inc.append(record)
 
-  override def commit(): WriterCommitMessage = ArrowCommit(file, inc.finish())
+  override def commit(): WriterCommitMessage = {
+    val rows = inc.finish()
+    Files.move(Paths.get(tmp), Paths.get(file),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ArrowCommit(file, rows)
+  }
 
   override def abort(): Unit = {
     inc.closeQuietly()
-    Files.deleteIfExists(Paths.get(file))
+    Files.deleteIfExists(Paths.get(tmp))
   }
   override def close(): Unit = inc.closeQuietly()
 }

@@ -89,8 +89,84 @@ object ArrowIo {
       } else v match {
         case fsl: org.apache.arrow.vector.complex.FixedSizeListVector =>
           (fslToList(fsl, alloc), true)
+        case needsWiden if widenTarget(needsWiden).isDefined =>
+          (widen(needsWiden, alloc), true)
         case other => (other, false)
       }
+    }
+  }
+
+  /** Spark's ArrowColumnVector has accessors only for signed ints,
+    * DateDay, and variable binary — these external-producer types are
+    * widened by copy on load (matching ArrowTypes.fromArrowType):
+    * uint8→int16, uint16→int32, uint32→int64, uint64→int64 (may wrap,
+    * documented), date64→date32 (floor days), fixed_size_binary→binary.
+    */
+  private def widenTarget(v: FieldVector): Option[String] = v match {
+    case _: org.apache.arrow.vector.UInt1Vector => Some("u1")
+    case _: org.apache.arrow.vector.UInt2Vector => Some("u2")
+    case _: org.apache.arrow.vector.UInt4Vector => Some("u4")
+    case _: org.apache.arrow.vector.UInt8Vector => Some("u8")
+    case _: org.apache.arrow.vector.DateMilliVector => Some("datems")
+    case _: org.apache.arrow.vector.FixedSizeBinaryVector => Some("fsb")
+    case _ => None
+  }
+
+  def widen(v: FieldVector, alloc: BufferAllocator): FieldVector = {
+    import org.apache.arrow.vector._
+    val n = v.getValueCount
+    v match {
+      case src: UInt1Vector =>
+        val out = new SmallIntVector(src.getName, alloc); out.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i)) out.setSafe(i, (src.get(i) & 0xFF).toShort)
+          i += 1
+        }
+        out.setValueCount(n); out
+      case src: UInt2Vector =>
+        val out = new IntVector(src.getName, alloc); out.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i)) out.setSafe(i, src.get(i) & 0xFFFF)
+          i += 1
+        }
+        out.setValueCount(n); out
+      case src: UInt4Vector =>
+        val out = new BigIntVector(src.getName, alloc); out.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i)) out.setSafe(i, src.get(i) & 0xFFFFFFFFL)
+          i += 1
+        }
+        out.setValueCount(n); out
+      case src: UInt8Vector =>
+        val out = new BigIntVector(src.getName, alloc); out.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i)) out.setSafe(i, src.get(i))
+          i += 1
+        }
+        out.setValueCount(n); out
+      case src: DateMilliVector =>
+        val out = new DateDayVector(src.getName, alloc); out.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i))
+            out.setSafe(i, Math.floorDiv(src.get(i), 86400000L).toInt)
+          i += 1
+        }
+        out.setValueCount(n); out
+      case src: FixedSizeBinaryVector =>
+        val out = new VarBinaryVector(src.getName, alloc); out.allocateNew()
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i)) out.setSafe(i, src.get(i))
+          i += 1
+        }
+        out.setValueCount(n); out
+      case other =>
+        throw new UnsupportedOperationException(s"widen: ${other.getClass}")
     }
   }
 

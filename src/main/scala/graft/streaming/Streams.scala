@@ -70,11 +70,18 @@ object Streams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
-                case Some(s) =>
+                // merge when within gap of EITHER session boundary:
+                // late events may precede the stored start
+                case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
+                  cur = Some(SessionState(math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.n + 1))
+                case Some(s) if t > s.endMs + gapMs =>
                   closed += SessionOut(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
                   cur = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  // isolated late event far before the open session:
+                  // its own (already-closed) session
+                  closed += SessionOut(userId, new Timestamp(t), new Timestamp(t), 1)
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }

@@ -37,6 +37,17 @@ class ComputeSpec extends SparkSpec {
     assert(enc == Set(("apple", 0L), ("banana", 1L), ("cherry", 2L)))
   }
 
+  test("dictionaryEncode preserves null rows with null codes (arrow semantics)") {
+    val df = Seq(Some("b"), None, Some("a")).toDF("x")
+    val enc = Compute.dictionaryEncode(df, "x")
+    assert(enc.count() == 3, "null rows must not be dropped")
+    val nullRow = enc.where(col("x").isNull).head()
+    assert(nullRow.isNullAt(enc.columns.indexOf("code")))
+    val codes = enc.where(col("x").isNotNull)
+      .select("x", "code").as[(String, Long)].collect().toSet
+    assert(codes == Set(("a", 0L), ("b", 1L)))
+  }
+
   test("dictionary is value->code, dense from 0") {
     val d = Compute.dictionary(Seq("b", "a", "b").toDF("x"), "x")
       .as[(String, Long)].collect().toSet

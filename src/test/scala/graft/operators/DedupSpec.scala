@@ -77,6 +77,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("minhash_sig of an EMPTY non-nullable array is null (codegen-safe)") {
+    import graft.functions.{exprs, MinHashSignature}
+    val empty = Seq(1).toDF("i")
+      .select(filter(array(lit("a")), _ => lit(false)).as("arr"))
+    val out = empty.select(
+      exprs.toColumn(MinHashSignature(exprs.toExpr(col("arr")), 16)).as("sig"))
+      .head()
+    assert(out.isNullAt(0))
+  }
+
+  test("lshBands rejects bands that do not divide numPerm") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshBands(col("sig"), numPerm = 64, bands = 12)
+    }
+  }
+
   test("shingles produce distinct word n-grams; short docs degrade to whole text") {
     val sh = Seq((1L, "a b")).toDF("doc_id", "text")
       .select(Dedup.shingles(col("text"), 3).as("s"))

@@ -139,6 +139,17 @@ class ArrowIpcSpec extends SparkSpec {
     assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
   }
 
+  test("writes leave no temp litter and only committed part files") {
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val dir = tmpDir("commit")
+    df.write.format("arrow").mode("overwrite").save(dir)
+    val names = Files.list(Paths.get(dir)).iterator()
+    val all = scala.jdk.CollectionConverters.IteratorHasAsScala(names).asScala
+      .map(_.getFileName.toString).toList
+    assert(all.forall(n => n.startsWith("part-") && n.endsWith(".arrow")),
+      s"unexpected files: $all")
+  }
+
   test("column pruning reaches the arrow scan") {
     val emb = graft.Tables.embeddings(spark, sfDir).limit(10)
     val dir = tmpDir("prune")
