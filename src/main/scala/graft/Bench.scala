@@ -15,7 +15,13 @@ object Bench {
     // several seconds of one-time JVM setup.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated query-name filter (local iteration);
+    // the driver invokes with no args → full suite
+    val keep: String => Boolean =
+      if (args.isEmpty) _ => true else args(0).split(",").toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => keep(n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -86,10 +86,14 @@ object QueriesRelational {
         FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
     // -------------------------------------------------------------- B1 cast
+    // price_dec surfaces the double→decimal→double roundtrip as DOUBLE:
+    // a raw decimal column is the one dtype the driver's two fetch
+    // paths (pyarrow vs duckdb) normalize differently, so it would
+    // hash-mismatch even when every value is identical (seen r1).
     QueryDef("q_cast",
       (s, d) => Tables.orders(s, d)
         .select(col("o_orderkey"),
-          col("o_totalprice").cast(DecimalType(12, 2)).as("price_dec"),
+          col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType).as("price_dec"),
           col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType).as("price_str"),
           col("o_orderkey").cast(StringType).as("key_str"),
           col("o_orderkey").cast(StringType).cast(LongType).as("key_roundtrip"),
@@ -98,7 +102,7 @@ object QueriesRelational {
           (col("o_orderstatus") === "F").cast(LongType).as("flag_int"))
         .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey,
-        CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
         CAST(o_orderkey AS VARCHAR) AS key_str,
         CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,

@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Vector kernels for the similarity-search operators (SURVEY §2.G).
+  *
+  * The composed form (`zip_with` + `aggregate`) is correct but the
+  * higher-order functions evaluate a lambda per element outside
+  * whole-stage codegen; at corpus × query (or corpus × centroid)
+  * volume that interpretation overhead IS the job. These expressions
+  * run the loop as one static call and keep the surrounding
+  * projection inside codegen.
+  *
+  * Reference semantics: cosine over float embedding columns, double
+  * accumulation (matches the reference's double-precision kernels,
+  * cpp/src/arrow/compare.cc-style elementwise loops).
+  */
+object VectorRuntime {
+
+  /** Double dot product; float or double element arrays. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Unit-normalize to a double array; zero-norm input → zero vector
+    * (cosine against it is then 0, never NaN).
+    */
+  def unitNormF(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; out(i) = v; ss += v * v; i += 1 }
+    if (ss > 0) {
+      val inv = 1.0 / math.sqrt(ss)
+      i = 0
+      while (i < n) { out(i) *= inv; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Index of the centroid (row of `cents`) with the largest dot
+    * product against `vec`; first wins ties (callers pass centroids
+    * sorted by cent_id, matching ORDER BY score DESC, cent_id).
+    * For unit centroids argmax dot == argmax cosine: |vec| is a
+    * per-row constant.
+    */
+  def nearestCentroid(vec: ArrayData, cents: Array[Array[Double]]): Int = {
+    val dim = vec.numElements()
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(dim, cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += vec.getFloat(i).toDouble * cent(i); i += 1 }
+      if (acc > bestScore) { bestScore = acc; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** dot_product(array<float|double>, array<float|double>) → double.
+  * Both children must share the element type.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> or two array<double>, got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private def kernel: String = left.dataType match {
+    case ArrayType(FloatType, _) => "dotF"
+    case _ => "dotD"
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = left.dataType match {
+    case ArrayType(FloatType, _) =>
+      VectorRuntime.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case _ =>
+      VectorRuntime.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorRuntime$$.MODULE$$.$kernel($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** unit_norm(array<float>) → array<double>: the vector scaled to unit
+  * L2 norm (zero vector passes through). Normalizing once per row
+  * turns every downstream cosine into a single dot product.
+  */
+case class UnitNorm(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "unit_norm"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.unitNormF(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorRuntime$$.MODULE$$.unitNormF($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UnitNorm =
+    copy(child = newChild)
+}
+
+/** nearest_centroid(array<float>) → int: position of the best-cosine
+  * centroid in a driver-collected, unit-normalized centroid matrix
+  * (bounded at k·dim doubles — the one sanctioned collect in the IVF
+  * path, SURVEY §4). Replaces a broadcast-join + per-row window
+  * argmax (a corpus×k materialization and a full shuffle) with a
+  * map-only projection.
+  */
+case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(cents.nonEmpty, "centroid matrix must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.nearestCentroid(input.asInstanceOf[ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centMatrix", matrix, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorRuntime$$.MODULE$$.nearestCentroid($c, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}

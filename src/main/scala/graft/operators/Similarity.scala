@@ -16,11 +16,16 @@ import org.apache.spark.sql.types._
   *    Shuffle keyed by bucket.
   *  - IVF: corpus partitioned into k-means cells (Lloyd-refined
   *    deterministic seeds), queries probe nprobe nearest cells.
-  *    Centroids are a tiny broadcast list; at 100 TB cells can also
-  *    be written as partitioned parquet for pruned reads.
+  *    Centroids live on the driver between Lloyd steps (k·dim
+  *    doubles, the one sanctioned collect — SURVEY §4); cell
+  *    assignment is a map-only projection via the NearestCentroid
+  *    expression. At 100 TB cells can also be written as partitioned
+  *    parquet for pruned reads.
   *
-  * All vector math is `zip_with`/`aggregate` over array columns in
-  * double precision — stays inside codegen, no UDFs.
+  * All vector math runs in the codegen'd kernels of
+  * graft.functions.VectorRuntime (double accumulation) — the
+  * higher-order-function form (`zip_with`+`aggregate`) evaluates a
+  * lambda per element outside codegen and was the bench hotspot.
   */
 object Similarity {
 
@@ -34,10 +39,14 @@ object Similarity {
     if (files > 0 && files < target) df.repartition(target) else df
   }
 
-  /** Sequential-order double dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-order double dot product of two float-array columns
+    * (native kernel; same accumulation order as the previous
+    * zip_with/aggregate form, so values are bit-identical).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import graft.functions.{exprs, DotProduct}
+    exprs.toColumn(DotProduct(exprs.toExpr(a), exprs.toExpr(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -47,10 +56,16 @@ object Similarity {
     * One pass over the corpus, per-query top-k via window rank.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = fanOut(corpus).as("c")
-      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+    // norms projected once per row BEFORE the pair join: each pair then
+    // costs one dot, not three (value unchanged — same expressions,
+    // just evaluated N+Q times instead of N·Q)
+    val c = fanOut(corpus).withColumn("nrm", norm(col("embedding")))
+    val q = queries.withColumn("nrm", norm(col("embedding")))
+    val joined = c.as("c")
+      .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        (dot(col("q.embedding"), col("c.embedding"))
+          / (col("q.nrm") * col("c.nrm"))).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)
@@ -72,12 +87,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, planes: Int = 8): DataFrame = {
     val cb = fanOut(corpus).withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes))
+      .withColumn("nrm", norm(col("embedding")))
     val qb = queries.withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes))
+      .withColumn("nrm", norm(col("embedding")))
     val joined = cb.as("c")
       .join(broadcast(qb.as("q")),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        (dot(col("q.embedding"), col("c.embedding"))
+          / (col("q.nrm") * col("c.nrm"))).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)
@@ -91,31 +109,52 @@ object Similarity {
       .orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
 
-  /** Assign each corpus row to its nearest centroid (broadcast
-    * loop-join over the tiny centroid set + per-row top-1 window).
+  /** Driver-side centroid matrix: (cent_id sorted asc, unit-normalized
+    * double vector). Bounded at k·dim doubles.
+    */
+  private def collectCentroids(cents: DataFrame): Array[(Long, Array[Double])] =
+    cents.select(col("cent_id").cast(LongType), col("cent"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (r.getLong(0), if (n > 0) v.map(_ / n) else v)
+      }
+      .sortBy(_._1)
+
+  /** Map-only cell assignment: argmax cosine against the collected
+    * centroid matrix via the NearestCentroid expression (ties → the
+    * smallest cent_id, matching the windowed form it replaces). The
+    * corpus×k broadcast join + row_number window this replaces
+    * materialized k rows per corpus row and shuffled them — at scale
+    * that exchange was the whole cost of a Lloyd step.
     */
   def assignToCentroids(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = fanOut(corpus).as("c").join(broadcast(cents.as("k")))
-      .select(col("c.vec_id").as("vec_id"), col("c.embedding").as("embedding"),
-        col("k.cent_id").as("cent_id"),
-        cosine(col("c.embedding"), col("k.cent")).as("ccos"))
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+    import graft.functions.{exprs, NearestCentroid}
+    val m = collectCentroids(cents)
+    val idLookup = typedlit(m.map(_._1).toSeq)
+    val pos = exprs.toColumn(NearestCentroid(
+      exprs.toExpr(col("embedding")),
+      m.map(_._2.toSeq).toSeq))
+    fanOut(corpus)
+      .withColumn("cent_id", element_at(idLookup, pos + 1))
       .select(col("vec_id"), col("embedding"), col("cent_id"))
   }
 
   /** k-means centroids: deterministic seeds refined by `iters` Lloyd
-    * steps. Each step is assign (broadcast join) + per-dimension mean
-    * (posexplode → groupBy(cell,dim) avg → re-pack ordered array):
-    * two shuffles of (cell, dim, partial-mean) rows — never a
-    * collect of vectors to the driver. Cells that lose all members
-    * drop out (k shrinks), standard Lloyd behavior.
+    * steps. Each step is a map-only assignment (NearestCentroid) +
+    * per-dimension mean (posexplode → partial-agg groupBy(cell,dim) →
+    * re-pack ordered array) — the shuffle carries only k·dim partial
+    * means per map partition, never vectors to the driver beyond the
+    * k·dim centroid collect. Cells that lose all members drop out
+    * (k shrinks), standard Lloyd behavior.
     */
   def kmeansCentroids(corpus: DataFrame, nCells: Int, stride: Long,
                       iters: Int = 2): DataFrame = {
+    val fanned = fanOut(corpus)
     var cents = seedCentroids(corpus, nCells, stride)
     for (_ <- 0 until iters) {
-      val assigned = assignToCentroids(corpus, cents)
+      val assigned = assignToCentroids(fanned, cents)
       cents = assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cent_id", "pos").agg(avg(col("v")).as("m"))
@@ -135,7 +174,15 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, stride: Long = 7, nprobe: Int = 4,
               kmeansIters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // pin the trained centroids as a local relation: otherwise both
+    // the assignment and the probe join would re-execute the whole
+    // iterative Lloyd lineage (k·dim floats — bounded)
     val cents = kmeansCentroids(corpus, nCells, stride, kmeansIters)
+      .select(col("cent_id").cast(LongType), col("cent"))
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("cent_id", "cent")
     val assigned = assignToCentroids(corpus, cents)
     val qCells = queries.as("q").join(broadcast(cents.as("k")))
       .select(col("q.vec_id").as("qid"), col("q.embedding").as("qe"),
@@ -144,7 +191,7 @@ object Similarity {
     val wq = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
     val probes = qCells.withColumn("r", row_number().over(wq)).where(col("r") <= nprobe)
       .select(col("qid"), col("qe"), col("cent_id"))
-    val joined = assigned.as("c").join(probes.as("p"),
+    val joined = assigned.as("c").join(broadcast(probes.as("p")),
         col("p.cent_id") === col("c.cent_id") && col("p.qid") =!= col("c.vec_id"))
       .select(col("p.qid").as("qid"), col("c.vec_id").as("nid"),
         cosine(col("p.qe"), col("c.embedding")).as("cos"))
@@ -164,17 +211,19 @@ object Similarity {
     // at angle θ is ((1-(1-θ/π)^planes))^probes — two probe tables cut
     // the single-table miss rate quadratically for ~2x the bucketing
     // cost (still one shuffle per probe table, each bucket-local).
-    val fanned = fanOut(corpus)
+    val fanned = fanOut(corpus).withColumn("nrm", norm(col("embedding")))
     val candidate = (0 until probes).map { s =>
       val b = fanned.withColumn("bucket",
         hyperplaneBucket(col("embedding"), dim, planes, s))
       b.as("a").join(b.as("x"),
           col("a.bucket") === col("x.bucket") && col("a.vec_id") < col("x.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("x.vec_id").as("id_b"),
-          col("a.embedding").as("e_a"), col("x.embedding").as("e_b"))
+          col("a.embedding").as("e_a"), col("x.embedding").as("e_b"),
+          col("a.nrm").as("n_a"), col("x.nrm").as("n_b"))
     }.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
     candidate
-      .withColumn("cos", cosine(col("e_a"), col("e_b")))
+      .withColumn("cos",
+        dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
