@@ -35,7 +35,13 @@ object QueriesFormats {
     QueryDef("q_partitioned_dataset",
       (s, d) => {
         val dir = Files.createTempDirectory("graft-partds").toString
+        // repartition by the partition column first: one writer task
+        // per partition value instead of every task writing every
+        // value (tasks × values small files — the classic partitioned-
+        // write mistake at scale; at 100 TB add a bucketing secondary
+        // key to cap per-task volume)
         Tables.orders(s, d)
+          .repartition(col("o_orderstatus"))
           .write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
         s.read.parquet(dir)
           .where(col("o_orderstatus") === "F")

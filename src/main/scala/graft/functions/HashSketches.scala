@@ -111,6 +111,61 @@ case class HyperplaneBucket(child: Expression, planes: Int, seed: Int = 0)
     copy(child = newChild)
 }
 
+/** shingle_set(array<string>, n) → array<string>: distinct space-
+  * joined word n-grams in one pass (first-occurrence order); < n
+  * tokens degrade to a single whole-text shingle. Replaces a
+  * transform/slice/concat_ws/array_distinct subtree whose generated
+  * code dominated cold plan-compile time in the dedup queries.
+  */
+case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchRuntime.shingleSet(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchRuntime.shingleSet($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** lsh_band_keys(array<long>, bands) → array<long>: per-band bucket
+  * hashes of a minhash signature (element b covers rows
+  * [b·numPerm/bands, (b+1)·numPerm/bands)). Callers posexplode the
+  * result: (pos, value) = (band, bucket key).
+  */
+case class LshBandKeys(child: Expression, bands: Int) extends UnaryExpression {
+  require(bands >= 1, s"bands must be >= 1, got $bands")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchRuntime.lshBandKeys(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchRuntime.lshBandKeys($c, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
+    copy(child = newChild)
+}
+
 /** simhash64(array<string>) → long: sign of per-bit vote over token
   * hashes, one pass. Empty/null → null.
   */

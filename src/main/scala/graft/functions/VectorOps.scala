@@ -109,7 +109,7 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorRuntime$$.MODULE$$.$kernel($a, $b)")
+      s"graft.functions.VectorRuntime.$kernel($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -135,7 +135,7 @@ case class UnitNorm(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorRuntime$$.MODULE$$.unitNormF($c)")
+      s"graft.functions.VectorRuntime.unitNormF($c)")
 
   override protected def withNewChildInternal(newChild: Expression): UnitNorm =
     copy(child = newChild)
@@ -169,7 +169,7 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("centMatrix", matrix, "double[][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorRuntime$$.MODULE$$.nearestCentroid($c, $m)")
+      s"graft.functions.VectorRuntime.nearestCentroid($c, $m)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =

@@ -55,14 +55,15 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Word n-gram shingles (default 3) of the lowercased text, distinct. */
+  /** Word n-gram shingles (default 3) of the lowercased text,
+    * distinct. Native single-pass expression (the composed
+    * transform/slice/concat_ws form generated enough Java that
+    * Janino compile time dominated cold query latency).
+    */
   def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    import graft.functions.{exprs, ShingleSet}
+    exprs.toColumn(ShingleSet(
+      exprs.toExpr(TextAnalysis.tokens(text)), n))
   }
 
   /** MinHash signature via the MinHashSignature Catalyst expression:
@@ -113,9 +114,16 @@ object Dedup {
     */
   def minhashCandidates(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16,
                         maxBucket: Int = 256): DataFrame = {
+    require(bands >= 1 && bands <= numPerm && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    // native band hashing (one mix64 chain per band) + posexplode:
+    // (pos, value) = (band, bucket key)
+    val bandKeys = {
+      import graft.functions.{exprs, LshBandKeys}
+      exprs.toColumn(LshBandKeys(exprs.toExpr(col("sig")), bands))
+    }
     val banded = sigs.select(col("doc_id"),
-        explode(lshBands(col("sig"), numPerm, bands)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      posexplode(bandKeys).as(Seq("band", "bh")))
     banded.groupBy("band", "bh")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
