@@ -1,0 +1,348 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import QueryDef.{dec2, dsum, revenueTerm, sqlDsum, sqlRevenue}
+
+/** Extended TPC-H suite (SURVEY §2.C, round 2): the classic queries
+  * re-expressed over the synthetic star schema. Queries needing
+  * partsupp / shipmode / commitdate columns the synthetic tables lack
+  * are adapted (noted per query) — the join/agg shape is preserved,
+  * which is what matters for plan quality at 100 TB.
+  *
+  * Cross-engine exactness: money aggregates go through bounded
+  * decimals (see QueryDef); averages and ratios divide two exact
+  * doubles so both engines round identically.
+  */
+object QueriesTpch {
+
+  /** charge = price·(1-disc)·(1+tax) in bounded decimals: widths are
+    * kept small (12,2)/(4,2) so the triple product stays under both
+    * engines' 38-digit cap without scale truncation.
+    */
+  private def chargeTerm = {
+    val p = col("l_extendedprice").cast(DecimalType(12, 2))
+    val d = col("l_discount").cast(DecimalType(4, 2))
+    val t = col("l_tax").cast(DecimalType(4, 2))
+    p * (lit(1).cast(DecimalType(4, 2)) - d) * (lit(1).cast(DecimalType(4, 2)) + t)
+  }
+  private val sqlCharge =
+    """CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      | * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      | * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** Exact cross-engine average: decimal sum → double, over double count. */
+  private def davg(c: org.apache.spark.sql.Column) =
+    sum(dec2(c)).cast(DoubleType) / count(lit(1)).cast(DoubleType)
+  private def sqlDavg(x: String) =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------- TPC-H Q1 (full)
+    QueryDef("q_tpch1",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+            .cast(DoubleType).as("sum_disc_price"),
+          sum(chargeTerm).cast(DoubleType).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sqlDsum("l_quantity")} AS sum_qty,
+        ${sqlDsum("l_extendedprice")} AS sum_base_price,
+        ${sqlRevenue("l_extendedprice", "l_discount")} AS sum_disc_price,
+        $sqlCharge AS sum_charge,
+        ${sqlDavg("l_quantity")} AS avg_qty,
+        ${sqlDavg("l_extendedprice")} AS avg_price,
+        ${sqlDavg("l_discount")} AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---------------------------------------------------------- TPC-H Q7
+    // volume shipping between two nations, by year
+    QueryDef("q_tpch7",
+      (s, d) => {
+        val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation"))
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate").between(
+            to_timestamp(lit("1996-01-01")), to_timestamp(lit("1997-12-31"))))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                 (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast(LongType).as("l_year"))
+          .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+            .cast(DoubleType).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // ---------------------------------------------------------- TPC-H Q8
+    // market share of NATION_3 suppliers for PROMO parts sold into ASIA
+    QueryDef("q_tpch8",
+      (s, d) => {
+        val nCust = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
+          col("n_regionkey").as("c_rk"))
+        val nSupp = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+        val base = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).where(col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(Tables.region(s, d)), col("c_rk") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+        base.groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+          .agg((sum(when(col("supp_nation") === "NATION_3",
+              revenueTerm(col("l_extendedprice"), col("l_discount"))))
+              .cast(DoubleType)
+            / sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+              .cast(DoubleType)).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+        / ${sqlRevenue("l_extendedprice", "l_discount")} AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        GROUP BY o_year ORDER BY o_year""")),
+
+    // ----------------------------------------------------- TPC-H Q9 (adapted)
+    // product-type profit by nation and year; the synthetic schema has
+    // no partsupp, so profit omits the ps_supplycost term
+    QueryDef("q_tpch9",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).where(col("p_name").like("%1%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc),
+      Some(s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        ${sqlRevenue("l_extendedprice", "l_discount")} AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%1%'
+        GROUP BY 1, 2 ORDER BY 1, 2 DESC""")),
+
+    // ---------------------------------------------------------- TPC-H Q10
+    // returned-item reporting: top customers by lost revenue
+    QueryDef("q_tpch10",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+            .where(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
+                   col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+        ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ----------------------------------------------------- TPC-H Q12 (adapted)
+    // priority-class line counts per linestatus (no l_shipmode /
+    // commitdate in the synthetic schema; the filter+pivot-count shape
+    // is preserved)
+    QueryDef("q_tpch12",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+               col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
+            .as("low_line_count"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+        COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+        COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---------------------------------------------------------- TPC-H Q13
+    // customer order-count distribution (left join keeps 0-order
+    // customers)
+    QueryDef("q_tpch13",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .where(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN (
+            SELECT * FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED'
+          ) ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---------------------------------------------------------- TPC-H Q15
+    // top supplier(s) by revenue over a quarter
+    QueryDef("q_tpch15",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                 col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+            .cast(DoubleType).as("total_revenue"))
+        val top = rev.agg(max(col("total_revenue")).as("mx"))
+        Tables.supplier(s, d)
+          .join(rev, col("s_suppkey") === col("supplier_no"))
+          .join(broadcast(top), col("total_revenue") === col("mx"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+            ${sqlRevenue("l_extendedprice", "l_discount")} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // ---------------------------------------------------------- TPC-H Q17
+    // small-quantity-order revenue: lineitems under 20% of their
+    // part's average quantity, for one brand
+    QueryDef("q_tpch17",
+      (s, d) => {
+        val avgQty = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("pk"))
+          .agg((lit(0.2) * davg(col("l_quantity"))).as("qty_limit"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).where(col("p_brand") === "Brand#1")),
+            col("l_partkey") === col("p_partkey"))
+          .join(avgQty, col("l_partkey") === col("pk"))
+          .where(col("l_quantity") < col("qty_limit"))
+          .agg((sum(dec2(col("l_extendedprice"))).cast(DoubleType) / 7.0)
+            .as("avg_yearly"))
+      },
+      Some(s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN (SELECT l_partkey AS pk, 0.2 * (${sqlDavg("l_quantity")}) AS qty_limit
+              FROM lineitem GROUP BY l_partkey) ON l_partkey = pk
+        WHERE p_brand = 'Brand#1' AND l_quantity < qty_limit""")),
+
+    // ---------------------------------------------------------- TPC-H Q18
+    // large-volume customers: orders above a total-quantity threshold
+    QueryDef("q_tpch18",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum(dec2(col("l_quantity"))).as("sq"))
+        .where(col("sq") > 300)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sq").cast(DoubleType).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100),
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // ----------------------------------------------------- TPC-H Q19 (adapted)
+    // disjunctive brand/size/quantity predicate revenue (no l_shipmode
+    // in the synthetic schema)
+    QueryDef("q_tpch19",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 21)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 40)))
+        .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("revenue")),
+      Some(s"""SELECT ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)"""))
+  )
+}
