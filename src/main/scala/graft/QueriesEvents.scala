@@ -83,6 +83,34 @@ object QueriesEvents {
         SELECT user_id, session_id, COUNT(*) AS n_events,
           MIN(ts) AS t_start, MAX(ts) AS t_end
         FROM sid GROUP BY user_id, session_id
-        ORDER BY user_id, session_id"""))
+        ORDER BY user_id, session_id""")),
+
+    // as-of join (backward, inclusive): each click matched to the
+    // user's latest view at or before it — oracled by DuckDB's native
+    // ASOF JOIN. Right side pre-aggregated to unique (user, ts) so the
+    // at-equal-ts winner is well-defined in both engines.
+    QueryDef("q_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val views = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("view_value"))
+        graft.operators.TemporalJoins
+          .asofJoin(clicks, views, "user_id", "ts", Seq("view_value"), "_v")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("ts_v").as("view_ts"), col("view_value_v").as("view_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (
+          SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        views AS (
+          SELECT user_id, ts AS view_ts, max(value) AS view_value
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT event_id, c.user_id, ts, view_ts, view_value
+        FROM clicks c ASOF JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.view_ts
+        ORDER BY event_id"""))
   )
 }

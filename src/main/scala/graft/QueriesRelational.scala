@@ -586,6 +586,31 @@ object QueriesRelational {
         CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band,
         COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2,
         CAST(NULLIF(c_nationkey, 0) AS BIGINT) AS nat_nz
-        FROM customer ORDER BY c_custkey"""))
+        FROM customer ORDER BY c_custkey""")),
+
+    // ------------------------------------------- C35 range join (bucketed)
+    // interval join via bucket equi-join: overlapping price bands
+    // derived from nation keys (width 30k, stride 20k → most orders
+    // match 1-2 bands). The oracle is the plain BETWEEN theta-join.
+    QueryDef("q_range_join",
+      (s, d) => {
+        val bands = Tables.nation(s, d).select(
+          col("n_nationkey").cast(LongType).as("band_id"),
+          (col("n_nationkey") * 20000.0).as("lo"),
+          (col("n_nationkey") * 20000.0 + 29999.0).as("hi"))
+        graft.operators.TemporalJoins
+          .rangeJoinByBucket(Tables.orders(s, d), "o_totalprice",
+            bands, "lo", "hi", bucketWidth = 10000.0)
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("band_id")
+      },
+      Some(s"""SELECT band_id, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+        FROM orders JOIN (
+          SELECT CAST(n_nationkey AS BIGINT) AS band_id,
+            n_nationkey * 20000.0 AS lo, n_nationkey * 20000.0 + 29999.0 AS hi
+          FROM nation)
+        ON o_totalprice BETWEEN lo AND hi
+        GROUP BY band_id ORDER BY band_id"""))
   )
 }
