@@ -142,13 +142,25 @@ object QueriesPipeline {
       None),
 
     // --------------------------------------------------------- G3 IVF ANN
+    // gate configuration probes ALL cells: exhaustive IVF must equal
+    // exact search, which gives the pipeline (train → assign → probe →
+    // score) a full brute-force oracle. Sub-exhaustive nprobe (the
+    // production latency/recall dial) is spec-covered in
+    // SimilaritySpec ("ivf recall").
     QueryDef("q_ann_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+            nCells = 16, nprobe = 16)
           .select("qid", "nid", "rank").orderBy("qid", "rank")
       },
-      None),
+      Some("""SELECT qid, nid, rank FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS BIGINT) AS rank
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5 ORDER BY qid, rank""")),
 
     // ---------------------------------------------------------- H1 lang id
     QueryDef("q_lang_id",
@@ -200,14 +212,22 @@ object QueriesPipeline {
         ORDER BY doc_id, chunk_idx""")),
 
     // ------------------------------------------------ B6 approx distinct
-    // HLL sketches differ between engines — rows-only + ComputeSpec
-    // error-bound test.
+    // HLL sketch values differ between engines, so the oracle checks
+    // the HLL contract instead: the estimate must land within the
+    // configured rsd band of the exact count (deterministic — Spark's
+    // HLL is seedless). n_exact is fully value-checked.
     QueryDef("q_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.05).as("approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")).cast(DoubleType)
+            / col("n_exact") <= 0.15).as("approx_ok"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact,
+        TRUE AS approx_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ------------------------------------------------------- H5 top terms
     QueryDef("q_top_terms",

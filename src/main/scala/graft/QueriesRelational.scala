@@ -132,12 +132,18 @@ object QueriesRelational {
         FROM orders GROUP BY o_orderpriority ORDER BY value""")),
 
     // ---------------------------------------------------------- B5 hash64
-    // xxhash64 has no DuckDB builtin — rows-only check + HashSpec.
+    // xxhash64 has no DuckDB builtin, so the oracle checks the
+    // invariant the kernel exists for: a stable injective 64-bit hash
+    // has exactly as many distinct values as its input (deterministic
+    // on this data — a collision would be a hash bug at these sizes).
+    // Per-row stability is spec-tested (ComputeSpec).
     QueryDef("q_hash64",
       (s, d) => Tables.customer(s, d)
-        .select(col("c_custkey"), Compute.hash64(col("c_name")).as("h64"))
-        .orderBy("c_custkey"),
-      None),
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(Compute.hash64(col("c_name"))).as("n_hashes")),
+      Some("""SELECT COUNT(*) AS n_rows,
+        COUNT(DISTINCT c_name) AS n_hashes
+        FROM customer""")),
 
     // ------------------------------------------------------- C1 pushdown
     QueryDef("q_pushdown_scan",

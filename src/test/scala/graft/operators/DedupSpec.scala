@@ -60,6 +60,22 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(0L), sh(3L)) > 12, s"unrelated hamming ${ham(sh(0L), sh(3L))}")
   }
 
+  test("simhash banding has exact recall: banded pairs == all-pairs hamming<=3") {
+    // pigeonhole: hamming<=3 over 4 bands of 16 bits forces at least
+    // one equal band, so (absent maxBucket truncation) the banded
+    // candidate set must contain every qualifying pair
+    val docs01 = graft.Tables.documents(spark, sfDir)
+    val banded = Dedup.simhashNearDups(docs01, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigs = Dedup.simhash(docs01, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val brute = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+  }
+
   test("simhashNearDups surfaces the exact-dup pair") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
