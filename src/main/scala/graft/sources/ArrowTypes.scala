@@ -29,6 +29,9 @@ object ArrowTypes {
     case BinaryType => ArrowType.Binary.INSTANCE
     case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
     case DateType => new ArrowType.Date(DateUnit.DAY)
+    // TIME writes at micro unit (the interoperable time64 flavor);
+    // sub-micro digits of a TimeType(>6) value truncate on write
+    case _: TimeType => new ArrowType.Time(TimeUnit.MICROSECOND, 64)
     case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
     case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
     case _: NullType => ArrowType.Null.INSTANCE
@@ -93,6 +96,10 @@ object ArrowTypes {
     case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
     case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
     case d: ArrowType.Date if d.getUnit == DateUnit.MILLISECOND => DateType
+    // time32 (sec/ms) and time64 (µs/ns) all surface as TIME(6):
+    // vectors are widened to nano on load with sub-micro digits
+    // truncated — the same µs convention the events table uses
+    case t: ArrowType.Time => TimeType(TimeType.MICROS_PRECISION)
     case ts: ArrowType.Timestamp =>
       if (ts.getTimezone == null) TimestampNTZType else TimestampType
     case _: ArrowType.Null => NullType

@@ -88,6 +88,14 @@ private[arrow] object AFWriter {
       def setNull(): Unit = x.setNull(count)
       def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getInt(o))
     }
+    case (x: TimeMicroVector, _: TimeType) => new AFWriter {
+      // TIME is nanos-of-day internally; the time64(µs) vector floors
+      // sub-micro digits (ArrowTypes maps TimeType → µs unit)
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit =
+        x.setSafe(count, g.getLong(o) / 1000L)
+    }
     case (x: TimeStampMicroTZVector, TimestampType) => new AFWriter {
       val vector = x
       def setNull(): Unit = x.setNull(count)

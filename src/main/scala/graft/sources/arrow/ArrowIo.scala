@@ -109,6 +109,13 @@ object ArrowIo {
     case _: org.apache.arrow.vector.UInt8Vector => Some("u8")
     case _: org.apache.arrow.vector.DateMilliVector => Some("datems")
     case _: org.apache.arrow.vector.FixedSizeBinaryVector => Some("fsb")
+    // Spark's ArrowColumnVector only has a TimeNano accessor; all
+    // other time units widen to nano (sub-micro truncated to the
+    // TIME(6) the schema declares)
+    case _: org.apache.arrow.vector.TimeSecVector => Some("ts")
+    case _: org.apache.arrow.vector.TimeMilliVector => Some("tms")
+    case _: org.apache.arrow.vector.TimeMicroVector => Some("tus")
+    case _: org.apache.arrow.vector.TimeNanoVector => Some("tns")
     case _ => None
   }
 
@@ -162,6 +169,39 @@ object ArrowIo {
         var i = 0
         while (i < n) {
           if (!src.isNull(i)) out.setSafe(i, src.get(i))
+          i += 1
+        }
+        out.setValueCount(n); out
+      case src: TimeSecVector =>
+        val out = new TimeNanoVector(src.getName, alloc); out.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i)) out.setSafe(i, src.get(i) * 1000000000L)
+          i += 1
+        }
+        out.setValueCount(n); out
+      case src: TimeMilliVector =>
+        val out = new TimeNanoVector(src.getName, alloc); out.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i)) out.setSafe(i, src.get(i) * 1000000L)
+          i += 1
+        }
+        out.setValueCount(n); out
+      case src: TimeMicroVector =>
+        val out = new TimeNanoVector(src.getName, alloc); out.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i)) out.setSafe(i, src.get(i) * 1000L)
+          i += 1
+        }
+        out.setValueCount(n); out
+      case src: TimeNanoVector =>
+        // truncate to the TIME(6) the schema declares
+        val out = new TimeNanoVector(src.getName, alloc); out.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i)) out.setSafe(i, src.get(i) / 1000L * 1000L)
           i += 1
         }
         out.setValueCount(n); out
@@ -243,6 +283,100 @@ object ArrowIo {
       total
     } finally {
       writer.close(); root.close(); alloc.close()
+    }
+  }
+
+  /** Write a partition as IPC with selected string columns
+    * dictionary-encoded against a provided (global) vocabulary
+    * (reference: cpp/src/arrow/ipc/dictionary.h — dictionaries are
+    * declared in the schema message and emitted as dictionary batches
+    * ahead of the record batches). Values absent from the vocabulary
+    * are rejected — the vocab is computed by an exact distinct pass,
+    * so a miss means writer misuse.
+    */
+  def writeRowsDict(path: String, schema: StructType, rows: Iterator[InternalRow],
+                    vocabs: Map[String, Array[String]],
+                    stream: Boolean = false, batchRows: Int = 4096 * 4): Long = {
+    import org.apache.arrow.vector.{IntVector, VarCharVector}
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema}
+    import org.apache.spark.sql.types.StringType
+
+    val alloc = rootAllocator()
+    val provider = new DictionaryProvider.MapDictionaryProvider()
+    // one dictionary per encoded column, id = field ordinal
+    val encodings: Map[String, DictionaryEncoding] = vocabs.map { case (name, vocab) =>
+      val id = schema.fieldIndex(name).toLong
+      val enc = new DictionaryEncoding(id, false, new ArrowType.Int(32, true))
+      val dv = new VarCharVector(s"$name.dict", alloc)
+      dv.allocateNew(vocab.length)
+      vocab.zipWithIndex.foreach { case (v, i) => dv.setSafe(i, v.getBytes("UTF-8")) }
+      dv.setValueCount(vocab.length)
+      provider.put(new Dictionary(dv, enc))
+      name -> enc
+    }
+    val lookups: Map[String, java.util.HashMap[String, Integer]] =
+      vocabs.map { case (name, vocab) =>
+        val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+        vocab.zipWithIndex.foreach { case (v, i) => m.put(v, i) }
+        name -> m
+      }
+    val fields = schema.fields.map { f =>
+      if (encodings.contains(f.name)) {
+        require(f.dataType == StringType,
+          s"dictionary encoding supports string columns, got ${f.dataType} for ${f.name}")
+        new Field(f.name,
+          new FieldType(f.nullable, new ArrowType.Int(32, true), encodings(f.name)),
+          java.util.Collections.emptyList())
+      } else ArrowTypes.toArrowField(f.name, f.dataType, f.nullable)
+    }
+    val root = VectorSchemaRoot.create(new Schema(fields.toList.asJava), alloc)
+    val writers: Seq[AFWriter] = schema.fields.indices.map { i =>
+      val f = schema.fields(i)
+      if (encodings.contains(f.name)) {
+        val iv = root.getVector(i).asInstanceOf[IntVector]
+        val lookup = lookups(f.name)
+        new AFWriter {
+          val vector = iv
+          def setNull(): Unit = iv.setNull(count)
+          def setValue(g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+                       o: Int): Unit = {
+            val s = g.getUTF8String(o).toString
+            val idx = lookup.get(s)
+            require(idx != null, s"value not in dictionary vocab for ${f.name}: $s")
+            iv.setSafe(count, idx.intValue())
+          }
+        }
+      } else AFWriter(root.getVector(i), f.dataType)
+    }
+    val ch = Files.newByteChannel(Paths.get(path),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    val writer = if (stream) new ArrowStreamWriter(root, provider, ch)
+      else new ArrowFileWriter(root, provider, ch)
+    var total = 0L
+    try {
+      writer.start()
+      while (rows.hasNext) {
+        writers.foreach(_.reset())
+        var n = 0
+        while (n < batchRows && rows.hasNext) {
+          val row = rows.next()
+          var c = 0
+          while (c < writers.length) { writers(c).write(row, c); c += 1 }
+          n += 1
+        }
+        writers.foreach(_.finish())
+        root.setRowCount(n)
+        writer.writeBatch()
+        total += n
+      }
+      writer.end()
+      total
+    } finally {
+      writer.close(); root.close()
+      provider.getDictionaryIds.asScala.foreach(id => provider.lookup(id).getVector.close())
+      alloc.close()
     }
   }
 

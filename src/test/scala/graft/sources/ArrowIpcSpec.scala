@@ -198,4 +198,84 @@ class ArrowIpcSpec extends SparkSpec {
     assert(back.schema.head.dataType == StringType)
     assert(back.as[String].collect().toSeq == values)
   }
+
+  test("time32/time64 files read as TIME(6); TIME writes as time64(us)") {
+    import org.apache.arrow.vector.{TimeMilliVector, TimeMicroVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import java.nio.channels.Channels
+
+    // external producer file: time32(ms) + time64(us)
+    val alloc = graft.sources.arrow.ArrowIo.rootAllocator()
+    val tms = new TimeMilliVector("t32", alloc)
+    tms.allocateNew(2)
+    tms.setSafe(0, 45296123)            // 12:34:56.123
+    tms.setSafe(1, 123)                 // 00:00:00.123
+    tms.setValueCount(2)
+    val tus = new TimeMicroVector("t64", alloc)
+    tus.allocateNew(2)
+    tus.setSafe(0, 45296123456L)        // 12:34:56.123456
+    tus.setSafe(1, 1L)                  // 00:00:00.000001
+    tus.setValueCount(2)
+    val root = new VectorSchemaRoot(Seq[org.apache.arrow.vector.FieldVector](tms, tus).asJava)
+    val dir = tmpDir("time")
+    val ch = Channels.newChannel(Files.newOutputStream(Paths.get(s"$dir/part-0.arrow")))
+    val w = new ArrowFileWriter(root, null, ch)
+    w.start(); w.writeBatch(); w.end(); w.close()
+    root.close(); alloc.close()
+
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.TimeType(6)))
+    val strs = back.selectExpr("cast(t32 as string)", "cast(t64 as string)")
+      .as[(String, String)].collect().toSet
+    assert(strs == Set(("12:34:56.123", "12:34:56.123456"),
+      ("00:00:00.123", "00:00:00.000001")), s"got $strs")
+
+    // TIME roundtrip through our sink (TIME collect() is unsupported in
+    // Spark 4.1, so assertions go through CAST AS STRING)
+    val out = tmpDir("timeout")
+    spark.sql("SELECT TIME'01:02:03.000004' AS t")
+      .write.format("arrow").mode("overwrite").save(out)
+    val rt = spark.read.format("arrow").load(out)
+    assert(rt.schema.head.dataType == org.apache.spark.sql.types.TimeType(6))
+    assert(rt.selectExpr("cast(t as string)").as[String].head() == "01:02:03.000004")
+  }
+
+  test("ArrowDictWriter: dictionary-encoded on disk, decodes to original on read") {
+    import graft.sources.arrow.{ArrowDictWriter, ArrowIo}
+    val df = Seq((1L, "A", 1.5), (2L, "B", 2.5), (3L, "A", 3.5), (4L, null, 4.5))
+      .toDF("id", "seg", "v")
+    val dir = tmpDir("dictwrite")
+    val n = ArrowDictWriter.write(df.repartition(2), dir, Seq("seg"))
+    assert(n == 4)
+
+    // on-disk schema must declare a dictionary encoding for seg
+    val alloc = ArrowIo.rootAllocator()
+    val reader = ArrowIo.openReader(ArrowIo.dataFiles(dir).head, alloc)
+    try {
+      val segField = reader.getVectorSchemaRoot.getSchema.findField("seg")
+      assert(segField.getDictionary != null, "seg must be dictionary-encoded on disk")
+      assert(segField.getType.isInstanceOf[
+        org.apache.arrow.vector.types.pojo.ArrowType.Int])
+    } finally { reader.close(); alloc.close() }
+
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.schema("seg").dataType == StringType)
+    val got = back.select("id", "seg", "v").as[(Long, Option[String], Double)]
+      .collect().toSet
+    assert(got == Set((1L, Some("A"), 1.5), (2L, Some("B"), 2.5),
+      (3L, Some("A"), 3.5), (4L, None, 4.5)))
+  }
+
+  test("ArrowDictWriter: multi-batch files reuse the single dictionary") {
+    import graft.sources.arrow.ArrowDictWriter
+    val df = spark.range(0, 1000)
+      .selectExpr("id", "concat('seg_', cast(id % 7 as string)) AS seg")
+    val dir = tmpDir("dictbatches")
+    ArrowDictWriter.write(df.coalesce(1), dir, Seq("seg"), batchRows = 128)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.count() == 1000)
+    assert(back.where($"seg" === "seg_3").count() == spark.range(0, 1000)
+      .where("id % 7 = 3").count())
+  }
 }
