@@ -45,6 +45,38 @@ object Streams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–static enrichment: per-batch join against a (small) dim
+    * table. The static side broadcasts, so the stream never shuffles —
+    * the standard shape for keying a 100 TB/day stream against
+    * reference data.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream–stream interval join: each click pairs with the same
+    * user's views at most `horizonMinutes` older. Both sides carry
+    * watermarks and the join condition bounds the time range in BOTH
+    * directions, so state eviction is provable and per-key state is
+    * O(horizon), not O(history).
+    */
+  def clickViewJoin(events: DataFrame, horizonMinutes: Int = 60): DataFrame = {
+    val horizon = s"$horizonMinutes minutes"
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    clicks.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** Gap-based sessionization with explicit state: the streaming twin
     * of Events.sessionize. State per user is one (start,end,count)
     * triple; ProcessingTimeTimeout flushes idle sessions.

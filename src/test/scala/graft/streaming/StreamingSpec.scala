@@ -78,4 +78,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(s => s.user_id == 1 && s.n_events == 2),
       s"user 1's closed first session must be emitted, got $streamed")
   }
+
+  test("I6: stream-static enrich broadcasts the dim side, no stream shuffle") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(fixture.distinct: _*)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    runToMemory(enrich(input.toDF(), dim, "user_id"), "t_enrich")
+    val rows = spark.table("t_enrich").select("event_id", "tier")
+      .as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "gold"), (2L, "gold"), (3L, "gold"), (4L, "basic")))
+  }
+
+  test("I7: stream-stream interval join pairs clicks with in-horizon views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(10, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Event(11, ts("2024-01-01 10:30:00"), 1, "click", 0.0),
+      Event(12, ts("2024-01-01 08:00:00"), 1, "view", 0.0),  // beyond 60m horizon
+      Event(13, ts("2024-01-01 10:40:00"), 2, "view", 0.0),  // other user
+      Event(14, ts("2024-01-01 10:50:00"), 1, "view", 0.0))  // after the click
+    runToMemory(clickViewJoin(input.toDF(), horizonMinutes = 60), "t_ssjoin")
+    val pairs = spark.table("t_ssjoin").select("click_id", "view_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((11L, 10L)), s"got $pairs")
+  }
 }
