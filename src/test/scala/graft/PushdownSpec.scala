@@ -59,4 +59,31 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
       s"shipdate range must push down:\n$plan")
   }
+
+  test("extended TPC-H: dim sides broadcast (q_tpch10/q_tpch19/q_tpch8)") {
+    Seq("q_tpch10", "q_tpch19", "q_tpch8").foreach { name =>
+      val plan = executedPlanString(SparkEntry.queries(name)(spark, sfDir))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: expected broadcast joins in:\n$plan")
+    }
+  }
+
+  test("q_tpch1 selective scan: shipdate filter pushes down, partial agg") {
+    val plan = executedPlanString(SparkEntry.queries("q_tpch1")(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("q_asof_join is a single exchange + window, not a join explosion") {
+    val plan = executedPlanString(SparkEntry.queries("q_asof_join")(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop"),
+      s"as-of must not pair-join:\n$plan")
+    assert(plan.contains("Window"), s"expected window pass:\n$plan")
+  }
+
+  test("q_range_join buckets to an equi-join, no nested loop") {
+    val plan = executedPlanString(SparkEntry.queries("q_range_join")(spark, sfDir))
+    assert(!plan.contains("NestedLoop"),
+      s"range join must be bucket equi-join:\n$plan")
+  }
 }
