@@ -10,11 +10,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen compiler, parquet footer readers,
-    // shuffle machinery) so the first measured query isn't charged
-    // several seconds of one-time JVM setup.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Warm the session so the first measured queries aren't charged
+    // one-time JVM setup: codegen/Janino, parquet footers, and the
+    // broadcast/shuffle/window executor paths. Warmup work runs on
+    // the tiny dim tables only.
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1000).selectExpr("sum(id)").collect()
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").count().collect()
+      nation.as("a").join(nation.as("b"), col("a.n_regionkey") === col("b.n_regionkey"))
+        .groupBy("a.n_name").count().collect()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_regionkey").orderBy("n_nationkey")
+      nation.withColumn("rn", row_number().over(w)).where(col("rn") === 1).collect()
+      // touch every table's footer (schema read, no data scan)
+      Seq("customer", "supplier", "part", "orders", "lineitem",
+        "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").schema
+      }
+    }
     // optional arg: comma-separated query-name filter (local iteration);
     // the driver invokes with no args → full suite
     val keep: String => Boolean =

@@ -173,7 +173,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, stride: Long = 7, nprobe: Int = 4,
-              kmeansIters: Int = 2): DataFrame = {
+              kmeansIters: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // pin the trained centroids as a local relation: otherwise both
