@@ -617,6 +617,71 @@ object QueriesRelational {
             n_nationkey * 20000.0 AS lo, n_nationkey * 20000.0 + 29999.0 AS hi
           FROM nation)
         ON o_totalprice BETWEEN lo AND hi
-        GROUP BY band_id ORDER BY band_id"""))
+        GROUP BY band_id ORDER BY band_id""")),
+
+    // ------------------------------------------------------ C37 pivot
+    // Spark pivot yields NULL for absent combos where a CASE-count
+    // oracle yields 0 — coalesce pins the semantics
+    QueryDef("q_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------- C38 range-frame window
+    // value-range moving sum (RANGE BETWEEN n PRECEDING), decimal-exact
+    QueryDef("q_window_range",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderkey")
+          .rangeBetween(-1000, 0)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType)
+              .as("moving_sum"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderkey
+          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // --------------------------------------------- C39 array functions
+    // the list-type op surface (arrow list arrays): size/contains/
+    // distinct/sort/slice/element_at, mirrored onto DuckDB list ops
+    QueryDef("q_array_funcs",
+      (s, d) => {
+        val toks = split(trim(lower(col("text"))), "\\s+")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(toks).cast(LongType).as("n_toks"),
+            array_contains(toks, "the").as("has_the"),
+            // array column surfaced as a joined string: a raw list
+            // dtype is hash-fragile across the gate's two fetch paths
+            // (child-field naming differs engine to engine)
+            concat_ws(" ", slice(sort_array(array_distinct(toks)), 1, 5))
+              .as("first5"),
+            element_at(toks, 1).as("first_tok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_toks,
+        list_contains(t, 'the') AS has_the,
+        array_to_string(list_sort(list_distinct(t))[1:5], ' ') AS first5,
+        t[1] AS first_tok
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents)
+        ORDER BY doc_id"""))
   )
 }
