@@ -493,6 +493,26 @@ object QueriesRelational {
         round(MIN(l_quantity), 6) AS qmin, round(MAX(l_quantity), 6) AS qmax
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ------------------------------------------ B7 approx quantile
+    // Greenwald-Khanna sketch values are engine-specific, so (like B6
+    // HLL) the oracle pins the sketch CONTRACT: with accuracy=1000 the
+    // estimate must land between the exact 0.49 and 0.51 quantiles
+    // (rank error 1/accuracy << 0.01). p50_exact is value-checked.
+    QueryDef("q_approx_quantile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
+          expr("percentile(l_extendedprice, 0.49)").as("lo"),
+          expr("percentile(l_extendedprice, 0.51)").as("hi"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (col("ap") >= col("lo") && col("ap") <= col("hi")).as("approx_ok"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+        TRUE AS approx_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---------------------------------------------- C3d moment stats
     // rounded: both engines use stable one-pass moment updates but
     // accumulate in different orders, so last-bit noise is expected.
