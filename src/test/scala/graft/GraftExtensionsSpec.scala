@@ -64,4 +64,19 @@ class GraftExtensionsSpec extends SparkSpec {
     val n = extSpark.sql("SELECT size(minhash_sig(array('a'))) AS n").head().getInt(0)
     assert(n == 64)
   }
+
+  test("round-2 functions callable from SQL: shingles, bands, vector math") {
+    val row = extSpark.sql(
+      """SELECT shingle_set(array('a','b','c','d'), 2) AS sh,
+                size(lsh_band_keys(minhash_sig(array('a b','b c')), 16)) AS nb,
+                dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS dp,
+                dot_product(unit_norm(array(3.0F, 4.0F)),
+                            unit_norm(array(3.0F, 4.0F))) AS unit_cos,
+                hyperplane_bucket(array(1.0F, -1.0F), 4) AS hb""").head()
+    assert(row.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(row.getInt(1) == 16)
+    assert(row.getDouble(2) == 11.0)
+    assert(math.abs(row.getDouble(3) - 1.0) < 1e-12)
+    assert(!row.isNullAt(4))
+  }
 }
