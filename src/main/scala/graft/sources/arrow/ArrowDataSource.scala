@@ -1,12 +1,12 @@
 package graft.sources.arrow
 
-import java.nio.file.{Files, Paths}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.BufferAllocator
 import org.apache.arrow.vector.ipc.ArrowReader
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -36,6 +36,9 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, Columna
 class ArrowDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "arrow"
 
+  private def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null, "arrow source requires a path")
@@ -43,9 +46,10 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = ArrowIo.dataFiles(pathOf(options))
+    val conf = sessionConf()
+    val files = ArrowIo.dataFiles(pathOf(options), conf)
     require(files.nonEmpty, s"no arrow files at ${pathOf(options)}")
-    ArrowIo.readSchema(files.head)
+    ArrowIo.readSchema(files.head, conf)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -63,18 +67,24 @@ class ArrowTable(schema: StructType, path: String)
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  private def sessionConf(): SerializableHadoopConf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArrowScanBuilder(schema, Option(options.get("path")).getOrElse(path))
+    new ArrowScanBuilder(schema, Option(options.get("path")).getOrElse(path),
+      sessionConf())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ArrowWriteBuilder(info.schema(),
       Option(info.options.get("path")).getOrElse(path),
-      stream = "stream".equalsIgnoreCase(info.options.getOrDefault("ipc.format", "file")))
+      stream = "stream".equalsIgnoreCase(info.options.getOrDefault("ipc.format", "file")),
+      sessionConf())
 }
 
 // ------------------------------------------------------------------ read
 
-class ArrowScanBuilder(fullSchema: StructType, path: String)
+class ArrowScanBuilder(fullSchema: StructType, path: String,
+                       hconf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
@@ -82,24 +92,27 @@ class ArrowScanBuilder(fullSchema: StructType, path: String)
     required = requiredSchema
   }
 
-  override def build(): Scan = new ArrowScan(required, path)
+  override def build(): Scan = new ArrowScan(required, path, hconf)
 }
 
-class ArrowScan(requiredSchema: StructType, path: String) extends Scan with Batch {
+class ArrowScan(requiredSchema: StructType, path: String,
+                hconf: SerializableHadoopConf) extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String = s"ArrowScan[$path]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    ArrowIo.dataFiles(path).map(f => ArrowInputPartition(f): InputPartition).toArray
+    ArrowIo.dataFiles(path, hconf.value)
+      .map(f => ArrowInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowPartitionReaderFactory(requiredSchema)
+    new ArrowPartitionReaderFactory(requiredSchema, hconf)
 }
 
 case class ArrowInputPartition(file: String) extends InputPartition
 
-class ArrowPartitionReaderFactory(requiredSchema: StructType)
+class ArrowPartitionReaderFactory(requiredSchema: StructType,
+                                  hconf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def supportColumnarReads(p: InputPartition): Boolean = true
 
@@ -107,13 +120,15 @@ class ArrowPartitionReaderFactory(requiredSchema: StructType)
     throw new UnsupportedOperationException("columnar-only source")
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
-    new ArrowColumnarReader(p.asInstanceOf[ArrowInputPartition].file, requiredSchema)
+    new ArrowColumnarReader(p.asInstanceOf[ArrowInputPartition].file, requiredSchema,
+      hconf)
 }
 
-class ArrowColumnarReader(file: String, requiredSchema: StructType)
+class ArrowColumnarReader(file: String, requiredSchema: StructType,
+                          hconf: SerializableHadoopConf)
     extends PartitionReader[ColumnarBatch] {
   private val alloc: BufferAllocator = ArrowIo.rootAllocator()
-  private val reader: ArrowReader = ArrowIo.openReader(file, alloc)
+  private val reader: ArrowReader = ArrowIo.openReader(file, alloc, hconf.value)
   private val fileFieldIndex: Map[String, Int] =
     reader.getVectorSchemaRoot.getSchema.getFields.asScala.zipWithIndex
       .map { case (f, i) => f.getName -> i }.toMap
@@ -155,7 +170,8 @@ class ArrowColumnarReader(file: String, requiredSchema: StructType)
 
 // ----------------------------------------------------------------- write
 
-class ArrowWriteBuilder(schema: StructType, path: String, stream: Boolean)
+class ArrowWriteBuilder(schema: StructType, path: String, stream: Boolean,
+                        hconf: SerializableHadoopConf)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
 
@@ -163,35 +179,37 @@ class ArrowWriteBuilder(schema: StructType, path: String, stream: Boolean)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      val dir = Paths.get(path)
-      if (truncateFirst && Files.exists(dir)) {
-        ArrowIo.dataFiles(path).foreach(f => Files.deleteIfExists(Paths.get(f)))
+      if (truncateFirst && HadoopFiles.exists(path, hconf.value)) {
+        ArrowIo.dataFiles(path, hconf.value)
+          .foreach(f => HadoopFiles.delete(f, hconf.value))
       }
-      Files.createDirectories(dir)
-      new ArrowBatchWrite(schema, path, stream)
+      HadoopFiles.mkdirs(path, hconf.value)
+      new ArrowBatchWrite(schema, path, stream, hconf)
     }
   }
 }
 
-class ArrowBatchWrite(schema: StructType, path: String, stream: Boolean)
+class ArrowBatchWrite(schema: StructType, path: String, stream: Boolean,
+                      hconf: SerializableHadoopConf)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ArrowWriterFactory(schema, path, stream)
+    new ArrowWriterFactory(schema, path, stream, hconf)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   // tasks write hidden temp files and rename on task-commit; a job
   // abort removes anything tasks already renamed so a failed job
   // never leaves a readable partial dataset
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case ArrowCommit(file, _) => Files.deleteIfExists(Paths.get(file))
+      case ArrowCommit(file, _) => HadoopFiles.delete(file, hconf.value)
       case _ => ()
     }
 }
 
-class ArrowWriterFactory(schema: StructType, path: String, stream: Boolean)
+class ArrowWriterFactory(schema: StructType, path: String, stream: Boolean,
+                         hconf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ArrowDataWriter(schema, path, partitionId, taskId, stream)
+    new ArrowDataWriter(schema, path, partitionId, taskId, stream, hconf)
 }
 
 case class ArrowCommit(file: String, rows: Long) extends WriterCommitMessage
@@ -207,26 +225,26 @@ case class ArrowCommit(file: String, rows: Long) extends WriterCommitMessage
   * ignorable temp litter.
   */
 class ArrowDataWriter(schema: StructType, dir: String, partitionId: Int,
-                      taskId: Long, stream: Boolean)
+                      taskId: Long, stream: Boolean,
+                      hconf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
   private val ext = if (stream) "arrows" else "arrow"
   private val file = f"$dir/part-$partitionId%05d-$taskId.$ext"
   private val tmp = f"$dir/.part-$partitionId%05d-$taskId.$ext.tmp"
-  private val inc = new IncrementalArrowWriter(tmp, schema, stream)
+  private val inc = new IncrementalArrowWriter(tmp, schema, stream,
+    conf = hconf.value)
 
   override def write(record: InternalRow): Unit = inc.append(record)
 
   override def commit(): WriterCommitMessage = {
     val rows = inc.finish()
-    Files.move(Paths.get(tmp), Paths.get(file),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    HadoopFiles.rename(tmp, file, hconf.value)
     ArrowCommit(file, rows)
   }
 
   override def abort(): Unit = {
     inc.closeQuietly()
-    Files.deleteIfExists(Paths.get(tmp))
+    HadoopFiles.delete(tmp, hconf.value)
   }
   override def close(): Unit = inc.closeQuietly()
 }

@@ -1,7 +1,5 @@
 package graft.sources.arrow
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StringType
@@ -33,11 +31,14 @@ object ArrowDictWriter {
       c -> df.select(col(c)).where(col(c).isNotNull).distinct().orderBy(col(c))
         .collect().map(_.getString(0))
     }.toMap
-    Files.createDirectories(Paths.get(dir))
-    val bc = df.sparkSession.sparkContext.broadcast(vocabs)
+    val sc = df.sparkSession.sparkContext
+    val hconf = new SerializableHadoopConf(sc.hadoopConfiguration)
+    HadoopFiles.mkdirs(dir, hconf.value)
+    val bc = sc.broadcast(vocabs)
     val counts = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       Iterator.single(ArrowIo.writeRowsDict(
-        f"$dir/part-$pid%05d.arrow", schema, it, bc.value, stream, batchRows))
+        f"$dir/part-$pid%05d.arrow", schema, it, bc.value, stream, batchRows,
+        conf = hconf.value))
     }.collect()
     counts.sum
   }

@@ -2,11 +2,11 @@ package graft.sources.arrow
 
 import java.io.ByteArrayOutputStream
 import java.nio.channels.Channels
-import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.{BufferAllocator, RootAllocator}
+import org.apache.hadoop.conf.Configuration
 import org.apache.arrow.vector.VectorSchemaRoot
 import org.apache.arrow.vector.dictionary.DictionaryEncoder
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowReader, ArrowStreamReader, ArrowStreamWriter}
@@ -32,30 +32,27 @@ object ArrowIo {
   def rootAllocator(): BufferAllocator = new RootAllocator(Long.MaxValue)
 
   /** Sniff file vs stream format from the leading magic bytes. */
-  def isFileFormat(path: String): Boolean = {
-    val in = Files.newInputStream(Paths.get(path), StandardOpenOption.READ)
-    try {
-      val head = new Array[Byte](6)
-      val n = in.read(head)
-      n == 6 && java.util.Arrays.equals(head, FILE_MAGIC)
-    } finally in.close()
+  def isFileFormat(path: String, conf: Configuration = HadoopFiles.local): Boolean = {
+    val head = HadoopFiles.readFully(path, 6, conf)
+    head.length == 6 && java.util.Arrays.equals(head, FILE_MAGIC)
   }
 
-  /** Open a reader for either IPC format. */
-  def openReader(path: String, alloc: BufferAllocator): ArrowReader =
-    if (isFileFormat(path))
-      new ArrowFileReader(
-        Files.newByteChannel(Paths.get(path), StandardOpenOption.READ), alloc)
+  /** Open a reader for either IPC format (any Hadoop filesystem). */
+  def openReader(path: String, alloc: BufferAllocator,
+                 conf: Configuration = HadoopFiles.local): ArrowReader =
+    if (isFileFormat(path, conf))
+      new ArrowFileReader(HadoopFiles.openSeekable(path, conf), alloc)
     else
-      new ArrowStreamReader(Files.newInputStream(Paths.get(path)), alloc)
+      new ArrowStreamReader(
+        HadoopFiles.fs(path, conf).open(new org.apache.hadoop.fs.Path(path)), alloc)
 
   /** Read just the schema of an IPC file. Dictionary-encoded fields
     * surface their *value* type (they are decoded on load), not the
     * index type stored in the schema message.
     */
-  def readSchema(path: String): StructType = {
+  def readSchema(path: String, conf: Configuration = HadoopFiles.local): StructType = {
     val alloc = rootAllocator()
-    val reader = openReader(path, alloc)
+    val reader = openReader(path, alloc, conf)
     try {
       val fields = reader.getVectorSchemaRoot.getSchema.getFields.asScala.map { f =>
         val enc = f.getDictionary
@@ -250,16 +247,15 @@ object ArrowIo {
     * RecordBatchWriter has.
     */
   def writeRows(path: String, schema: StructType, rows: Iterator[InternalRow],
-                stream: Boolean = false, batchRows: Int = 4096 * 4): Long = {
+                stream: Boolean = false, batchRows: Int = 4096 * 4,
+                conf: Configuration = HadoopFiles.local): Long = {
     val alloc = rootAllocator()
     val arrowSchema = ArrowTypes.toArrowSchema(schema)
     val root = VectorSchemaRoot.create(arrowSchema, alloc)
     val writers = schema.fields.indices.map { i =>
       AFWriter(root.getVector(i), schema.fields(i).dataType)
     }
-    val ch = Files.newByteChannel(Paths.get(path),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-      StandardOpenOption.TRUNCATE_EXISTING)
+    val ch = HadoopFiles.createChannel(path, conf)
     val writer = if (stream) new ArrowStreamWriter(root, null, ch)
       else new ArrowFileWriter(root, null, ch)
     var total = 0L
@@ -296,7 +292,8 @@ object ArrowIo {
     */
   def writeRowsDict(path: String, schema: StructType, rows: Iterator[InternalRow],
                     vocabs: Map[String, Array[String]],
-                    stream: Boolean = false, batchRows: Int = 4096 * 4): Long = {
+                    stream: Boolean = false, batchRows: Int = 4096 * 4,
+                    conf: Configuration = HadoopFiles.local): Long = {
     import org.apache.arrow.vector.{IntVector, VarCharVector}
     import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
     import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema}
@@ -349,9 +346,7 @@ object ArrowIo {
         }
       } else AFWriter(root.getVector(i), f.dataType)
     }
-    val ch = Files.newByteChannel(Paths.get(path),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-      StandardOpenOption.TRUNCATE_EXISTING)
+    val ch = HadoopFiles.createChannel(path, conf)
     val writer = if (stream) new ArrowStreamWriter(root, provider, ch)
       else new ArrowFileWriter(root, provider, ch)
     var total = 0L
@@ -412,20 +407,6 @@ object ArrowIo {
   }
 
   /** List the data files of an arrow dataset path (dir or single file). */
-  def dataFiles(path: String): Seq[String] = {
-    val p = Paths.get(path)
-    if (Files.isDirectory(p)) {
-      val stream = Files.list(p)
-      try {
-        stream.iterator().asScala
-          .map(_.toString)
-          .filter { f =>
-            val n = Paths.get(f).getFileName.toString
-            !n.startsWith(".") && !n.startsWith("_")
-          }
-          .toList.sorted
-      } finally stream.close()
-    } else if (Files.exists(p)) Seq(path)
-    else Seq.empty
-  }
+  def dataFiles(path: String, conf: Configuration = HadoopFiles.local): Seq[String] =
+    HadoopFiles.dataFiles(path, conf)
 }

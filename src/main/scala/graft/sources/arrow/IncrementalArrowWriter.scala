@@ -1,8 +1,7 @@
 package graft.sources.arrow
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
-
 import org.apache.arrow.memory.BufferAllocator
+import org.apache.hadoop.conf.Configuration
 import org.apache.arrow.vector.VectorSchemaRoot
 import org.apache.arrow.vector.ipc.{ArrowFileWriter, ArrowStreamWriter}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -17,15 +16,14 @@ import graft.sources.ArrowTypes
   * (reference: cpp/src/arrow/ipc/writer.h:90).
   */
 class IncrementalArrowWriter(path: String, schema: StructType,
-                             stream: Boolean, batchRows: Int = 4096 * 4) {
+                             stream: Boolean, batchRows: Int = 4096 * 4,
+                             conf: Configuration = HadoopFiles.local) {
   private val alloc: BufferAllocator = ArrowIo.rootAllocator()
   private val root = VectorSchemaRoot.create(ArrowTypes.toArrowSchema(schema), alloc)
   private val writers = schema.fields.indices.map { i =>
     AFWriter(root.getVector(i), schema.fields(i).dataType)
   }
-  private val ch = Files.newByteChannel(Paths.get(path),
-    StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-    StandardOpenOption.TRUNCATE_EXISTING)
+  private val ch = HadoopFiles.createChannel(path, conf)
   private val writer = if (stream) new ArrowStreamWriter(root, null, ch)
     else new ArrowFileWriter(root, null, ch)
   writer.start()
