@@ -238,6 +238,50 @@ object QueriesPipeline {
           FROM documents)
         WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term LIMIT 20""")),
 
+    // ------------------------------------------------- E3/E4 media decode
+    // end-to-end through the multimodal plumbing: encode documents into
+    // the fake binary media format, decode via the mapPartitions stub,
+    // surface typed metadata. The fake codec's fields are arithmetic in
+    // (doc_id, byte length), so DuckDB can oracle the whole pipeline.
+    QueryDef("q_media_decode",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val media = Multimodal.fakeMediaTable(Tables.documents(s, d))
+        Multimodal.decodeMeta(media).toDF()
+          .select(col("doc_id"), col("media_type"),
+            col("width").cast(LongType).as("width"),
+            col("height").cast(LongType).as("height"),
+            col("n_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'grft' AS media_type,
+        CAST(16 + doc_id % 64 AS BIGINT) AS width,
+        CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS height,
+        CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------- E4b frame sampling
+    // stride-2 sampling of 64-byte frames; kept count = ceil(frames/2)
+    QueryDef("q_media_frames",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val media = Multimodal.fakeMediaTable(Tables.documents(s, d))
+        Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(length(col("frame"))).as("frame_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, octet_length(encode(text)) AS p,
+            CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT) AS f
+          FROM documents)
+        SELECT doc_id, (f + 1) // 2 AS n_frames,
+          CAST(CASE WHEN f % 2 = 1
+                    THEN 64 * ((f + 1) // 2 - 1) + (p - 64 * (f - 1))
+                    ELSE 64 * (f // 2) END AS BIGINT) AS frame_bytes
+        FROM t ORDER BY doc_id""")),
+
     // ------------------------------------------------------ E3 media meta
     QueryDef("q_media_meta",
       (s, d) => Tables.documents(s, d)
