@@ -275,7 +275,10 @@ object QueriesPipeline {
       Some("""WITH t AS (
           SELECT doc_id, octet_length(encode(text)) AS p,
             CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT) AS f
-          FROM documents)
+          FROM documents
+          -- empty payloads produce no frames (Spark flatMap emits no
+          -- row), so the oracle must skip them too
+          WHERE octet_length(encode(text)) > 0)
         SELECT doc_id, (f + 1) // 2 AS n_frames,
           CAST(CASE WHEN f % 2 = 1
                     THEN 64 * ((f + 1) // 2 - 1) + (p - 64 * (f - 1))

@@ -87,6 +87,9 @@ object SketchRuntime {
     */
   def lshBandKeys(sig: ArrayData, bands: Int): ArrayData = {
     val numPerm = sig.numElements()
+    if (bands > numPerm || numPerm % bands != 0)
+      throw new IllegalArgumentException(
+        s"lsh_band_keys: bands ($bands) must divide the signature length ($numPerm)")
     val rows = numPerm / bands
     val out = new Array[Long](bands)
     var b = 0

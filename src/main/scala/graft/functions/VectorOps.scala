@@ -21,9 +21,13 @@ import org.apache.spark.sql.types._
   */
 object VectorRuntime {
 
-  /** Double dot product; float or double element arrays. */
+  /** Double dot product; float or double element arrays. Callers
+    * guarantee equal lengths (DotProduct returns null otherwise —
+    * matching the zip_with/aggregate form it replaced, which
+    * null-padded ragged pairs into a null result).
+    */
   def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -31,7 +35,7 @@ object VectorRuntime {
   }
 
   def dotD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -93,6 +97,8 @@ case class DotProduct(left: Expression, right: Expression)
         s"$prettyName requires two array<float> or two array<double>, got $l / $r")
     }
   override def dataType: DataType = DoubleType
+  // ragged pairs yield null regardless of child nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   private def kernel: String = left.dataType match {
@@ -100,16 +106,25 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => "dotD"
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = left.dataType match {
-    case ArrayType(FloatType, _) =>
-      VectorRuntime.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    case _ =>
-      VectorRuntime.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    // mismatched dimensions → null, like the zip_with null-padding
+    // this kernel replaced: a silent prefix dot product would let a
+    // corrupt embedding rank with a plausible score
+    if (x.numElements() != y.numElements()) null
+    else left.dataType match {
+      case ArrayType(FloatType, _) => VectorRuntime.dotF(x, y)
+      case _ => VectorRuntime.dotD(x, y)
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorRuntime.$kernel($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorRuntime.$kernel($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

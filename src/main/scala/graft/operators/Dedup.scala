@@ -80,17 +80,16 @@ object Dedup {
   }
 
   /** LSH band keys: signature split into `bands` bands of
-    * numPerm/bands rows; each band hashed to one bucket key.
+    * numPerm/bands rows; each band hashed to one bucket key. Same
+    * hashing as minhashCandidates (the LshBandKeys expression) so
+    * Column-API callers and the pipeline land in identical buckets.
     */
   def lshBands(sig: Column, numPerm: Int, bands: Int): Column = {
     require(bands >= 1 && bands <= numPerm && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm)")
-    val rows = numPerm / bands
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          (0 until rows).map(r => sig.getItem(b * rows + r)): _*)).as("bh"))
-    }: _*)
+    import graft.functions.{exprs, LshBandKeys}
+    val keys = exprs.toColumn(LshBandKeys(exprs.toExpr(sig), bands))
+    transform(keys, (k, i) => struct(i.as("band"), k.as("bh")))
   }
 
   /** All (a &lt; b) pairs from a sorted id array, as array expressions. */

@@ -113,10 +113,11 @@ object Similarity {
     * double vector). Bounded at k·dim doubles.
     */
   private def collectCentroids(cents: DataFrame): Array[(Long, Array[Double])] =
-    cents.select(col("cent_id").cast(LongType), col("cent"))
+    cents.select(col("cent_id").cast(LongType),
+        col("cent").cast(org.apache.spark.sql.types.ArrayType(DoubleType)))
       .collect()
       .map { r =>
-        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val v = r.getSeq[Double](1).toArray
         val n = math.sqrt(v.map(x => x * x).sum)
         (r.getLong(0), if (n > 0) v.map(_ / n) else v)
       }
@@ -170,6 +171,11 @@ object Similarity {
     * `nprobe` nearest cells. At 100 TB the assigned corpus is written
     * as cell-partitioned parquet so probes prune to nprobe/k of the
     * data on disk.
+    *
+    * Default `kmeansIters` is 1 (changed from 2 in round 2): centroid
+    * quality shifts cell boundaries but never correctness of
+    * exhaustive probing; raise it when sub-exhaustive recall matters
+    * more than index-build latency.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, stride: Long = 7, nprobe: Int = 4,

@@ -28,7 +28,14 @@ object TemporalJoins {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightVals: Seq[String], suffix: String = "_r"): DataFrame = {
+    val internal = Seq("_ats", "_tag", "_rpay", "_lrow", "_match")
     val leftCols = left.columns.toSeq
+    val outRight = (ts +: rightVals).map(_ + suffix)
+    require(!leftCols.exists(internal.contains),
+      s"asofJoin reserves internal column names ${internal.mkString(", ")}")
+    require(!leftCols.exists(outRight.contains),
+      s"left columns collide with suffixed right outputs: " +
+        leftCols.filter(outRight.contains).mkString(", "))
     val payload = struct(
       (col(ts).as(s"$ts$suffix") +: rightVals.map(c => col(c).as(s"$c$suffix"))): _*)
     val rTagged = right.select(

@@ -33,12 +33,21 @@ object ArrowDictWriter {
     }.toMap
     val sc = df.sparkSession.sparkContext
     val hconf = new SerializableHadoopConf(sc.hadoopConfiguration)
+    // overwrite semantics + task-commit protocol (same as the DSv2
+    // sink): stale part files from a previous wider write are removed,
+    // tasks write hidden .tmp files and rename into place — a retried/
+    // speculative task never exposes a partial IPC file to readers
     HadoopFiles.mkdirs(dir, hconf.value)
+    HadoopFiles.dataFiles(dir, hconf.value)
+      .foreach(f => HadoopFiles.delete(f, hconf.value))
     val bc = sc.broadcast(vocabs)
     val counts = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-      Iterator.single(ArrowIo.writeRowsDict(
-        f"$dir/part-$pid%05d.arrow", schema, it, bc.value, stream, batchRows,
-        conf = hconf.value))
+      val tmp = f"$dir/.part-$pid%05d.arrow.tmp"
+      val dst = f"$dir/part-$pid%05d.arrow"
+      val n = ArrowIo.writeRowsDict(
+        tmp, schema, it, bc.value, stream, batchRows, conf = hconf.value)
+      HadoopFiles.rename(tmp, dst, hconf.value)
+      Iterator.single(n)
     }.collect()
     counts.sum
   }

@@ -67,7 +67,9 @@ object HadoopFiles {
           val n = fp.getName
           !n.startsWith(".") && !n.startsWith("_")
         }
-        .map(_.toUri.getPath)
+        // keep fully-qualified URIs: stripping the scheme/authority
+        // would re-resolve s3a://bucket paths against fs.defaultFS
+        .map(_.toString)
         .sorted
     } else Seq(path)
   }

@@ -132,9 +132,11 @@ class ArrowIpcSpec extends SparkSpec {
     val dir = tmpDir("feather")
     df.write.format("arrow").mode("overwrite").save(dir)
     // rename the part file to .feather; the reader sniffs magic, not extension
-    val f = graft.sources.arrow.ArrowIo.dataFiles(dir).head
-    val feather = f.stripSuffix(".arrow") + ".feather"
-    Files.move(Paths.get(f), Paths.get(feather))
+    // dataFiles returns fully-qualified URIs (file:/...)
+    val f = Paths.get(java.net.URI.create(
+      graft.sources.arrow.ArrowIo.dataFiles(dir).head))
+    val feather = Paths.get(f.toString.stripSuffix(".arrow") + ".feather")
+    Files.move(f, feather)
     val back = spark.read.format("arrow").load(dir)
     assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
   }
