@@ -20,7 +20,9 @@ object Bench {
       val region = spark.read.parquet(s"$sfDir/region.parquet")
       val nation = spark.read.parquet(s"$sfDir/nation.parquet")
       nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-        .groupBy("r_name").count().collect()
+        .groupBy("r_name")
+        .agg(count(lit(1)), countDistinct(col("n_name"))).collect()
+      Tables.events(spark, sfDir).schema
       nation.as("a").join(nation.as("b"), col("a.n_regionkey") === col("b.n_regionkey"))
         .groupBy("a.n_name").count().collect()
       val w = org.apache.spark.sql.expressions.Window
