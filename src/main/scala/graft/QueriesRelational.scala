@@ -677,6 +677,40 @@ object QueriesRelational {
           RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
         FROM orders ORDER BY o_custkey, o_orderkey""")),
 
+    // ----------------------------------------------------- C40 unpivot
+    // wide→long via stack(); the oracle is the equivalent UNION ALL
+    QueryDef("q_unpivot",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("""stack(2, 'acctbal', c_acctbal,
+                           'natkey', CAST(c_nationkey AS DOUBLE))
+                  AS (metric, value)"""))
+        .orderBy("c_custkey", "metric"),
+      Some("""SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+        UNION ALL
+        SELECT c_custkey, 'natkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        ORDER BY c_custkey, metric""")),
+
+    // ------------------------------------- C41 ranking window functions
+    QueryDef("q_window_rankfuncs",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority").orderBy("o_orderkey")
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).cast(LongType).as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        percent_rank() OVER w AS pr,
+        cume_dist() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        ORDER BY o_orderpriority, o_orderkey""")),
+
     // --------------------------------------------- C39 array functions
     // the list-type op surface (arrow list arrays): size/contains/
     // distinct/sort/slice/element_at, mirrored onto DuckDB list ops
