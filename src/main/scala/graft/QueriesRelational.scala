@@ -677,6 +677,43 @@ object QueriesRelational {
           RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
         FROM orders ORDER BY o_custkey, o_orderkey""")),
 
+    // ----------------------------------------------- C42 grouping sets
+    // explicit GROUPING SETS distinct from rollup/cube (via the SQL
+    // entry path — same Catalyst Expand plan as the DataFrame API)
+    QueryDef("q_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+            COALESCE(o_orderpriority, 'ALL') AS prio,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY st, prio""")
+      },
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        COALESCE(o_orderpriority, 'ALL') AS prio,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY st, prio""")),
+
+    // ------------------------------------- C43 IN + scalar subqueries
+    QueryDef("q_in_subquery",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("cust_sq")
+        Tables.orders(s, d).createOrReplaceTempView("ord_sq")
+        s.sql("""SELECT c_custkey FROM cust_sq
+          WHERE c_custkey IN (SELECT o_custkey FROM ord_sq WHERE o_orderstatus = 'P')
+             OR c_acctbal > (SELECT max(c_acctbal) * 0.99 FROM cust_sq)
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+           OR c_acctbal > (SELECT max(c_acctbal) * 0.99 FROM customer)
+        ORDER BY c_custkey""")),
+
     // ----------------------------------------------------- C40 unpivot
     // wide→long via stack(); the oracle is the equivalent UNION ALL
     QueryDef("q_unpivot",

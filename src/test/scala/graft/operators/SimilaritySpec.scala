@@ -81,6 +81,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute, s"ivf $ivf vs brute $brute")
   }
 
+  test("ivf recall curve: recall vs brute force is non-decreasing in nprobe") {
+    // 4 planted tight clusters along distinct axes + jitter
+    val clustered = (0 until 40).map { i =>
+      val axis = i % 4
+      val base = Array.fill(4)(0.02f * ((i * 7 + axis) % 5))
+      base(axis) = 1f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val q = clustered.where($"vec_id" === 0)
+    val brute = Similarity.bruteForceTopK(clustered, q, k = 5)
+      .select("nid").as[Long].collect().toSet
+    val recalls = Seq(1, 2, 4).map { np =>
+      val got = Similarity.ivfTopK(clustered, q, k = 5,
+        nCells = 4, stride = 4, nprobe = np).select("nid").as[Long].collect().toSet
+      (got intersect brute).size.toDouble / brute.size
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall must not drop as nprobe grows: $recalls")
+    assert(recalls.last == 1.0, s"exhaustive probe must reach full recall: $recalls")
+    // probing only the query's own cell must already find same-cluster
+    // neighbors (the planted cluster dominates top-k)
+    assert(recalls.head > 0.0, s"nprobe=1 found nothing: $recalls")
+  }
+
   test("brute force on real embeddings: top1 of each query has highest cosine") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val res = Similarity.bruteForceTopK(emb, emb.where($"vec_id" < 3), k = 1)
