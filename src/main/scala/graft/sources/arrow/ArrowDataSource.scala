@@ -78,7 +78,9 @@ class ArrowTable(schema: StructType, path: String)
     new ArrowWriteBuilder(info.schema(),
       Option(info.options.get("path")).getOrElse(path),
       stream = "stream".equalsIgnoreCase(info.options.getOrDefault("ipc.format", "file")),
-      sessionConf())
+      sessionConf(),
+      compression = Option(info.options.get("ipc.compression"))
+        .map(_.toLowerCase(java.util.Locale.ROOT)))
 }
 
 // ------------------------------------------------------------------ read
@@ -171,7 +173,8 @@ class ArrowColumnarReader(file: String, requiredSchema: StructType,
 // ----------------------------------------------------------------- write
 
 class ArrowWriteBuilder(schema: StructType, path: String, stream: Boolean,
-                        hconf: SerializableHadoopConf)
+                        hconf: SerializableHadoopConf,
+                        compression: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
 
@@ -184,16 +187,17 @@ class ArrowWriteBuilder(schema: StructType, path: String, stream: Boolean,
           .foreach(f => HadoopFiles.delete(f, hconf.value))
       }
       HadoopFiles.mkdirs(path, hconf.value)
-      new ArrowBatchWrite(schema, path, stream, hconf)
+      new ArrowBatchWrite(schema, path, stream, hconf, compression)
     }
   }
 }
 
 class ArrowBatchWrite(schema: StructType, path: String, stream: Boolean,
-                      hconf: SerializableHadoopConf)
+                      hconf: SerializableHadoopConf,
+                      compression: Option[String] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ArrowWriterFactory(schema, path, stream, hconf)
+    new ArrowWriterFactory(schema, path, stream, hconf, compression)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   // tasks write hidden temp files and rename on task-commit; a job
   // abort removes anything tasks already renamed so a failed job
@@ -206,10 +210,11 @@ class ArrowBatchWrite(schema: StructType, path: String, stream: Boolean,
 }
 
 class ArrowWriterFactory(schema: StructType, path: String, stream: Boolean,
-                         hconf: SerializableHadoopConf)
+                         hconf: SerializableHadoopConf,
+                         compression: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ArrowDataWriter(schema, path, partitionId, taskId, stream, hconf)
+    new ArrowDataWriter(schema, path, partitionId, taskId, stream, hconf, compression)
 }
 
 case class ArrowCommit(file: String, rows: Long) extends WriterCommitMessage
@@ -226,13 +231,14 @@ case class ArrowCommit(file: String, rows: Long) extends WriterCommitMessage
   */
 class ArrowDataWriter(schema: StructType, dir: String, partitionId: Int,
                       taskId: Long, stream: Boolean,
-                      hconf: SerializableHadoopConf)
+                      hconf: SerializableHadoopConf,
+                      compression: Option[String] = None)
     extends DataWriter[InternalRow] {
   private val ext = if (stream) "arrows" else "arrow"
   private val file = f"$dir/part-$partitionId%05d-$taskId.$ext"
   private val tmp = f"$dir/.part-$partitionId%05d-$taskId.$ext.tmp"
   private val inc = new IncrementalArrowWriter(tmp, schema, stream,
-    conf = hconf.value)
+    conf = hconf.value, compression = compression)
 
   override def write(record: InternalRow): Unit = inc.append(record)
 

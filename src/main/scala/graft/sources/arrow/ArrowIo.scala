@@ -37,14 +37,21 @@ object ArrowIo {
     head.length == 6 && java.util.Arrays.equals(head, FILE_MAGIC)
   }
 
-  /** Open a reader for either IPC format (any Hadoop filesystem). */
+  /** Open a reader for either IPC format (any Hadoop filesystem).
+    * Readers always carry the compression factory, so zstd/lz4
+    * buffer-compressed files (ipc.compression on the sink) decompress
+    * transparently; uncompressed files are unaffected.
+    */
   def openReader(path: String, alloc: BufferAllocator,
-                 conf: Configuration = HadoopFiles.local): ArrowReader =
+                 conf: Configuration = HadoopFiles.local): ArrowReader = {
+    val codecs = org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE
     if (isFileFormat(path, conf))
-      new ArrowFileReader(HadoopFiles.openSeekable(path, conf), alloc)
+      new ArrowFileReader(HadoopFiles.openSeekable(path, conf), alloc, codecs)
     else
       new ArrowStreamReader(
-        HadoopFiles.fs(path, conf).open(new org.apache.hadoop.fs.Path(path)), alloc)
+        HadoopFiles.fs(path, conf).open(new org.apache.hadoop.fs.Path(path)),
+        alloc, codecs)
+  }
 
   /** Read just the schema of an IPC file. Dictionary-encoded fields
     * surface their *value* type (they are decoded on load), not the

@@ -17,15 +17,36 @@ import graft.sources.ArrowTypes
   */
 class IncrementalArrowWriter(path: String, schema: StructType,
                              stream: Boolean, batchRows: Int = 4096 * 4,
-                             conf: Configuration = HadoopFiles.local) {
+                             conf: Configuration = HadoopFiles.local,
+                             compression: Option[String] = None) {
   private val alloc: BufferAllocator = ArrowIo.rootAllocator()
   private val root = VectorSchemaRoot.create(ArrowTypes.toArrowSchema(schema), alloc)
   private val writers = schema.fields.indices.map { i =>
     AFWriter(root.getVector(i), schema.fields(i).dataType)
   }
   private val ch = HadoopFiles.createChannel(path, conf)
-  private val writer = if (stream) new ArrowStreamWriter(root, null, ch)
-    else new ArrowFileWriter(root, null, ch)
+  // buffer-level compression (Message.fbs BodyCompression): zstd or
+  // lz4 per-buffer; readers pass CommonsCompressionFactory and
+  // decompress transparently
+  private val codec: Option[org.apache.arrow.vector.compression.CompressionUtil.CodecType] =
+    compression.map {
+      case "zstd" => org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD
+      case "lz4" => org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME
+      case other => throw new IllegalArgumentException(
+        s"ipc.compression must be zstd or lz4, got $other")
+    }
+  private val writer = codec match {
+    case None =>
+      if (stream) new ArrowStreamWriter(root, null, ch)
+      else new ArrowFileWriter(root, null, ch)
+    case Some(ct) =>
+      val opt = org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT
+      val f = org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE
+      if (stream)
+        new ArrowStreamWriter(root, null, ch, opt, f, ct)
+      else
+        new ArrowFileWriter(root, null, ch, null, opt, f, ct)
+  }
   writer.start()
 
   private var inBatch = 0

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/** Incremental near-dup filtering for continuous ingestion — the
+  * streaming twin of Dedup.minhashNearDups.
+  *
+  * Production shape: documents arrive in micro-batches; each batch's
+  * minhash signatures are banded and joined against a persisted
+  * signature store (parquet), near-dups are dropped, and the
+  * survivors' signatures are appended to the store. State lives in
+  * the store, not executor memory, so the horizon is unbounded — at
+  * 100 TB/day the store is band-bucketed parquet and the join prunes
+  * to colliding buckets only.
+  */
+object IncrementalDedup {
+
+  /** clean batch rows + the (new_id, matched_id, est_jaccard) pairs
+    * that were dropped, + the signatures of the surviving rows (the
+    * store append).
+    */
+  final case class BatchResult(clean: DataFrame, dropped: DataFrame,
+                               cleanSigs: DataFrame)
+
+  /** Pure batch step. A new doc is a near-dup if its estimated
+    * signature Jaccard reaches `threshold` against any STORE doc, or
+    * against an earlier (smaller-id) doc of the same batch
+    * (keep-first semantics; transitive chains collapse to the first
+    * representative greedily, like the batch pipeline).
+    */
+  def dedupBatch(newDocs: DataFrame, idCol: String, textCol: String,
+                 store: Option[DataFrame], threshold: Double = 0.8,
+                 numPerm: Int = 64, bands: Int = 16): BatchResult = {
+    import graft.functions.{exprs, LshBandKeys}
+    val newSigs = Dedup.minhashSignature(newDocs, idCol, textCol, numPerm)
+    val storeSigs = store.getOrElse(
+      newSigs.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), newSigs.schema))
+    val allSigs = storeSigs.withColumn("_new", lit(false))
+      .unionByName(newSigs.withColumn("_new", lit(true)))
+
+    def banded(df: DataFrame) = df.select(col("doc_id"), col("_new"),
+      posexplode(exprs.toColumn(
+        LshBandKeys(exprs.toExpr(col("sig")), bands))).as(Seq("band", "bh")))
+
+    // bucket-local candidates: (new doc, any colliding doc)
+    val cands = banded(allSigs.where(col("_new"))).as("n")
+      .join(banded(allSigs).as("o"),
+        col("n.band") === col("o.band") && col("n.bh") === col("o.bh") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .where(!col("o._new") || col("o.doc_id") < col("n.doc_id"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("matched_id"))
+      .distinct()
+
+    val sigsById = allSigs.select(col("doc_id"), col("sig"))
+    val dropped = cands
+      .join(sigsById.withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("sig", "sig_n"), "new_id")
+      .join(sigsById.withColumnRenamed("doc_id", "matched_id")
+        .withColumnRenamed("sig", "sig_o"), "matched_id")
+      .withColumn("est_jaccard",
+        round(Dedup.signatureJaccard(col("sig_n"), col("sig_o")), 6))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("matched_id"), col("est_jaccard"))
+
+    val dupIds = dropped.select(col("new_id").as(idCol)).distinct()
+    val clean = newDocs.join(dupIds, Seq(idCol), "left_anti")
+    val cleanSigs = newSigs.join(
+      dupIds.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"), "left_anti")
+    BatchResult(clean, dropped, cleanSigs)
+  }
+
+  /** Streaming wrapper: foreachBatch dedups against the parquet
+    * signature store at `storeDir`, hands the clean rows to `sink`,
+    * then appends the survivors' signatures to the store.
+    */
+  def start(docs: DataFrame, idCol: String, textCol: String,
+            storeDir: String, threshold: Double = 0.8,
+            numPerm: Int = 64, bands: Int = 16)
+           (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val cached = batch.persist()
+      try {
+        val store =
+          if (new java.io.File(storeDir).exists() &&
+              spark.read.parquet(storeDir).columns.nonEmpty)
+            Some(spark.read.parquet(storeDir))
+          else None
+        val res = dedupBatch(cached, idCol, textCol, store, threshold,
+          numPerm, bands)
+        sink(res.clean, batchId)
+        res.cleanSigs.write.mode("append").parquet(storeDir)
+      } finally cached.unpersist()
+    }.start()
+}

@@ -243,6 +243,28 @@ class ArrowIpcSpec extends SparkSpec {
     assert(rt.selectExpr("cast(t as string)").as[String].head() == "01:02:03.000004")
   }
 
+  test("ipc.compression: zstd and lz4 roundtrip and actually shrink") {
+    val df = spark.range(0, 5000)
+      .selectExpr("id", "repeat('abcdef', 50) AS pad", "cast(id % 7 as double) AS v")
+    def sizeOf(dir: String): Long =
+      graft.sources.arrow.ArrowIo.dataFiles(dir)
+        .map(f => Files.size(Paths.get(java.net.URI.create(f)))).sum
+    val plain = tmpDir("comp-none")
+    df.coalesce(1).write.format("arrow").mode("overwrite").save(plain)
+    Seq("zstd", "lz4").foreach { codec =>
+      val dir = tmpDir(s"comp-$codec")
+      df.coalesce(1).write.format("arrow").mode("overwrite")
+        .option("ipc.compression", codec).save(dir)
+      assert(sizeOf(dir) < sizeOf(plain) / 2,
+        s"$codec should compress repetitive data: ${sizeOf(dir)} vs ${sizeOf(plain)}")
+      val back = spark.read.format("arrow").load(dir)
+      assert(back.count() == 5000)
+      assert(back.selectExpr("sum(v)").as[Double].head() ==
+        df.selectExpr("sum(v)").as[Double].head())
+      assert(back.selectExpr("max(length(pad))").as[Int].head() == 300)
+    }
+  }
+
   test("ArrowDictWriter: dictionary-encoded on disk, decodes to original on read") {
     import graft.sources.arrow.{ArrowDictWriter, ArrowIo}
     val df = Seq((1L, "A", 1.5), (2L, "B", 2.5), (3L, "A", 3.5), (4L, null, 4.5))
