@@ -81,6 +81,21 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected window pass:\n$plan")
   }
 
+  test("partitioned dataset reads prune to the selected partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune-part").toString
+    Tables.orders(spark, sfDir)
+      .repartition(col("o_orderstatus"))
+      .write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+    val plan = executedPlanString(
+      spark.read.parquet(dir).where(col("o_orderstatus") === "F"))
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"expected partition filters in:\n$plan")
+    // the status predicate must NOT appear as a data filter — it is
+    // satisfied entirely by pruning directories
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_orderstatus)"),
+      s"partition predicate leaked into data filters:\n$plan")
+  }
+
   test("q_range_join buckets to an equi-join, no nested loop") {
     val plan = executedPlanString(SparkEntry.queries("q_range_join")(spark, sfDir))
     assert(!plan.contains("NestedLoop"),
