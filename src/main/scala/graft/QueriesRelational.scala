@@ -513,6 +513,31 @@ object QueriesRelational {
         TRUE AS approx_ok
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ------------------------------------------- B8 frequent items
+    // freqItems sketch values are approximate (false positives
+    // allowed), but the algorithm GUARANTEES every value above the
+    // support threshold appears — so the oracle pins exactly that
+    // containment: each exactly-frequent value must be found in the
+    // sketch output. The sketch array is a bounded driver collect.
+    QueryDef("q_freq_items",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val sketch = ord.stat.freqItems(Array("o_orderpriority"), 0.1)
+          .head().getSeq[String](0)
+        val tot = ord.agg(count(lit(1)).as("tot"))
+        ord.groupBy(col("o_orderpriority").as("value"))
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(tot))
+          .where(col("n") > col("tot") * 0.1)
+          .select(col("value"),
+            array_contains(lit(sketch.toArray), col("value")).as("found"))
+          .orderBy("value")
+      },
+      Some("""SELECT o_orderpriority AS value, TRUE AS found
+        FROM orders GROUP BY o_orderpriority
+        HAVING COUNT(*) > 0.1 * (SELECT COUNT(*) FROM orders)
+        ORDER BY value""")),
+
     // ---------------------------------------------- C3d moment stats
     // rounded: both engines use stable one-pass moment updates but
     // accumulate in different orders, so last-bit noise is expected.
