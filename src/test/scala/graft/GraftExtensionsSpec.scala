@@ -12,16 +12,20 @@ class GraftExtensionsSpec extends SparkSpec {
     val prior = spark // force the shared session to exist first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
+    val s = GraftSession.builder("graft-ext-test")
       .master(prior.sparkContext.master)
-      .appName("graft-ext-test")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
       .getOrCreate()
     SparkSession.setDefaultSession(prior)
     SparkSession.setActiveSession(prior)
     s
+  }
+
+  test("GraftSession builder applies scale defaults") {
+    assert(extSpark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(extSpark.conf.get("spark.sql.parquet.outputTimestampType") ==
+      "TIMESTAMP_MICROS")
   }
 
   test("minhash_sig and simhash64 are callable from SQL") {
