@@ -22,8 +22,12 @@ object Skew {
                  salts: Int = 16): DataFrame = {
     val salted = large.withColumn("_salt",
       (rand(seed = 42) * salts).cast("int"))
+    // shuffle-hash, not sort-merge: salting already bounds each
+    // (key, salt) partition's build side, so hashing the replicated
+    // dim skips two full sorts of the fact table
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
+      .hint("shuffle_hash")
     salted.join(replicated,
         salted(key) === replicated(key) && salted("_salt") === replicated("_salt"))
       .drop(replicated(key)).drop("_salt")
