@@ -265,12 +265,16 @@ object QueriesRelational {
     // --------------------------------------------------------- C10 TPC-H 3
     QueryDef("q_tpch3",
       (s, d) => {
+        // customer scales with sf — no forced broadcast (a hint here
+        // is an OOM at 100 TB and disables AQE's own size check); the
+        // segment filter still reaches the scan, and AQE broadcasts
+        // the filtered side when it is genuinely small.
         val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
         val ord = Tables.orders(s, d)
           .where(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
         val li = Tables.lineitem(s, d)
           .where(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
-        broadcast(cust)
+        cust
           .join(ord, col("c_custkey") === col("o_custkey"))
           .join(li, col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -344,7 +348,8 @@ object QueriesRelational {
         val promoRev = sum(when(col("p_type") === "PROMO",
           revenueTerm(col("l_extendedprice"), col("l_discount")))
           .otherwise(lit(0).cast(DecimalType(18, 2))))
-        li.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        // part scales with sf → no forced broadcast; AQE decides.
+        li.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
           .agg((promoRev.cast(DoubleType) * 100.0 / rev.cast(DoubleType))
             .as("promo_revenue_pct"))
       },

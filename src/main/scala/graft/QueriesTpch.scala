@@ -74,18 +74,29 @@ object QueriesTpch {
     // volume shipping between two nations, by year
     QueryDef("q_tpch7",
       (s, d) => {
-        val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"),
-          col("n_name").as("supp_nation"))
-        val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
-          col("n_name").as("cust_nation"))
+        // Scale shape: the two-nation predicate is pushed onto supplier
+        // and customer BEFORE they meet the fact tables — each build
+        // side shrinks to ~2/25 of its rows up front. Only nation
+        // (fixed 25 rows) carries a broadcast hint; supplier/customer
+        // scale with sf, so AQE decides how to join them (at 100 TB a
+        // forced broadcast of either is an OOM).
+        val twoNations = Seq("NATION_1", "NATION_2")
+        val n1 = Tables.nation(s, d).where(col("n_name").isin(twoNations: _*))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d).where(col("n_name").isin(twoNations: _*))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        val supp = Tables.supplier(s, d)
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust = Tables.customer(s, d)
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .select(col("c_custkey"), col("cust_nation"))
         Tables.lineitem(s, d)
           .where(col("l_shipdate").between(
             to_timestamp(lit("1996-01-01")), to_timestamp(lit("1997-12-31"))))
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
                  (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
           .groupBy(col("supp_nation"), col("cust_nation"),
@@ -113,20 +124,29 @@ object QueriesTpch {
     // market share of NATION_3 suppliers for PROMO parts sold into ASIA
     QueryDef("q_tpch8",
       (s, d) => {
+        // Dims (nation/region, fixed cardinality) are broadcast onto the
+        // sf-scaling tables *first*, so the region filter shrinks
+        // customer before it reaches the fact join. part/customer/
+        // supplier scale with sf — no forced broadcast; AQE picks the
+        // join strategy from runtime sizes.
         val nCust = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
           col("n_regionkey").as("c_rk"))
         val nSupp = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"),
           col("n_name").as("supp_nation"))
+        val custAsia = Tables.customer(s, d)
+          .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+            col("c_rk") === col("r_regionkey"))
+          .select(col("c_custkey"))
+        val supp = Tables.supplier(s, d)
+          .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
+          .select(col("s_suppkey"), col("supp_nation"))
         val base = Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d).where(col("p_type") === "PROMO")),
+          .join(Tables.part(s, d).where(col("p_type") === "PROMO"),
             col("l_partkey") === col("p_partkey"))
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
-          .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
-          .join(broadcast(Tables.region(s, d)), col("c_rk") === col("r_regionkey"))
-          .where(col("r_name") === "ASIA")
+          .join(custAsia, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
         base.groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
           .agg((sum(when(col("supp_nation") === "NATION_3",
               revenueTerm(col("l_extendedprice"), col("l_discount"))))
@@ -155,10 +175,15 @@ object QueriesTpch {
     // product-type profit by nation and year; the synthetic schema has
     // no partsupp, so profit omits the ps_supplycost term
     QueryDef("q_tpch9",
+      // part/supplier scale with sf → no forced broadcast (AQE
+      // decides); nation is 25 rows → hint kept. The '%bolt%' filter
+      // matches a real slice of the synthetic p_name vocabulary
+      // ("adjective noun" strings), so the 5-way join aggregates
+      // non-empty groups at every sf.
       (s, d) => Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d).where(col("p_name").like("%1%"))),
+        .join(Tables.part(s, d).where(col("p_name").like("%bolt%")),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"),
@@ -173,7 +198,7 @@ object QueriesTpch {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         JOIN orders ON l_orderkey = o_orderkey
-        WHERE p_name LIKE '%1%'
+        WHERE p_name LIKE '%bolt%'
         GROUP BY 1, 2 ORDER BY 1, 2 DESC""")),
 
     // ---------------------------------------------------------- TPC-H Q10
@@ -185,7 +210,9 @@ object QueriesTpch {
             .where(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
                    col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        // customer scales with sf → no forced broadcast; nation (25
+        // rows) keeps its hint.
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
@@ -283,13 +310,21 @@ object QueriesTpch {
     // part's average quantity, for one brand
     QueryDef("q_tpch17",
       (s, d) => {
-        val avgQty = Tables.lineitem(s, d)
-          .groupBy(col("l_partkey").as("pk"))
-          .agg((lit(0.2) * davg(col("l_quantity"))).as("qty_limit"))
+        // Single lineitem scan: p_brand is a part attribute, so all
+        // lineitems of a partkey share it — joining the Brand#1 parts
+        // FIRST leaves the per-part averages unchanged while shrinking
+        // the window input to the brand's share. One shuffle (by
+        // l_partkey, for the window) replaces the old second scan +
+        // aggregate + rejoin; part scales with sf → no forced
+        // broadcast.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_partkey")
         Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d).where(col("p_brand") === "Brand#1")),
+          .join(Tables.part(s, d).where(col("p_brand") === "Brand#1"),
             col("l_partkey") === col("p_partkey"))
-          .join(avgQty, col("l_partkey") === col("pk"))
+          .withColumn("qty_limit",
+            lit(0.2) * (sum(dec2(col("l_quantity"))).over(w).cast(DoubleType)
+              / count(lit(1)).over(w).cast(DoubleType)))
           .where(col("l_quantity") < col("qty_limit"))
           .agg((sum(dec2(col("l_extendedprice"))).cast(DoubleType) / 7.0)
             .as("avg_yearly"))
@@ -304,12 +339,17 @@ object QueriesTpch {
     // ---------------------------------------------------------- TPC-H Q18
     // large-volume customers: orders above a total-quantity threshold
     QueryDef("q_tpch18",
-      (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      // Early aggregate: lineitem collapses to per-order quantity sums
+      // and the >300 filter runs BEFORE any join — what reaches the
+      // orders/customer joins is the handful of qualifying orders, not
+      // the whole fact table (l_orderkey determines every grouped
+      // column, so grouping before vs after the joins is equivalent).
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
         .agg(sum(dec2(col("l_quantity"))).as("sq"))
         .where(col("sq") > 300)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"),
           col("sq").cast(DoubleType).as("sum_qty"))
@@ -328,8 +368,9 @@ object QueriesTpch {
     // disjunctive brand/size/quantity predicate revenue (no l_shipmode
     // in the synthetic schema)
     QueryDef("q_tpch19",
+      // part scales with sf → no forced broadcast; AQE decides.
       (s, d) => Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .where(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
             col("l_quantity").between(1, 21)) ||

@@ -1,0 +1,66 @@
+package graft
+
+/** Scale-safety contract for the TPC-H suite: tables whose cardinality
+  * grows with the scale factor (customer/supplier/part/orders/lineitem)
+  * must never carry a hard `broadcast()` hint — at 100 TB a forced
+  * broadcast of an sf-scaling table is an executor/driver OOM, and the
+  * hint disables AQE's own size check. Only fixed-cardinality dims
+  * (nation=25, region=5) and provably-tiny aggregates may be hinted.
+  *
+  * Method: in a session with auto-broadcast fully disabled
+  * (threshold=-1, AQE off), the ONLY BroadcastExchange nodes left in a
+  * plan are the ones forced by explicit hints. We then assert every
+  * such exchange reads nothing but nation/region.
+  */
+class BroadcastSafetySpec extends SparkSpec {
+
+  /** Isolated SQLConf (shared SparkContext): hints are the only
+    * possible source of broadcast in this session.
+    */
+  private lazy val noAutoBc = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  private val sfScaling =
+    Seq("customer.parquet", "supplier.parquet", "part.parquet",
+      "orders.parquet", "lineitem.parquet")
+
+  /** Leaves under each BroadcastExchange in the physical plan. */
+  private def broadcastLeaves(name: String): Seq[(String, Seq[String])] = {
+    val df = SparkEntry.queries(name)(noAutoBc, sfDir)
+    val plan = df.queryExecution.executedPlan
+    plan.collect {
+      case b if b.nodeName.contains("BroadcastExchange") =>
+        name -> b.collectLeaves().map(_.toString)
+    }
+  }
+
+  private val guarded = Seq("q_tpch3", "q_tpch7", "q_tpch8", "q_tpch9",
+    "q_tpch10", "q_tpch14", "q_tpch17", "q_tpch19", "q_tpch5")
+
+  test("no sf-scaling table is ever force-broadcast") {
+    val offenders = for {
+      q <- guarded
+      (name, leaves) <- broadcastLeaves(q)
+      leaf <- leaves
+      table <- sfScaling
+      if leaf.contains(table)
+    } yield s"$name broadcasts a scan of $table"
+    assert(offenders.isEmpty,
+      s"forced broadcast of sf-scaling tables:\n${offenders.mkString("\n")}")
+  }
+
+  test("dimension hints survive: nation/region still broadcast when auto-broadcast is off") {
+    // Queries that join nation keep their (safe, fixed-25-row) hint.
+    Seq("q_tpch7", "q_tpch8", "q_tpch9", "q_tpch10").foreach { q =>
+      val bx = broadcastLeaves(q)
+      assert(bx.nonEmpty, s"$q: expected hinted dim broadcasts, found none")
+      assert(bx.forall { case (_, leaves) =>
+        leaves.exists(l => l.contains("nation.parquet") || l.contains("region.parquet"))
+      }, s"$q: a broadcast exchange reads something other than nation/region")
+    }
+  }
+}
