@@ -136,25 +136,54 @@ object Dedup {
     (size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast(DoubleType)
       / size(sigA).cast(DoubleType))
 
-  /** Full MinHash-LSH near-dup pipeline: candidates with exact shingle
-    * Jaccard >= threshold (verification joins shingle sets back on the
-    * candidate pairs only, never all pairs).
+  /** One shingling pass for the candidate+verify pipelines:
+    * (doc_id, shset, sig), persisted MEMORY_AND_DISK. The three
+    * consumers (band keys, verify side A, verify side B) would
+    * otherwise each recompute tokenize→shingle→sketch over the whole
+    * corpus — at 100 TB that triples the dominant CPU cost. Persisting
+    * trades one disk-backed materialization for the recomputes;
+    * carrying the sets through the band shuffle instead would multiply
+    * shuffle volume by `bands`, which is the worse trade. Blocks age
+    * out LRU with the session (same lifecycle Spark ML's LSH models
+    * accept).
     */
-  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.8, numPerm: Int = 64,
-                      bands: Int = 16, shingleN: Int = 3): DataFrame = {
-    val sigs = minhashSignature(docs, idCol, textCol, numPerm, shingleN)
-    val cands = minhashCandidates(sigs, numPerm, bands)
-    val sets = fanOut(docs).select(col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleN).as("shset"))
-    val verified = cands
-      .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shset", "set_a"), "id_a")
-      .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shset", "set_b"), "id_b")
+  private def shinglesAndSig(docs: DataFrame, idCol: String, textCol: String,
+                             numPerm: Int, shingleN: Int): DataFrame = {
+    import graft.functions.{exprs, MinHashSignature}
+    fanOut(docs)
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("shset"))
+      .select(col("doc_id"), col("shset"),
+        exprs.toColumn(MinHashSignature(exprs.toExpr(col("shset")), numPerm)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Exact-Jaccard verify over candidate pairs: candidates are
+    * typically tiny relative to the corpus, so AQE broadcasts them and
+    * the persisted set relation streams map-side through both
+    * attachment joins — no shuffle of set data.
+    */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame,
+                            setCol: String, threshold: Double): DataFrame =
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col(setCol).as("set_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col(setCol).as("set_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("set_a"), col("set_b"))).cast(DoubleType) /
           size(array_union(col("set_a"), col("set_b"))).cast(DoubleType))
       .where(col("jaccard") >= threshold)
-    verified.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Full MinHash-LSH near-dup pipeline: candidates with exact shingle
+    * Jaccard >= threshold (verification joins shingle sets back on the
+    * candidate pairs only, never all pairs). Shingles are computed
+    * exactly once (see shinglesAndSig).
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8, numPerm: Int = 64,
+                      bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    val prepped = shinglesAndSig(docs, idCol, textCol, numPerm, shingleN)
+    val cands = minhashCandidates(prepped.select("doc_id", "sig"), numPerm, bands)
+    verifyJaccard(cands, prepped, "shset", threshold)
   }
 
   // -------------------------------------------------------------- simhash
@@ -212,18 +241,9 @@ object Dedup {
   def ngramJaccardViaLsh(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double, numPerm: Int = 64,
                          bands: Int = 32, n: Int = 3): DataFrame = {
-    val sigs = minhashSignature(docs, idCol, textCol, numPerm, n)
-    val cands = minhashCandidates(sigs, numPerm, bands)
-    val sets = fanOut(docs).select(col(idCol).as("doc_id"),
-      shingles(col(textCol), n).as("grams"))
-    cands
-      .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
-      .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast(DoubleType) /
-          size(array_union(col("grams_a"), col("grams_b"))).cast(DoubleType))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val prepped = shinglesAndSig(docs, idCol, textCol, numPerm, n)
+    val cands = minhashCandidates(prepped.select("doc_id", "sig"), numPerm, bands)
+    verifyJaccard(cands, prepped, "shset", threshold)
   }
 
   /** Character/word n-gram Jaccard over blocked candidate pairs.
