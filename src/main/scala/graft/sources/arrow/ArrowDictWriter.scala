@@ -17,19 +17,38 @@ import org.apache.spark.sql.types.StringType
   */
 object ArrowDictWriter {
 
+  /** Dictionary-worthiness guard: the vocabulary is collected to the
+    * driver and broadcast, so an unbounded-cardinality column would be
+    * a driver OOM. The cap turns that into an immediate, actionable
+    * error instead.
+    */
+  val DefaultMaxVocab: Int = 1 << 20
+
   /** Write `df` under `dir` (one IPC file per partition) with
     * `dictCols` dictionary-encoded. Returns total rows written.
+    *
+    * @param maxVocab upper bound on per-column dictionary size; a
+    *   column exceeding it fails fast with a clear error (raise it
+    *   only if the driver has heap for the vocabulary broadcast).
     */
   def write(df: DataFrame, dir: String, dictCols: Seq[String],
-            stream: Boolean = false, batchRows: Int = 4096 * 4): Long = {
+            stream: Boolean = false, batchRows: Int = 4096 * 4,
+            maxVocab: Int = DefaultMaxVocab): Long = {
     val schema = df.schema
     dictCols.foreach { c =>
       require(schema(c).dataType == StringType,
         s"dictionary encoding supports string columns, got ${schema(c).dataType} for $c")
     }
     val vocabs: Map[String, Array[String]] = dictCols.map { c =>
-      c -> df.select(col(c)).where(col(c).isNotNull).distinct().orderBy(col(c))
-        .collect().map(_.getString(0))
+      // limit(maxVocab+1) bounds the collect itself: the driver never
+      // holds more than cap+1 values even when the column cardinality
+      // is in the billions.
+      val vocab = df.select(col(c)).where(col(c).isNotNull).distinct()
+        .limit(maxVocab + 1).collect().map(_.getString(0))
+      require(vocab.length <= maxVocab,
+        s"column '$c' has more than $maxVocab distinct values — it is not " +
+          "dictionary-worthy; write it as a plain column or raise maxVocab")
+      c -> vocab.sorted
     }.toMap
     val sc = df.sparkSession.sparkContext
     val hconf = new SerializableHadoopConf(sc.hadoopConfiguration)

@@ -291,6 +291,18 @@ class ArrowIpcSpec extends SparkSpec {
       (3L, Some("A"), 3.5), (4L, None, 4.5)))
   }
 
+  test("ArrowDictWriter: over-cap vocabulary fails fast with an actionable error") {
+    import graft.sources.arrow.ArrowDictWriter
+    val df = spark.range(0, 100)
+      .selectExpr("id", "cast(id as string) AS seg") // 100 distinct values
+    val dir = tmpDir("dictcap")
+    val e = intercept[IllegalArgumentException] {
+      ArrowDictWriter.write(df, dir, Seq("seg"), maxVocab = 50)
+    }
+    assert(e.getMessage.contains("not dictionary-worthy"), e.getMessage)
+    assert(e.getMessage.contains("seg"), e.getMessage)
+  }
+
   test("ArrowDictWriter: multi-batch files reuse the single dictionary") {
     import graft.sources.arrow.ArrowDictWriter
     val df = spark.range(0, 1000)
