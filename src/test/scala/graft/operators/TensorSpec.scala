@@ -46,12 +46,30 @@ class TensorSpec extends SparkSpec {
     assert(rt == orig)
   }
 
-  test("packed layout matches the documented LE byte format") {
-    val bytes = df.where($"id" === 2).select(Tensor.pack(col("t"))).as[Array[Byte]].head()
+  test("packed bytes are a valid Arrow Tensor IPC message (arrow flatbuffers parse them)") {
+    import org.apache.arrow.flatbuf.{FloatingPoint, Message, MessageHeader,
+      Precision, Tensor => FbTensor, Type => FbType}
+    val bytes = df.where($"id" === 1).select(Tensor.pack(col("t"))).as[Array[Byte]].head()
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    assert(buf.getInt == 1)      // ndim
-    assert(buf.getInt == 3)      // shape[0]
-    assert(buf.getInt == 3)      // n
-    assert(buf.getFloat == 0.5f)
+    assert(buf.getInt == 0xFFFFFFFF, "continuation marker")
+    val metaLen = buf.getInt
+    assert(metaLen % 8 == 0, "metadata padded to 8 bytes")
+    // parse the metadata with arrow-java's own flatbuffer classes
+    val msg = Message.getRootAsMessage(
+      java.nio.ByteBuffer.wrap(bytes, 8, metaLen).order(java.nio.ByteOrder.LITTLE_ENDIAN))
+    assert(msg.headerType() == MessageHeader.Tensor)
+    val t = msg.header(new FbTensor()).asInstanceOf[FbTensor]
+    assert(t.typeType() == FbType.FloatingPoint)
+    assert(t.`type`(new FloatingPoint()).asInstanceOf[FloatingPoint]
+      .precision() == Precision.SINGLE)
+    assert((0 until t.shapeLength()).map(t.shape(_).size()) == Seq(2L, 2L))
+    // contiguous row-major strides in bytes
+    assert((0 until t.stridesLength()).map(t.strides) == Seq(8L, 4L))
+    assert(t.data().length() == 16L)
+    // body: 8-byte aligned, row-major float32 LE
+    val bodyStart = 8 + metaLen + t.data().offset().toInt
+    val body = java.nio.ByteBuffer.wrap(bytes, bodyStart, 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(Seq.fill(4)(body.getFloat) == Seq(1f, 2f, 3f, 4f))
   }
 }
