@@ -101,6 +101,42 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Radius-bounded ANN via multi-probe hyperplane LSH: candidates
+    * collide with the query in ANY of `probes` independent hyperplane
+    * sets, exact cosine keeps those within the radius
+    * (cos >= threshold), and the k closest survivors are ranked.
+    *
+    * The recall dial is (planes, probes): a pair at angle θ is missed
+    * with probability (1-(1-θ/π)^planes)^probes, so few planes + many
+    * probes drives radius-recall toward 1 while every probe table
+    * stays one bucket-keyed shuffle (queries broadcast — corpus never
+    * reshuffles). Radius search is the LSH sweet spot: top-k *of the
+    * whole corpus* needs every far neighbor too, which no bucketing
+    * preserves, but "all neighbors within cos t" is exactly what the
+    * collision probability bounds.
+    */
+  def lshRadiusTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                    threshold: Double, planes: Int = 1, probes: Int = 8): DataFrame = {
+    val c = fanOut(corpus).withColumn("nrm", norm(col("embedding")))
+    val q = queries.withColumn("nrm", norm(col("embedding")))
+    val cand = (0 until probes).map { s =>
+      val cb = c.withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes, s))
+      val qb = q.withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes, s))
+      cb.as("c").join(broadcast(qb.as("q")),
+          col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
+          col("q.embedding").as("qe"), col("c.embedding").as("ce"),
+          col("q.nrm").as("qn"), col("c.nrm").as("cn"))
+    }.reduce(_ unionAll _).dropDuplicates("qid", "nid")
+    val scored = cand
+      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .where(col("cos") >= threshold)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   /** Deterministic seed centroids: corpus rows with vec_id ≡ 0 mod
     * stride, capped at nCells.
     */
