@@ -2,7 +2,7 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, IntervalUnit, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.types._
 
@@ -11,9 +11,13 @@ import org.apache.spark.sql.types._
   * Covers the reference's Schema.fbs surface (reference:
   * format/Schema.fbs, cpp/src/arrow/type.h): null, bool, signed ints,
   * fp32/64, decimal, utf8, binary, fixed_size_binary, date32,
-  * timestamps, list, struct. Unsigned ints widen to the next signed
-  * Spark type; union and interval have no Spark analog and are
-  * rejected with a clear error (documented divergence).
+  * timestamps, intervals, list, struct, union. Unsigned ints widen to
+  * the next signed Spark type. Intervals map onto Spark's ANSI
+  * interval types (year_month → YearMonthIntervalType, day_time and
+  * duration → DayTimeIntervalType in µs, month_day_nano →
+  * CalendarIntervalType). Unions have no Spark analog and widen to a
+  * struct of their members on read (exactly one member non-null per
+  * row); Spark cannot produce a union, so there is no write mapping.
   */
 object ArrowTypes {
 
@@ -34,6 +38,11 @@ object ArrowTypes {
     case _: TimeType => new ArrowType.Time(TimeUnit.MICROSECOND, 64)
     case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
     case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+    case _: YearMonthIntervalType => new ArrowType.Interval(IntervalUnit.YEAR_MONTH)
+    // Spark's own arrow bridge convention: day-time intervals are
+    // µs-unit durations (a day_time interval vector only holds ms)
+    case _: DayTimeIntervalType => new ArrowType.Duration(TimeUnit.MICROSECOND)
+    case CalendarIntervalType => new ArrowType.Interval(IntervalUnit.MONTH_DAY_NANO)
     case _: NullType => ArrowType.Null.INSTANCE
     case other =>
       throw new UnsupportedOperationException(s"graft arrow: unsupported Spark type $other")
@@ -102,6 +111,16 @@ object ArrowTypes {
     case t: ArrowType.Time => TimeType(TimeType.MICROS_PRECISION)
     case ts: ArrowType.Timestamp =>
       if (ts.getTimezone == null) TimestampNTZType else TimestampType
+    case iv: ArrowType.Interval => iv.getUnit match {
+      case IntervalUnit.YEAR_MONTH => YearMonthIntervalType()
+      // day_time (days+ms) loses nothing in µs; vectors are widened
+      // to µs-unit duration on load (ArrowIo.widen)
+      case IntervalUnit.DAY_TIME => DayTimeIntervalType()
+      case IntervalUnit.MONTH_DAY_NANO => CalendarIntervalType
+    }
+    // all duration units surface as day-time interval; non-µs vectors
+    // rescale on load (sub-µs digits of a nano duration truncate)
+    case _: ArrowType.Duration => DayTimeIntervalType()
     case _: ArrowType.Null => NullType
     case other =>
       throw new UnsupportedOperationException(s"graft arrow: unsupported Arrow type $other")
@@ -123,6 +142,14 @@ object ArrowTypes {
     case _: ArrowType.Struct =>
       StructField(f.getName,
         StructType(f.getChildren.asScala.map(fromArrowField).toArray), f.isNullable)
+    case _: ArrowType.Union =>
+      // unions widen to a struct of their members: per row exactly the
+      // active member is populated, every other child is null — so all
+      // children are nullable regardless of their declared nullability
+      val members = f.getChildren.asScala.map { c =>
+        val m = fromArrowField(c); m.copy(nullable = true)
+      }
+      StructField(f.getName, StructType(members.toArray), nullable = true)
     case t => StructField(f.getName, fromArrowType(t), f.isNullable)
   }
 

@@ -106,6 +106,27 @@ private[arrow] object AFWriter {
       def setNull(): Unit = x.setNull(count)
       def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getLong(o))
     }
+    case (x: IntervalYearVector, _: YearMonthIntervalType) => new AFWriter {
+      // Spark stores year-month intervals as total months (int)
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getInt(o))
+    }
+    case (x: DurationVector, _: DayTimeIntervalType) => new AFWriter {
+      // Spark stores day-time intervals as total µs (long); the vector
+      // is µs-unit duration (ArrowTypes.toArrowType)
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = x.setSafe(count, g.getLong(o))
+    }
+    case (x: IntervalMonthDayNanoVector, CalendarIntervalType) => new AFWriter {
+      val vector = x
+      def setNull(): Unit = x.setNull(count)
+      def setValue(g: SpecializedGetters, o: Int): Unit = {
+        val iv = g.getInterval(o)
+        x.setSafe(count, iv.months, iv.days, iv.microseconds * 1000L)
+      }
+    }
     case (x: ListVector, ArrayType(elem, _)) => new AFWriter {
       val vector = x
       private val elemWriter = AFWriter(x.getDataVector, elem)

@@ -120,6 +120,14 @@ object ArrowIo {
     case _: org.apache.arrow.vector.TimeMilliVector => Some("tms")
     case _: org.apache.arrow.vector.TimeMicroVector => Some("tus")
     case _: org.apache.arrow.vector.TimeNanoVector => Some("tns")
+    // day_time intervals and non-µs durations both surface as Spark
+    // day-time intervals, whose accessor reads a µs-unit duration
+    case _: org.apache.arrow.vector.IntervalDayVector => Some("ivd")
+    case d: org.apache.arrow.vector.DurationVector
+      if d.getUnit != org.apache.arrow.vector.types.TimeUnit.MICROSECOND => Some("dur")
+    // unions (sparse or dense) widen to a struct of their members
+    case _: org.apache.arrow.vector.complex.UnionVector => Some("union")
+    case _: org.apache.arrow.vector.complex.DenseUnionVector => Some("dunion")
     case _ => None
   }
 
@@ -209,9 +217,93 @@ object ArrowIo {
           i += 1
         }
         out.setValueCount(n); out
+      case src: IntervalDayVector =>
+        // (days, millis) pair → total µs duration, Spark's day-time
+        // interval representation
+        val out = new DurationVector(src.getName,
+          org.apache.arrow.vector.types.pojo.FieldType.nullable(
+            new org.apache.arrow.vector.types.pojo.ArrowType.Duration(
+              org.apache.arrow.vector.types.TimeUnit.MICROSECOND)), alloc)
+        out.allocateNew(n)
+        val holder = new org.apache.arrow.vector.holders.NullableIntervalDayHolder
+        var i = 0
+        while (i < n) {
+          src.get(i, holder)
+          if (holder.isSet == 1)
+            out.setSafe(i, holder.days * 86400000000L + holder.milliseconds * 1000L)
+          i += 1
+        }
+        out.setValueCount(n); out
+      case src: DurationVector =>
+        val out = new DurationVector(src.getName,
+          org.apache.arrow.vector.types.pojo.FieldType.nullable(
+            new org.apache.arrow.vector.types.pojo.ArrowType.Duration(
+              org.apache.arrow.vector.types.TimeUnit.MICROSECOND)), alloc)
+        out.allocateNew(n)
+        val toMicros: Long => Long = src.getUnit match {
+          case org.apache.arrow.vector.types.TimeUnit.SECOND => _ * 1000000L
+          case org.apache.arrow.vector.types.TimeUnit.MILLISECOND => _ * 1000L
+          case org.apache.arrow.vector.types.TimeUnit.MICROSECOND => identity
+          case org.apache.arrow.vector.types.TimeUnit.NANOSECOND => _ / 1000L
+        }
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i))
+            out.setSafe(i, toMicros(DurationVector.get(src.getDataBuffer, i)))
+          i += 1
+        }
+        out.setValueCount(n); out
+      case src: org.apache.arrow.vector.complex.UnionVector =>
+        unionToStruct(src, alloc, i => src.getTypeValue(i), i => i,
+          tid => src.getVectorByType(tid))
+      case src: org.apache.arrow.vector.complex.DenseUnionVector =>
+        unionToStruct(src, alloc, i => src.getTypeId(i).toInt, i => src.getOffset(i),
+          tid => src.getVectorByType(tid.toByte))
       case other =>
         throw new UnsupportedOperationException(s"widen: ${other.getClass}")
     }
+  }
+
+  /** Widen a union vector (sparse or dense) to a struct of its member
+    * fields: per row the active member's value is copied into the
+    * matching struct child, the other children stay null (reference:
+    * format/Schema.fbs Union, cpp/src/arrow/type.h UnionType —
+    * documented divergence: Spark has no union type, so this is the
+    * closest faithful reading).
+    */
+  private def unionToStruct(src: FieldVector, alloc: BufferAllocator,
+                            typeIdAt: Int => Int,
+                            srcIndexAt: Int => Int,
+                            vectorOfTypeId: Int => org.apache.arrow.vector.ValueVector)
+      : FieldVector = {
+    import org.apache.arrow.vector.complex.StructVector
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    val unionType = src.getField.getType.asInstanceOf[ArrowType.Union]
+    val memberFields = src.getField.getChildren.asScala.toSeq
+    // typeIds[ordinal] = the type id tag stored in the type buffer
+    val ordinalOfTypeId: Map[Int, Int] =
+      unionType.getTypeIds.zipWithIndex.map { case (tid, ord) => tid -> ord }.toMap
+    val structField = new Field(src.getField.getName,
+      FieldType.nullable(ArrowType.Struct.INSTANCE),
+      memberFields.map(f =>
+        new Field(f.getName, new FieldType(true, f.getType, f.getDictionary),
+          f.getChildren)).asJava)
+    val out = structField.createVector(alloc).asInstanceOf[StructVector]
+    out.allocateNew()
+    val srcOfOrdinal: Map[Int, org.apache.arrow.vector.ValueVector] =
+      ordinalOfTypeId.map { case (tid, ord) => ord -> vectorOfTypeId(tid) }
+    val outChildren = memberFields.indices.map(out.getChildByOrdinal)
+    val n = src.getValueCount
+    var i = 0
+    while (i < n) {
+      val ord = ordinalOfTypeId(typeIdAt(i))
+      out.setIndexDefined(i)
+      outChildren(ord).copyFromSafe(srcIndexAt(i), i, srcOfOrdinal(ord))
+      i += 1
+    }
+    outChildren.foreach(_.setValueCount(n))
+    out.setValueCount(n)
+    out
   }
 
   /** Copy a fixed-size-list vector into an equivalent variable list. */

@@ -14,7 +14,8 @@ class ArrowTypesSpec extends AnyFunSuite {
     TimestampType, TimestampNTZType,
     ArrayType(FloatType, containsNull = false),
     ArrayType(StringType, containsNull = true),
-    StructType(Seq(StructField("a", IntegerType), StructField("b", StringType))))
+    StructType(Seq(StructField("a", IntegerType), StructField("b", StringType))),
+    YearMonthIntervalType(), DayTimeIntervalType(), CalendarIntervalType)
 
   test("spark → arrow → spark roundtrips for the full Schema.fbs surface") {
     roundtrippable.foreach { dt =>
@@ -44,12 +45,24 @@ class ArrowTypesSpec extends AnyFunSuite {
     assert(ArrowTypes.fromArrowType(new ArrowType.Int(32, false)) == LongType)
   }
 
-  test("half-float and union are rejected with a clear error") {
+  test("half-float is rejected with a clear error") {
     intercept[UnsupportedOperationException] {
       ArrowTypes.fromArrowType(new ArrowType.FloatingPoint(FloatingPointPrecision.HALF))
     }
-    intercept[UnsupportedOperationException] {
-      ArrowTypes.toArrowType(CalendarIntervalType)
-    }
+  }
+
+  test("union fields widen to a struct of nullable members") {
+    import org.apache.arrow.vector.types.UnionMode
+    import org.apache.arrow.vector.types.pojo.{Field, FieldType}
+    import scala.jdk.CollectionConverters._
+    val f = new Field("u",
+      FieldType.nullable(new ArrowType.Union(UnionMode.Sparse, Array(0, 1))),
+      Seq(Field.notNullable("i", new ArrowType.Int(32, true)),
+        Field.nullable("s", ArrowType.Utf8.INSTANCE)).asJava)
+    val sf = ArrowTypes.fromArrowField(f)
+    assert(sf.dataType == StructType(Seq(
+      StructField("i", IntegerType, nullable = true),
+      StructField("s", StringType, nullable = true))))
+    assert(sf.nullable)
   }
 }
