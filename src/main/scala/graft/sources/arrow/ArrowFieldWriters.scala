@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * Re-expresses the reference's builder layer (reference:
   * cpp/src/arrow/builder.h) on Spark's row representation.
   */
-private[arrow] abstract class AFWriter {
+private[sources] abstract class AFWriter {
   def vector: ValueVector
   var count: Int = 0
   def setNull(): Unit
@@ -28,7 +28,7 @@ private[arrow] abstract class AFWriter {
   def reset(): Unit = { vector.reset(); count = 0 }
 }
 
-private[arrow] object AFWriter {
+private[sources] object AFWriter {
   def apply(v: ValueVector, dt: DataType): AFWriter = (v, dt) match {
     case (x: BitVector, BooleanType) => new AFWriter {
       val vector = x

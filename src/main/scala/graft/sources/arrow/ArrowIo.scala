@@ -45,8 +45,11 @@ object ArrowIo {
   def openReader(path: String, alloc: BufferAllocator,
                  conf: Configuration = HadoopFiles.local): ArrowReader = {
     val codecs = org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE
-    if (isFileFormat(path, conf))
+    val head = HadoopFiles.readFully(path, 6, conf)
+    if (head.length == 6 && java.util.Arrays.equals(head, FILE_MAGIC))
       new ArrowFileReader(HadoopFiles.openSeekable(path, conf), alloc, codecs)
+    else if (graft.sources.feather.FeatherV1.isFeatherV1(head))
+      new graft.sources.feather.FeatherV1Reader(path, alloc, conf)
     else
       new ArrowStreamReader(
         HadoopFiles.fs(path, conf).open(new org.apache.hadoop.fs.Path(path)),
@@ -120,6 +123,14 @@ object ArrowIo {
     case _: org.apache.arrow.vector.TimeMilliVector => Some("tms")
     case _: org.apache.arrow.vector.TimeMicroVector => Some("tus")
     case _: org.apache.arrow.vector.TimeNanoVector => Some("tns")
+    // non-µs timestamps (external producers, e.g. feather v1 files)
+    // rescale to the µs vectors Spark's accessors read
+    case _: org.apache.arrow.vector.TimeStampSecTZVector => Some("tss")
+    case _: org.apache.arrow.vector.TimeStampMilliTZVector => Some("tsm")
+    case _: org.apache.arrow.vector.TimeStampNanoTZVector => Some("tsn")
+    case _: org.apache.arrow.vector.TimeStampSecVector => Some("tss0")
+    case _: org.apache.arrow.vector.TimeStampMilliVector => Some("tsm0")
+    case _: org.apache.arrow.vector.TimeStampNanoVector => Some("tsn0")
     // day_time intervals and non-µs durations both surface as Spark
     // day-time intervals, whose accessor reads a µs-unit duration
     case _: org.apache.arrow.vector.IntervalDayVector => Some("ivd")
@@ -214,6 +225,30 @@ object ArrowIo {
         var i = 0
         while (i < n) {
           if (!src.isNull(i)) out.setSafe(i, src.get(i) / 1000L * 1000L)
+          i += 1
+        }
+        out.setValueCount(n); out
+      case src: TimeStampVector =>
+        // rescale sec/ms/ns epochs to the µs vector Spark reads; the
+        // tz (or its absence) carries over so TZ/NTZ typing holds
+        val at = src.getField.getType.asInstanceOf[
+          org.apache.arrow.vector.types.pojo.ArrowType.Timestamp]
+        val toMicros: Long => Long = at.getUnit match {
+          case org.apache.arrow.vector.types.TimeUnit.SECOND => _ * 1000000L
+          case org.apache.arrow.vector.types.TimeUnit.MILLISECOND => _ * 1000L
+          case org.apache.arrow.vector.types.TimeUnit.MICROSECOND => identity
+          case org.apache.arrow.vector.types.TimeUnit.NANOSECOND => Math.floorDiv(_, 1000L)
+        }
+        val outType = new org.apache.arrow.vector.types.pojo.ArrowType.Timestamp(
+          org.apache.arrow.vector.types.TimeUnit.MICROSECOND, at.getTimezone)
+        val ft = org.apache.arrow.vector.types.pojo.FieldType.nullable(outType)
+        val out: TimeStampVector =
+          if (at.getTimezone == null) new TimeStampMicroVector(src.getName, ft, alloc)
+          else new TimeStampMicroTZVector(src.getName, ft, alloc)
+        out.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i)) out.setSafe(i, toMicros(src.get(i)))
           i += 1
         }
         out.setValueCount(n); out

@@ -74,6 +74,16 @@ object HadoopFiles {
     } else Seq(path)
   }
 
+  def fileSize(path: String, conf: Configuration): Long =
+    fs(path, conf).getFileStatus(new Path(path)).getLen
+
+  /** Positioned read of [offset, offset+n) into a fresh array. */
+  def readAt(in: FSDataInputStream, offset: Long, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    in.readFully(offset, buf, 0, n)
+    buf
+  }
+
   def readFully(path: String, n: Int, conf: Configuration): Array[Byte] = {
     val in = fs(path, conf).open(new Path(path))
     try {
