@@ -50,6 +50,8 @@ object ArrowIo {
       new ArrowFileReader(HadoopFiles.openSeekable(path, conf), alloc, codecs)
     else if (graft.sources.feather.FeatherV1.isFeatherV1(head))
       new graft.sources.feather.FeatherV1Reader(path, alloc, conf)
+    else if (head.nonEmpty && head(0) == '{'.toByte)
+      new graft.sources.json.ArrowJsonReader(path, alloc, conf)
     else
       new ArrowStreamReader(
         HadoopFiles.fs(path, conf).open(new org.apache.hadoop.fs.Path(path)),

@@ -1,0 +1,493 @@
+package graft.sources.json
+
+import java.math.BigInteger
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.core.JsonFactory
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.arrow.memory.BufferAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
+import org.apache.arrow.vector.ipc.ArrowReader
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit => ATimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.types._
+
+import graft.sources.arrow.HadoopFiles
+
+/** Arrow **JSON integration format** (reference: cpp/src/arrow/ipc/
+  * json.h, json-internal.cc) — the human-readable test-harness
+  * representation: one document `{"schema": {...}, "batches":
+  * [{"count", "columns": [{"name","count","VALIDITY","DATA"/"OFFSET",
+  *  "children"}]}]}` with binary values hex-encoded and decimals as
+  * unscaled integer strings.
+  *
+  * Reading goes through the same `format("arrow")` source as IPC and
+  * feather files (sniffed by the leading `{`); writing emits one
+  * document per partition. A verbose debug/interop format — not a
+  * scale path, and not meant to be one.
+  */
+object ArrowJsonIntegration {
+
+  private val HEX = "0123456789ABCDEF".toCharArray
+
+  private[json] def hex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach { b => sb.append(HEX(b >> 4 & 0xF)).append(HEX(b & 0xF)) }
+    sb.toString
+  }
+
+  private[json] def unhex(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((Character.digit(s.charAt(2 * i), 16) << 4)
+        | Character.digit(s.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------- write
+
+  private def writeTypeJson(gen: com.fasterxml.jackson.core.JsonGenerator,
+                            dt: DataType): Unit = {
+    gen.writeObjectFieldStart("type")
+    dt match {
+      case NullType => gen.writeStringField("name", "null")
+      case BooleanType => gen.writeStringField("name", "bool")
+      case ByteType | ShortType | IntegerType | LongType =>
+        gen.writeStringField("name", "int")
+        gen.writeNumberField("bitWidth", dt.defaultSize * 8)
+        gen.writeBooleanField("isSigned", true)
+      case FloatType =>
+        gen.writeStringField("name", "floatingpoint")
+        gen.writeStringField("precision", "SINGLE")
+      case DoubleType =>
+        gen.writeStringField("name", "floatingpoint")
+        gen.writeStringField("precision", "DOUBLE")
+      case StringType => gen.writeStringField("name", "utf8")
+      case BinaryType => gen.writeStringField("name", "binary")
+      case d: DecimalType =>
+        gen.writeStringField("name", "decimal")
+        gen.writeNumberField("precision", d.precision)
+        gen.writeNumberField("scale", d.scale)
+      case DateType =>
+        gen.writeStringField("name", "date")
+        gen.writeStringField("unit", "DAY")
+      case TimestampType =>
+        gen.writeStringField("name", "timestamp")
+        gen.writeStringField("unit", "MICROSECOND")
+        gen.writeStringField("timezone", "UTC")
+      case TimestampNTZType =>
+        gen.writeStringField("name", "timestamp")
+        gen.writeStringField("unit", "MICROSECOND")
+      case _: TimeType =>
+        gen.writeStringField("name", "time")
+        gen.writeStringField("unit", "MICROSECOND")
+        gen.writeNumberField("bitWidth", 64)
+      case _: ArrayType => gen.writeStringField("name", "list")
+      case _: StructType => gen.writeStringField("name", "struct")
+      case other => throw new UnsupportedOperationException(
+        s"arrow json integration writer: $other")
+    }
+    gen.writeEndObject()
+  }
+
+  private def writeFieldJson(gen: com.fasterxml.jackson.core.JsonGenerator,
+                             name: String, dt: DataType, nullable: Boolean): Unit = {
+    gen.writeStartObject()
+    gen.writeStringField("name", name)
+    gen.writeBooleanField("nullable", nullable)
+    writeTypeJson(gen, dt)
+    gen.writeArrayFieldStart("children")
+    dt match {
+      case ArrayType(elem, cn) => writeFieldJson(gen, "item", elem, cn)
+      case StructType(fields) =>
+        fields.foreach(f => writeFieldJson(gen, f.name, f.dataType, f.nullable))
+      case _ => ()
+    }
+    gen.writeEndArray()
+    gen.writeEndObject()
+  }
+
+  /** One column of one batch. `values` carries a slot per row:
+    * None = the parent was already null at this row.
+    */
+  private def writeColumnJson(gen: com.fasterxml.jackson.core.JsonGenerator,
+                              name: String, dt: DataType,
+                              values: IndexedSeq[Option[(SpecializedGetters, Int)]])
+      : Unit = {
+    val defined: IndexedSeq[Boolean] =
+      values.map(v => v.exists { case (g, o) => !g.isNullAt(o) })
+    gen.writeStartObject()
+    gen.writeStringField("name", name)
+    gen.writeNumberField("count", values.length)
+    gen.writeArrayFieldStart("VALIDITY")
+    defined.foreach(d => gen.writeNumber(if (d) 1 else 0))
+    gen.writeEndArray()
+    dt match {
+      case NullType => ()
+      case BooleanType =>
+        gen.writeArrayFieldStart("DATA")
+        values.indices.foreach { i =>
+          gen.writeBoolean(defined(i) && values(i).exists { case (g, o) => g.getBoolean(o) })
+        }
+        gen.writeEndArray()
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | _: TimeType =>
+        gen.writeArrayFieldStart("DATA")
+        values.indices.foreach { i =>
+          val v: Long = if (!defined(i)) 0L else {
+            val (g, o) = values(i).get
+            dt match {
+              case ByteType => g.getByte(o).toLong
+              case ShortType => g.getShort(o).toLong
+              case IntegerType | DateType => g.getInt(o).toLong
+              case _: TimeType => g.getLong(o) / 1000L // nanos → µs
+              case _ => g.getLong(o)
+            }
+          }
+          gen.writeNumber(v)
+        }
+        gen.writeEndArray()
+      case FloatType | DoubleType =>
+        gen.writeArrayFieldStart("DATA")
+        values.indices.foreach { i =>
+          val v: Double = if (!defined(i)) 0.0 else {
+            val (g, o) = values(i).get
+            if (dt == FloatType) g.getFloat(o).toDouble else g.getDouble(o)
+          }
+          gen.writeNumber(v)
+        }
+        gen.writeEndArray()
+      case d: DecimalType =>
+        gen.writeArrayFieldStart("DATA")
+        values.indices.foreach { i =>
+          val s = if (!defined(i)) "0" else {
+            val (g, o) = values(i).get
+            g.getDecimal(o, d.precision, d.scale).toJavaBigDecimal
+              .unscaledValue.toString
+          }
+          gen.writeString(s)
+        }
+        gen.writeEndArray()
+      case StringType | BinaryType =>
+        val bytes: IndexedSeq[Array[Byte]] = values.indices.map { i =>
+          if (!defined(i)) Array.emptyByteArray else {
+            val (g, o) = values(i).get
+            if (dt == StringType) g.getUTF8String(o).getBytes else g.getBinary(o)
+          }
+        }
+        gen.writeArrayFieldStart("OFFSET")
+        var off = 0
+        gen.writeNumber(0)
+        bytes.foreach { b => off += b.length; gen.writeNumber(off) }
+        gen.writeEndArray()
+        gen.writeArrayFieldStart("DATA")
+        values.indices.foreach { i =>
+          if (dt == StringType) gen.writeString(new String(bytes(i), "UTF-8"))
+          else gen.writeString(hex(bytes(i)))
+        }
+        gen.writeEndArray()
+      case ArrayType(elem, _) =>
+        gen.writeArrayFieldStart("OFFSET")
+        var off = 0
+        gen.writeNumber(0)
+        val elems = IndexedSeq.newBuilder[Option[(SpecializedGetters, Int)]]
+        values.indices.foreach { i =>
+          if (defined(i)) {
+            val (g, o) = values(i).get
+            val arr = g.getArray(o)
+            (0 until arr.numElements()).foreach(j => elems += Some((arr, j)))
+            off += arr.numElements()
+          }
+          gen.writeNumber(off)
+        }
+        gen.writeEndArray()
+        gen.writeArrayFieldStart("children")
+        writeColumnJson(gen, "item", elem, elems.result())
+        gen.writeEndArray()
+      case StructType(fields) =>
+        val rows: IndexedSeq[Option[InternalRow]] = values.indices.map { i =>
+          if (defined(i)) {
+            val (g, o) = values(i).get
+            Some(g.getStruct(o, fields.length))
+          } else None
+        }
+        gen.writeArrayFieldStart("children")
+        fields.zipWithIndex.foreach { case (f, j) =>
+          writeColumnJson(gen, f.name, f.dataType,
+            rows.map(_.map(r => (r: SpecializedGetters, j))))
+        }
+        gen.writeEndArray()
+      case other => throw new UnsupportedOperationException(
+        s"arrow json integration writer: $other")
+    }
+    gen.writeEndObject()
+  }
+
+  /** Write one integration-format document from a row iterator,
+    * batching rows so memory stays bounded by the batch size.
+    */
+  def writeFile(path: String, schema: StructType, rows: Iterator[InternalRow],
+                batchRows: Int = 4096,
+                conf: Configuration = HadoopFiles.local): Long = {
+    val out = HadoopFiles.fs(path, conf).create(new org.apache.hadoop.fs.Path(path), true)
+    val gen = new JsonFactory().createGenerator(out: java.io.OutputStream)
+    var total = 0L
+    try {
+      gen.writeStartObject()
+      gen.writeObjectFieldStart("schema")
+      gen.writeArrayFieldStart("fields")
+      schema.fields.foreach(f => writeFieldJson(gen, f.name, f.dataType, f.nullable))
+      gen.writeEndArray()
+      gen.writeEndObject()
+      gen.writeArrayFieldStart("batches")
+      while (rows.hasNext) {
+        val batch = new scala.collection.mutable.ArrayBuffer[InternalRow](batchRows)
+        while (batch.length < batchRows && rows.hasNext) batch += rows.next().copy()
+        gen.writeStartObject()
+        gen.writeNumberField("count", batch.length)
+        gen.writeArrayFieldStart("columns")
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          writeColumnJson(gen, f.name, f.dataType,
+            batch.indices.map(r => Some((batch(r): SpecializedGetters, i))))
+        }
+        gen.writeEndArray()
+        gen.writeEndObject()
+        total += batch.length
+      }
+      gen.writeEndArray()
+      gen.writeEndObject()
+      total
+    } finally { gen.close(); out.close() }
+  }
+
+  /** Distributed write: one integration document per partition under
+    * `dir`, readable back via `spark.read.format("arrow")`.
+    */
+  def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    val schema = df.schema
+    val hconf = new graft.sources.arrow.SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    HadoopFiles.mkdirs(dir, hconf.value)
+    df.queryExecution.toRdd.foreachPartition { rows: Iterator[InternalRow] =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tid = org.apache.spark.TaskContext.get().taskAttemptId()
+      val tmp = f"$dir/.part-$pid%05d-$tid.arrow.json.tmp"
+      val dst = f"$dir/part-$pid%05d-$tid.arrow.json"
+      writeFile(tmp, schema, rows, conf = hconf.value)
+      HadoopFiles.rename(tmp, dst, hconf.value)
+    }
+  }
+
+  // -------------------------------------------------------------------- read
+
+  private[json] def jsonToArrowField(f: JsonNode): Field = {
+    val name = f.get("name").asText()
+    val nullable = f.get("nullable") == null || f.get("nullable").asBoolean(true)
+    val t = f.get("type")
+    val children: Seq[Field] =
+      Option(f.get("children")).map(_.elements().asScala.toSeq.map(jsonToArrowField))
+        .getOrElse(Seq.empty)
+    def unit(dflt: String): ATimeUnit =
+      ATimeUnit.valueOf(Option(t.get("unit")).map(_.asText()).getOrElse(dflt))
+    val at: ArrowType = t.get("name").asText() match {
+      case "null" => ArrowType.Null.INSTANCE
+      case "bool" => ArrowType.Bool.INSTANCE
+      case "int" => new ArrowType.Int(t.get("bitWidth").asInt(),
+        t.get("isSigned") == null || t.get("isSigned").asBoolean())
+      case "floatingpoint" =>
+        new ArrowType.FloatingPoint(
+          FloatingPointPrecision.valueOf(t.get("precision").asText()))
+      case "utf8" => ArrowType.Utf8.INSTANCE
+      case "binary" => ArrowType.Binary.INSTANCE
+      case "fixedsizebinary" =>
+        new ArrowType.FixedSizeBinary(t.get("byteWidth").asInt())
+      case "decimal" =>
+        new ArrowType.Decimal(t.get("precision").asInt(), t.get("scale").asInt(), 128)
+      case "date" =>
+        new ArrowType.Date(if (t.get("unit").asText() == "DAY") DateUnit.DAY
+          else DateUnit.MILLISECOND)
+      case "time" =>
+        new ArrowType.Time(unit("MILLISECOND"),
+          Option(t.get("bitWidth")).map(_.asInt()).getOrElse(32))
+      case "timestamp" =>
+        new ArrowType.Timestamp(unit("SECOND"),
+          Option(t.get("timezone")).map(_.asText()).orNull)
+      case "list" => ArrowType.List.INSTANCE
+      case "struct" => ArrowType.Struct.INSTANCE
+      case other => throw new UnsupportedOperationException(
+        s"arrow json integration reader: type $other")
+    }
+    new Field(name, FieldType.nullable(at), children.asJava)
+  }
+
+  /** Fill `v` from one column node; returns the row count. */
+  private[json] def fillVector(v: FieldVector, col: JsonNode): Int = {
+    val n = col.get("count").asInt()
+    val validity = Option(col.get("VALIDITY"))
+      .map(a => (0 until n).map(i => a.get(i).asInt() != 0))
+      .getOrElse((0 until n).map(_ => true))
+    def data: JsonNode = col.get("DATA")
+    v match {
+      case nv: NullVector =>
+        nv.setValueCount(n)
+      case bv: BitVector =>
+        bv.allocateNew(n)
+        (0 until n).foreach { i =>
+          if (validity(i)) {
+            val d = data.get(i)
+            bv.setSafe(i, if (d.isBoolean && d.asBoolean() || d.isNumber && d.asInt() != 0) 1 else 0)
+          }
+        }
+        bv.setValueCount(n)
+      case dv: DecimalVector =>
+        dv.allocateNew(n)
+        (0 until n).foreach { i =>
+          if (validity(i)) dv.setSafe(i,
+            new java.math.BigDecimal(new BigInteger(data.get(i).asText()), dv.getScale))
+        }
+        dv.setValueCount(n)
+      case sv: VarCharVector =>
+        sv.allocateNew()
+        (0 until n).foreach { i =>
+          if (validity(i)) sv.setSafe(i, data.get(i).asText().getBytes("UTF-8"))
+        }
+        sv.setValueCount(n)
+      case bv: VarBinaryVector =>
+        bv.allocateNew()
+        (0 until n).foreach { i =>
+          if (validity(i)) bv.setSafe(i, unhex(data.get(i).asText()))
+        }
+        bv.setValueCount(n)
+      case fv: FixedSizeBinaryVector =>
+        fv.allocateNew(n)
+        (0 until n).foreach { i =>
+          if (validity(i)) fv.setSafe(i, unhex(data.get(i).asText()))
+        }
+        fv.setValueCount(n)
+      case fv: Float4Vector =>
+        fv.allocateNew(n)
+        (0 until n).foreach { i =>
+          if (validity(i)) fv.setSafe(i, data.get(i).asDouble().toFloat)
+        }
+        fv.setValueCount(n)
+      case fv: Float8Vector =>
+        fv.allocateNew(n)
+        (0 until n).foreach { i =>
+          if (validity(i)) fv.setSafe(i, data.get(i).asDouble())
+        }
+        fv.setValueCount(n)
+      case lv: ListVector =>
+        val offsets = col.get("OFFSET")
+        lv.allocateNew()
+        while (lv.getValueCapacity < n) lv.reAlloc()
+        val child = col.get("children").get(0)
+        fillVector(lv.getDataVector, child)
+        (0 to n).foreach(i => lv.getOffsetBuffer.setInt(i * 4L, offsets.get(i).asInt()))
+        (0 until n).foreach { i =>
+          if (validity(i)) BitVectorHelper.setBit(lv.getValidityBuffer, i)
+        }
+        // offsets are fully written above; without this, setValueCount
+        // would re-fill them from lastSet = -1 (i.e. zero them out)
+        lv.setLastSet(n - 1)
+        lv.setValueCount(n)
+      case sv: StructVector =>
+        sv.allocateNew()
+        val children = col.get("children")
+        (0 until children.size()).foreach { j =>
+          fillVector(sv.getChildByOrdinal(j).asInstanceOf[FieldVector], children.get(j))
+        }
+        (0 until n).foreach { i =>
+          if (validity(i)) sv.setIndexDefined(i) else sv.setNull(i)
+        }
+        sv.setValueCount(n)
+      case fixed: BaseFixedWidthVector =>
+        // every remaining fixed-width vector stores a long-readable
+        // value: ints (all widths/signs), dates, times, timestamps
+        fixed.allocateNew(n)
+        val setter: (Int, Long) => Unit = fixed match {
+          case x: TinyIntVector => (i, l) => x.setSafe(i, l.toInt)
+          case x: SmallIntVector => (i, l) => x.setSafe(i, l.toInt)
+          case x: IntVector => (i, l) => x.setSafe(i, l.toInt)
+          case x: BigIntVector => (i, l) => x.setSafe(i, l)
+          case x: UInt1Vector => (i, l) => x.setSafe(i, l.toInt)
+          case x: UInt2Vector => (i, l) => x.setSafe(i, l.toInt)
+          case x: UInt4Vector => (i, l) => x.setSafe(i, l.toInt)
+          case x: UInt8Vector => (i, l) => x.setSafe(i, l)
+          case x: DateDayVector => (i, l) => x.setSafe(i, l.toInt)
+          case x: DateMilliVector => (i, l) => x.setSafe(i, l)
+          case x: TimeSecVector => (i, l) => x.setSafe(i, l.toInt)
+          case x: TimeMilliVector => (i, l) => x.setSafe(i, l.toInt)
+          case x: TimeMicroVector => (i, l) => x.setSafe(i, l)
+          case x: TimeNanoVector => (i, l) => x.setSafe(i, l)
+          case x: TimeStampVector => (i, l) => x.setSafe(i, l)
+          case other => throw new UnsupportedOperationException(
+            s"arrow json integration reader: ${other.getClass.getSimpleName}")
+        }
+        (0 until n).foreach { i =>
+          if (validity(i)) setter(i, data.get(i).asLong())
+        }
+        fixed.setValueCount(n)
+      case other => throw new UnsupportedOperationException(
+        s"arrow json integration reader: ${other.getClass.getSimpleName}")
+    }
+    n
+  }
+}
+
+/** Reader for one integration-format document, pluggable wherever an
+  * arrow-java `ArrowReader` goes (the graft source's columnar scan).
+  * The document is parsed once; each `loadNextBatch` fills the root
+  * from the next `batches` entry.
+  */
+class ArrowJsonReader(path: String, alloc: BufferAllocator,
+                      conf: Configuration = HadoopFiles.local)
+    extends ArrowReader(alloc) {
+  import ArrowJsonIntegration._
+
+  private val doc: JsonNode = {
+    val in = HadoopFiles.fs(path, conf).open(new org.apache.hadoop.fs.Path(path))
+    try new ObjectMapper().readTree(in) finally in.close()
+  }
+  require(doc.get("dictionaries") == null,
+    s"$path: integration documents with dictionary batches are not supported")
+  private val batches = Option(doc.get("batches"))
+    .map(b => (0 until b.size()).map(b.get)).getOrElse(IndexedSeq.empty)
+  private var next = 0
+  private var readBytes = 0L
+
+  override protected def readSchema(): ArrowSchema =
+    new ArrowSchema(doc.get("schema").get("fields").elements().asScala.toSeq
+      .map(ArrowJsonIntegration.jsonToArrowField).asJava)
+
+  override def loadNextBatch(): Boolean = {
+    ensureInitialized()
+    if (next >= batches.length) return false
+    val batch = batches(next)
+    next += 1
+    val root = getVectorSchemaRoot
+    val cols = batch.get("columns")
+    val byName = (0 until cols.size()).map(cols.get)
+      .map(c => c.get("name").asText() -> c).toMap
+    var n = batch.get("count").asInt()
+    root.getSchema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+      val col = byName.getOrElse(f.getName,
+        throw new IllegalArgumentException(s"$path: column ${f.getName} missing"))
+      n = ArrowJsonIntegration.fillVector(root.getVector(i), col)
+    }
+    root.setRowCount(n)
+    readBytes += 1 // nominal; the document is parsed wholesale up front
+    true
+  }
+
+  override def bytesRead(): Long = readBytes
+
+  override protected def closeReadSource(): Unit = ()
+}

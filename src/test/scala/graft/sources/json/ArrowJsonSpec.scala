@@ -1,0 +1,92 @@
+package graft.sources.json
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Arrow JSON integration format coverage (reference:
+  * cpp/src/arrow/ipc/json.h): writer + reader roundtrip through the
+  * arrow source, and reading a hand-written reference-shaped
+  * document.
+  */
+class ArrowJsonSpec extends SparkSpec {
+
+  test("roundtrip: primitives, decimals, temporals, nested with nulls") {
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("d", DoubleType),
+      StructField("s", StringType), StructField("bin", BinaryType),
+      StructField("dec", DecimalType(12, 2)), StructField("day", DateType),
+      StructField("ts", TimestampType),
+      StructField("arr", ArrayType(IntegerType)),
+      StructField("st", StructType(Seq(
+        StructField("x", IntegerType), StructField("y", StringType))))))
+    val rows = Seq(
+      Row(true, 1, 2L, 1.5, "héllo", Array[Byte](1, 2, 3),
+        BigDecimal("12345.67").bigDecimal, java.sql.Date.valueOf("2020-06-07"),
+        java.sql.Timestamp.valueOf("2020-06-07 01:02:03.456789"),
+        Seq(1, 2, 3), Row(7, "in")),
+      Row(null, null, null, null, null, null, null, null, null, null, null),
+      Row(false, -5, -6L, -2.5, "", Array.emptyByteArray,
+        BigDecimal("-0.01").bigDecimal, java.sql.Date.valueOf("1970-01-01"),
+        java.sql.Timestamp.valueOf("1970-01-01 00:00:00.0"),
+        Seq.empty[Int], Row(null, null)))
+    val df = spark.createDataFrame(rows.asJava, schema).coalesce(1)
+    val dir = Files.createTempDirectory("graft-ajson-rt").toString
+    ArrowJsonIntegration.write(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrow.json"))
+    assert(files.length == 1)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.schema.fields.map(f => f.name -> f.dataType).toSeq ==
+      schema.fields.map(f => f.name -> f.dataType).toSeq)
+    def norm(r: Row): Seq[Any] = r.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    }
+    assert(back.collect().toSeq.map(norm).toSet == df.collect().toSeq.map(norm).toSet)
+  }
+
+  test("multiple batches in one document survive the roundtrip") {
+    val df = spark.range(10000).select(col("id"), (col("id") % 7).as("m")).coalesce(1)
+    val dir = Files.createTempDirectory("graft-ajson-batches").toString
+    ArrowJsonIntegration.write(df, dir) // 4096-row batches → 3 batches
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.count() == 10000)
+    assert(back.agg(sum("id")).head().getLong(0) == (9999L * 10000L) / 2)
+  }
+
+  test("hand-written reference-shaped document reads (uint + second timestamps)") {
+    val doc =
+      """{"schema": {"fields": [
+        |  {"name": "u", "nullable": true,
+        |   "type": {"name": "int", "bitWidth": 32, "isSigned": false}, "children": []},
+        |  {"name": "ts", "nullable": true,
+        |   "type": {"name": "timestamp", "unit": "SECOND", "timezone": "UTC"},
+        |   "children": []}]},
+        | "batches": [
+        |  {"count": 3, "columns": [
+        |    {"name": "u", "count": 3, "VALIDITY": [1, 0, 1],
+        |     "DATA": [4294967295, 0, 7]},
+        |    {"name": "ts", "count": 3, "VALIDITY": [1, 1, 0],
+        |     "DATA": [60, 3600, 0]}]}]}
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graft-ajson-ref")
+    Files.write(Paths.get(dir.toString, "part-0.arrow.json"), doc.getBytes("UTF-8"))
+    val df = spark.read.format("arrow").load(dir.toString)
+    // uint32 widens to long; second-unit timestamp widens to µs
+    assert(df.schema("u").dataType == LongType)
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.collect().toSeq.map { r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getTimestamp(1).toInstant.getEpochSecond))
+    }
+    assert(got == Seq((Some(4294967295L), Some(60L)), (None, Some(3600L)),
+      (Some(7L), None)))
+  }
+}
