@@ -1,0 +1,175 @@
+package graft.sources.plasma
+
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder, MappedByteBuffer}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Cross-process shared-memory object store (reference:
+  * cpp/src/plasma/client.h — Connect/Create/Seal/Get/Contains/Abort/
+  * Delete by ObjectID; cpp/src/plasma/store.h).
+  *
+  * The JVM analog of plasma's shm segments is memory-mapped files in
+  * a shared directory (point it at /dev/shm for RAM-backed pages):
+  * every process that maps the same sealed object shares the same
+  * physical pages, which is plasma's core property. The lifecycle
+  * contract is preserved exactly:
+  *
+  *  - `create` allocates the object and hands back a writable mapped
+  *    buffer (plasma returns the buffer address); the object is a
+  *    dot-hidden file other clients cannot see.
+  *  - `seal` makes it immutable and visible — an atomic rename, so no
+  *    client ever observes a partially-written object.
+  *  - `get` blocks until sealed or timeout, then maps read-only.
+  *  - `abort` drops an unsealed object; `delete` a sealed one.
+  *
+  * Object layout: [data][metadata][dataSize i64][metaSize i64][magic
+  * "GRFTPLSM"] — framing lives in a FOOTER so an object whose data is
+  * an Arrow IPC stream (the dominant payload, as in pyarrow's plasma)
+  * starts with the stream bytes at offset 0 and is directly loadable
+  * by `spark.read.format("arrow")`.
+  */
+class PlasmaStore(dir: String) {
+
+  import PlasmaStore._
+
+  Files.createDirectories(Paths.get(dir))
+
+  private val retained = TrieMap.empty[String, MappedByteBuffer]
+
+  private def hexId(id: String): String =
+    id.map(c => f"${c.toInt}%02x").mkString // stable, filesystem-safe
+
+  private[plasma] def sealedPath(id: String): String = s"$dir/${hexId(id)}.obj"
+  private def unsealedPath(id: String): String = s"$dir/.${hexId(id)}.unsealed"
+
+  /** Allocate an object and return the writable data buffer. */
+  def create(id: String, dataSize: Long, metadata: Array[Byte] = Array.empty)
+      : ByteBuffer = {
+    if (contains(id))
+      throw new IllegalStateException(s"plasma object '$id' already sealed")
+    if (Files.exists(Paths.get(unsealedPath(id))))
+      throw new IllegalStateException(s"plasma object '$id' already being created")
+    val total = dataSize + metadata.length + FOOTER
+    val raf = new RandomAccessFile(unsealedPath(id), "rw")
+    try {
+      raf.setLength(total)
+      val map = raf.getChannel.map(FileChannel.MapMode.READ_WRITE, 0, total)
+      map.order(ByteOrder.LITTLE_ENDIAN)
+      map.position(dataSize.toInt)
+      map.put(metadata)
+      map.putLong(dataSize)
+      map.putLong(metadata.length.toLong)
+      map.put(MAGIC)
+      retained.put(unsealedPath(id), map)
+      map.position(0)
+      map.limit(dataSize.toInt)
+      map.slice()
+    } finally raf.close()
+  }
+
+  /** Make the object immutable and visible to every client. */
+  def seal(id: String): Unit = {
+    val from = Paths.get(unsealedPath(id))
+    require(Files.exists(from), s"plasma object '$id' was never created")
+    retained.remove(unsealedPath(id)).foreach(_.force())
+    Files.move(from, Paths.get(sealedPath(id)),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Drop an unsealed object as if it was never created. */
+  def abort(id: String): Unit = {
+    retained.remove(unsealedPath(id))
+    Files.deleteIfExists(Paths.get(unsealedPath(id)))
+  }
+
+  def contains(id: String): Boolean = Files.exists(Paths.get(sealedPath(id)))
+
+  /** Map a sealed object read-only, blocking up to `timeoutMs`
+    * (-1 = wait forever) for another client to seal it.
+    */
+  def get(id: String, timeoutMs: Long = 0): Option[PlasmaObject] = {
+    val deadline = if (timeoutMs < 0) Long.MaxValue
+      else System.nanoTime() + timeoutMs * 1000000L
+    var first = true
+    while (first || System.nanoTime() < deadline) {
+      if (!first) Thread.sleep(2)
+      first = false
+      if (contains(id)) {
+        val raf = new RandomAccessFile(sealedPath(id), "r")
+        try {
+          val total = raf.length()
+          val map = raf.getChannel.map(FileChannel.MapMode.READ_ONLY, 0, total)
+          map.order(ByteOrder.LITTLE_ENDIAN)
+          val dataSize = map.getLong((total - FOOTER).toInt)
+          val metaSize = map.getLong((total - FOOTER + 8).toInt)
+          val data = map.duplicate()
+          data.position(0); data.limit(dataSize.toInt)
+          val meta = map.duplicate()
+          meta.position(dataSize.toInt); meta.limit((dataSize + metaSize).toInt)
+          return Some(PlasmaObject(data.slice(), meta.slice()))
+        } finally raf.close()
+      }
+    }
+    None
+  }
+
+  def delete(id: String): Boolean = Files.deleteIfExists(Paths.get(sealedPath(id)))
+
+  def list(): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .map(_.getName).filter(_.endsWith(".obj"))
+      .map(_.stripSuffix(".obj"))
+      .map(h => h.grouped(2).map(b => Integer.parseInt(b, 16).toChar).mkString)
+      .sorted
+  }
+
+  // ------------------------------------------------------- arrow payloads
+
+  /** Store a (bounded) DataFrame as an Arrow IPC stream object — the
+    * pyarrow `plasma.put(record_batch)` analog. This is a node-local
+    * interop surface (handing query results to another process on the
+    * same host), not a distributed write path: the frame is collected
+    * to the caller.
+    */
+  def putDataFrame(id: String, df: DataFrame,
+                   metadata: Array[Byte] = Array.empty): Unit = {
+    val rows = df.queryExecution.executedPlan.executeCollect().toIndexedSeq
+    val bytes = graft.sources.arrow.ArrowIo.toStreamBytes(df.schema, rows)
+    val buf = create(id, bytes.length.toLong, metadata)
+    buf.put(bytes)
+    seal(id)
+  }
+
+  /** Load an Arrow-stream object back as a DataFrame — shared pages,
+    * no copy of the data into the JVM until the scan touches it.
+    */
+  def getDataFrame(spark: SparkSession, id: String): Option[DataFrame] =
+    if (contains(id)) Some(spark.read.format("arrow").load(sealedPath(id)))
+    else None
+
+  /** Schema of an Arrow-stream object without loading its batches. */
+  def schemaOf(id: String): Option[StructType] =
+    if (contains(id)) Some(graft.sources.arrow.ArrowIo.readSchema(sealedPath(id)))
+    else None
+}
+
+case class PlasmaObject(data: ByteBuffer, metadata: ByteBuffer) {
+  def dataBytes: Array[Byte] = {
+    val out = new Array[Byte](data.remaining()); data.duplicate().get(out); out
+  }
+  def metadataBytes: Array[Byte] = {
+    val out = new Array[Byte](metadata.remaining()); metadata.duplicate().get(out); out
+  }
+}
+
+object PlasmaStore {
+  val MAGIC: Array[Byte] = "GRFTPLSM".getBytes("ASCII")
+  private val FOOTER: Long = 8 + 8 + MAGIC.length
+}
