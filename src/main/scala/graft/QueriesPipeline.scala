@@ -137,17 +137,19 @@ object QueriesPipeline {
     // The synthetic embeddings have no true near-dups (max pairwise
     // cosine ≈ 0.51 at sf0.01), so the demo threshold is relative to
     // the corpus: pairs unusually close for this distribution. Gate
-    // config (planes=1, probes=8) drives per-pair miss probability to
-    // ~7e-4 so multi-probe recall is complete on this corpus
-    // (verified: all 59 exact pairs found — deterministic seeds keep
-    // it that way), giving the full pipeline an exact all-pairs
-    // oracle. Production configs (planes=6, probes=2) are
-    // spec-covered on planted duplicates in SimilaritySpec. The cos
-    // value is checked >= threshold inside the operator; it is not
-    // emitted because float-sum order differs across engines.
+    // config is the operator's explicit exhaustive mode (planes=0):
+    // every pair scored once, so the full pipeline gets an exact
+    // all-pairs oracle — the same role ivfTopK's probe-all-cells gate
+    // config plays. (The old near-full-recall LSH config planes=1/
+    // probes=8 found the same pairs but generated every candidate 8×
+    // and paid a wide dedup shuffle — 35 s vs ~2 s at sf0.1.)
+    // Production configs (planes=6, probes=2) are spec-covered on
+    // planted duplicates in SimilaritySpec. The cos value is checked
+    // >= threshold inside the operator; it is not emitted because
+    // float-sum order differs across engines.
     QueryDef("q_embed_neardup",
       (s, d) => Similarity.cosineNearDups(Tables.embeddings(s, d),
-        threshold = 0.4, dim = 64, planes = 1, probes = 8)
+        threshold = 0.4, dim = 64, planes = 0)
         .select("id_a", "id_b").orderBy("id_a", "id_b"),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -172,17 +174,18 @@ object QueriesPipeline {
     // --------------------------------------------------------- G2 LSH ANN
     // Radius-bounded form: top-5 among neighbors with cosine >= 0.3,
     // which is what hyperplane LSH can answer exactly — the collision
-    // bound applies to in-radius pairs, so (planes=1, probes=8)
-    // reaches complete radius-recall on this corpus and the gate gets
-    // a full exact oracle (global top-k needs far neighbors no
-    // bucketing preserves; this near-orthogonal synthetic corpus has
-    // ~zero bucket-recall of global top-5 at any plane count —
-    // measured). Global top-k LSH (lshTopK) remains spec-covered.
+    // bound applies to in-radius pairs. Gate config is the operator's
+    // exhaustive mode (planes=0): one corpus pass against the
+    // broadcast queries, exact radius recall, full oracle. (Global
+    // top-k needs far neighbors no bucketing preserves; this
+    // near-orthogonal synthetic corpus has ~zero bucket-recall of
+    // global top-5 at any plane count — measured.) Probe-table LSH
+    // configs and global top-k (lshTopK) remain spec-covered.
     QueryDef("q_ann_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.lshRadiusTopK(emb, emb.where(col("vec_id") < 10), k = 5,
-          dim = 64, threshold = 0.3, planes = 1, probes = 8)
+          dim = 64, threshold = 0.3, planes = 0)
           .orderBy("qid", "rank")
       },
       Some("""SELECT qid, nid, rank FROM (

@@ -119,6 +119,23 @@ object Similarity {
                     threshold: Double, planes: Int = 1, probes: Int = 8): DataFrame = {
     val c = fanOut(corpus).withColumn("nrm", norm(col("embedding")))
     val q = queries.withColumn("nrm", norm(col("embedding")))
+    if (planes <= 0) {
+      // exhaustive mode (planes=0): score every corpus row against the
+      // broadcast query set — the configuration ground-truth runs and
+      // the exact-oracle gate use (same role as ivfTopK probing every
+      // cell). One corpus pass, no probe tables to deduplicate;
+      // identical output to a full-recall LSH config.
+      val joined = c.as("c")
+        .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
+          (dot(col("q.embedding"), col("c.embedding"))
+            / (col("q.nrm") * col("c.nrm"))).as("cos"))
+        .where(col("cos") >= threshold)
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      return joined.withColumn("rank", row_number().over(w).cast(LongType))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("nid"), col("rank"))
+    }
     val cand = (0 until probes).map { s =>
       val cb = c.withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes, s))
       val qb = q.withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes, s))
@@ -254,7 +271,20 @@ object Similarity {
     // the single-table miss rate quadratically for ~2x the bucketing
     // cost (still one shuffle per probe table, each bucket-local).
     val fanned = fanOut(corpus).withColumn("nrm", norm(col("embedding")))
-    val candidate = (0 until probes).map { s =>
+    val candidate = if (planes <= 0) {
+      // exhaustive verify mode (planes=0): every unordered pair scored
+      // once — O(n²) by construction, for ground-truth runs and the
+      // exact-oracle gate on bounded corpora (the role ivfTopK's
+      // probe-all-cells config plays). A near-full-recall LSH config
+      // (planes=1, probes≥2) covers the same pairs but generates them
+      // `probes` times over and pays a wide dedup shuffle; when the
+      // intent is "all pairs", say so and pay one partition-pair pass.
+      // Production near-dup stays at planes >= 4.
+      fanned.as("a").join(fanned.as("x"), col("a.vec_id") < col("x.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("x.vec_id").as("id_b"),
+          col("a.embedding").as("e_a"), col("x.embedding").as("e_b"),
+          col("a.nrm").as("n_a"), col("x.nrm").as("n_b"))
+    } else (0 until probes).map { s =>
       val b = fanned.withColumn("bucket",
         hyperplaneBucket(col("embedding"), dim, planes, s))
       b.as("a").join(b.as("x"),
