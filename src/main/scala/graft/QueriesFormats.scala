@@ -79,6 +79,35 @@ object QueriesFormats {
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
         ORDER BY n_nationkey""")),
 
+    // ------------------------------------------- D4b feather v1 container
+    // write+read through the legacy single-batch format (reference:
+    // cpp/src/arrow/ipc/feather.h); the read goes through the same
+    // arrow source, which sniffs the FEA1 magic per file.
+    QueryDef("q_feather_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-feather").toString
+        graft.sources.feather.FeatherV1.write(
+          Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"), dir)
+        s.read.format("arrow").load(dir).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, c_nationkey
+        FROM customer ORDER BY c_custkey""")),
+
+    // ------------------------------------ D9b arrow JSON integration format
+    // write+read through the integration-test representation
+    // (reference: cpp/src/arrow/ipc/json.h), sniffed by the leading
+    // brace in the same arrow source.
+    QueryDef("q_arrow_json_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-ajson").toString
+        graft.sources.json.ArrowJsonIntegration.write(
+          Tables.part(s, d).select("p_partkey", "p_name", "p_brand", "p_size"), dir)
+        s.read.format("arrow").load(dir).orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_brand, p_size
+        FROM part ORDER BY p_partkey""")),
+
     // ------------------------------------------------------- D10 CSV
     QueryDef("q_csv_roundtrip",
       (s, d) => {
