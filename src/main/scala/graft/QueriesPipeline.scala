@@ -64,6 +64,41 @@ object QueriesPipeline {
        ORDER BY id_a, id_b"""
   }
 
+  /** Ground-truth dedup clusters in DuckDB: transitive closure of the
+    * exact-Jaccard pair graph via a recursive CTE, each node labeled
+    * with the min id it can reach. Quadratic in component size, but
+    * components at sf0.01 are tiny; the Spark side must reproduce it
+    * with O(E)-per-round label propagation.
+    */
+  private def clustersOracle(threshold: Double): String = {
+    val jac = """CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)"""
+    s"""WITH RECURSIVE toks AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+       ), sh AS (
+         SELECT doc_id,
+           CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> array_to_string(t[i:i+2], ' ')))
+           END AS g
+         FROM toks
+       ), pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE $jac >= $threshold
+       ), edges AS (
+         SELECT id_a AS u, id_b AS v FROM pairs
+         UNION ALL
+         SELECT id_b AS u, id_a AS v FROM pairs
+       ), reach AS (
+         SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       )
+       SELECT CAST(u AS BIGINT) AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY u ORDER BY doc_id"""
+  }
+
   private val qualityOracle: String = {
     val len = "CAST(length(text) AS DOUBLE)"
     val nSpace = "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)"
@@ -132,6 +167,22 @@ object QueriesPipeline {
       (s, d) => Dedup.ngramJaccardViaLsh(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5).orderBy("id_a", "id_b"),
       Some(exactJaccardOracle(0.5))),
+
+    // --------------------------------------------------- F6 dedup clusters
+    // pairs → connected components → cluster ids: the step that turns
+    // near-dup pairs into "keep one per cluster". Input pairs are the
+    // oracle-green LSH+verify pipeline at the q_ngram_jaccard
+    // threshold, so the oracle is the exact pair graph's transitive
+    // closure (recursive CTE) labeled by min reachable id.
+    QueryDef("q_dedup_clusters",
+      (s, d) => {
+        val pairs = Dedup.ngramJaccardViaLsh(Tables.documents(s, d),
+          "doc_id", "text", threshold = 0.5)
+        Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(clustersOracle(0.5))),
 
     // --------------------------------------------------- F5 embed neardup
     // The synthetic embeddings have no true near-dups (max pairwise

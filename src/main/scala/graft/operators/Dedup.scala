@@ -267,4 +267,80 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
   }
+
+  // ------------------------------------------------- cluster + canonical
+
+  /** Connected components over near-dup pairs — the clustering step a
+    * production dedup pipeline ends with: pairs → cluster ids → one
+    * canonical document per cluster.
+    *
+    * Min-label propagation with pointer jumping, iterated to a fixed
+    * point: each round takes the min label over direct neighbors,
+    * then jumps every label through its own label (label ←
+    * label(label)), and the loop ends when no label changes — checked
+    * with one scalar count per round, the same per-iteration action
+    * every Spark iterative algorithm (Lloyd, GraphX Pregel) pays.
+    * Convergence needs at most diameter rounds (neighbor-min alone
+    * moves the min one hop per round; the jump usually collapses
+    * chains much faster); `maxRounds` is a runaway bound and
+    * non-convergence raises rather than returning wrong clusters.
+    * Every round is a fixed number of shuffle joins keyed by id/label
+    * — O(E) per round, no quadratic block anywhere, the standard
+    * distributed-CC shape at 100 TB.
+    *
+    * Each round's label table is `localCheckpoint`ed: an iterative
+    * self-joining lineage grows exponentially otherwise (every round
+    * references the previous twice), and cutting it per round is the
+    * standard Spark iterative-algorithm pattern (GraphX does the
+    * same). Local checkpoints trade executor-loss recovery for speed;
+    * swap in `checkpoint()` against a reliable dir for long cluster
+    * jobs.
+    *
+    * Returns (id, cluster_id) for every id appearing in `pairs`,
+    * cluster_id = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast(LongType).as("u"), col("id_b").cast(LongType).as("v"))
+      .unionAll(pairs
+        .select(col("id_b").cast(LongType).as("u"), col("id_a").cast(LongType).as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("lv")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("lv")).as("nl"))
+      val m = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val next = m.as("a")
+        .join(m.select(col("id").as("jid"), col("label").as("jl")).as("b"),
+          col("a.label") === col("jid"), "left")
+        .select(col("a.id").as("id"), coalesce(col("jl"), col("a.label")).as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .where(col("label") =!= col("prev")).count()
+      labels = next
+      round += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Canonical corpus after near-dup clustering: every document whose
+    * id is its cluster's representative (the min id), plus every
+    * document in no pair at all. One anti-join keyed by id.
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String,
+                         clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.where(col("id") =!= col("cluster_id"))
+        .select(col("id").cast(LongType).as(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -115,4 +115,50 @@ class DedupSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(sh == Seq("a b"))
   }
+
+  test("connectedComponents labels a 20-edge chain with its min id") {
+    // diameter 20 — needs the pointer-jumping doubling, not just
+    // per-round neighbor propagation
+    val pairs = (1L until 21L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 21L).toSet)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("connectedComponents matches local union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // local ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> {
+        // min id in the component of id
+        val r = find(id.toInt)
+        (0 until n).filter(x => find(x) == r)
+          .filter(x => edges.exists(e => e._1 == x || e._2 == x))
+          .min.toLong
+      }).toMap
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("dropNearDuplicates keeps cluster representatives and unpaired docs") {
+    val docs = Seq((1L, "a"), (2L, "a1"), (3L, "b"), (4L, "c"), (5L, "a2"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("id_a", "id_b")
+    val clusters = Dedup.connectedComponents(pairs)
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
 }
