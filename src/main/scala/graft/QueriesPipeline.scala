@@ -70,7 +70,7 @@ object QueriesPipeline {
     * components at sf0.01 are tiny; the Spark side must reproduce it
     * with O(E)-per-round label propagation.
     */
-  private def clustersOracle(threshold: Double): String = {
+  private def clusterGraphCte(threshold: Double): String = {
     val jac = """CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
        CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)"""
     s"""WITH RECURSIVE toks AS (
@@ -94,10 +94,20 @@ object QueriesPipeline {
          SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
          UNION
          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-       )
+       )"""
+  }
+
+  private def clustersOracle(threshold: Double): String =
+    s"""${clusterGraphCte(threshold)}
        SELECT CAST(u AS BIGINT) AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id
        FROM reach GROUP BY u ORDER BY doc_id"""
-  }
+
+  private def canonicalOracle(threshold: Double): String =
+    s"""${clusterGraphCte(threshold)}
+       SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+       WHERE doc_id NOT IN (
+         SELECT u FROM reach GROUP BY u HAVING u <> MIN(v))
+       ORDER BY doc_id"""
 
   private val qualityOracle: String = {
     val len = "CAST(length(text) AS DOUBLE)"
@@ -183,6 +193,22 @@ object QueriesPipeline {
           .orderBy("doc_id")
       },
       Some(clustersOracle(0.5))),
+
+    // -------------------------------------------------- F6b canonical docs
+    // the corpus after near-dup removal: representatives (min id per
+    // cluster) plus documents in no pair — what actually ships to
+    // training. One anti-join; oracle excludes non-representative
+    // closure members.
+    QueryDef("q_dedup_canonical",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.ngramJaccardViaLsh(docs, "doc_id", "text", threshold = 0.5)
+        Dedup.dropNearDuplicates(docs, "doc_id",
+            Dedup.connectedComponents(pairs.select("id_a", "id_b")))
+          .select(col("doc_id").cast(LongType).as("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(canonicalOracle(0.5))),
 
     // --------------------------------------------------- F5 embed neardup
     // The synthetic embeddings have no true near-dups (max pairwise
