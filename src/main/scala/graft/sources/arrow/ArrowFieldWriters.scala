@@ -168,6 +168,52 @@ private[sources] object AFWriter {
       }
       override def reset(): Unit = { keyWriter.reset(); valWriter.reset(); super.reset() }
     }
+    case (x: org.apache.arrow.vector.complex.UnionVector, st: StructType) => new AFWriter {
+      // sparse union written from a struct-of-members row: exactly one
+      // member non-null per row; the active member's MinorType is the
+      // stored type tag (so members must have distinct arrow types —
+      // the same constraint arrow-java's own union writers carry)
+      val vector = x
+      private val children: Array[AFWriter] =
+        st.fields.indices.map { i =>
+          AFWriter(x.getChildrenFromFields.get(i), st.fields(i).dataType)
+        }.toArray
+      private val minorTypes = children.map(_.vector.getMinorType)
+      require(minorTypes.distinct.length == minorTypes.length,
+        s"union members need distinct arrow types, got ${minorTypes.mkString(",")}")
+      private def pad(skip: Int): Unit = {
+        var j = 0
+        while (j < children.length) {
+          if (j != skip) { children(j).setNull(); children(j).count += 1 }
+          j += 1
+        }
+      }
+      def setNull(): Unit = {
+        // unions have no top-level validity: a null row is all-null
+        // members under an arbitrary tag
+        x.setType(count, minorTypes(0))
+        pad(skip = -1)
+      }
+      def setValue(g: SpecializedGetters, o: Int): Unit = {
+        val row = g.getStruct(o, children.length)
+        var active = -1
+        var j = 0
+        while (j < children.length) {
+          if (!row.isNullAt(j)) {
+            require(active < 0,
+              "union rows must have exactly one non-null member, got several")
+            active = j
+          }
+          j += 1
+        }
+        require(active >= 0, "union rows must have exactly one non-null member, got none")
+        x.setType(count, minorTypes(active))
+        children(active).write(row, active)
+        pad(skip = active)
+      }
+      override def finish(): Unit = { children.foreach(_.finish()); super.finish() }
+      override def reset(): Unit = { children.foreach(_.reset()); super.reset() }
+    }
     case (x: StructVector, st: StructType) => new AFWriter {
       val vector = x
       private val children: Array[AFWriter] =

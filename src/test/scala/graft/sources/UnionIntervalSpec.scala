@@ -153,4 +153,30 @@ class UnionIntervalSpec extends SparkSpec {
       new org.apache.spark.unsafe.types.CalendarInterval(1, 2, 3L),
       new org.apache.spark.unsafe.types.CalendarInterval(0, 0, 0L)))
   }
+
+  test("struct-of-members writes as a sparse union and reads back bidirectionally") {
+    import graft.sources.arrow.{ArrowIo, ArrowUnionWriter}
+    val rows = Seq(
+      Row(1L, Row(7, null)),
+      Row(2L, Row(null, "x")),
+      Row(3L, Row(9, null)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("u", StructType(Seq(
+        StructField("i", IntegerType), StructField("s", StringType))))))
+    val df = spark.createDataFrame(rows.asJava, schema).coalesce(1)
+    val dir = Files.createTempDirectory("graft-union-write").toString
+    assert(ArrowUnionWriter.write(df, dir, unionCols = Seq("u")) == 3)
+    // the file really declares a union type, not a struct
+    val file = ArrowIo.dataFiles(dir).head
+    val alloc = ArrowIo.rootAllocator()
+    val r = ArrowIo.openReader(file, alloc)
+    val fieldType = r.getVectorSchemaRoot.getSchema.findField("u").getType
+    assert(fieldType.isInstanceOf[ArrowType.Union])
+    r.close(); alloc.close()
+    // and reads back as the original struct
+    val back = spark.read.format("arrow").load(dir).orderBy("id")
+    assert(back.schema("u").dataType == schema("u").dataType)
+    assert(back.collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
 }
