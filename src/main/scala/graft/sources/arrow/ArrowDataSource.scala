@@ -103,15 +103,35 @@ class ArrowScan(requiredSchema: StructType, path: String,
   override def toBatch: Batch = this
   override def description(): String = s"ArrowScan[$path]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ArrowIo.dataFiles(path, hconf.value)
-      .map(f => ArrowInputPartition(f): InputPartition).toArray
+  /** One partition per file is the natural IPC unit, but a single
+    * large file would then cap read parallelism at 1 — so IPC *file*
+    * format inputs (whose footer indexes every record batch) are
+    * split into batch-range partitions of ~`maxPartitionBytes`, the
+    * same knob parquet scans obey. Stream/feather/json files have no
+    * random-access index and stay whole-file.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxBytes =
+      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    ArrowIo.dataFiles(path, hconf.value).flatMap { f =>
+      val ranges =
+        if (ArrowIo.isFileFormat(f, hconf.value))
+          ArrowIo.batchRanges(f, maxBytes, hconf.value)
+        else Seq(None)
+      ranges.map(r => ArrowInputPartition(f, r): InputPartition)
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowPartitionReaderFactory(requiredSchema, hconf)
 }
 
-case class ArrowInputPartition(file: String) extends InputPartition
+/** `blockRange` = [from, until) indices into the IPC file footer's
+  * record-batch index; None = read the whole file sequentially.
+  */
+case class ArrowInputPartition(file: String,
+                               blockRange: Option[(Int, Int)] = None)
+    extends InputPartition
 
 class ArrowPartitionReaderFactory(requiredSchema: StructType,
                                   hconf: SerializableHadoopConf)
@@ -121,16 +141,20 @@ class ArrowPartitionReaderFactory(requiredSchema: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     throw new UnsupportedOperationException("columnar-only source")
 
-  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
-    new ArrowColumnarReader(p.asInstanceOf[ArrowInputPartition].file, requiredSchema,
-      hconf)
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val ap = p.asInstanceOf[ArrowInputPartition]
+    new ArrowColumnarReader(ap.file, requiredSchema, hconf, ap.blockRange)
+  }
 }
 
 class ArrowColumnarReader(file: String, requiredSchema: StructType,
-                          hconf: SerializableHadoopConf)
+                          hconf: SerializableHadoopConf,
+                          blockRange: Option[(Int, Int)] = None)
     extends PartitionReader[ColumnarBatch] {
   private val alloc: BufferAllocator = ArrowIo.rootAllocator()
   private val reader: ArrowReader = ArrowIo.openReader(file, alloc, hconf.value)
+  // batch-range partitions walk the footer index instead of streaming
+  private var nextBlock: Int = blockRange.map(_._1).getOrElse(-1)
   private val fileFieldIndex: Map[String, Int] =
     reader.getVectorSchemaRoot.getSchema.getFields.asScala.zipWithIndex
       .map { case (f, i) => f.getName -> i }.toMap
@@ -141,9 +165,21 @@ class ArrowColumnarReader(file: String, requiredSchema: StructType,
   private var current: ColumnarBatch = _
   private var decodedToClose: Seq[org.apache.arrow.vector.FieldVector] = Seq.empty
 
+  private def loadNext(): Boolean = blockRange match {
+    case None => reader.loadNextBatch()
+    case Some((_, until)) =>
+      if (nextBlock >= until) false
+      else {
+        val fr = reader.asInstanceOf[org.apache.arrow.vector.ipc.ArrowFileReader]
+        val ok = fr.loadRecordBatch(fr.getRecordBlocks.get(nextBlock))
+        nextBlock += 1
+        ok
+      }
+  }
+
   override def next(): Boolean = {
     closeBatch()
-    val has = reader.loadNextBatch()
+    val has = loadNext()
     if (has) {
       val root = reader.getVectorSchemaRoot
       val vecs = ArrowIo.decodedVectors(reader, root, indices, alloc)

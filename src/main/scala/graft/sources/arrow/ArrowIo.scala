@@ -58,6 +58,37 @@ object ArrowIo {
         alloc, codecs)
   }
 
+  /** Batch-range splits of an IPC *file* for parallel scan planning:
+    * the footer's record-batch index is grouped greedily into chunks
+    * of ~`maxBytes` (meta+body). Returns None when the whole file is
+    * one chunk — callers then skip the range bookkeeping. Only the
+    * footer is read here (driver-side planning, like parquet's).
+    */
+  def batchRanges(path: String, maxBytes: Long,
+                  conf: Configuration = HadoopFiles.local): Seq[Option[(Int, Int)]] = {
+    val alloc = rootAllocator()
+    val reader = new ArrowFileReader(HadoopFiles.openSeekable(path, conf), alloc)
+    try {
+      val blocks = reader.getRecordBlocks.asScala.toSeq
+      if (blocks.length <= 1) return Seq(None)
+      val ranges = Seq.newBuilder[Option[(Int, Int)]]
+      var start = 0
+      var bytes = 0L
+      blocks.zipWithIndex.foreach { case (b, i) =>
+        val sz = b.getMetadataLength.toLong + b.getBodyLength
+        if (i > start && bytes + sz > maxBytes) {
+          ranges += Some((start, i))
+          start = i
+          bytes = 0L
+        }
+        bytes += sz
+      }
+      ranges += Some((start, blocks.length))
+      val out = ranges.result()
+      if (out.length == 1) Seq(None) else out
+    } finally { reader.close(); alloc.close() }
+  }
+
   /** Read just the schema of an IPC file. Dictionary-encoded fields
     * surface their *value* type (they are decoded on load), not the
     * index type stored in the schema message.

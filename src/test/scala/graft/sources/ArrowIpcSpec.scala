@@ -314,4 +314,29 @@ class ArrowIpcSpec extends SparkSpec {
     assert(back.where($"seg" === "seg_3").count() == spark.range(0, 1000)
       .where("id % 7 = 3").count())
   }
+
+  test("a single large IPC file splits into batch-range partitions") {
+    // ~40 batches of 250 rows in ONE file
+    val dir = tmpDir("split")
+    val df = spark.range(10000).select(col("id"), (col("id") * 3).as("v"))
+      .coalesce(1)
+    df.write.format("arrow")
+      .mode("overwrite").save(dir)
+    // rewrite as many small batches through the low-level writer
+    val file = graft.sources.arrow.ArrowIo.dataFiles(dir).head
+    val rows = spark.read.format("arrow").load(dir)
+      .queryExecution.executedPlan.executeCollect().toIndexedSeq
+    graft.sources.arrow.ArrowIo.writeRows(file,
+      spark.read.format("arrow").load(dir).schema, rows.iterator,
+      batchRows = 250)
+    // a small maxPartitionBytes forces multiple range partitions
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    val back = s2.read.format("arrow").load(dir)
+    val parts = back.rdd.getNumPartitions
+    assert(parts > 4, s"expected a multi-partition split, got $parts")
+    assert(back.count() == 10000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+      == 3L * (9999L * 10000L) / 2)
+  }
 }
