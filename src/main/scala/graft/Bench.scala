@@ -52,7 +52,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // compact summary FIRST: even if the capture clips the long
     // per-query line below, the total survives
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

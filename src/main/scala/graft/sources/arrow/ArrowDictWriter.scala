@@ -61,7 +61,10 @@ object ArrowDictWriter {
       .foreach(f => HadoopFiles.delete(f, hconf.value))
     val bc = sc.broadcast(vocabs)
     val counts = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-      val tmp = f"$dir/.part-$pid%05d.arrow.tmp"
+      val tid = org.apache.spark.TaskContext.get().taskAttemptId()
+      // attempt-unique tmp (speculative attempts must not share a
+      // file); dst stays partition-only so re-commits replace
+      val tmp = f"$dir/.part-$pid%05d-$tid.arrow.tmp"
       val dst = f"$dir/part-$pid%05d.arrow"
       val n = ArrowIo.writeRowsDict(
         tmp, schema, it, bc.value, stream, batchRows, conf = hconf.value)

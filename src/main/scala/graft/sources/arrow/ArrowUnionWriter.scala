@@ -60,7 +60,10 @@ object ArrowUnionWriter {
       val writers = schema.fields.indices.map { i =>
         AFWriter(vectors(i), schema.fields(i).dataType)
       }
-      val tmp = f"$dir/.part-$pid%05d.arrow.tmp"
+      val tid = org.apache.spark.TaskContext.get().taskAttemptId()
+      // attempt-unique tmp: concurrent speculative attempts must not
+      // clobber each other's in-flight bytes; dst is partition-only
+      val tmp = f"$dir/.part-$pid%05d-$tid.arrow.tmp"
       val dst = f"$dir/part-$pid%05d.arrow"
       val ch = HadoopFiles.createChannel(tmp, hconf.value)
       val writer = new ArrowFileWriter(root, null, ch)

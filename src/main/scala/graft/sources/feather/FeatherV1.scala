@@ -286,9 +286,17 @@ object FeatherV1 {
           case bv: BitVector =>
             totalBytes += writePadded(bufBytes(bv.getDataBuffer, (n + 7) / 8))
           case sv: BaseVariableWidthVector =>
-            val dataLen = sv.getOffsetBuffer.getInt(n * 4L)
-            totalBytes += writePadded(bufBytes(sv.getOffsetBuffer, (n + 1) * 4L))
-            totalBytes += writePadded(bufBytes(sv.getDataBuffer, dataLen))
+            // a zero-row vector never allocated its buffers — emit the
+            // canonical empty layout ([0] offsets, no data) instead of
+            // reading an empty ArrowBuf
+            if (n == 0) {
+              totalBytes += writePadded(new Array[Byte](4))
+              totalBytes += writePadded(Array.emptyByteArray)
+            } else {
+              val dataLen = sv.getOffsetBuffer.getInt(n * 4L)
+              totalBytes += writePadded(bufBytes(sv.getOffsetBuffer, (n + 1) * 4L))
+              totalBytes += writePadded(bufBytes(sv.getDataBuffer, dataLen))
+            }
           case fv: BaseFixedWidthVector =>
             totalBytes += writePadded(bufBytes(fv.getDataBuffer, n.toLong * fv.getTypeWidth))
           case other => throw new UnsupportedOperationException(
@@ -325,8 +333,11 @@ object FeatherV1 {
     df.queryExecution.toRdd.foreachPartition { rows: Iterator[InternalRow] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
+      // tmp is attempt-unique so concurrent speculative attempts never
+      // share a file; dst is partition-only so a re-commit replaces
+      // instead of duplicating the partition's rows
       val tmp = f"$dir/.part-$pid%05d-$tid.feather.tmp"
-      val dst = f"$dir/part-$pid%05d-$tid.feather"
+      val dst = f"$dir/part-$pid%05d.feather"
       writeFile(tmp, schema, rows, hconf.value)
       HadoopFiles.rename(tmp, dst, hconf.value)
     }
@@ -443,6 +454,18 @@ class FeatherV1Reader(path: String, alloc: BufferAllocator,
         val (_, lvOffsOpt, lvData) = sliceArray(lv, binaryLike = true)
         val lvOffs = lvOffsOpt.get
         val idx = ByteBuffer.wrap(idxData).order(ByteOrder.LITTLE_ENDIAN)
+        // codes carry the dictionary index type — pandas/R-era writers
+        // use int8/int16 for small vocabularies
+        val codeAt: Int => Int = c.values.tpe match {
+          case T.INT8 => i => idx.get(i).toInt
+          case T.UINT8 => i => idx.get(i) & 0xFF
+          case T.INT16 => i => idx.getShort(i * 2).toInt
+          case T.UINT16 => i => idx.getShort(i * 2) & 0xFFFF
+          case T.INT32 | T.UINT32 => i => idx.getInt(i * 4)
+          case T.INT64 | T.UINT64 => i => idx.getLong(i * 8).toInt
+          case other => throw new UnsupportedOperationException(
+            s"feather v1 category index type $other")
+        }
         val lo = ByteBuffer.wrap(lvOffs).order(ByteOrder.LITTLE_ENDIAN)
         val outOffs = ByteBuffer.allocate((n + 1) * 4).order(ByteOrder.LITTLE_ENDIAN)
         val outData = new java.io.ByteArrayOutputStream()
@@ -451,7 +474,7 @@ class FeatherV1Reader(path: String, alloc: BufferAllocator,
         (0 until n).foreach { i =>
           val valid_i = (valid(i / 8) >> (i % 8) & 1) == 1
           if (valid_i) {
-            val j = idx.getInt(i * 4)
+            val j = codeAt(i)
             val s = lo.getInt(j * 4); val e = lo.getInt((j + 1) * 4)
             outData.write(lvData, s, e - s)
             pos += e - s

@@ -279,8 +279,10 @@ object ArrowJsonIntegration {
     df.queryExecution.toRdd.foreachPartition { rows: Iterator[InternalRow] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
+      // attempt-unique tmp, partition-only dst: a speculative re-commit
+      // replaces the part file instead of duplicating the partition
       val tmp = f"$dir/.part-$pid%05d-$tid.arrow.json.tmp"
-      val dst = f"$dir/part-$pid%05d-$tid.arrow.json"
+      val dst = f"$dir/part-$pid%05d.arrow.json"
       writeFile(tmp, schema, rows, conf = hconf.value)
       HadoopFiles.rename(tmp, dst, hconf.value)
     }
@@ -325,7 +327,7 @@ object ArrowJsonIntegration {
       case other => throw new UnsupportedOperationException(
         s"arrow json integration reader: type $other")
     }
-    new Field(name, FieldType.nullable(at), children.asJava)
+    new Field(name, new FieldType(nullable, at, null), children.asJava)
   }
 
   /** Fill `v` from one column node; returns the row count. */

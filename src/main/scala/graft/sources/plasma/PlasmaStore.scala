@@ -43,7 +43,7 @@ class PlasmaStore(dir: String) {
   private val retained = TrieMap.empty[String, MappedByteBuffer]
 
   private def hexId(id: String): String =
-    id.map(c => f"${c.toInt}%02x").mkString // stable, filesystem-safe
+    id.getBytes("UTF-8").map(b => f"${b & 0xFF}%02x").mkString // injective, filesystem-safe
 
   private[plasma] def sealedPath(id: String): String = s"$dir/${hexId(id)}.obj"
   private def unsealedPath(id: String): String = s"$dir/.${hexId(id)}.unsealed"
@@ -100,7 +100,7 @@ class PlasmaStore(dir: String) {
     while (first || System.nanoTime() < deadline) {
       if (!first) Thread.sleep(2)
       first = false
-      if (contains(id)) {
+      if (contains(id)) try {
         val raf = new RandomAccessFile(sealedPath(id), "r")
         try {
           val total = raf.length()
@@ -114,6 +114,10 @@ class PlasmaStore(dir: String) {
           meta.position(dataSize.toInt); meta.limit((dataSize + metaSize).toInt)
           return Some(PlasmaObject(data.slice(), meta.slice()))
         } finally raf.close()
+      } catch {
+        // a concurrent delete between contains() and open() is a miss,
+        // not a crash — keep polling until the deadline
+        case _: java.io.FileNotFoundException => ()
       }
     }
     None
@@ -126,7 +130,8 @@ class PlasmaStore(dir: String) {
     Option(d.listFiles()).getOrElse(Array.empty).toSeq
       .map(_.getName).filter(_.endsWith(".obj"))
       .map(_.stripSuffix(".obj"))
-      .map(h => h.grouped(2).map(b => Integer.parseInt(b, 16).toChar).mkString)
+      .map(h => new String(
+        h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray, "UTF-8"))
       .sorted
   }
 

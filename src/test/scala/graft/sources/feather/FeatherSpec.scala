@@ -95,10 +95,11 @@ class FeatherSpec extends SparkSpec {
       bytes.length + pad
     }
     writePadded(FeatherV1.MAGIC)
-    // category codes: [0, 1, 0, 2], no nulls
+    // category codes: [0, 1, 0, 2], no nulls — int8-coded, the width
+    // pandas-era writers use for small vocabularies
     val codesOff = pos
-    val codes = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
-    Seq(0, 1, 0, 2).foreach(codes.putInt)
+    val codes = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0, 1, 0, 2).foreach(c => codes.put(c.toByte))
     val codesBytes = writePadded(codes.array())
     // levels: ["lo", "mid", "hi"]
     val levelsOff = pos
@@ -113,7 +114,7 @@ class FeatherSpec extends SparkSpec {
     val tsBytes = writePadded(ts.array())
     val meta = FeatherV1.encodeMetadata(FeatherV1.FTable(4, Seq(
       FeatherV1.FColumn("cat",
-        FeatherV1.FArray(FeatherV1.T.INT32, codesOff, 4, 0, codesBytes),
+        FeatherV1.FArray(FeatherV1.T.INT8, codesOff, 4, 0, codesBytes),
         FeatherV1.M.CATEGORY, 0, None, 0,
         Some(FeatherV1.FArray(FeatherV1.T.UTF8, levelsOff, 3, 0, levelsBytes))),
       FeatherV1.FColumn("ts",
@@ -133,5 +134,18 @@ class FeatherSpec extends SparkSpec {
     val got = df.collect().toSeq.map(r =>
       (r.getString(0), r.getTimestamp(1).toInstant.getEpochSecond))
     assert(got == Seq(("lo", 0L), ("mid", 1L), ("lo", 60L), ("hi", 3600L)))
+  }
+
+  test("empty partitions with string columns write valid feather files") {
+    val df = spark.range(10)
+      .select(col("id"), concat(lit("doc-"), col("id")).as("s"))
+      .where(col("id") < 3)
+      .repartition(4) // several partitions end up empty
+    val dir = Files.createTempDirectory("graft-feather-empty").toString
+    FeatherV1.write(df, dir)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.count() == 3)
+    assert(back.select("s").orderBy("id").collect().map(_.getString(0)).toSeq ==
+      Seq("doc-0", "doc-1", "doc-2"))
   }
 }

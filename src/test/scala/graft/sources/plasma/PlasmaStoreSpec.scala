@@ -89,4 +89,16 @@ class PlasmaStoreSpec extends SparkSpec {
     assert(proc.exitValue() == 0)
     assert(out.toString == "pong")
   }
+
+  test("non-latin object ids stay distinct and list() decodes them") {
+    val store = new PlasmaStore(tmp())
+    // "\u1000" vs "\u0010\u0000" collided under per-char hex encoding
+    val a = "\u1000"; val b = "\u0010\u0000"
+    store.create(a, 1).put(1.toByte); store.seal(a)
+    assert(!store.contains(b))
+    store.create(b, 1).put(2.toByte); store.seal(b)
+    assert(store.get(a).get.dataBytes.toSeq == Seq(1.toByte))
+    assert(store.get(b).get.dataBytes.toSeq == Seq(2.toByte))
+    assert(store.list().toSet == Set(a, b))
+  }
 }
