@@ -364,6 +364,93 @@ object QueriesTpch {
         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
 
+    // ----------------------------------------------------- TPC-H Q21 (adapted)
+    // suppliers who kept orders waiting. The synthetic schema has no
+    // receipt/commit dates, so "late" is re-expressed as "sole
+    // last-shipping supplier": in orders fed by >=2 suppliers, count
+    // per supplier the orders whose max ship date belongs to that
+    // supplier alone — preserving Q21's exists/not-exists correlation
+    // shape (one supplier late, no other supplier late).
+    QueryDef("q_tpch21",
+      (s, d) => {
+        // early aggregate: per-order stats collapse lineitem BEFORE
+        // any join (same scale rationale as q_tpch18); supplier scales
+        // with sf → no forced broadcast
+        val li = Tables.lineitem(s, d)
+        val perOrder = li.groupBy("l_orderkey")
+          .agg(max(col("l_shipdate")).as("mx"),
+            countDistinct(col("l_suppkey")).as("nsupp"))
+        val lastShippers = li
+          .join(perOrder, Seq("l_orderkey"))
+          .where(col("l_shipdate") === col("mx"))
+          .groupBy("l_orderkey", "nsupp")
+          .agg(countDistinct(col("l_suppkey")).as("nlast"),
+            min(col("l_suppkey")).as("sole_supp"))
+          .where(col("nsupp") >= 2 && col("nlast") === 1)
+        lastShippers
+          .join(Tables.supplier(s, d), col("sole_supp") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH per_order AS (
+          SELECT l_orderkey, MAX(l_shipdate) AS mx,
+            COUNT(DISTINCT l_suppkey) AS nsupp
+          FROM lineitem GROUP BY l_orderkey
+        ), last_shippers AS (
+          SELECT l.l_orderkey, p.nsupp,
+            COUNT(DISTINCT l.l_suppkey) AS nlast,
+            MIN(l.l_suppkey) AS sole_supp
+          FROM lineitem l JOIN per_order p
+            ON l.l_orderkey = p.l_orderkey AND l.l_shipdate = p.mx
+          GROUP BY l.l_orderkey, p.nsupp
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM last_shippers JOIN supplier ON sole_supp = s_suppkey
+        WHERE nsupp >= 2 AND nlast = 1
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")),
+
+    // ----------------------------------------------------- TPC-H Q22 (adapted)
+    // global sales opportunity: dormant customers with above-average
+    // balances. No c_phone in the synthetic schema, so the "country
+    // code" is the customer's nation key; and because the synthetic
+    // generator gives every customer at least one order (median 10),
+    // "dormant" is re-expressed as "fewer than 5 orders" — the
+    // scalar-subquery + NOT-EXISTS (anti-join against the active set)
+    // shape is intact and the result is non-empty at every sf.
+    QueryDef("q_tpch22",
+      (s, d) => {
+        val nations = Seq(1, 3, 5, 7, 9).map(_.toLong)
+        val sel = Tables.customer(s, d)
+          .where(col("c_nationkey").isin(nations: _*))
+        // scalar aggregate: bounded single row, broadcast by construction
+        val avgBal = sel.where(col("c_acctbal") > 0)
+          .agg(avg(dec2(col("c_acctbal"))).as("ab"))
+        val active = Tables.orders(s, d)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+          .where(col("n_orders") >= 5)
+        sel.join(broadcast(avgBal))
+          .where(col("c_acctbal").cast(DecimalType(18, 2)) > col("ab"))
+          .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("cntrycode")
+      },
+      Some(s"""SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        ${sqlDsum("c_acctbal")} AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9)
+          AND CAST(c_acctbal AS DECIMAL(18,2)) > (
+            SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+            WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9))
+          AND NOT EXISTS (
+            SELECT 1 FROM (SELECT o_custkey FROM orders
+                           GROUP BY o_custkey HAVING COUNT(*) >= 5) a
+            WHERE a.o_custkey = c_custkey)
+        GROUP BY c_nationkey ORDER BY cntrycode""")),
+
     // ----------------------------------------------------- TPC-H Q19 (adapted)
     // disjunctive brand/size/quantity predicate revenue (no l_shipmode
     // in the synthetic schema)
