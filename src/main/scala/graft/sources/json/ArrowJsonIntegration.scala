@@ -33,6 +33,11 @@ import graft.sources.arrow.HadoopFiles
   */
 object ArrowJsonIntegration {
 
+  /** Field-metadata key carrying a sparse union's document-declared
+    * TYPE_ID tags (the vector itself stores MinorType ordinals).
+    */
+  private[json] val DeclaredTagsKey = "graft.json.typeIds"
+
   private val HEX = "0123456789ABCDEF".toCharArray
 
   private[json] def hex(bytes: Array[Byte]): String = {
@@ -324,10 +329,34 @@ object ArrowJsonIntegration {
           Option(t.get("timezone")).map(_.asText()).orNull)
       case "list" => ArrowType.List.INSTANCE
       case "struct" => ArrowType.Struct.INSTANCE
+      case "union" =>
+        val sparse = t.get("mode").asText().equalsIgnoreCase("SPARSE")
+        val declared = Option(t.get("typeIds"))
+          .map(a => (0 until a.size()).map(a.get(_).asInt()).toArray)
+          .getOrElse(children.indices.toArray)
+        if (sparse)
+          // sparse union vectors resolve members by MinorType ordinal
+          // (setType/getVectorByType), so the in-memory field carries
+          // ordinals; the document's declared tags ride along in field
+          // metadata for the batch filler to translate TYPE_ID values
+          new ArrowType.Union(org.apache.arrow.vector.types.UnionMode.Sparse,
+            children.map(c => org.apache.arrow.vector.types.Types
+              .getMinorTypeForArrowType(c.getType).ordinal).toArray)
+        else
+          new ArrowType.Union(org.apache.arrow.vector.types.UnionMode.Dense, declared)
       case other => throw new UnsupportedOperationException(
         s"arrow json integration reader: type $other")
     }
-    new Field(name, new FieldType(nullable, at, null), children.asJava)
+    val metadata: java.util.Map[String, String] =
+      if (at.isInstanceOf[ArrowType.Union] &&
+          at.asInstanceOf[ArrowType.Union].getMode ==
+            org.apache.arrow.vector.types.UnionMode.Sparse) {
+        val declared = Option(t.get("typeIds"))
+          .map(a => (0 until a.size()).map(a.get(_).asInt()))
+          .getOrElse(children.indices)
+        java.util.Collections.singletonMap(DeclaredTagsKey, declared.mkString(","))
+      } else null
+    new Field(name, new FieldType(nullable, at, null, metadata), children.asJava)
   }
 
   /** Fill `v` from one column node; returns the row count. */
@@ -410,6 +439,40 @@ object ArrowJsonIntegration {
           if (validity(i)) sv.setIndexDefined(i) else sv.setNull(i)
         }
         sv.setValueCount(n)
+      case uv: org.apache.arrow.vector.complex.UnionVector =>
+        // sparse union: full-length children + TYPE_ID tag per row;
+        // the scan widens the loaded vector to a struct of members.
+        // TYPE_ID values use the document's declared tags (kept in
+        // field metadata); the vector stores MinorType ordinals.
+        val typeIds = col.get("TYPE_ID")
+        val children = col.get("children")
+        val members = (0 until children.size()).map { j =>
+          val child = uv.getChildrenFromFields.get(j)
+          fillVector(child, children.get(j))
+          child
+        }
+        val declared = Option(uv.getField.getMetadata.get(DeclaredTagsKey))
+          .map(_.split(",").map(_.toInt).toSeq)
+          .getOrElse(members.indices)
+        val ordOfTag = declared.zipWithIndex.toMap
+        (0 until n).foreach { i =>
+          uv.setType(i, members(ordOfTag(typeIds.get(i).asInt())).getMinorType)
+        }
+        uv.setValueCount(n)
+      case duv: org.apache.arrow.vector.complex.DenseUnionVector =>
+        val typeIds = col.get("TYPE_ID")
+        val offsets = col.get("OFFSET")
+        val children = col.get("children")
+        val tags = duv.getField.getType.asInstanceOf[ArrowType.Union].getTypeIds
+        (0 until children.size()).foreach { j =>
+          fillVector(duv.getVectorByType(tags(j).toByte).asInstanceOf[FieldVector],
+            children.get(j))
+        }
+        (0 until n).foreach { i =>
+          duv.setTypeId(i, typeIds.get(i).asInt().toByte)
+          duv.setOffset(i, offsets.get(i).asInt())
+        }
+        duv.setValueCount(n)
       case fixed: BaseFixedWidthVector =>
         // every remaining fixed-width vector stores a long-readable
         // value: ints (all widths/signs), dates, times, timestamps

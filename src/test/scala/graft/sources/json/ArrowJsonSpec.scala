@@ -89,4 +89,35 @@ class ArrowJsonSpec extends SparkSpec {
     assert(got == Seq((Some(4294967295L), Some(60L)), (None, Some(3600L)),
       (Some(7L), None)))
   }
+
+  test("sparse union columns in integration documents widen to structs") {
+    val doc =
+      """{"schema": {"fields": [
+        |  {"name": "u", "nullable": true,
+        |   "type": {"name": "union", "mode": "SPARSE", "typeIds": [5, 9]},
+        |   "children": [
+        |     {"name": "i", "nullable": true,
+        |      "type": {"name": "int", "bitWidth": 32, "isSigned": true},
+        |      "children": []},
+        |     {"name": "s", "nullable": true, "type": {"name": "utf8"},
+        |      "children": []}]}]},
+        | "batches": [
+        |  {"count": 3, "columns": [
+        |    {"name": "u", "count": 3,
+        |     "TYPE_ID": [5, 9, 5],
+        |     "children": [
+        |       {"name": "i", "count": 3, "VALIDITY": [1, 0, 1],
+        |        "DATA": [70, 0, 90]},
+        |       {"name": "s", "count": 3, "VALIDITY": [0, 1, 0],
+        |        "DATA": ["", "mid", ""]}]}]}]}
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graft-ajson-union")
+    Files.write(Paths.get(dir.toString, "part-0.arrow.json"), doc.getBytes("UTF-8"))
+    val df = spark.read.format("arrow").load(dir.toString)
+    val st = df.schema("u").dataType.asInstanceOf[StructType]
+    assert(st.fields.map(_.name).toSeq == Seq("i", "s"))
+    val got = df.collect().toSeq.map(_.getStruct(0))
+      .map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(got == Seq((Some(70), None), (None, Some("mid")), (Some(90), None)))
+  }
 }
