@@ -471,6 +471,162 @@ object QueriesTpch {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
-           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)"""))
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""")),
+
+    // ----------------------------------------------------- TPC-H Q2 (adapted)
+    // minimum-cost supplier per part in a region, over the derived
+    // partsupp (Tables.partsupp). The correlated min-subquery is
+    // re-expressed as a window min over ps_partkey on the
+    // already-filtered EUROPE candidate set — one shuffle keyed by
+    // partkey instead of a self-join, and the region filter is applied
+    // once instead of twice.
+    QueryDef("q_tpch2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // nation/region: fixed cardinality (25/5) → safe hard hints.
+        val suppEur = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+        val cand = Tables.partsupp(s, d)
+          .join(suppEur, col("ps_suppkey") === col("s_suppkey"))
+        val w = Window.partitionBy("ps_partkey")
+        cand
+          .withColumn("mincost", min(col("ps_supplycost")).over(w))
+          .where(col("ps_supplycost") === col("mincost"))
+          // part scales with sf → no forced broadcast; AQE decides.
+          .join(Tables.part(s, d)
+              .where(col("p_size").between(10, 15) && col("p_type") === "LARGE"),
+            col("ps_partkey") === col("p_partkey"))
+          .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some(s"""WITH ${Tables.partsuppSql}
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM part JOIN partsupp ON p_partkey = ps_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size BETWEEN 10 AND 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT MIN(ps_supplycost) FROM partsupp ps2
+            JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")),
+
+    // ----------------------------------------------------- TPC-H Q11 (adapted)
+    // important-stock identification: per-part inventory value within
+    // one nation, kept when above a fraction of the nation's total.
+    // The scalar total is a grouping-free aggregate of the SAME
+    // per-part values — computed once and broadcast (the sanctioned
+    // single-row pattern, like q_tpch22's average balance).
+    QueryDef("q_tpch11",
+      (s, d) => {
+        val natSupp = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+        val perPart = Tables.partsupp(s, d)
+          .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+          .groupBy("ps_partkey")
+          .agg(sum(dec2(col("ps_supplycost")) * col("ps_availqty"))
+            .cast(DoubleType).as("value"))
+        val total = perPart.agg((sum(col("value")) * lit(0.001)).as("threshold"))
+        perPart.join(broadcast(total))
+          .where(col("value") > col("threshold"))
+          .select("ps_partkey", "value")
+          .orderBy(col("value").desc, col("ps_partkey"))
+      },
+      Some(s"""WITH ${Tables.partsuppSql}
+        SELECT ps_partkey,
+          CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_availqty) AS DOUBLE) AS value
+        FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY ps_partkey
+        HAVING CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_availqty) AS DOUBLE) > (
+          SELECT SUM(v) * 0.001 FROM (
+            SELECT CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_availqty) AS DOUBLE) AS v
+            FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7' GROUP BY ps_partkey) t)
+        ORDER BY value DESC, ps_partkey""")),
+
+    // ----------------------------------------------------- TPC-H Q16 (adapted)
+    // parts/supplier relationship: supplier counts per brand/type/size,
+    // excluding flagged suppliers. No s_comment in the synthetic schema,
+    // so "complaints" is re-expressed as a negative account balance —
+    // the NOT-IN (anti-join) shape is intact. The excluded set scales
+    // with sf → left_anti with no hint; AQE sizes the build side.
+    QueryDef("q_tpch16",
+      (s, d) => {
+        val flagged = Tables.supplier(s, d)
+          .where(col("s_acctbal") < 0).select("s_suppkey")
+        Tables.partsupp(s, d)
+          .join(flagged, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+          .join(Tables.part(s, d)
+              .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
+                col("p_size").isin(1, 9, 15, 23, 36, 45, 49, 50)),
+            col("ps_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some(s"""WITH ${Tables.partsuppSql}
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+          AND p_size IN (1, 9, 15, 23, 36, 45, 49, 50)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // ----------------------------------------------------- TPC-H Q20 (adapted)
+    // potential part promotion: suppliers of 'red' parts whose stock
+    // exceeds half of what they shipped in 1999. The correlated scalar
+    // subquery is re-expressed as an EARLY per-(part,supplier) aggregate
+    // of the date-windowed lineitem joined back to partsupp — lineitem
+    // collapses before any join (same rationale as q_tpch18/21).
+    QueryDef("q_tpch20",
+      (s, d) => {
+        val shipped = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= to_timestamp(lit("1999-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("2000-01-01")))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(dec2(col("l_quantity"))).as("qty"))
+        val redParts = Tables.part(s, d)
+          .where(col("p_name").startsWith("red")).select("p_partkey")
+        val excess = Tables.partsupp(s, d)
+          .join(shipped, col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+          // part scales with sf → semi join, no hint.
+          .join(redParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+          .where(col("ps_availqty") > lit(0.5) * col("qty"))
+          .select("ps_suppkey").distinct()
+        Tables.supplier(s, d)
+          .where(col("s_nationkey").isin(3, 4))
+          .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .select("s_name", "s_nationkey")
+          .orderBy("s_name")
+      },
+      Some(s"""WITH ${Tables.partsuppSql},
+        shipped AS (
+          SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+          GROUP BY l_partkey, l_suppkey)
+        SELECT s_name, s_nationkey FROM supplier
+        WHERE s_suppkey IN (
+          SELECT ps_suppkey FROM partsupp
+          JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND ps_availqty > 0.5 * qty)
+          AND s_nationkey IN (3, 4)
+        ORDER BY s_name"""))
   )
 }

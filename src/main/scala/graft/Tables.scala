@@ -27,6 +27,41 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Derived `partsupp`: the synthetic schema ships no partsupp
+    * parquet, so the part↔supplier relationship is reconstructed from
+    * the distinct (l_partkey, l_suppkey) pairs lineitem actually uses —
+    * referential integrity holds by construction, exactly as in real
+    * TPC-H where every lineitem (partkey, suppkey) is a partsupp row.
+    * ps_availqty / ps_supplycost are pure integer arithmetic on the
+    * keys so Spark and the DuckDB oracle derive bit-identical values.
+    *
+    * Scale note: the distinct is one lineitem-wide shuffle; on a real
+    * 100 TB deployment this table would be materialized once (it is
+    * sf-scaling but ~40× smaller than lineitem), not re-derived per
+    * query — same trade as a bucketed dimension build.
+    */
+  def partsupp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    lineitem(s, d)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 37 + col("ps_suppkey") * 101) % 9999 + 1)
+      .withColumn("ps_supplycost",
+        ((col("ps_partkey") * 13 + col("ps_suppkey") * 7) % 99900 + 100)
+          .cast(org.apache.spark.sql.types.DoubleType) / 100.0)
+  }
+
+  /** The oracle-side twin of [[partsupp]], spliced into each oracle
+    * query as a WITH clause.
+    */
+  val partsuppSql: String =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    ((l_partkey * 37 + l_suppkey * 101) % 9999) + 1 AS ps_availqty,
+      |    CAST(((l_partkey * 13 + l_suppkey * 7) % 99900) + 100 AS DOUBLE) / 100.0 AS ps_supplycost
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
+
   /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS).
     * Spark's vectorized reader has no nanosecond timestamp type, so we
     * read nanos as long (legacy flag set in GraftSession) and derive a

@@ -50,7 +50,7 @@ class BroadcastSafetySpec extends SparkSpec {
 
   private val guarded = Seq("q_tpch3", "q_tpch7", "q_tpch8", "q_tpch9",
     "q_tpch10", "q_tpch14", "q_tpch17", "q_tpch19", "q_tpch5",
-    "q_tpch21", "q_tpch22")
+    "q_tpch21", "q_tpch22", "q_tpch2", "q_tpch11", "q_tpch16", "q_tpch20")
 
   test("no sf-scaling table is ever force-broadcast") {
     val offenders = for {
