@@ -38,22 +38,34 @@ object Bench {
     // the driver invokes with no args → full suite
     val keep: String => Boolean =
       if (args.isEmpty) _ => true else args(0).split(",").toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keep(n) }
-      .map { case (name, fn) =>
+    // Median mode: run the whole suite REPS times (cold pass first, then
+    // warm passes) and report per-query medians. Single cold runs vary
+    // ±40% with VM load on sub-second queries; medians are the signal.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val timings = Array.fill(names.size)(new Array[Double](reps))
+    for (r <- 0 until reps; i <- names.indices) {
+      val (_, fn) = names(i)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      timings(i)(r) = (System.nanoTime() - t0) / 1e9
     }
-    // round per-query seconds to 4 decimals: keeps the full line short
-    // enough that log-capture truncation can't clip entries
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
+    def median(a: Array[Double]): Double = {
+      val s = a.sorted; s(s.length / 2)
+    }
+    val results = names.indices.map(i => names(i)._1 -> median(timings(i)))
+    // 2-decimal rounding keeps the per-query line short: the driver
+    // captures only the output TAIL, so every byte saved here keeps more
+    // entries inside the clipped window
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // compact summary FIRST: even if the capture clips the long
-    // per-query line below, the total survives
-    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // long per-query line first (its head may be clipped) ...
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"stat":"median","queries":$qs,"sf":"$sfDir"}""")
+    // ... compact summary LAST: tail capture always retains the final
+    // line, so the total is parseable even when the line above clips
+    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"reps":$reps,"stat":"median","sf":"$sfDir"}""")
     spark.stop()
   }
 }
