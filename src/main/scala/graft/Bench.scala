@@ -43,16 +43,31 @@ object Bench {
     // Median mode: run the whole suite REPS times (cold pass first, then
     // warm passes) and report per-query medians. Single cold runs vary
     // ±40% with VM load on sub-second queries; medians are the signal.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val reps = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3).max(1)
     val timings = Array.fill(names.size)(new Array[Double](reps))
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (r <- 0 until reps; i <- names.indices) {
-      val (_, fn) = names(i)
+      val (name, fn) = names(i)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      timings(i)(r) = (System.nanoTime() - t0) / 1e9
+      timings(i)(r) =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          // a failed run is NOT a timing — medians/totals over
+          // time-to-exception would report a crash as a speedup
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              e.toString.replaceAll("""["\\\n\r\t]""", "'").take(160))
+            Double.NaN
+        }
     }
+    // median over successful runs only; averages the two middle
+    // elements for even counts; -1 when every rep failed
     def median(a: Array[Double]): Double = {
-      val s = a.sorted; s(s.length / 2)
+      val s = a.filterNot(_.isNaN).sorted
+      if (s.isEmpty) -1.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
     val results = names.indices.map(i => names(i)._1 -> median(timings(i)))
     // 2-decimal rounding keeps the per-query line short: the driver
@@ -60,12 +75,24 @@ object Bench {
     // entries inside the clipped window
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // long per-query line first (its head may be clipped) ...
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"stat":"median","queries":$qs,"sf":"$sfDir"}""")
-    // ... compact summary LAST: tail capture always retains the final
-    // line, so the total is parseable even when the line above clips
-    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"reps":$reps,"stat":"median","sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"stat":"median","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    // the full JSON also lands in a file, immune to stdout tail-clipping
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    scala.util.Try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(outPath).toAbsolutePath.getParent)
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+    }
+    // compact summary first (its loss to head-clipping is harmless) ...
+    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"stat":"median","sf":"$sfDir"}""")
+    // ... full line LAST: tail capture always retains the final line,
+    // so the complete per-query map stays parseable
+    println(line)
     spark.stop()
   }
 }

@@ -106,10 +106,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("tensor_unpack"),
-      info("tensor_unpack", "tensor_unpack(binary) - deserialize tensor binary"),
+      info("tensor_unpack",
+        "tensor_unpack(binary[, dtype]) - deserialize tensor binary " +
+          "(dtype: float32|float64|int32|int64, default float32)"),
       (args: Seq[Expression]) => args match {
         case Seq(a) => TensorUnpack(a)
-        case _ => throw new IllegalArgumentException("tensor_unpack(b)")
+        case Seq(a, d) =>
+          val dtype = d match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+                if s != null => s.toString
+            case _ => throw new IllegalArgumentException(
+              "tensor_unpack dtype must be a string literal")
+          }
+          TensorUnpack(a, graft.functions.TensorCodec.elemOf(dtype))
+        case _ => throw new IllegalArgumentException("tensor_unpack(b[, dtype])")
       }))
   }
 }

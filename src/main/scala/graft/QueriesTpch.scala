@@ -373,19 +373,22 @@ object QueriesTpch {
     // shape (one supplier late, no other supplier late).
     QueryDef("q_tpch21",
       (s, d) => {
-        // early aggregate: per-order stats collapse lineitem BEFORE
-        // any join (same scale rationale as q_tpch18); supplier scales
-        // with sf → no forced broadcast
-        val li = Tables.lineitem(s, d)
-        val perOrder = li.groupBy("l_orderkey")
-          .agg(max(col("l_shipdate")).as("mx"),
-            countDistinct(col("l_suppkey")).as("nsupp"))
-        val lastShippers = li
-          .join(perOrder, Seq("l_orderkey"))
-          .where(col("l_shipdate") === col("mx"))
-          .groupBy("l_orderkey", "nsupp")
-          .agg(countDistinct(col("l_suppkey")).as("nlast"),
-            min(col("l_suppkey")).as("sole_supp"))
+        // single lineitem scan: collapse to (order, supplier) with a
+        // map-side combine first — the shuffle carries at most one row
+        // per supplier per order — then a window + same-key aggregate
+        // find sole last-shippers without re-joining lineitem (the
+        // join-back form shuffled the fact table twice); supplier
+        // scales with sf → no forced broadcast
+        val perSupp = Tables.lineitem(s, d)
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("l_shipdate")).as("supp_mx"))
+        val wOrder = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+        val lastShippers = perSupp
+          .withColumn("mx", max(col("supp_mx")).over(wOrder))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("nsupp"),
+            count(when(col("supp_mx") === col("mx"), 1)).as("nlast"),
+            min(when(col("supp_mx") === col("mx"), col("l_suppkey"))).as("sole_supp"))
           .where(col("nsupp") >= 2 && col("nlast") === 1)
         lastShippers
           .join(Tables.supplier(s, d), col("sole_supp") === col("s_suppkey"))

@@ -50,4 +50,11 @@ object Tensor {
 
   /** Deserialize pack()'s output back into a tensor struct. */
   def unpack(bin: Column): Column = graft.functions.exprs.toColumn(TensorUnpack(graft.functions.exprs.toExpr(bin)))
+
+  /** Deserialize a tensor of the given element type (float32 default;
+    * float64/int32/int64 per the reference's type-parameterized Tensor).
+    */
+  def unpack(bin: Column, elem: org.apache.spark.sql.types.DataType): Column =
+    graft.functions.exprs.toColumn(
+      TensorUnpack(graft.functions.exprs.toExpr(bin), elem))
 }

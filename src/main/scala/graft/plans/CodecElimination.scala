@@ -20,6 +20,14 @@ import graft.functions.{TensorPack, TensorUnpack}
 object CodecElimination extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case TensorUnpack(TensorPack(inner)) => inner
+      // only an identity when the unpack element type matches what
+      // pack encoded — unpack(pack(f32-tensor), int32) must still
+      // reach the runtime and fail its dtype check
+      case TensorUnpack(TensorPack(inner), elem)
+          if inner.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+            inner.dataType.asInstanceOf[org.apache.spark.sql.types.StructType](1)
+              .dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType == elem =>
+        inner
     }
 }

@@ -312,7 +312,10 @@ object ArrowIo {
           case org.apache.arrow.vector.types.TimeUnit.SECOND => _ * 1000000L
           case org.apache.arrow.vector.types.TimeUnit.MILLISECOND => _ * 1000L
           case org.apache.arrow.vector.types.TimeUnit.MICROSECOND => identity
-          case org.apache.arrow.vector.types.TimeUnit.NANOSECOND => _ / 1000L
+          // floorDiv, matching the nanosecond TimeStampVector path —
+          // `/ 1000L` truncates toward zero, so negative durations
+          // would round the opposite way to positive ones by 1 µs
+          case org.apache.arrow.vector.types.TimeUnit.NANOSECOND => Math.floorDiv(_, 1000L)
         }
         var i = 0
         while (i < n) {

@@ -252,6 +252,12 @@ object FeatherV1 {
   }
 
   private def bufBytes(buf: ArrowBuf, n: Long): Array[Byte] = {
+    // feather v1 buffers are materialized as JVM byte arrays; a column
+    // whose single buffer exceeds Int.MaxValue cannot be represented —
+    // fail loudly instead of narrowing to a wrapped length
+    require(n >= 0 && n <= Int.MaxValue,
+      s"feather v1 writer: column buffer of $n bytes exceeds the 2 GiB " +
+        "per-buffer limit of the feather v1 format reader/writer")
     val out = new Array[Byte](n.toInt)
     buf.getBytes(0, out)
     out
@@ -330,6 +336,10 @@ object FeatherV1 {
     val hconf = new graft.sources.arrow.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     HadoopFiles.mkdirs(dir, hconf.value)
+    // overwrite semantics: drop existing parts first, else re-writing
+    // with fewer partitions leaves stale parts that read as extra rows
+    HadoopFiles.dataFiles(dir, hconf.value)
+      .foreach(f => HadoopFiles.delete(f, hconf.value))
     df.queryExecution.toRdd.foreachPartition { rows: Iterator[InternalRow] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
@@ -419,6 +429,13 @@ class FeatherV1Reader(path: String, alloc: BufferAllocator,
   /** Slice one stored array into (validity, offsets?, data) byte arrays. */
   private def sliceArray(a: FeatherV1.FArray, binaryLike: Boolean)
       : (Array[Byte], Option[Array[Byte]], Array[Byte]) = {
+    // an external file can declare any 64-bit size; narrowing a ≥4 GiB
+    // value to Int would wrap positive and silently read wrong bytes
+    require(a.totalBytes >= 0 && a.totalBytes <= Int.MaxValue,
+      s"$path: feather v1 column of ${a.totalBytes} bytes exceeds the " +
+        "2 GiB per-column limit of this reader")
+    require(a.length >= 0 && a.length <= Int.MaxValue,
+      s"$path: feather v1 column of ${a.length} rows exceeds Int.MaxValue")
     val bytes = HadoopFiles.readAt(in, a.offset, a.totalBytes.toInt)
     readBytes += a.totalBytes
     val n = a.length.toInt

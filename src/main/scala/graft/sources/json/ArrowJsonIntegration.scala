@@ -37,6 +37,7 @@ object ArrowJsonIntegration {
     * TYPE_ID tags (the vector itself stores MinorType ordinals).
     */
   private[json] val DeclaredTagsKey = "graft.json.typeIds"
+  private[json] val DictIdKey = "graft.json.dictId"
 
   private val HEX = "0123456789ABCDEF".toCharArray
 
@@ -281,6 +282,10 @@ object ArrowJsonIntegration {
     val hconf = new graft.sources.arrow.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     HadoopFiles.mkdirs(dir, hconf.value)
+    // overwrite semantics: drop existing parts first, else re-writing
+    // with fewer partitions leaves stale parts that read as extra rows
+    HadoopFiles.dataFiles(dir, hconf.value)
+      .foreach(f => HadoopFiles.delete(f, hconf.value))
     df.queryExecution.toRdd.foreachPartition { rows: Iterator[InternalRow] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
@@ -347,16 +352,25 @@ object ArrowJsonIntegration {
       case other => throw new UnsupportedOperationException(
         s"arrow json integration reader: type $other")
     }
-    val metadata: java.util.Map[String, String] =
-      if (at.isInstanceOf[ArrowType.Union] &&
-          at.asInstanceOf[ArrowType.Union].getMode ==
-            org.apache.arrow.vector.types.UnionMode.Sparse) {
-        val declared = Option(t.get("typeIds"))
-          .map(a => (0 until a.size()).map(a.get(_).asInt()))
-          .getOrElse(children.indices)
-        java.util.Collections.singletonMap(DeclaredTagsKey, declared.mkString(","))
-      } else null
-    new Field(name, new FieldType(nullable, at, null, metadata), children.asJava)
+    val metadata = new java.util.HashMap[String, String]()
+    if (at.isInstanceOf[ArrowType.Union] &&
+        at.asInstanceOf[ArrowType.Union].getMode ==
+          org.apache.arrow.vector.types.UnionMode.Sparse) {
+      val declared = Option(t.get("typeIds"))
+        .map(a => (0 until a.size()).map(a.get(_).asInt()))
+        .getOrElse(children.indices)
+      metadata.put(DeclaredTagsKey, declared.mkString(","))
+    }
+    // a dictionary-encoded field declares its VALUE type in "type" and
+    // the encoding in "dictionary" (reference json-internal.cc:96–123);
+    // the scan decodes through the dictionary, so the in-memory field
+    // is the value type, tagged with the dictionary id for the filler
+    Option(f.get("dictionary")).foreach { d =>
+      metadata.put(DictIdKey, d.get("id").asLong().toString)
+    }
+    new Field(name,
+      new FieldType(nullable, at, null,
+        if (metadata.isEmpty) null else metadata), children.asJava)
   }
 
   /** Fill `v` from one column node; returns the row count. */
@@ -451,6 +465,14 @@ object ArrowJsonIntegration {
           fillVector(child, children.get(j))
           child
         }
+        // the vector addresses members by MinorType ordinal, so two
+        // members of the same minor type (e.g. two utf8 children) would
+        // silently collapse into one — mirror the writer's contract
+        // (ArrowFieldWriters.scala:182) and reject the document instead
+        val memberMinorTypes = members.map(_.getMinorType)
+        require(memberMinorTypes.distinct.length == memberMinorTypes.length,
+          "arrow json integration reader: sparse union members need " +
+            s"distinct arrow types, got ${memberMinorTypes.mkString(",")}")
         val declared = Option(uv.getField.getMetadata.get(DeclaredTagsKey))
           .map(_.split(",").map(_.toInt).toSeq)
           .getOrElse(members.indices)
@@ -521,8 +543,14 @@ class ArrowJsonReader(path: String, alloc: BufferAllocator,
     val in = HadoopFiles.fs(path, conf).open(new org.apache.hadoop.fs.Path(path))
     try new ObjectMapper().readTree(in) finally in.close()
   }
-  require(doc.get("dictionaries") == null,
-    s"$path: integration documents with dictionary batches are not supported")
+  // dictionary batches (reference json-internal.cc:96–123): id → the
+  // value column of the dictionary's single record batch
+  private val dictData: Map[Long, JsonNode] =
+    Option(doc.get("dictionaries")).map { ds =>
+      (0 until ds.size()).map(ds.get).map { d =>
+        d.get("id").asLong() -> d.get("data").get("columns").get(0)
+      }.toMap
+    }.getOrElse(Map.empty)
   private val batches = Option(doc.get("batches"))
     .map(b => (0 until b.size()).map(b.get)).getOrElse(IndexedSeq.empty)
   private var next = 0
@@ -545,11 +573,48 @@ class ArrowJsonReader(path: String, alloc: BufferAllocator,
     root.getSchema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
       val col = byName.getOrElse(f.getName,
         throw new IllegalArgumentException(s"$path: column ${f.getName} missing"))
-      n = ArrowJsonIntegration.fillVector(root.getVector(i), col)
+      n = Option(f.getMetadata.get(ArrowJsonIntegration.DictIdKey)) match {
+        case Some(id) =>
+          val values = dictData.getOrElse(id.toLong, throw new IllegalArgumentException(
+            s"$path: column ${f.getName} references dictionary $id, " +
+              "absent from the document's dictionaries section"))
+          fillDictDecoded(root.getVector(i), col, values)
+        case None => ArrowJsonIntegration.fillVector(root.getVector(i), col)
+      }
     }
     root.setRowCount(n)
     readBytes += 1 // nominal; the document is parsed wholesale up front
     true
+  }
+
+  /** Fill `v` (a value-typed vector) by decoding a dictionary-encoded
+    * batch column: the column's DATA are indices into `values`. The
+    * dictionary is materialized once into a scratch vector of the same
+    * value type, then rows copy through by index.
+    */
+  private def fillDictDecoded(v: FieldVector, col: JsonNode,
+                              values: JsonNode): Int = {
+    val n = col.get("count").asInt()
+    val validity = Option(col.get("VALIDITY"))
+      .map(a => (0 until n).map(i => a.get(i).asInt() != 0))
+      .getOrElse((0 until n).map(_ => true))
+    val indices = col.get("DATA")
+    val dict = v.getField.createVector(v.getAllocator)
+    try {
+      val dictLen = ArrowJsonIntegration.fillVector(dict, values)
+      v.setInitialCapacity(n)
+      v.allocateNew()
+      (0 until n).foreach { i =>
+        if (validity(i)) {
+          val idx = indices.get(i).asInt()
+          require(idx >= 0 && idx < dictLen,
+            s"$path: dictionary index $idx out of range [0, $dictLen)")
+          v.copyFromSafe(idx, i, dict)
+        }
+      }
+      v.setValueCount(n)
+      n
+    } finally dict.close()
   }
 
   override def bytesRead(): Long = readBytes

@@ -48,18 +48,30 @@ class PlasmaStore(dir: String) {
   private[plasma] def sealedPath(id: String): String = s"$dir/${hexId(id)}.obj"
   private def unsealedPath(id: String): String = s"$dir/.${hexId(id)}.unsealed"
 
-  /** Allocate an object and return the writable data buffer. */
+  /** Allocate an object and return the writable data buffer. The claim
+    * on the unsealed file is atomic (CREATE_NEW): two processes racing
+    * to create the same id cannot both win and scribble over each
+    * other's pages — the loser gets ObjectExists, matching the
+    * reference's PlasmaError::ObjectExists (cpp/src/plasma/client.h:80).
+    */
   def create(id: String, dataSize: Long, metadata: Array[Byte] = Array.empty)
       : ByteBuffer = {
     if (contains(id))
       throw new IllegalStateException(s"plasma object '$id' already sealed")
-    if (Files.exists(Paths.get(unsealedPath(id))))
-      throw new IllegalStateException(s"plasma object '$id' already being created")
     val total = dataSize + metadata.length + FOOTER
-    val raf = new RandomAccessFile(unsealedPath(id), "rw")
+    require(dataSize >= 0 && total <= Int.MaxValue,
+      s"plasma object '$id' of $total bytes exceeds the 2 GiB mapped-buffer limit")
+    val ch = try {
+      FileChannel.open(Paths.get(unsealedPath(id)),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.READ,
+        java.nio.file.StandardOpenOption.WRITE)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(s"plasma object '$id' already being created")
+    }
     try {
-      raf.setLength(total)
-      val map = raf.getChannel.map(FileChannel.MapMode.READ_WRITE, 0, total)
+      val map = ch.map(FileChannel.MapMode.READ_WRITE, 0, total)
       map.order(ByteOrder.LITTLE_ENDIAN)
       map.position(dataSize.toInt)
       map.put(metadata)
@@ -70,7 +82,7 @@ class PlasmaStore(dir: String) {
       map.position(0)
       map.limit(dataSize.toInt)
       map.slice()
-    } finally raf.close()
+    } finally ch.close()
   }
 
   /** Make the object immutable and visible to every client. */
@@ -106,13 +118,17 @@ class PlasmaStore(dir: String) {
           val total = raf.length()
           val map = raf.getChannel.map(FileChannel.MapMode.READ_ONLY, 0, total)
           map.order(ByteOrder.LITTLE_ENDIAN)
-          val dataSize = map.getLong((total - FOOTER).toInt)
-          val metaSize = map.getLong((total - FOOTER + 8).toInt)
-          val data = map.duplicate()
-          data.position(0); data.limit(dataSize.toInt)
-          val meta = map.duplicate()
-          meta.position(dataSize.toInt); meta.limit((dataSize + metaSize).toInt)
-          return Some(PlasmaObject(data.slice(), meta.slice()))
+          // a foreign or torn file must be a clean miss, not garbage
+          // sizes — verify the footer we wrote before trusting it
+          footerSizes(map, total) match {
+            case Some((dataSize, metaSize)) =>
+              val data = map.duplicate()
+              data.position(0); data.limit(dataSize.toInt)
+              val meta = map.duplicate()
+              meta.position(dataSize.toInt); meta.limit((dataSize + metaSize).toInt)
+              return Some(PlasmaObject(data.slice(), meta.slice()))
+            case None => () // not a graft plasma object — keep polling
+          }
         } finally raf.close()
       } catch {
         // a concurrent delete between contains() and open() is a miss,
@@ -123,7 +139,64 @@ class PlasmaStore(dir: String) {
     None
   }
 
+  /** Decode + validate the footer of a mapped object. None when the
+    * magic is absent or the declared sizes don't reconcile with the
+    * file length (foreign file, torn write).
+    */
+  private def footerSizes(map: ByteBuffer, total: Long): Option[(Long, Long)] = {
+    if (total < FOOTER) return None
+    val magic = new Array[Byte](MAGIC.length)
+    val m = map.duplicate(); m.position((total - MAGIC.length).toInt); m.get(magic)
+    if (!java.util.Arrays.equals(magic, MAGIC)) return None
+    val dataSize = map.getLong((total - FOOTER).toInt)
+    val metaSize = map.getLong((total - FOOTER + 8).toInt)
+    if (dataSize < 0 || metaSize < 0 || dataSize + metaSize + FOOTER != total) None
+    else Some((dataSize, metaSize))
+  }
+
   def delete(id: String): Boolean = Files.deleteIfExists(Paths.get(sealedPath(id)))
+
+  /** Evict sealed objects oldest-first until at least `numBytes` have
+    * been freed (reference: cpp/src/plasma/client.h:201 `Evict` — "Ask
+    * the Plasma store to evict objects until num_bytes have been
+    * freed"). Returns the bytes actually freed; unsealed objects are
+    * never evicted.
+    */
+  def evict(numBytes: Long): Long = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.getName.endsWith(".obj"))
+      .sortBy(f => (f.lastModified(), f.getName)) // LRU analog: oldest seal first
+    var freed = 0L
+    val it = files.iterator
+    while (freed < numBytes && it.hasNext) {
+      val f = it.next()
+      val len = f.length()
+      if (Files.deleteIfExists(f.toPath)) freed += len
+    }
+    freed
+  }
+
+  /** Subscribe to object-sealed (and deleted) notifications
+    * (reference: cpp/src/plasma/client.h:211–228 `Subscribe` /
+    * `GetNotification` — sealed objects arrive with their sizes,
+    * deletions with size -1). The JVM analog of the notification
+    * socket is a directory watch: the subscription snapshots the
+    * sealed set at subscribe time and reports changes.
+    */
+  def subscribe(): PlasmaSubscription = new PlasmaSubscription(this)
+
+  private[plasma] def sealedSnapshot(): Map[String, Long] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.getName.endsWith(".obj"))
+      .map { f =>
+        val h = f.getName.stripSuffix(".obj")
+        val id = new String(
+          h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray, "UTF-8")
+        id -> f.length()
+      }.toMap
+  }
 
   def list(): Seq[String] = {
     val d = new java.io.File(dir)
@@ -163,6 +236,43 @@ class PlasmaStore(dir: String) {
   def schemaOf(id: String): Option[StructType] =
     if (contains(id)) Some(graft.sources.arrow.ArrowIo.readSchema(sealedPath(id)))
     else None
+}
+
+/** One seal/delete event: sealed objects carry their total stored
+  * bytes; deletions carry -1, matching the reference notification
+  * payload (object_info with is_deletion → data_size = -1).
+  */
+case class PlasmaNotification(id: String, objectBytes: Long) {
+  def isDeletion: Boolean = objectBytes < 0
+}
+
+/** Poll-based notification stream over a store's sealed set. Safe to
+  * use from a different process than the sealing one — state is the
+  * shared directory, not JVM-local.
+  */
+class PlasmaSubscription private[plasma] (store: PlasmaStore) {
+  private var known: Map[String, Long] = store.sealedSnapshot()
+  private val pending = scala.collection.mutable.Queue.empty[PlasmaNotification]
+
+  /** Next notification, blocking up to `timeoutMs` (-1 = forever). */
+  def getNotification(timeoutMs: Long = 0): Option[PlasmaNotification] = {
+    val deadline = if (timeoutMs < 0) Long.MaxValue
+      else System.nanoTime() + timeoutMs * 1000000L
+    var first = true
+    while (first || System.nanoTime() < deadline) {
+      if (!first) Thread.sleep(2)
+      first = false
+      if (pending.nonEmpty) return Some(pending.dequeue())
+      val now = store.sealedSnapshot()
+      (now.keySet -- known.keySet).toSeq.sorted
+        .foreach(id => pending.enqueue(PlasmaNotification(id, now(id))))
+      (known.keySet -- now.keySet).toSeq.sorted
+        .foreach(id => pending.enqueue(PlasmaNotification(id, -1L)))
+      known = now
+      if (pending.nonEmpty) return Some(pending.dequeue())
+    }
+    None
+  }
 }
 
 case class PlasmaObject(data: ByteBuffer, metadata: ByteBuffer) {

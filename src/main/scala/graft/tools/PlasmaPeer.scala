@@ -16,6 +16,17 @@ object PlasmaPeer {
         "peer-meta".getBytes("UTF-8"))
       buf.put(payload)
       store.seal(args(2))
+    case "claim" =>
+      // race entrant: try to create (not seal) an id; report the outcome
+      // so a spec can assert exactly one of N concurrent claimants wins
+      val store = new PlasmaStore(args(1))
+      try {
+        store.create(args(2), 8)
+        Console.out.print("won")
+      } catch {
+        case _: IllegalStateException => Console.out.print("lost")
+      }
+      Console.out.flush()
     case "get" =>
       val store = new PlasmaStore(args(1))
       store.get(args(2), timeoutMs = 20000) match {

@@ -96,6 +96,14 @@ class PushdownSpec extends SparkSpec {
       s"partition predicate leaked into data filters:\n$plan")
   }
 
+  test("q_tpch21 scans lineitem once") {
+    val df = SparkEntry.queries("q_tpch21")(spark, sfDir)
+    val plan = executedPlanString(df)
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(plan).size
+    assert(lineitemScans == 1,
+      s"expected exactly one lineitem scan, got $lineitemScans in:\n$plan")
+  }
+
   test("q_range_join buckets to an equi-join, no nested loop") {
     val plan = executedPlanString(SparkEntry.queries("q_range_join")(spark, sfDir))
     assert(!plan.contains("NestedLoop"),

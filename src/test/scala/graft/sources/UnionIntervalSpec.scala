@@ -106,18 +106,22 @@ class UnionIntervalSpec extends SparkSpec {
   test("day_time interval and nano duration vectors widen to µs day-time") {
     val alloc = ArrowIo.rootAllocator()
     val ivd = new IntervalDayVector("ivd", alloc)
-    ivd.allocateNew(2)
+    ivd.allocateNew(4)
     ivd.setSafe(0, 1, 500)          // 1 day + 500 ms
     ivd.setSafe(1, 0, 250)
-    ivd.setValueCount(2)
+    ivd.setSafe(2, 0, 0)
+    ivd.setSafe(3, 0, 0)
+    ivd.setValueCount(4)
     val dur = new DurationVector("dur",
       FieldType.nullable(new ArrowType.Duration(ATimeUnit.NANOSECOND)), alloc)
-    dur.allocateNew(2)
+    dur.allocateNew(4)
     dur.setSafe(0, 1500000L)        // 1.5 ms in nanos
-    dur.setSafe(1, 999L)            // sub-µs truncates to 0
-    dur.setValueCount(2)
+    dur.setSafe(1, 999L)            // sub-µs floors to 0
+    dur.setSafe(2, -999L)           // negative sub-µs floors to -1 µs,
+    dur.setSafe(3, -1500000L)       // consistent with the timestamp path
+    dur.setValueCount(4)
     val root = new VectorSchemaRoot(Seq(ivd.getField, dur.getField).asJava,
-      Seq(ivd: org.apache.arrow.vector.FieldVector, dur).asJava, 2)
+      Seq(ivd: org.apache.arrow.vector.FieldVector, dur).asJava, 4)
     val dir = Files.createTempDirectory("graft-interval-widen").toString
     writeOne(dir, root)
     root.close(); alloc.close()
@@ -127,9 +131,11 @@ class UnionIntervalSpec extends SparkSpec {
     val rows = df.collect().toSeq
     import java.time.Duration
     assert(rows.map(_.getAs[Duration]("ivd")) ==
-      Seq(Duration.ofDays(1).plusMillis(500), Duration.ofMillis(250)))
+      Seq(Duration.ofDays(1).plusMillis(500), Duration.ofMillis(250),
+        Duration.ZERO, Duration.ZERO))
     assert(rows.map(_.getAs[Duration]("dur")) ==
-      Seq(Duration.ofNanos(1500000), Duration.ZERO))
+      Seq(Duration.ofNanos(1500000), Duration.ZERO,
+        Duration.ofNanos(-1000), Duration.ofNanos(-1500000)))
   }
 
   test("month_day_nano interval vector reads as calendar interval") {

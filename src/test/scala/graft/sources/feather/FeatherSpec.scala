@@ -136,6 +136,49 @@ class FeatherSpec extends SparkSpec {
     assert(got == Seq(("lo", 0L), ("mid", 1L), ("lo", 60L), ("hi", 3600L)))
   }
 
+  test("a column declaring a >2 GiB buffer fails loudly, not wrong-bytes") {
+    // an external file can declare any 64-bit totalBytes; a ≥4 GiB
+    // value narrowed to Int would wrap positive and silently slice
+    // wrong bytes — the reader must reject it instead
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(FeatherV1.MAGIC); out.write(new Array[Byte](4)) // pad to 8
+    val data = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    data.putLong(1L); data.putLong(2L)
+    out.write(data.array())
+    val meta = FeatherV1.encodeMetadata(FeatherV1.FTable(2, Seq(
+      FeatherV1.FColumn("huge",
+        // declared totalBytes = 4 GiB + 16 — wraps to 16 as an Int
+        FeatherV1.FArray(FeatherV1.T.INT64, 8, 2, 0, (1L << 32) + 16),
+        FeatherV1.M.NONE, 0, None, 0, None))))
+    out.write(meta)
+    val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(meta.length)
+    tail.put(FeatherV1.MAGIC)
+    out.write(tail.array())
+    val dir = Files.createTempDirectory("graft-feather-huge")
+    val path = Paths.get(dir.toString, "part-0.feather")
+    Files.write(path, out.toByteArray)
+    val alloc = graft.sources.arrow.ArrowIo.rootAllocator()
+    val reader = new FeatherV1Reader(path.toString, alloc)
+    try {
+      val e = intercept[IllegalArgumentException] { reader.loadNextBatch() }
+      assert(e.getMessage.contains("2 GiB"))
+    } finally { reader.close(); alloc.close() }
+  }
+
+  test("rewriting a dir with fewer partitions leaves no stale parts") {
+    val dir = Files.createTempDirectory("graft-feather-ow").toString
+    FeatherV1.write(spark.range(100).repartition(4).toDF(), dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".feather")) == 4)
+    FeatherV1.write(spark.range(10).coalesce(1).toDF(), dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".feather")) == 1)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.count() == 10)
+    assert(back.agg(sum("id")).head.getLong(0) == 45L)
+  }
+
   test("empty partitions with string columns write valid feather files") {
     val df = spark.range(10)
       .select(col("id"), concat(lit("doc-"), col("id")).as("s"))

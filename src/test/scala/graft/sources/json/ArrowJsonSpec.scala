@@ -90,6 +90,114 @@ class ArrowJsonSpec extends SparkSpec {
       (Some(7L), None)))
   }
 
+  test("dictionary-encoded columns decode through the dictionaries section") {
+    // reference-shaped document (cpp/src/arrow/ipc/json-internal.cc:96-123):
+    // the field's "type" is the value type, "dictionary" names the id,
+    // batch DATA are indices; null index rows and null dictionary
+    // entries must both decode as null
+    val doc =
+      """{"schema": {"fields": [
+        |  {"name": "c", "nullable": true, "type": {"name": "utf8"},
+        |   "children": [],
+        |   "dictionary": {"id": 0,
+        |     "indexType": {"name": "int", "bitWidth": 8, "isSigned": true},
+        |     "isOrdered": false}},
+        |  {"name": "v", "nullable": true,
+        |   "type": {"name": "int", "bitWidth": 32, "isSigned": true},
+        |   "children": [],
+        |   "dictionary": {"id": 1,
+        |     "indexType": {"name": "int", "bitWidth": 32, "isSigned": true},
+        |     "isOrdered": false}}]},
+        | "dictionaries": [
+        |  {"id": 0, "data": {"count": 3, "columns": [
+        |    {"name": "DICT0", "count": 3, "VALIDITY": [1, 1, 0],
+        |     "OFFSET": [0, 2, 5, 5], "DATA": ["lo", "mid", ""]}]}},
+        |  {"id": 1, "data": {"count": 2, "columns": [
+        |    {"name": "DICT1", "count": 2, "VALIDITY": [1, 1],
+        |     "DATA": [100, 200]}]}}],
+        | "batches": [
+        |  {"count": 5, "columns": [
+        |    {"name": "c", "count": 5, "VALIDITY": [1, 1, 0, 1, 1],
+        |     "DATA": [0, 1, 0, 0, 2]},
+        |    {"name": "v", "count": 5, "VALIDITY": [1, 0, 1, 1, 1],
+        |     "DATA": [1, 0, 0, 1, 0]}]}]}
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graft-ajson-dict")
+    Files.write(Paths.get(dir.toString, "part-0.arrow.json"), doc.getBytes("UTF-8"))
+    val df = spark.read.format("arrow").load(dir.toString)
+    assert(df.schema("c").dataType == StringType)
+    assert(df.schema("v").dataType == IntegerType)
+    val got = df.collect().toSeq.map(r =>
+      (Option(r.get(0)), Option(r.get(1))))
+    assert(got == Seq(
+      (Some("lo"), Some(200)), (Some("mid"), None), (None, Some(100)),
+      (Some("lo"), Some(200)), (None, Some(100)))) // index 2 → null level
+  }
+
+  test("a dictionary id missing from the document fails loudly") {
+    val doc =
+      """{"schema": {"fields": [
+        |  {"name": "c", "nullable": true, "type": {"name": "utf8"},
+        |   "children": [],
+        |   "dictionary": {"id": 7,
+        |     "indexType": {"name": "int", "bitWidth": 32, "isSigned": true},
+        |     "isOrdered": false}}]},
+        | "batches": [
+        |  {"count": 1, "columns": [
+        |    {"name": "c", "count": 1, "VALIDITY": [1], "DATA": [0]}]}]}
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graft-ajson-nodict")
+    Files.write(Paths.get(dir.toString, "part-0.arrow.json"), doc.getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      spark.read.format("arrow").load(dir.toString).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dictionary 7")))
+  }
+
+  test("sparse unions with duplicate member types are rejected, not collapsed") {
+    // two utf8 members: the in-memory vector addresses members by
+    // MinorType, so accepting this document would silently merge them
+    val doc =
+      """{"schema": {"fields": [
+        |  {"name": "u", "nullable": true,
+        |   "type": {"name": "union", "mode": "SPARSE", "typeIds": [0, 1]},
+        |   "children": [
+        |     {"name": "a", "nullable": true, "type": {"name": "utf8"},
+        |      "children": []},
+        |     {"name": "b", "nullable": true, "type": {"name": "utf8"},
+        |      "children": []}]}]},
+        | "batches": [
+        |  {"count": 2, "columns": [
+        |    {"name": "u", "count": 2, "TYPE_ID": [0, 1],
+        |     "children": [
+        |       {"name": "a", "count": 2, "VALIDITY": [1, 0], "DATA": ["x", ""]},
+        |       {"name": "b", "count": 2, "VALIDITY": [0, 1], "DATA": ["", "y"]}]}]}]}
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graft-ajson-dupunion")
+    Files.write(Paths.get(dir.toString, "part-0.arrow.json"), doc.getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      spark.read.format("arrow").load(dir.toString).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("distinct arrow types")))
+  }
+
+  test("rewriting a dir with fewer partitions leaves no stale parts") {
+    val dir = Files.createTempDirectory("graft-ajson-ow").toString
+    ArrowJsonIntegration.write(spark.range(100).repartition(4).toDF(), dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".arrow.json")) == 4)
+    ArrowJsonIntegration.write(spark.range(10).coalesce(1).toDF(), dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".arrow.json")) == 1)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.count() == 10)
+    assert(back.agg(sum("id")).head.getLong(0) == 45L)
+  }
+
   test("sparse union columns in integration documents widen to structs") {
     val doc =
       """{"schema": {"fields": [
