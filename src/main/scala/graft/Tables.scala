@@ -40,16 +40,24 @@ object Tables {
     * sf-scaling but ~40× smaller than lineitem), not re-derived per
     * query — same trade as a bucketed dimension build.
     */
+  private val partsuppCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   def partsupp(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    lineitem(s, d)
-      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-      .distinct()
-      .withColumn("ps_availqty",
-        (col("ps_partkey") * 37 + col("ps_suppkey") * 101) % 9999 + 1)
-      .withColumn("ps_supplycost",
-        ((col("ps_partkey") * 13 + col("ps_suppkey") * 7) % 99900 + 100)
-          .cast(org.apache.spark.sql.types.DoubleType) / 100.0)
+    // materialized once per (session, dir) and persisted — four TPC-H
+    // queries (Q2/Q11/Q16/Q20) consume it, and re-deriving means
+    // re-paying the lineitem-wide distinct shuffle each time
+    partsuppCache.getOrElseUpdate((System.identityHashCode(s), d),
+      lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .withColumn("ps_availqty",
+          (col("ps_partkey") * 37 + col("ps_suppkey") * 101) % 9999 + 1)
+        .withColumn("ps_supplycost",
+          ((col("ps_partkey") * 13 + col("ps_suppkey") * 7) % 99900 + 100)
+            .cast(org.apache.spark.sql.types.DoubleType) / 100.0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** The oracle-side twin of [[partsupp]], spliced into each oracle

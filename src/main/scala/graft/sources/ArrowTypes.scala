@@ -94,6 +94,10 @@ object ArrowTypes {
       }
     case f: ArrowType.FloatingPoint => f.getPrecision match {
       case FloatingPointPrecision.SINGLE => FloatType
+      // half floats widen losslessly to float on read (reference
+      // type.h:367 HalfFloatType; the JVM has no 16-bit float type);
+      // the write side still maps FloatType → SINGLE, never HALF
+      case FloatingPointPrecision.HALF => FloatType
       case FloatingPointPrecision.DOUBLE => DoubleType
       case p => throw new UnsupportedOperationException(s"arrow fp $p")
     }
@@ -134,6 +138,11 @@ object ArrowTypes {
       StructField(f.getName,
         MapType(key.dataType, value.dataType, value.nullable), f.isNullable)
     case _: ArrowType.List =>
+      val elem = fromArrowField(f.getChildren.get(0))
+      StructField(f.getName, ArrayType(elem.dataType, elem.nullable), f.isNullable)
+    // large_list (i64 offsets) reads as a plain array; vectors narrow
+    // to ListVector on load (ArrowIo.largeListToList)
+    case _: ArrowType.LargeList =>
       val elem = fromArrowField(f.getChildren.get(0))
       StructField(f.getName, ArrayType(elem.dataType, elem.nullable), f.isNullable)
     case _: ArrowType.FixedSizeList =>

@@ -129,6 +129,8 @@ object ArrowIo {
       } else v match {
         case fsl: org.apache.arrow.vector.complex.FixedSizeListVector =>
           (fslToList(fsl, alloc), true)
+        case ll: org.apache.arrow.vector.complex.LargeListVector =>
+          (largeListToList(ll, alloc), true)
         case needsWiden if widenTarget(needsWiden).isDefined =>
           (widen(needsWiden, alloc), true)
         case other => (other, false)
@@ -143,6 +145,7 @@ object ArrowIo {
     * documented), date64→date32 (floor days), fixed_size_binary→binary.
     */
   private def widenTarget(v: FieldVector): Option[String] = v match {
+    case _: org.apache.arrow.vector.Float2Vector => Some("f2")
     case _: org.apache.arrow.vector.UInt1Vector => Some("u1")
     case _: org.apache.arrow.vector.UInt2Vector => Some("u2")
     case _: org.apache.arrow.vector.UInt4Vector => Some("u4")
@@ -179,6 +182,15 @@ object ArrowIo {
     import org.apache.arrow.vector._
     val n = v.getValueCount
     v match {
+      case src: Float2Vector =>
+        // half-float → float is exact (every f16 value is an f32 value)
+        val out = new Float4Vector(src.getName, alloc); out.allocateNew(n)
+        var i = 0
+        while (i < n) {
+          if (!src.isNull(i)) out.setSafe(i, src.getValueAsFloat(i))
+          i += 1
+        }
+        out.setValueCount(n); out
       case src: UInt1Vector =>
         val out = new SmallIntVector(src.getName, alloc); out.allocateNew(n)
         var i = 0
@@ -408,6 +420,48 @@ object ArrowIo {
     }
     to.setValueCount(childIdx)
     list.setValueCount(fsl.getValueCount)
+    list
+  }
+
+  /** Copy a large-list (i64 offsets) vector into a variable list —
+    * Spark's ArrowColumnVector only has a ListVector accessor. A
+    * single in-JVM batch holds < 2^31 child elements by construction;
+    * an external batch beyond that fails loudly instead of wrapping.
+    */
+  def largeListToList(src: org.apache.arrow.vector.complex.LargeListVector,
+                      alloc: BufferAllocator): FieldVector = {
+    import org.apache.arrow.vector.complex.ListVector
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    val elemField = src.getField.getChildren.get(0)
+    val listField = new Field(src.getField.getName,
+      FieldType.nullable(ArrowType.List.INSTANCE), List(elemField).asJava)
+    val list = listField.createVector(alloc).asInstanceOf[ListVector]
+    list.allocateNew()
+    val from = src.getDataVector
+    val to = list.getDataVector
+    var childIdx = 0
+    var i = 0
+    while (i < src.getValueCount) {
+      if (src.isNull(i)) list.setNull(i)
+      else {
+        val start = src.getOffsetBuffer.getLong(i * 8L)
+        val end = src.getOffsetBuffer.getLong((i + 1) * 8L)
+        require(start >= 0 && end >= start && end <= Int.MaxValue,
+          s"large_list batch with ${end} child elements exceeds the " +
+            "2^31 per-batch limit of the list reader")
+        list.startNewValue(i)
+        var j = start.toInt
+        while (j < end) {
+          to.copyFromSafe(j, childIdx, from)
+          childIdx += 1
+          j += 1
+        }
+        list.endValue(i, (end - start).toInt)
+      }
+      i += 1
+    }
+    to.setValueCount(childIdx)
+    list.setValueCount(src.getValueCount)
     list
   }
 

@@ -45,10 +45,11 @@ class ArrowTypesSpec extends AnyFunSuite {
     assert(ArrowTypes.fromArrowType(new ArrowType.Int(32, false)) == LongType)
   }
 
-  test("half-float is rejected with a clear error") {
-    intercept[UnsupportedOperationException] {
-      ArrowTypes.fromArrowType(new ArrowType.FloatingPoint(FloatingPointPrecision.HALF))
-    }
+  test("half-float widens to float on read; write side never emits HALF") {
+    assert(ArrowTypes.fromArrowType(
+      new ArrowType.FloatingPoint(FloatingPointPrecision.HALF)) == FloatType)
+    assert(ArrowTypes.toArrowType(FloatType) ==
+      new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE))
   }
 
   test("union fields widen to a struct of nullable members") {

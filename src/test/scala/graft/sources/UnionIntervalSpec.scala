@@ -138,6 +138,58 @@ class UnionIntervalSpec extends SparkSpec {
         Duration.ofNanos(-1000), Duration.ofNanos(-1500000)))
   }
 
+  test("half-float vectors widen to float on read") {
+    val alloc = ArrowIo.rootAllocator()
+    val hf = new org.apache.arrow.vector.Float2Vector("h", alloc)
+    hf.allocateNew(4)
+    hf.setSafeWithPossibleTruncate(0, 1.5f)   // exactly representable in f16
+    hf.setSafeWithPossibleTruncate(1, -0.25f)
+    hf.setSafeWithPossibleTruncate(2, 65504f) // f16 max
+    // index 3 left null
+    hf.setValueCount(4)
+    val root = new VectorSchemaRoot(Seq(hf.getField).asJava,
+      Seq(hf: org.apache.arrow.vector.FieldVector).asJava, 4)
+    val dir = Files.createTempDirectory("graft-halffloat").toString
+    writeOne(dir, root)
+    root.close(); alloc.close()
+
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema("h").dataType == org.apache.spark.sql.types.FloatType)
+    val got = df.collect().toSeq.map(r =>
+      if (r.isNullAt(0)) None else Some(r.getFloat(0)))
+    assert(got == Seq(Some(1.5f), Some(-0.25f), Some(65504f), None))
+  }
+
+  test("large_list vectors read as plain arrays") {
+    val alloc = ArrowIo.rootAllocator()
+    val ll = org.apache.arrow.vector.complex.LargeListVector.empty("v", alloc)
+    ll.allocateNew()
+    val w = ll.getWriter
+    w.setPosition(0); w.startList()
+    w.bigInt().writeBigInt(1L); w.bigInt().writeBigInt(2L)
+    w.endList()
+    w.setPosition(1); w.startList(); w.endList() // empty list
+    // position 2 left null
+    w.setPosition(3); w.startList()
+    w.bigInt().writeBigInt(-7L)
+    w.endList()
+    ll.setValueCount(4)
+    val root = new VectorSchemaRoot(Seq(ll.getField).asJava,
+      Seq(ll: org.apache.arrow.vector.FieldVector).asJava, 4)
+    val dir = Files.createTempDirectory("graft-largelist").toString
+    writeOne(dir, root)
+    root.close(); alloc.close()
+
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema("v").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = true))
+    val got = df.collect().toSeq.map(r =>
+      if (r.isNullAt(0)) None else Some(r.getSeq[Long](0)))
+    assert(got == Seq(Some(Seq(1L, 2L)), Some(Seq.empty[Long]), None,
+      Some(Seq(-7L))))
+  }
+
   test("month_day_nano interval vector reads as calendar interval") {
     val alloc = ArrowIo.rootAllocator()
     val mdn = new org.apache.arrow.vector.IntervalMonthDayNanoVector("mdn", alloc)
