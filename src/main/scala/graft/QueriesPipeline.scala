@@ -176,8 +176,11 @@ object QueriesPipeline {
     QueryDef("q_dedup_simhash",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // sigs feeds banding + both hamming joins; recomputing the
+        // codegen'd expression per consumer measured cheaper than
+        // persisting (cache scan overhead > simhash hashing)
         val sigs = Dedup.simhash(docs, "doc_id", "text")
-        val found = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+        val found = Dedup.simhashNearDupsFromSigs(sigs, maxHamming = 3)
           .select(col("id_a"), col("id_b"), lit(true).as("f"))
         val ham = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
         Dedup.ngramJaccardViaLsh(docs, "doc_id", "text", 0.8, bands = 32)

@@ -206,8 +206,16 @@ object Dedup {
     * bucket-local join; verified by bit_count(xor) <= maxHamming.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
-    val sigs = simhash(docs, idCol, textCol)
+                      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame =
+    simhashNearDupsFromSigs(simhash(docs, idCol, textCol), maxHamming, maxBucket)
+
+  /** Near-dup pairs from precomputed `simhash()` signatures — callers
+    * that also consume the signatures directly (e.g. to report hamming
+    * distances) compute/persist them once instead of re-hashing the
+    * corpus inside this operator.
+    */
+  def simhashNearDupsFromSigs(sigs: DataFrame,
+                              maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
