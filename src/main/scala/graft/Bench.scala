@@ -56,8 +56,13 @@ object Bench {
           // a failed run is NOT a timing — medians/totals over
           // time-to-exception would report a crash as a speedup
           case e: Throwable =>
+            // strip every JSON-illegal byte (quotes, backslash, ALL
+            // control chars), or one weird exception message corrupts
+            // the whole artifact
             errors.getOrElseUpdate(name,
-              e.toString.replaceAll("""["\\\n\r\t]""", "'").take(160))
+              e.toString.map(c =>
+                if (c == '"' || c == '\\' || c < ' ' || c == '\u007f') ' '
+                else c).take(160))
             Double.NaN
         }
     }
@@ -87,12 +92,16 @@ object Bench {
         java.nio.file.Paths.get(outPath).toAbsolutePath.getParent)
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
-    }
-    // compact summary first (its loss to head-clipping is harmless) ...
-    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"stat":"median","sf":"$sfDir"}""")
-    // ... full line LAST: tail capture always retains the final line,
-    // so the complete per-query map stays parseable
+    }.failed.foreach(t => Console.err.println(s"bench: could not write $outPath: $t"))
+    val summary =
+      f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"stat":"median","sf":"$sfDir"}"""
+    // summary, full line, summary again: the full per-query line stays
+    // whole in the tail when it fits, and when it doesn't (clipped
+    // mid-JSON at the window head) the trailing summary is still a
+    // complete parseable last line
+    println(summary)
     println(line)
+    println(summary)
     spark.stop()
   }
 }

@@ -17,20 +17,15 @@ object QueriesPipeline {
     * pipeline does before fanning out consumers, and it stops the gate
     * paying the pair pipeline twice.
     */
-  private val pairsCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Double), org.apache.spark.sql.DataFrame]
-  private val ccCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Double), org.apache.spark.sql.DataFrame]
-
   private def lshPairs(s: org.apache.spark.sql.SparkSession, d: String,
                        threshold: Double): org.apache.spark.sql.DataFrame =
-    pairsCache.getOrElseUpdate((System.identityHashCode(s), d, threshold),
+    SessionMemo(s, ("lshPairs", d, threshold))(
       Dedup.ngramJaccardViaLsh(Tables.documents(s, d), "doc_id", "text", threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def lshClusters(s: org.apache.spark.sql.SparkSession, d: String,
                           threshold: Double): org.apache.spark.sql.DataFrame =
-    ccCache.getOrElseUpdate((System.identityHashCode(s), d, threshold),
+    SessionMemo(s, ("lshClusters", d, threshold))(
       Dedup.connectedComponents(lshPairs(s, d, threshold).select("id_a", "id_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

@@ -40,15 +40,12 @@ object Tables {
     * sf-scaling but ~40× smaller than lineitem), not re-derived per
     * query — same trade as a bucketed dimension build.
     */
-  private val partsuppCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   def partsupp(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     // materialized once per (session, dir) and persisted — four TPC-H
     // queries (Q2/Q11/Q16/Q20) consume it, and re-deriving means
     // re-paying the lineitem-wide distinct shuffle each time
-    partsuppCache.getOrElseUpdate((System.identityHashCode(s), d),
+    SessionMemo(s, ("partsupp", d))(
       lineitem(s, d)
         .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
         .distinct()
@@ -57,7 +54,8 @@ object Tables {
         .withColumn("ps_supplycost",
           ((col("ps_partkey") * 13 + col("ps_suppkey") * 7) % 99900 + 100)
             .cast(org.apache.spark.sql.types.DoubleType) / 100.0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    )
   }
 
   /** The oracle-side twin of [[partsupp]], spliced into each oracle

@@ -123,7 +123,7 @@ object ArrowIo {
     indices.map { i =>
       val v = root.getVector(i)
       val encoding = v.getField.getDictionary
-      if (encoding != null) {
+      val out: (FieldVector, Boolean) = if (encoding != null) {
         val dict = reader.lookup(encoding.getId)
         (DictionaryEncoder.decode(v, dict).asInstanceOf[FieldVector], true)
       } else v match {
@@ -135,7 +135,27 @@ object ArrowIo {
           (widen(needsWiden, alloc), true)
         case other => (other, false)
       }
+      // widening is top-level only: a float16/large_list/uint/… vector
+      // nested inside a struct or list would reach Spark's accessor
+      // factory un-widened and die with an obscure error — reject it
+      // here with an actionable one instead
+      checkNestedSupported(out._1)
+      out
     }
+  }
+
+  private def checkNestedSupported(v: FieldVector): Unit = {
+    def walk(c: FieldVector): Unit = {
+      val unsupported = widenTarget(c).isDefined ||
+        c.isInstanceOf[org.apache.arrow.vector.complex.LargeListVector] ||
+        c.isInstanceOf[org.apache.arrow.vector.complex.FixedSizeListVector]
+      if (unsupported) throw new UnsupportedOperationException(
+        s"column child '${c.getField.getName}' of type ${c.getField.getType} " +
+          "is nested inside a struct/list; the scan widens such types at " +
+          "top level only — flatten the column or cast it upstream")
+      c.getChildrenFromFields.asScala.foreach(walk)
+    }
+    v.getChildrenFromFields.asScala.foreach(walk)
   }
 
   /** Spark's ArrowColumnVector has accessors only for signed ints,

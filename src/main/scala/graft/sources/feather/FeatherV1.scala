@@ -336,11 +336,17 @@ object FeatherV1 {
     val hconf = new graft.sources.arrow.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     HadoopFiles.mkdirs(dir, hconf.value)
-    // overwrite semantics: drop existing parts first, else re-writing
-    // with fewer partitions leaves stale parts that read as extra rows
-    HadoopFiles.dataFiles(dir, hconf.value)
-      .foreach(f => HadoopFiles.delete(f, hconf.value))
-    df.queryExecution.toRdd.foreachPartition { rows: Iterator[InternalRow] =>
+    // overwrite semantics: re-writing with fewer partitions must not
+    // leave stale parts that read back as extra rows. Stale files are
+    // snapshotted BEFORE and deleted AFTER the job succeeds, so a
+    // mid-write failure keeps the previous dataset, and a write whose
+    // input reads from this same directory consumes the old parts
+    // while the new ones land under attempt-unique tmp names.
+    val stale = HadoopFiles.dataFiles(dir, hconf.value).toSet
+    val rdd = df.queryExecution.toRdd
+    val produced = (0 until rdd.getNumPartitions)
+      .map(pid => f"part-$pid%05d.feather").toSet
+    rdd.foreachPartition { rows: Iterator[InternalRow] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
       // tmp is attempt-unique so concurrent speculative attempts never
@@ -351,6 +357,8 @@ object FeatherV1 {
       writeFile(tmp, schema, rows, hconf.value)
       HadoopFiles.rename(tmp, dst, hconf.value)
     }
+    stale.filterNot(p => produced.contains(p.substring(p.lastIndexOf('/') + 1)))
+      .foreach(f => HadoopFiles.delete(f, hconf.value))
   }
 
   // --------------------------------------------------------------------- read

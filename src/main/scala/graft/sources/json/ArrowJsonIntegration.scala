@@ -282,11 +282,14 @@ object ArrowJsonIntegration {
     val hconf = new graft.sources.arrow.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     HadoopFiles.mkdirs(dir, hconf.value)
-    // overwrite semantics: drop existing parts first, else re-writing
-    // with fewer partitions leaves stale parts that read as extra rows
-    HadoopFiles.dataFiles(dir, hconf.value)
-      .foreach(f => HadoopFiles.delete(f, hconf.value))
-    df.queryExecution.toRdd.foreachPartition { rows: Iterator[InternalRow] =>
+    // overwrite semantics: stale parts are snapshotted BEFORE and
+    // deleted AFTER the job succeeds (see FeatherV1.write for the
+    // failure-safety and self-read rationale)
+    val stale = HadoopFiles.dataFiles(dir, hconf.value).toSet
+    val rdd = df.queryExecution.toRdd
+    val produced = (0 until rdd.getNumPartitions)
+      .map(pid => f"part-$pid%05d.arrow.json").toSet
+    rdd.foreachPartition { rows: Iterator[InternalRow] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
       // attempt-unique tmp, partition-only dst: a speculative re-commit
@@ -296,6 +299,8 @@ object ArrowJsonIntegration {
       writeFile(tmp, schema, rows, conf = hconf.value)
       HadoopFiles.rename(tmp, dst, hconf.value)
     }
+    stale.filterNot(p => produced.contains(p.substring(p.lastIndexOf('/') + 1)))
+      .foreach(f => HadoopFiles.delete(f, hconf.value))
   }
 
   // -------------------------------------------------------------------- read
@@ -374,7 +379,23 @@ object ArrowJsonIntegration {
   }
 
   /** Fill `v` from one column node; returns the row count. */
-  private[json] def fillVector(v: FieldVector, col: JsonNode): Int = {
+  /** Fill `v` from one column node; returns the row count. `dicts`
+    * carries the document's dictionary batches so dictionary-encoded
+    * fields decode at ANY nesting depth (a struct/list/union child
+    * tagged with a dictionary id decodes through its dictionary the
+    * same way a top-level column does).
+    */
+  private[json] def fillVector(v: FieldVector, col: JsonNode,
+                               dicts: Map[Long, JsonNode] = Map.empty): Int = {
+    Option(v.getField.getMetadata.get(DictIdKey)).map(_.toLong) match {
+      case Some(id) if dicts.contains(id) =>
+        return fillDictDecoded(v, col, dicts(id), dicts)
+      case Some(id) =>
+        throw new IllegalArgumentException(
+          s"column ${v.getField.getName} references dictionary $id, " +
+            "absent from the document's dictionaries section")
+      case None => ()
+    }
     val n = col.get("count").asInt()
     val validity = Option(col.get("VALIDITY"))
       .map(a => (0 until n).map(i => a.get(i).asInt() != 0))
@@ -434,7 +455,7 @@ object ArrowJsonIntegration {
         lv.allocateNew()
         while (lv.getValueCapacity < n) lv.reAlloc()
         val child = col.get("children").get(0)
-        fillVector(lv.getDataVector, child)
+        fillVector(lv.getDataVector, child, dicts)
         (0 to n).foreach(i => lv.getOffsetBuffer.setInt(i * 4L, offsets.get(i).asInt()))
         (0 until n).foreach { i =>
           if (validity(i)) BitVectorHelper.setBit(lv.getValidityBuffer, i)
@@ -447,7 +468,8 @@ object ArrowJsonIntegration {
         sv.allocateNew()
         val children = col.get("children")
         (0 until children.size()).foreach { j =>
-          fillVector(sv.getChildByOrdinal(j).asInstanceOf[FieldVector], children.get(j))
+          fillVector(sv.getChildByOrdinal(j).asInstanceOf[FieldVector],
+            children.get(j), dicts)
         }
         (0 until n).foreach { i =>
           if (validity(i)) sv.setIndexDefined(i) else sv.setNull(i)
@@ -462,7 +484,7 @@ object ArrowJsonIntegration {
         val children = col.get("children")
         val members = (0 until children.size()).map { j =>
           val child = uv.getChildrenFromFields.get(j)
-          fillVector(child, children.get(j))
+          fillVector(child, children.get(j), dicts)
           child
         }
         // the vector addresses members by MinorType ordinal, so two
@@ -488,7 +510,7 @@ object ArrowJsonIntegration {
         val tags = duv.getField.getType.asInstanceOf[ArrowType.Union].getTypeIds
         (0 until children.size()).foreach { j =>
           fillVector(duv.getVectorByType(tags(j).toByte).asInstanceOf[FieldVector],
-            children.get(j))
+            children.get(j), dicts)
         }
         (0 until n).foreach { i =>
           duv.setTypeId(i, typeIds.get(i).asInt().toByte)
@@ -526,6 +548,46 @@ object ArrowJsonIntegration {
         s"arrow json integration reader: ${other.getClass.getSimpleName}")
     }
     n
+  }
+
+  /** Fill `v` (a value-typed vector) by decoding a dictionary-encoded
+    * batch column: the column's DATA are indices into `values`. The
+    * dictionary is materialized once into a scratch vector of the same
+    * value type, then rows copy through by index.
+    */
+  private def fillDictDecoded(v: FieldVector, col: JsonNode, values: JsonNode,
+                              dicts: Map[Long, JsonNode]): Int = {
+    val n = col.get("count").asInt()
+    val validity = Option(col.get("VALIDITY"))
+      .map(a => (0 until n).map(i => a.get(i).asInt() != 0))
+      .getOrElse((0 until n).map(_ => true))
+    val indices = col.get("DATA")
+    // the scratch values vector must NOT inherit the dictionary tag,
+    // or its own fill would recurse into decoding forever
+    val f = v.getField
+    val cleanMeta = new java.util.HashMap[String, String](f.getMetadata)
+    cleanMeta.remove(DictIdKey)
+    val cleanField = new Field(f.getName,
+      new FieldType(f.isNullable, f.getType, null,
+        if (cleanMeta.isEmpty) null else cleanMeta),
+      f.getChildren)
+    val dict = cleanField.createVector(v.getAllocator)
+    try {
+      val dictLen = fillVector(dict, values, dicts)
+      v.setInitialCapacity(n)
+      v.allocateNew()
+      (0 until n).foreach { i =>
+        if (validity(i)) {
+          val idx = indices.get(i).asInt()
+          require(idx >= 0 && idx < dictLen,
+            s"dictionary index $idx out of range [0, $dictLen) " +
+              s"for column ${v.getField.getName}")
+          v.copyFromSafe(idx, i, dict)
+        }
+      }
+      v.setValueCount(n)
+      n
+    } finally dict.close()
   }
 }
 
@@ -573,48 +635,11 @@ class ArrowJsonReader(path: String, alloc: BufferAllocator,
     root.getSchema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
       val col = byName.getOrElse(f.getName,
         throw new IllegalArgumentException(s"$path: column ${f.getName} missing"))
-      n = Option(f.getMetadata.get(ArrowJsonIntegration.DictIdKey)) match {
-        case Some(id) =>
-          val values = dictData.getOrElse(id.toLong, throw new IllegalArgumentException(
-            s"$path: column ${f.getName} references dictionary $id, " +
-              "absent from the document's dictionaries section"))
-          fillDictDecoded(root.getVector(i), col, values)
-        case None => ArrowJsonIntegration.fillVector(root.getVector(i), col)
-      }
+      n = ArrowJsonIntegration.fillVector(root.getVector(i), col, dictData)
     }
     root.setRowCount(n)
     readBytes += 1 // nominal; the document is parsed wholesale up front
     true
-  }
-
-  /** Fill `v` (a value-typed vector) by decoding a dictionary-encoded
-    * batch column: the column's DATA are indices into `values`. The
-    * dictionary is materialized once into a scratch vector of the same
-    * value type, then rows copy through by index.
-    */
-  private def fillDictDecoded(v: FieldVector, col: JsonNode,
-                              values: JsonNode): Int = {
-    val n = col.get("count").asInt()
-    val validity = Option(col.get("VALIDITY"))
-      .map(a => (0 until n).map(i => a.get(i).asInt() != 0))
-      .getOrElse((0 until n).map(_ => true))
-    val indices = col.get("DATA")
-    val dict = v.getField.createVector(v.getAllocator)
-    try {
-      val dictLen = ArrowJsonIntegration.fillVector(dict, values)
-      v.setInitialCapacity(n)
-      v.allocateNew()
-      (0 until n).foreach { i =>
-        if (validity(i)) {
-          val idx = indices.get(i).asInt()
-          require(idx >= 0 && idx < dictLen,
-            s"$path: dictionary index $idx out of range [0, $dictLen)")
-          v.copyFromSafe(idx, i, dict)
-        }
-      }
-      v.setValueCount(n)
-      n
-    } finally dict.close()
   }
 
   override def bytesRead(): Long = readBytes

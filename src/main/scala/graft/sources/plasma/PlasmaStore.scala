@@ -58,9 +58,14 @@ class PlasmaStore(dir: String) {
       : ByteBuffer = {
     if (contains(id))
       throw new IllegalStateException(s"plasma object '$id' already sealed")
+    // bound dataSize BEFORE summing: dataSize + meta + FOOTER on an
+    // unchecked Long.MaxValue would wrap negative and pass a naive
+    // total check
+    require(dataSize >= 0 && dataSize <= Int.MaxValue &&
+        dataSize + metadata.length + FOOTER <= Int.MaxValue,
+      s"plasma object '$id' of $dataSize data bytes exceeds the " +
+        "2 GiB mapped-buffer limit")
     val total = dataSize + metadata.length + FOOTER
-    require(dataSize >= 0 && total <= Int.MaxValue,
-      s"plasma object '$id' of $total bytes exceeds the 2 GiB mapped-buffer limit")
     val ch = try {
       FileChannel.open(Paths.get(unsealedPath(id)),
         java.nio.file.StandardOpenOption.CREATE_NEW,
@@ -82,6 +87,13 @@ class PlasmaStore(dir: String) {
       map.position(0)
       map.limit(dataSize.toInt)
       map.slice()
+    } catch {
+      // a failed allocation must release the CREATE_NEW claim, or the
+      // id is permanently stuck at 'already being created'
+      case t: Throwable =>
+        ch.close()
+        Files.deleteIfExists(Paths.get(unsealedPath(id)))
+        throw t
     } finally ch.close()
   }
 
@@ -116,6 +128,9 @@ class PlasmaStore(dir: String) {
         val raf = new RandomAccessFile(sealedPath(id), "r")
         try {
           val total = raf.length()
+          // graft objects are ≤2 GiB by create()'s contract; a larger
+          // file is foreign — mapping it would throw, so miss early
+          if (total > Int.MaxValue) return None
           val map = raf.getChannel.map(FileChannel.MapMode.READ_ONLY, 0, total)
           map.order(ByteOrder.LITTLE_ENDIAN)
           // a foreign or torn file must be a clean miss, not garbage
@@ -189,22 +204,27 @@ class PlasmaStore(dir: String) {
   private[plasma] def sealedSnapshot(): Map[String, Long] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(_.getName.endsWith(".obj"))
-      .map { f =>
-        val h = f.getName.stripSuffix(".obj")
-        val id = new String(
-          h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray, "UTF-8")
-        id -> f.length()
-      }.toMap
+      .flatMap(f => decodeId(f.getName).map(_ -> f.length()))
+      .toMap
+  }
+
+  /** Decode `<hex>.obj` back to the object id; None for foreign files
+    * (non-hex names must not crash listings or subscriptions).
+    */
+  private def decodeId(fileName: String): Option[String] = {
+    if (!fileName.endsWith(".obj")) return None
+    val h = fileName.stripSuffix(".obj")
+    if (h.nonEmpty && h.length % 2 == 0 &&
+        h.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+      Some(new String(
+        h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray, "UTF-8"))
+    else None
   }
 
   def list(): Seq[String] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).getOrElse(Array.empty).toSeq
-      .map(_.getName).filter(_.endsWith(".obj"))
-      .map(_.stripSuffix(".obj"))
-      .map(h => new String(
-        h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray, "UTF-8"))
+      .flatMap(f => decodeId(f.getName))
       .sorted
   }
 

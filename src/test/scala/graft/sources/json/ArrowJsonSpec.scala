@@ -134,6 +134,49 @@ class ArrowJsonSpec extends SparkSpec {
       (Some("lo"), Some(200)), (None, Some(100)))) // index 2 → null level
   }
 
+  test("dictionary-encoded fields nested inside structs and lists decode") {
+    // indices must decode through the dictionary at any depth — a
+    // nested dict field parsed as plain values would silently return
+    // the indices themselves
+    val doc =
+      """{"schema": {"fields": [
+        |  {"name": "st", "nullable": true, "type": {"name": "struct"},
+        |   "children": [
+        |     {"name": "c", "nullable": true, "type": {"name": "utf8"},
+        |      "children": [],
+        |      "dictionary": {"id": 0,
+        |        "indexType": {"name": "int", "bitWidth": 16, "isSigned": true},
+        |        "isOrdered": false}}]},
+        |  {"name": "xs", "nullable": true, "type": {"name": "list"},
+        |   "children": [
+        |     {"name": "item", "nullable": true, "type": {"name": "utf8"},
+        |      "children": [],
+        |      "dictionary": {"id": 0,
+        |        "indexType": {"name": "int", "bitWidth": 32, "isSigned": true},
+        |        "isOrdered": false}}]}]},
+        | "dictionaries": [
+        |  {"id": 0, "data": {"count": 2, "columns": [
+        |    {"name": "DICT0", "count": 2, "VALIDITY": [1, 1],
+        |     "OFFSET": [0, 2, 4], "DATA": ["aa", "bb"]}]}}],
+        | "batches": [
+        |  {"count": 2, "columns": [
+        |    {"name": "st", "count": 2, "VALIDITY": [1, 1],
+        |     "children": [
+        |       {"name": "c", "count": 2, "VALIDITY": [1, 1], "DATA": [1, 0]}]},
+        |    {"name": "xs", "count": 2, "VALIDITY": [1, 1],
+        |     "OFFSET": [0, 2, 3],
+        |     "children": [
+        |       {"name": "item", "count": 3, "VALIDITY": [1, 1, 1],
+        |        "DATA": [0, 1, 1]}]}]}]}
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graft-ajson-nesteddict")
+    Files.write(Paths.get(dir.toString, "part-0.arrow.json"), doc.getBytes("UTF-8"))
+    val df = spark.read.format("arrow").load(dir.toString)
+    val got = df.collect().toSeq.map(r =>
+      (r.getStruct(0).getString(0), r.getSeq[String](1)))
+    assert(got == Seq(("bb", Seq("aa", "bb")), ("aa", Seq("bb"))))
+  }
+
   test("a dictionary id missing from the document fails loudly") {
     val doc =
       """{"schema": {"fields": [

@@ -123,9 +123,16 @@ class PlasmaStoreSpec extends SparkSpec {
     bytes.put(PlasmaStore.MAGIC)
     Files.write(java.nio.file.Paths.get(torn), bytes.array())
     assert(store.get("torn", timeoutMs = 0).isEmpty)
+    // a foreign file with a non-hex name must not crash listings or
+    // subscriptions either
+    Files.write(java.nio.file.Paths.get(dir, "junk.obj"),
+      "not ours".getBytes("UTF-8"))
+    val sub = store.subscribe()
     // a genuine object in the same dir is still served
     store.create("ok", 2).put("ab".getBytes("UTF-8")); store.seal("ok")
     assert(new String(store.get("ok").get.dataBytes, "UTF-8") == "ab")
+    assert(!store.list().contains("junk"))
+    assert(sub.getNotification(timeoutMs = 5000).map(_.id).contains("ok"))
   }
 
   test("subscribe observes a seal from another process, and deletions") {
