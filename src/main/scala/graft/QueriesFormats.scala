@@ -55,6 +55,22 @@ object QueriesFormats {
         FROM orders WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // -------------------------------------- D11b/c plasma roundtrip
+    // node-local object-store interop: a bounded dim table parked as a
+    // sealed arrow-stream object, read back via the plasma source's
+    // batch path (one scan partition per sealed object).
+    QueryDef("q_plasma_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-plasma-q").toString
+        val store = new graft.sources.plasma.PlasmaStore(dir)
+        store.putDataFrame("customers",
+          Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal"))
+        s.read.format("plasma").option("dir", dir).load()
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+        ORDER BY c_custkey""")),
+
     // ------------------------------------------------------- D8 ORC
     QueryDef("q_orc_roundtrip",
       (s, d) => {
