@@ -96,6 +96,16 @@ class PushdownSpec extends SparkSpec {
       s"partition predicate leaked into data filters:\n$plan")
   }
 
+  test("q_tpch11 reads partsupp from the session-materialized cache") {
+    // the derived partsupp is persisted once per session — its four
+    // consumers must plan an in-memory scan, not re-derive the
+    // lineitem-wide distinct
+    val df = SparkEntry.queries("q_tpch11")(spark, sfDir)
+    val plan = executedPlanString(df)
+    assert(plan.contains("InMemoryTableScan"),
+      s"expected partsupp InMemoryTableScan in:\n$plan")
+  }
+
   test("q_tpch21 scans lineitem once") {
     val df = SparkEntry.queries("q_tpch21")(spark, sfDir)
     val plan = executedPlanString(df)
