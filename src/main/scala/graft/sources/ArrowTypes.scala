@@ -137,15 +137,10 @@ object ArrowTypes {
       val value = fromArrowField(entries.getChildren.get(1))
       StructField(f.getName,
         MapType(key.dataType, value.dataType, value.nullable), f.isNullable)
-    case _: ArrowType.List =>
-      val elem = fromArrowField(f.getChildren.get(0))
-      StructField(f.getName, ArrayType(elem.dataType, elem.nullable), f.isNullable)
-    // large_list (i64 offsets) reads as a plain array; vectors narrow
-    // to ListVector on load (ArrowIo.largeListToList)
-    case _: ArrowType.LargeList =>
-      val elem = fromArrowField(f.getChildren.get(0))
-      StructField(f.getName, ArrayType(elem.dataType, elem.nullable), f.isNullable)
-    case _: ArrowType.FixedSizeList =>
+    // list, large_list (i64 offsets) and fixed_size_list all read as
+    // plain arrays; non-List vectors narrow/copy to ListVector on
+    // load (ArrowIo.largeListToList / fslToList)
+    case _: ArrowType.List | _: ArrowType.LargeList | _: ArrowType.FixedSizeList =>
       val elem = fromArrowField(f.getChildren.get(0))
       StructField(f.getName, ArrayType(elem.dataType, elem.nullable), f.isNullable)
     case _: ArrowType.Struct =>

@@ -146,6 +146,14 @@ object ArrowIo {
 
   private def checkNestedSupported(v: FieldVector): Unit = {
     def walk(c: FieldVector): Unit = {
+      // a nested dictionary-encoded child would surface its raw
+      // indices as values (decode is top-level only) — silent wrong
+      // data, so it must be rejected ahead of the scan
+      if (c.getField.getDictionary != null)
+        throw new UnsupportedOperationException(
+          s"dictionary-encoded column child '${c.getField.getName}' is " +
+            "nested inside a struct/list; the scan decodes dictionaries " +
+            "at top level only — flatten or decode the column upstream")
       val unsupported = widenTarget(c).isDefined ||
         c.isInstanceOf[org.apache.arrow.vector.complex.LargeListVector] ||
         c.isInstanceOf[org.apache.arrow.vector.complex.FixedSizeListVector]

@@ -74,6 +74,42 @@ object HadoopFiles {
     } else Seq(path)
   }
 
+  /** Name of a task attempt's staged part file. Dot-prefixed, so
+    * staged files are invisible to dataFiles (and thus to concurrent
+    * readers) until commit.
+    */
+  def stagedName(token: String, pid: Int, tid: Long, ext: String): String =
+    f".job-$token-part-$pid%05d-$tid.$ext.tmp"
+
+  /** Driver-side commit of a tmp-staged dataset write. Tasks write
+    * ONLY `stagedName` files; after the job succeeds this picks one
+    * attempt per partition, renames it to its final part name
+    * (replacing any old part), drops losing speculative attempts, and
+    * deletes `stale` files not re-produced by this job. A job that
+    * fails before commit leaves the previous dataset fully intact
+    * (plus invisible tmp litter); a write whose input reads from this
+    * same directory consumes the old parts for the whole job, since
+    * nothing is renamed until every task has finished.
+    */
+  def commitStagedWrite(dir: String, token: String, stale: Set[String],
+                        dstName: Int => String, conf: Configuration): Unit = {
+    val f = fs(dir, conf)
+    val prefix = s".job-$token-part-"
+    val tmps = Option(f.listStatus(new Path(dir))).getOrElse(Array.empty).toSeq
+      .filter(_.isFile).map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+    val byPid = tmps.groupBy(_.getName.stripPrefix(prefix).take(5).toInt)
+    val produced = byPid.keySet.map(dstName)
+    byPid.foreach { case (pid, attempts) =>
+      val winner = attempts.maxBy(_.getName) // any attempt is valid; pick deterministically
+      attempts.filterNot(_ == winner).foreach(a => f.delete(a, false))
+      rename(winner.toString, s"$dir/${dstName(pid)}", conf)
+    }
+    stale.map(new Path(_))
+      .filterNot(p => produced.contains(p.getName))
+      .foreach(p => f.delete(p, false))
+  }
+
   def fileSize(path: String, conf: Configuration): Long =
     fs(path, conf).getFileStatus(new Path(path)).getLen
 

@@ -336,29 +336,22 @@ object FeatherV1 {
     val hconf = new graft.sources.arrow.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     HadoopFiles.mkdirs(dir, hconf.value)
-    // overwrite semantics: re-writing with fewer partitions must not
-    // leave stale parts that read back as extra rows. Stale files are
-    // snapshotted BEFORE and deleted AFTER the job succeeds, so a
-    // mid-write failure keeps the previous dataset, and a write whose
-    // input reads from this same directory consumes the old parts
-    // while the new ones land under attempt-unique tmp names.
+    // staged overwrite: tasks write ONLY invisible attempt-unique tmp
+    // files; the driver commits after the whole job succeeds (one
+    // attempt per partition renamed into place, stale parts deleted).
+    // A mid-job failure keeps the previous dataset intact, and a write
+    // reading from its own directory consumes the old parts for the
+    // whole job — see HadoopFiles.commitStagedWrite.
     val stale = HadoopFiles.dataFiles(dir, hconf.value).toSet
-    val rdd = df.queryExecution.toRdd
-    val produced = (0 until rdd.getNumPartitions)
-      .map(pid => f"part-$pid%05d.feather").toSet
-    rdd.foreachPartition { rows: Iterator[InternalRow] =>
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    df.queryExecution.toRdd.foreachPartition { rows: Iterator[InternalRow] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
-      // tmp is attempt-unique so concurrent speculative attempts never
-      // share a file; dst is partition-only so a re-commit replaces
-      // instead of duplicating the partition's rows
-      val tmp = f"$dir/.part-$pid%05d-$tid.feather.tmp"
-      val dst = f"$dir/part-$pid%05d.feather"
+      val tmp = s"$dir/${HadoopFiles.stagedName(token, pid, tid, "feather")}"
       writeFile(tmp, schema, rows, hconf.value)
-      HadoopFiles.rename(tmp, dst, hconf.value)
     }
-    stale.filterNot(p => produced.contains(p.substring(p.lastIndexOf('/') + 1)))
-      .foreach(f => HadoopFiles.delete(f, hconf.value))
+    HadoopFiles.commitStagedWrite(dir, token, stale,
+      pid => f"part-$pid%05d.feather", hconf.value)
   }
 
   // --------------------------------------------------------------------- read

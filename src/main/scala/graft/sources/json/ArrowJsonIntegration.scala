@@ -282,25 +282,19 @@ object ArrowJsonIntegration {
     val hconf = new graft.sources.arrow.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     HadoopFiles.mkdirs(dir, hconf.value)
-    // overwrite semantics: stale parts are snapshotted BEFORE and
-    // deleted AFTER the job succeeds (see FeatherV1.write for the
-    // failure-safety and self-read rationale)
+    // staged overwrite: tasks write only invisible tmp files, the
+    // driver commits after job success (HadoopFiles.commitStagedWrite
+    // — same failure-safety and self-read rationale as FeatherV1.write)
     val stale = HadoopFiles.dataFiles(dir, hconf.value).toSet
-    val rdd = df.queryExecution.toRdd
-    val produced = (0 until rdd.getNumPartitions)
-      .map(pid => f"part-$pid%05d.arrow.json").toSet
-    rdd.foreachPartition { rows: Iterator[InternalRow] =>
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    df.queryExecution.toRdd.foreachPartition { rows: Iterator[InternalRow] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
-      // attempt-unique tmp, partition-only dst: a speculative re-commit
-      // replaces the part file instead of duplicating the partition
-      val tmp = f"$dir/.part-$pid%05d-$tid.arrow.json.tmp"
-      val dst = f"$dir/part-$pid%05d.arrow.json"
+      val tmp = s"$dir/${HadoopFiles.stagedName(token, pid, tid, "arrow.json")}"
       writeFile(tmp, schema, rows, conf = hconf.value)
-      HadoopFiles.rename(tmp, dst, hconf.value)
     }
-    stale.filterNot(p => produced.contains(p.substring(p.lastIndexOf('/') + 1)))
-      .foreach(f => HadoopFiles.delete(f, hconf.value))
+    HadoopFiles.commitStagedWrite(dir, token, stale,
+      pid => f"part-$pid%05d.arrow.json", hconf.value)
   }
 
   // -------------------------------------------------------------------- read

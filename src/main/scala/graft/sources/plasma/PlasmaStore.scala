@@ -180,7 +180,7 @@ class PlasmaStore(dir: String) {
   def evict(numBytes: Long): Long = {
     val files = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty).toSeq
-      .filter(f => f.getName.endsWith(".obj"))
+      .filter(f => decodeId(f.getName).isDefined) // never evict foreign files
       .sortBy(f => (f.lastModified(), f.getName)) // LRU analog: oldest seal first
     var freed = 0L
     val it = files.iterator
@@ -191,6 +191,26 @@ class PlasmaStore(dir: String) {
     }
     freed
   }
+
+  /** Ids of sealed objects whose footer validates — the set a scan
+    * may plan over. A torn or foreign hex-named file is skipped here
+    * the same way get() treats it as a miss, so one junk file cannot
+    * take down reads of every healthy object.
+    */
+  private[plasma] def validObjects(): Seq[String] =
+    list().filter { id =>
+      try {
+        val raf = new RandomAccessFile(sealedPath(id), "r")
+        try {
+          val total = raf.length()
+          total <= Int.MaxValue && {
+            val map = raf.getChannel.map(FileChannel.MapMode.READ_ONLY, 0, total)
+            map.order(ByteOrder.LITTLE_ENDIAN)
+            footerSizes(map, total).isDefined
+          }
+        } finally raf.close()
+      } catch { case _: java.io.IOException => false }
+    }
 
   /** Subscribe to object-sealed (and deleted) notifications
     * (reference: cpp/src/plasma/client.h:211–228 `Subscribe` /

@@ -23,12 +23,17 @@ import graft.sources.arrow.{ArrowInputPartition, ArrowIo, ArrowPartitionReaderFa
   *   spark.readStream.format("plasma").option("dir", "/dev/shm/store")
   *
   * Contract: objects hold Arrow IPC stream payloads of ONE schema
-  * (put there by `PlasmaStore.putDataFrame` or any Arrow writer), and
-  * a sealed object must not be deleted before the batch that carries
+  * (put there by `PlasmaStore.putDataFrame` or any Arrow writer); a
+  * sealed object must not be deleted before the batch that carries
   * it is processed (the standard replayability contract a file source
-  * has). Like the store itself this is a node-local interop surface —
-  * the driver and the sealing process share the directory; point it
-  * at /dev/shm for shared-page semantics.
+  * has); and object ids are unique over the stream's lifetime —
+  * offsets are id sets, so deleting an id and re-sealing new content
+  * under the SAME id is not re-delivered (reference plasma ObjectIDs
+  * are likewise never reused). Torn or foreign files in the directory
+  * are skipped, matching `get()`'s clean-miss behavior. Like the
+  * store itself this is a node-local interop surface — the driver and
+  * the sealing process share the directory; point it at /dev/shm for
+  * shared-page semantics.
   */
 class PlasmaStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "plasma"
@@ -82,7 +87,7 @@ class PlasmaScan(requiredSchema: StructType, dir: String,
   // batch read: every currently-sealed object, one partition each
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    store.list().map(id =>
+    store.validObjects().map(id =>
       ArrowInputPartition(store.sealedPath(id)): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowPartitionReaderFactory(requiredSchema, hconf)
@@ -110,7 +115,7 @@ class PlasmaMicroBatchStream(schema: StructType, dir: String,
 
   override def initialOffset(): Offset = PlasmaOffset(Seq.empty)
 
-  override def latestOffset(): Offset = PlasmaOffset(store.list())
+  override def latestOffset(): Offset = PlasmaOffset(store.validObjects())
 
   override def deserializeOffset(json: String): Offset = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

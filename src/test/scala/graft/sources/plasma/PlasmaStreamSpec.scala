@@ -66,6 +66,18 @@ class PlasmaStreamSpec extends SparkSpec {
     store.abort("wip")
   }
 
+  test("torn or foreign files in the store dir are skipped, not fatal") {
+    val dir = tmp()
+    val store = new PlasmaStore(dir)
+    store.putDataFrame("good", spark.range(3).toDF())
+    // a hex-named file with no valid footer: get() misses it, and the
+    // scan must skip it rather than crash every healthy object's read
+    Files.write(java.nio.file.Paths.get(store.sealedPath("torn")),
+      "garbage bytes, no footer".getBytes("UTF-8"))
+    val df = spark.read.format("plasma").option("dir", dir).load()
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("an object missing a required column fails loudly, not wrong columns") {
     val dir = tmp()
     val store = new PlasmaStore(dir)
