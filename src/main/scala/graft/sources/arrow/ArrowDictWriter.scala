@@ -52,25 +52,23 @@ object ArrowDictWriter {
     }.toMap
     val sc = df.sparkSession.sparkContext
     val hconf = new SerializableHadoopConf(sc.hadoopConfiguration)
-    // overwrite semantics + task-commit protocol (same as the DSv2
-    // sink): stale part files from a previous wider write are removed,
-    // tasks write hidden .tmp files and rename into place — a retried/
-    // speculative task never exposes a partial IPC file to readers
+    // staged overwrite: tasks write only invisible attempt-unique tmp
+    // files, the driver commits after job success
+    // (HadoopFiles.commitStagedWrite) — a failed or partial job never
+    // disturbs the previous dataset
     HadoopFiles.mkdirs(dir, hconf.value)
-    HadoopFiles.dataFiles(dir, hconf.value)
-      .foreach(f => HadoopFiles.delete(f, hconf.value))
+    val stale = HadoopFiles.dataFiles(dir, hconf.value).toSet
+    val token = java.util.UUID.randomUUID().toString.take(12)
     val bc = sc.broadcast(vocabs)
     val counts = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
-      // attempt-unique tmp (speculative attempts must not share a
-      // file); dst stays partition-only so re-commits replace
-      val tmp = f"$dir/.part-$pid%05d-$tid.arrow.tmp"
-      val dst = f"$dir/part-$pid%05d.arrow"
+      val tmp = s"$dir/${HadoopFiles.stagedName(token, pid, tid, "arrow")}"
       val n = ArrowIo.writeRowsDict(
         tmp, schema, it, bc.value, stream, batchRows, conf = hconf.value)
-      HadoopFiles.rename(tmp, dst, hconf.value)
       Iterator.single(n)
     }.collect()
+    HadoopFiles.commitStagedWrite(dir, token, stale,
+      pid => f"part-$pid%05d.arrow", hconf.value)
     counts.sum
   }
 }

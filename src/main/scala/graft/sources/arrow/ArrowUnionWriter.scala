@@ -38,8 +38,10 @@ object ArrowUnionWriter {
     val sc = df.sparkSession.sparkContext
     val hconf = new SerializableHadoopConf(sc.hadoopConfiguration)
     HadoopFiles.mkdirs(dir, hconf.value)
-    HadoopFiles.dataFiles(dir, hconf.value)
-      .foreach(f => HadoopFiles.delete(f, hconf.value))
+    // staged overwrite: tasks write only invisible tmp files, the
+    // driver commits after job success (HadoopFiles.commitStagedWrite)
+    val stale = HadoopFiles.dataFiles(dir, hconf.value).toSet
+    val token = java.util.UUID.randomUUID().toString.take(12)
     val unionSet = unionCols.toSet
     val counts = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val alloc = ArrowIo.rootAllocator()
@@ -61,10 +63,8 @@ object ArrowUnionWriter {
         AFWriter(vectors(i), schema.fields(i).dataType)
       }
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
-      // attempt-unique tmp: concurrent speculative attempts must not
-      // clobber each other's in-flight bytes; dst is partition-only
-      val tmp = f"$dir/.part-$pid%05d-$tid.arrow.tmp"
-      val dst = f"$dir/part-$pid%05d.arrow"
+      // attempt-unique staged tmp: committed driver-side after the job
+      val tmp = s"$dir/${HadoopFiles.stagedName(token, pid, tid, "arrow")}"
       val ch = HadoopFiles.createChannel(tmp, hconf.value)
       val writer = new ArrowFileWriter(root, null, ch)
       var total = 0L
@@ -88,9 +88,10 @@ object ArrowUnionWriter {
       } finally {
         writer.close(); root.close(); alloc.close()
       }
-      HadoopFiles.rename(tmp, dst, hconf.value)
       Iterator.single(total)
     }.collect()
+    HadoopFiles.commitStagedWrite(dir, token, stale,
+      pid => f"part-$pid%05d.arrow", hconf.value)
     counts.sum
   }
 }
