@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Curation
+
+/** Corpus-curation gate queries (SURVEY §2.K): deterministic
+  * sampling/splits, benchmark decontamination, repetition scoring,
+  * TF-IDF, embedding cohesion, corpus profiling. Every query is
+  * deterministic (hash-keyed sampling, exact integer ratios, rounded
+  * float reductions) so each carries a full DuckDB oracle.
+  */
+object QueriesCuration {
+
+  /** SQL mirror of Curation.sampleKey. */
+  private val sqlKey = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+  /** Shared shingle CTE (mirrors Dedup.shingles semantics: distinct
+    * word n-grams of the lowercased text; whole text when shorter
+    * than n tokens). `n` is the shingle width.
+    */
+  private def shingleCte(n: Int): String =
+    s"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+       ), sh AS (
+         SELECT doc_id,
+           CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(t) - ${n - 2}),
+                       i -> array_to_string(t[i:i+${n - 1}], ' ')))
+           END AS g
+         FROM toks
+       ), ex AS (SELECT doc_id, unnest(g) AS gram FROM sh)"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------- K1 hash sample
+    // ~10% deterministic sample: reproducible across runs, engines and
+    // cluster sizes — pure filter, no shuffle, trivially 100 TB-safe.
+    QueryDef("q_sample_hash",
+      (s, d) => Curation.hashSample(Tables.documents(s, d), "doc_id", 26)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+        WHERE $sqlKey < '1a' ORDER BY doc_id""")),
+
+    // ------------------------------------------- K2 stratified sample
+    // per-stratum rates (en 50%, rest 20%) via a keyed threshold —
+    // the up/down-sampling primitive behind language rebalancing.
+    QueryDef("q_sample_stratified",
+      (s, d) => Tables.documents(s, d)
+        .where(Curation.sampleKey(col("doc_id")) <
+          when(col("lang") === "en", "80").otherwise("33"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM documents
+        WHERE $sqlKey < CASE WHEN lang = 'en' THEN '80' ELSE '33' END
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------ K3 k-per-group sample
+    // deterministic reservoir analog: 5 docs per source, ranked by id
+    // hash. One shuffle on the group key, per-group state is O(k).
+    QueryDef("q_sample_group_topk",
+      (s, d) => Curation.groupSample(Tables.documents(s, d), "source", "doc_id", 5)
+        .select(col("source"), col("doc_id"), col("rn"))
+        .orderBy("source", "rn"),
+      Some("""SELECT source, doc_id, rn FROM (
+          SELECT source, doc_id,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+          FROM documents)
+        WHERE rn <= 5 ORDER BY source, rn""")),
+
+    // ------------------------------------------- K4 train/val/test split
+    // deterministic split assignment; checked as per-split profile so
+    // the oracle validates both membership and stratification counts.
+    QueryDef("q_split_assign",
+      (s, d) => Tables.documents(s, d)
+        .select(Curation.splitAssign(col("doc_id")).as("split"), col("source"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("split"),
+      Some(s"""SELECT CASE WHEN k < 'cc' THEN 'train'
+                    WHEN k < 'e6' THEN 'val' ELSE 'test' END AS split,
+          COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+        FROM (SELECT $sqlKey AS k, source FROM documents)
+        GROUP BY 1 ORDER BY split""")),
+
+    // ------------------------------------------- K5 decontamination
+    // 5-gram overlap between the eval subset (doc_id % 31 = 0, the
+    // stand-in for an external benchmark) and the training corpus.
+    QueryDef("q_contamination",
+      (s, d) => Curation.contamination(Tables.documents(s, d), "doc_id", "text",
+          col("doc_id") % 31 === 0, n = 5)
+        .orderBy("doc_id"),
+      Some(s"""${shingleCte(5)}
+        SELECT c.doc_id, COUNT(DISTINCT e.doc_id) AS n_eval_docs,
+          COUNT(DISTINCT c.gram) AS n_gram_hits
+        FROM ex c JOIN ex e ON c.gram = e.gram
+        WHERE e.doc_id % 31 = 0 AND c.doc_id % 31 <> 0
+        GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
+    // ------------------------------------------- K6 repetition score
+    // share of each doc's bigrams taken by its most frequent bigram
+    // (Gopher-style boilerplate flag). Exact integer ratio → exact
+    // cross-engine double.
+    QueryDef("q_repetition",
+      (s, d) => Curation.topBigramShare(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+        ), bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)),
+            i -> array_to_string(t[i:i+1], ' '))) AS gram
+          FROM toks WHERE len(t) >= 2
+        ), cnt AS (
+          SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+        SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+          AS top_bigram_share
+        FROM cnt GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------ K7 TF-IDF terms
+    // top-scoring term per doc with the exact rational IDF (N/df):
+    // bit-identical doubles cross-engine, ties broken on the term.
+    QueryDef("q_tfidf_top",
+      (s, d) => Curation.tfidfTopTerm(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents
+        ), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tfidf FROM (
+          SELECT tf.doc_id, tf.term,
+            CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS tfidf,
+            row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE) DESC,
+                tf.term) AS rn
+          FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        WHERE rn = 1 ORDER BY doc_id""")),
+
+    // ------------------------------------------ K8 embedding cohesion
+    // per-label centroid cosine cohesion — the cluster-quality screen
+    // over the embedded corpus; float sums surface rounded to 6 dp
+    // (the established cross-engine float-reduction contract).
+    QueryDef("q_embed_cohesion",
+      (s, d) => Curation.labelCohesion(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label")
+        .orderBy("label"),
+      Some("""WITH ex AS (
+          SELECT vec_id, label,
+            unnest(embedding) AS xf,
+            unnest(range(len(embedding))) AS pos
+          FROM embeddings
+        ), exd AS (SELECT vec_id, label, pos, CAST(xf AS DOUBLE) AS x FROM ex),
+        cent AS (SELECT label, pos, AVG(x) AS c FROM exd GROUP BY 1, 2),
+        cn AS (SELECT label, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY 1),
+        pv AS (
+          SELECT e.vec_id, e.label,
+            SUM(e.x * c.c) AS dv, sqrt(SUM(e.x * e.x)) AS vn
+          FROM exd e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+          GROUP BY 1, 2)
+        SELECT pv.label, COUNT(*) AS n_vecs,
+          round(AVG(dv / (vn * cn.cn)), 6) AS avg_cos
+        FROM pv JOIN cn ON pv.label = cn.label
+        GROUP BY pv.label ORDER BY pv.label""")),
+
+    // ---------------------------------------- K9 length histogram
+    // corpus profile: 100-char doc-length buckets — the quick shape
+    // check before setting chunking/packing parameters.
+    QueryDef("q_length_histogram",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(floor(col("n_chars") / lit(100)).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket,
+          COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+          MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1 ORDER BY bucket""")),
+
+    // --------------------------------------------- K10 source mixing
+    // uniform-target mixing weights per source: weight · observed
+    // share = 1/n_sources. Exact integer ratio → exact double.
+    QueryDef("q_source_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        // scalar aggregate: bounded single row, broadcast by construction
+        val totals = docs.agg(count(lit(1)).as("n_total"),
+          countDistinct("source").as("n_sources"))
+        counts.join(broadcast(totals))
+          .select(col("source"), col("n_docs"),
+            (col("n_total").cast(DoubleType) /
+              (col("n_sources") * col("n_docs")).cast(DoubleType)).as("weight"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+          t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT source) AS n_sources
+                FROM documents)
+        SELECT source, n_docs,
+          CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE) AS weight
+        FROM c CROSS JOIN t ORDER BY source""")))
+}

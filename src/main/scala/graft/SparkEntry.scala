@@ -11,7 +11,7 @@ object SparkEntry {
 
   def registry: Seq[QueryDef] =
     QueriesRelational.all ++ QueriesPipeline.all ++ QueriesEvents.all ++
-      QueriesFormats.all ++ QueriesTpch.all
+      QueriesFormats.all ++ QueriesTpch.all ++ QueriesCuration.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * deterministic sampling/splitting, benchmark decontamination,
+  * repetition scoring, TF-IDF term extraction, embedding cohesion.
+  *
+  * Everything here is reproducible by construction — sampling and
+  * splits key off a content hash (md5 of the id), never off RNG state,
+  * so a re-run, a different cluster size, or a different engine
+  * produces the identical subset. That property is what makes the
+  * operators oracle-checkable AND what a production pipeline needs to
+  * make experiments repeatable across 100 TB reshuffles.
+  *
+  * All operators are pure DataFrame compositions: narrow maps plus the
+  * minimal key-local shuffles (no driver collects, no UDFs, no
+  * cartesians), so they distribute like any other relational query.
+  */
+object Curation {
+
+  /** Deterministic sampling key in [00,ff]: the first md5 hex byte of
+    * the id rendered as a decimal string. Uniform over ids, stable
+    * across engines (identical builtin in DuckDB for the oracle).
+    */
+  def sampleKey(id: Column): Column = substring(md5(id.cast(StringType)), 1, 2)
+
+  /** Keep ~rate256/256 of rows, chosen deterministically by id. */
+  def hashSample(df: DataFrame, idCol: String, rate256: Int): DataFrame = {
+    require(rate256 >= 0 && rate256 <= 256, s"rate256 out of range: $rate256")
+    df.where(sampleKey(col(idCol)) < lit(f"$rate256%02x"))
+  }
+
+  /** Deterministic train/val/test assignment by id hash. Boundaries
+    * are hex prefixes: [00,cc) train ≈ 79.7%, [cc,e6) val ≈ 10.2%,
+    * [e6,ff] test ≈ 10.2%.
+    */
+  def splitAssign(id: Column): Column = {
+    val k = sampleKey(id)
+    when(k < "cc", "train").when(k < "e6", "val").otherwise("test")
+  }
+
+  /** Deterministic k-per-group subsample (reservoir-sampling analog
+    * with a hash in place of the RNG): rank rows in each group by
+    * their md5 key and keep the first k. One shuffle on the group key.
+    */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+    df.withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= k)
+  }
+
+  /** Benchmark decontamination: n-gram overlap between an eval subset
+    * (`evalPred` rows) and the rest of the corpus. Returns one row per
+    * contaminated corpus doc: how many eval docs it shares an n-gram
+    * with, and how many distinct n-grams hit.
+    *
+    * Scale shape: the join key is the shingle, so candidate generation
+    * is bucket-local — never all-pairs. In production the eval side is
+    * a fixed benchmark suite (MBs), so its shingle set stays small and
+    * AQE broadcasts it; nothing here forces a broadcast of an
+    * sf-scaling input.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    evalPred: Column, n: Int = 5): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"), evalPred.as("is_eval"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val evalGrams = grams.where(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val corpusGrams = grams.where(!col("is_eval")).select("doc_id", "gram")
+    corpusGrams.join(evalGrams, "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct("eval_id").as("n_eval_docs"),
+        countDistinct("gram").as("n_gram_hits"))
+  }
+
+  /** Gopher-style repetition signal: the share of a doc's word
+    * bigrams taken by its single most frequent bigram. High values
+    * flag boilerplate/degenerate text. Exact integer ratio (cast to
+    * double at the end) so the score is bit-identical cross-engine.
+    */
+  def topBigramShare(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val bigrams = docs.select(col(idCol).as("doc_id"), t.as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))).as("gram"))
+    bigrams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max("c").cast(DoubleType) / sum("c").cast(DoubleType))
+        .as("top_bigram_share"))
+  }
+
+  /** Highest-TF-IDF term per document. IDF is the exact rational
+    * N/df (no log) so the score — tf·N/df in IEEE doubles — is
+    * bit-identical across engines; ranking ties break on the term.
+    * Two key-local shuffles (doc_id+term, then term) plus a per-doc
+    * window; the doc-count scalar joins as a broadcast single row.
+    */
+  def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").join(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("tf") * col("n_docs")).cast(DoubleType) / col("df").cast(DoubleType))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("doc_id", "term", "tfidf")
+  }
+
+  /** Embedding-space cohesion per label: each label's centroid, then
+    * the mean cosine of members to their centroid — the standard
+    * cluster-quality / label-noise screen over an embedded corpus.
+    * Decomposes into pos-keyed partial aggregates (no vectors are
+    * ever collected): explode to (label, pos, x), average into the
+    * centroid, dot each vector against it, reduce per label.
+    */
+  def labelCohesion(embeds: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    val ex = embeds.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("xf").cast(DoubleType).as("x"))
+    val cent = ex.groupBy("label", "pos").agg(avg("x").as("c"))
+    val cnorm = cent.groupBy("label").agg(sqrt(sum(col("c") * col("c"))).as("cn"))
+    val perVec = ex.join(cent, Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("x") * col("c")).as("dv"),
+        sqrt(sum(col("x") * col("x"))).as("vn"))
+    perVec.join(cnorm, "label")
+      .select(col("label"), (col("dv") / (col("vn") * col("cn"))).as("cos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("cos"), 6).as("avg_cos"))
+  }
+}

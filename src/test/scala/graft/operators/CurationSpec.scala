@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat on the mat", "src0"),
+    (1L, "spam spam spam spam spam spam", "src0"),
+    (2L, "one two three four five six seven", "src1"),
+    (3L, "the cat sat on the mat today", "src1"),
+    (4L, "unique words only here now", "src1")
+  ).toDF("doc_id", "text", "source")
+
+  test("hashSample is deterministic and monotone in the rate") {
+    val ids = spark.range(0, 2000).toDF("doc_id")
+    val s10 = Curation.hashSample(ids, "doc_id", 26).collect().map(_.getLong(0)).toSet
+    val s10b = Curation.hashSample(ids, "doc_id", 26).collect().map(_.getLong(0)).toSet
+    val s50 = Curation.hashSample(ids, "doc_id", 128).collect().map(_.getLong(0)).toSet
+    assert(s10 == s10b, "same rate must select the same rows")
+    assert(s10.subsetOf(s50), "a higher rate must be a superset (threshold sampling)")
+    // ~10.2% and ~50% with binomial slack
+    assert(s10.size > 120 && s10.size < 300, s"10% sample sized ${s10.size}")
+    assert(s50.size > 850 && s50.size < 1150, s"50% sample sized ${s50.size}")
+  }
+
+  test("splitAssign partitions every row into exactly one split") {
+    val ids = spark.range(0, 1000).toDF("doc_id")
+    val counts = ids.select(Curation.splitAssign(col("doc_id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 700, s"train split ${counts("train")}")
+  }
+
+  test("groupSample keeps exactly min(k, group size) rows per group") {
+    val out = Curation.groupSample(docs, "source", "doc_id", 3)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("src0" -> 2L, "src1" -> 3L))
+  }
+
+  test("contamination finds shared 5-grams and nothing else") {
+    // eval = doc 0; doc 3 shares the 5-gram "the cat sat on the"
+    val out = Curation.contamination(docs, "doc_id", "text", col("doc_id") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((3L, 1L, 2L))) // shares 2 of doc 3's 5-grams
+  }
+
+  test("contamination plan is a shingle-keyed join, never a cartesian") {
+    val p = Curation.contamination(docs, "doc_id", "text", col("doc_id") === 0)
+      .queryExecution.executedPlan
+    val cartesian = p.collect {
+      case n if n.nodeName.contains("CartesianProduct") ||
+        n.nodeName.contains("BroadcastNestedLoop") => n
+    }
+    assert(cartesian.isEmpty, "contamination must join on the shingle key")
+  }
+
+  test("topBigramShare scores degenerate repetition as 1.0") {
+    val out = Curation.topBigramShare(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0) // "spam spam" is every bigram
+    assert(out(4L) == 0.25) // 4 distinct bigrams
+    assert(out(0L) == 0.2) // 5 distinct bigrams
+  }
+
+  test("tfidfTopTerm prefers rare terms and breaks ties on the term") {
+    val out = Curation.tfidfTopTerm(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: "spam" occurs 6 times in 1 of 5 docs → dominates
+    assert(out(1L) == "spam")
+    // doc 0: "the" has tf=2 but df=2; "cat"/"mat"/"on"/"sat" tf=1 df=2;
+    // the×5/2=5.0 beats cat×5/2=2.5 → "the"
+    assert(out(0L) == "the")
+    // doc 2: all terms tf=1 df=1 score 5.0 → lexicographic "five"
+    assert(out(2L) == "five")
+  }
+
+  test("labelCohesion is 1.0 for identical vectors and counts members") {
+    val embeds = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 2.0f), 1), (4L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Curation.labelCohesion(embeds, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList.sorted
+    assert(out == List((0, 2L, 1.0), (1, 2L, 1.0)))
+  }
+}
