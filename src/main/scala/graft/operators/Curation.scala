@@ -31,7 +31,10 @@ object Curation {
   /** Keep ~rate256/256 of rows, chosen deterministically by id. */
   def hashSample(df: DataFrame, idCol: String, rate256: Int): DataFrame = {
     require(rate256 >= 0 && rate256 <= 256, s"rate256 out of range: $rate256")
-    df.where(sampleKey(col(idCol)) < lit(f"$rate256%02x"))
+    // 256 must mean "keep everything": its hex "100" is 3 chars and
+    // would compare lexicographically BELOW most 2-char keys
+    if (rate256 == 256) df
+    else df.where(sampleKey(col(idCol)) < lit(f"$rate256%02x"))
   }
 
   /** Deterministic train/val/test assignment by id hash. Boundaries

@@ -63,8 +63,8 @@ object ArrowDictWriter {
     val counts = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
       val tmp = s"$dir/${HadoopFiles.stagedName(token, pid, tid, "arrow")}"
-      val n = ArrowIo.writeRowsDict(
-        tmp, schema, it, bc.value, stream, batchRows, conf = hconf.value)
+      val n = HadoopFiles.stageTask(tmp, hconf.value)(p => ArrowIo.writeRowsDict(
+        p, schema, it, bc.value, stream, batchRows, conf = hconf.value))
       Iterator.single(n)
     }.collect()
     HadoopFiles.commitStagedWrite(dir, token, stale,

@@ -65,28 +65,31 @@ object ArrowUnionWriter {
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
       // attempt-unique staged tmp: committed driver-side after the job
       val tmp = s"$dir/${HadoopFiles.stagedName(token, pid, tid, "arrow")}"
-      val ch = HadoopFiles.createChannel(tmp, hconf.value)
-      val writer = new ArrowFileWriter(root, null, ch)
-      var total = 0L
-      try {
-        writer.start()
-        while (rows.hasNext) {
-          writers.foreach(_.reset())
-          var n = 0
-          while (n < batchRows && rows.hasNext) {
-            val row = rows.next()
-            var c = 0
-            while (c < writers.length) { writers(c).write(row, c); c += 1 }
-            n += 1
+      val total = HadoopFiles.stageTask(tmp, hconf.value) { p =>
+        val ch = HadoopFiles.createChannel(p, hconf.value)
+        val writer = new ArrowFileWriter(root, null, ch)
+        var n64 = 0L
+        try {
+          writer.start()
+          while (rows.hasNext) {
+            writers.foreach(_.reset())
+            var n = 0
+            while (n < batchRows && rows.hasNext) {
+              val row = rows.next()
+              var c = 0
+              while (c < writers.length) { writers(c).write(row, c); c += 1 }
+              n += 1
+            }
+            writers.foreach(_.finish())
+            root.setRowCount(n)
+            writer.writeBatch()
+            n64 += n
           }
-          writers.foreach(_.finish())
-          root.setRowCount(n)
-          writer.writeBatch()
-          total += n
+          writer.end()
+        } finally {
+          writer.close(); root.close(); alloc.close()
         }
-        writer.end()
-      } finally {
-        writer.close(); root.close(); alloc.close()
+        n64
       }
       Iterator.single(total)
     }.collect()

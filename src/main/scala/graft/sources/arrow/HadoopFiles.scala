@@ -81,27 +81,51 @@ object HadoopFiles {
   def stagedName(token: String, pid: Int, tid: Long, ext: String): String =
     f".job-$token-part-$pid%05d-$tid.$ext.tmp"
 
+  /** Task-side half of the staged protocol: run `write` against an
+    * in-progress (".w") name, then rename to the visible staged name
+    * only once it returns. An attempt that dies mid-write leaves only
+    * the ".w" file, which commit discards — a staged file's
+    * completeness is guaranteed by this rename, never by attempt
+    * ordering (a killed speculative attempt can hold ANY attempt id).
+    */
+  def stageTask[A](stagedPath: String, conf: Configuration)(write: String => A): A = {
+    val w = stagedPath + ".w"
+    val out = write(w)
+    rename(w, stagedPath, conf)
+    out
+  }
+
   /** Driver-side commit of a tmp-staged dataset write. Tasks write
-    * ONLY `stagedName` files; after the job succeeds this picks one
-    * attempt per partition, renames it to its final part name
-    * (replacing any old part), drops losing speculative attempts, and
-    * deletes `stale` files not re-produced by this job. A job that
-    * fails before commit leaves the previous dataset fully intact
-    * (plus invisible tmp litter); a write whose input reads from this
-    * same directory consumes the old parts for the whole job, since
-    * nothing is renamed until every task has finished.
+    * ONLY `stagedName` files via [[stageTask]]; after the job succeeds
+    * this picks one completed attempt per partition, renames it to its
+    * final part name (replacing any old part), drops losing
+    * speculative attempts and in-progress litter, and deletes `stale`
+    * files not re-produced by this job. A job that fails before commit
+    * leaves the previous dataset fully intact (plus invisible tmp
+    * litter); a write whose input reads from this same directory
+    * consumes the old parts for the whole job, since nothing is
+    * renamed until every task has finished.
     */
   def commitStagedWrite(dir: String, token: String, stale: Set[String],
                         dstName: Int => String, conf: Configuration): Unit = {
     val f = fs(dir, conf)
     val prefix = s".job-$token-part-"
-    val tmps = Option(f.listStatus(new Path(dir))).getOrElse(Array.empty).toSeq
+    val all = Option(f.listStatus(new Path(dir))).getOrElse(Array.empty).toSeq
       .filter(_.isFile).map(_.getPath)
       .filter(_.getName.startsWith(prefix))
-    val byPid = tmps.groupBy(_.getName.stripPrefix(prefix).take(5).toInt)
+    // only files whose task-side rename landed are complete; ".tmp.w"
+    // in-progress litter from dead attempts is deleted, never promoted
+    val (complete, torn) = all.partition(_.getName.endsWith(".tmp"))
+    torn.foreach(p => f.delete(p, false))
+    // parse the full digit run: %05d is a MINIMUM width, so take(5)
+    // would fold partitions >= 100000 into lower pids and lose data
+    val byPid = complete.groupBy(_.getName.stripPrefix(prefix).takeWhile(_.isDigit).toInt)
     val produced = byPid.keySet.map(dstName)
     byPid.foreach { case (pid, attempts) =>
-      val winner = attempts.maxBy(_.getName) // any attempt is valid; pick deterministically
+      // every complete attempt holds identical rows; latest attempt id,
+      // compared numerically, is the deterministic pick
+      val winner = attempts.maxBy(
+        _.getName.stripPrefix(prefix).dropWhile(_.isDigit).drop(1).takeWhile(_.isDigit).toLong)
       attempts.filterNot(_ == winner).foreach(a => f.delete(a, false))
       rename(winner.toString, s"$dir/${dstName(pid)}", conf)
     }

@@ -348,7 +348,7 @@ object FeatherV1 {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
       val tmp = s"$dir/${HadoopFiles.stagedName(token, pid, tid, "feather")}"
-      writeFile(tmp, schema, rows, hconf.value)
+      HadoopFiles.stageTask(tmp, hconf.value)(p => writeFile(p, schema, rows, hconf.value))
     }
     HadoopFiles.commitStagedWrite(dir, token, stale,
       pid => f"part-$pid%05d.feather", hconf.value)

@@ -291,7 +291,7 @@ object ArrowJsonIntegration {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
       val tmp = s"$dir/${HadoopFiles.stagedName(token, pid, tid, "arrow.json")}"
-      writeFile(tmp, schema, rows, conf = hconf.value)
+      HadoopFiles.stageTask(tmp, hconf.value)(p => writeFile(p, schema, rows, conf = hconf.value))
     }
     HadoopFiles.commitStagedWrite(dir, token, stale,
       pid => f"part-$pid%05d.arrow.json", hconf.value)

@@ -46,7 +46,11 @@ class PlasmaStreamSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val store = new PlasmaStore(dirOf(options))
-    val ids = store.list()
+    // validObjects (footer-checked), not list(): a torn or foreign
+    // file that happens to sort first must not break schema inference
+    // when healthy sealed objects exist — same skip-torn contract as
+    // the scan path
+    val ids = store.validObjects()
     require(ids.nonEmpty,
       s"plasma source: no sealed objects at ${dirOf(options)} to infer a " +
         "schema from — seal one first or pass an explicit schema")

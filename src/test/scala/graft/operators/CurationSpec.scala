@@ -27,6 +27,12 @@ class CurationSpec extends SparkSpec {
     assert(s50.size > 850 && s50.size < 1150, s"50% sample sized ${s50.size}")
   }
 
+  test("hashSample boundary rates: 0 keeps nothing, 256 keeps everything") {
+    val ids = spark.range(0, 500).toDF("doc_id")
+    assert(Curation.hashSample(ids, "doc_id", 0).count() == 0L)
+    assert(Curation.hashSample(ids, "doc_id", 256).count() == 500L)
+  }
+
   test("splitAssign partitions every row into exactly one split") {
     val ids = spark.range(0, 1000).toDF("doc_id")
     val counts = ids.select(Curation.splitAssign(col("doc_id")).as("s"))
