@@ -86,6 +86,41 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == "five")
   }
 
+  test("sampling and splits are stateless: identical assignments on a stream") {
+    // hash-keyed sampling/splitting is a pure filter/projection, so the
+    // same operators run unchanged under Structured Streaming — the
+    // property that lets one pipeline definition serve batch backfill
+    // and live ingestion with byte-identical subsets.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    input.addData(0L until 500L: _*)
+    val sampled = Curation.hashSample(input.toDF().withColumnRenamed("value", "doc_id"),
+        "doc_id", 26)
+      .withColumn("split", Curation.splitAssign(col("doc_id")))
+    val q = sampled.writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("cur_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = Curation.hashSample(spark.range(0, 500).toDF("doc_id"), "doc_id", 26)
+      .withColumn("split", Curation.splitAssign(col("doc_id"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch, "stream and batch must select identical subsets")
+    assert(streamed.nonEmpty)
+  }
+
+  test("plan shape: hashSample is a pure filter — no exchange, no aggregate") {
+    val p = Curation.hashSample(spark.range(0, 1000).toDF("doc_id"), "doc_id", 26)
+      .queryExecution.executedPlan
+    val heavy = p.collect {
+      case n if n.nodeName.contains("Exchange") ||
+        n.nodeName.contains("Aggregate") || n.nodeName.contains("Sort") => n
+    }
+    assert(heavy.isEmpty, s"sampling must stay embarrassingly parallel: $heavy")
+  }
+
   test("labelCohesion is 1.0 for identical vectors and counts members") {
     val embeds = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
