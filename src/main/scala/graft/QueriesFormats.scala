@@ -55,6 +55,24 @@ object QueriesFormats {
         FROM orders WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ------------------------------------- D14 parquet footer metadata
+    // pyarrow ParquetFile.metadata analog: row-group/column-chunk
+    // stats as a DataFrame, read distributed (one task per file
+    // batch, metadata-only IO). Oracle = DuckDB's parquet_metadata()
+    // over the same file; the literal sf0.01 path matches the fixed
+    // directory the driver's correctness gate always verifies at.
+    QueryDef("q_parquet_meta",
+      (s, d) => graft.sources.ParquetInfo.rowGroups(s, s"$d/lineitem.parquet")
+        .select(col("row_group_id"), col("path_in_schema"),
+          col("row_group_num_rows"), col("num_values"),
+          col("null_count"), col("total_compressed_size"))
+        .orderBy("row_group_id", "path_in_schema"),
+      Some("""SELECT row_group_id, path_in_schema, row_group_num_rows,
+          num_values, CAST(stats_null_count AS BIGINT) AS null_count,
+          total_compressed_size
+        FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        ORDER BY row_group_id, path_in_schema""")),
+
     // -------------------------------------- D11b/c plasma roundtrip
     // node-local object-store interop: a bounded dim table parked as a
     // sealed arrow-stream object, read back via the plasma source's
