@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.Curation
+import graft.operators.{Curation, Layout}
 
 /** Corpus-curation gate queries (SURVEY §2.K): deterministic
   * sampling/splits, benchmark decontamination, repetition scoring,
@@ -31,6 +31,15 @@ object QueriesCuration {
            END AS g
          FROM toks
        ), ex AS (SELECT doc_id, unnest(g) AS gram FROM sh)"""
+
+  /** SQL mirror of Layout.zValue over `bits`-bit coordinates (plain
+    * >>/&/<< arithmetic, identical semantics for non-negative inputs).
+    */
+  private def sqlZValue(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i}) | " +
+        s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
 
   val all: Seq[QueryDef] = Seq(
 
@@ -181,6 +190,24 @@ object QueriesCuration {
           COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
           MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY 1 ORDER BY bucket""")),
+
+    // ------------------------------------------------ K11 Z-order curve
+    // Morton-curve histogram over (o_custkey, o_orderkey) mod-256
+    // coordinates — checks the bit-interleave math cell-for-cell; the
+    // layout operator built on it (Layout.zOrderBy + range partition)
+    // is LayoutSpec-covered for the actual two-dimensional locality.
+    QueryDef("q_zorder_curve",
+      (s, d) => Tables.orders(s, d)
+        .select(Layout.zValue(col("o_custkey") % 256, col("o_orderkey") % 256, 8)
+          .as("z"))
+        .groupBy(shiftrightunsigned(col("z"), 8).as("zbucket"))
+        .agg(count(lit(1)).as("n"), min("z").as("min_z"), max("z").as("max_z"))
+        .orderBy("zbucket"),
+      Some(s"""SELECT (z >> 8) AS zbucket, COUNT(*) AS n,
+          MIN(z) AS min_z, MAX(z) AS max_z
+        FROM (SELECT ${sqlZValue("o_custkey % 256", "o_orderkey % 256", 8)} AS z
+              FROM orders)
+        GROUP BY 1 ORDER BY zbucket""")),
 
     // --------------------------------------------- K10 source mixing
     // uniform-target mixing weights per source: weight · observed

@@ -111,6 +111,33 @@ class CurationSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("contamination screens a live stream against a static eval shingle set") {
+    // the production decontamination shape for ingestion: the eval
+    // benchmark's shingles are a static (broadcastable) side; new docs
+    // stream through a stream-static join and flag on overlap.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalGrams = docs.where(col("doc_id") === 0)
+      .select(explode(Dedup.shingles(col("text"), 5)).as("gram")).distinct()
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (3L, "the cat sat on the mat today"), // shares doc 0's 5-grams
+      (2L, "one two three four five six seven"))
+    val flagged = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      // ShingleSet emits distinct grams per doc and the eval side is
+      // deduped, so count == countDistinct (which streams can't run)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_gram_hits"))
+    val q = flagged.writeStream.format("memory").queryName("contam_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("contam_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(3L -> 2L), s"stream flagged $out")
+  }
+
   test("plan shape: hashSample is a pure filter — no exchange, no aggregate") {
     val p = Curation.hashSample(spark.range(0, 1000).toDF("doc_id"), "doc_id", 26)
       .queryExecution.executedPlan

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("zValue interleaves bits x-even / y-odd") {
+    val out = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 3)).collect()(0).getLong(0)
+    // x=101, y=011 → z = x0 + y0<<1 + x1<<2 + y1<<3 + x2<<4 + y2<<5 = 27
+    assert(out == 27L)
+    // identity strips: z of (x, 0) with 1-bit y is x's bits spread to even positions
+    val spread = Seq((3L, 0L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 2)).collect()(0).getLong(0)
+    assert(spread == 5L) // 11 → 0101
+  }
+
+  test("rangeBucket is monotone and stays in range") {
+    val out = spark.range(0, 1000).toDF("v")
+      .select(Layout.rangeBucket(col("v"), 0, 999, 4).as("b"))
+      .agg(min("b"), max("b"), count(lit(1))).collect()(0)
+    assert(out.getLong(0) == 0L && out.getLong(1) == 15L)
+  }
+
+  test("zOrderBy clusters BOTH dimensions; a one-column sort clusters only one") {
+    // 64x64 grid of points; partition into 16 slices and measure the
+    // mean per-slice bounding-box span in each dimension
+    val grid = spark.range(0, 64L * 64).toDF("i")
+      .select((col("i") % 64).as("x"), (col("i") / 64).cast("long").as("y"))
+    def meanSpans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val spans = df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .agg(avg("sx"), avg("sy")).collect()(0)
+      (spans.getDouble(0), spans.getDouble(1))
+    }
+    val (zx, zy) = meanSpans(Layout.zOrderBy(grid, col("x"), col("y"), 16, bits = 6))
+    val (lx, ly) = meanSpans(
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
+    // z-order: every 256-point slice is a compact box (≈16x16);
+    // x-sort: x is tight but y spans the full 64
+    assert(zx <= 20 && zy <= 20, s"z-order spans ($zx, $zy) not compact")
+    assert(ly >= 60, s"x-sorted layout should leave y unclustered, got $ly")
+    assert(zy < ly / 2, "z-order must beat single-column sort on the second dim")
+  }
+}
