@@ -191,6 +191,29 @@ object QueriesCuration {
           MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY 1 ORDER BY bucket""")),
 
+    // -------------------------------------------- K13 sequence packing
+    // greedy token-budget packing per source: the chunk→pack prep
+    // step before tokenizer batching. Checked as the per-pack profile
+    // (doc count + token sum), all-integer → exact.
+    QueryDef("q_pack_sequences",
+      (s, d) => Curation.packSequences(Tables.documents(s, d),
+          "source", "doc_id", "text", budgetTokens = 2048)
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("source", "pack_id"),
+      Some("""WITH toks AS (
+          SELECT source, doc_id,
+            CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+              AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT source, doc_id, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+          FROM toks)
+        SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+          COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM c GROUP BY 1, 2 ORDER BY source, pack_id""")),
+
     // ------------------------------------------------ K11 Z-order curve
     // Morton-curve histogram over (o_custkey, o_orderkey) mod-256
     // coordinates — checks the bit-interleave math cell-for-cell; the

@@ -122,6 +122,28 @@ object Curation {
       .select("doc_id", "term", "tfidf")
   }
 
+  /** Sequence packing: assign docs to fixed token-budget packs by
+    * running token count, per group (the prep step between chunking
+    * and tokenizer batching in a training pipeline). A doc lands in
+    * the pack its first token falls into, so packs fill greedily in
+    * id order and the assignment is deterministic. Parallel across
+    * groups — each group's running sum is one window partition; at
+    * 100 TB the group key is (source, shard) so no partition is ever
+    * a corpus-wide sequential scan.
+    */
+  def packSequences(docs: DataFrame, groupCol: String, idCol: String,
+                    textCol: String, budgetTokens: Int): DataFrame = {
+    val toks = docs.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    val w = Window.partitionBy("grp").orderBy("doc_id")
+    toks.withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / lit(budgetTokens.toDouble))
+          .cast(LongType))
+      .select(col("grp").as(groupCol), col("doc_id"), col("pack_id"),
+        col("n_tokens"))
+  }
+
   /** Embedding-space cohesion per label: each label's centroid, then
     * the mean cosine of members to their centroid — the standard
     * cluster-quality / label-noise screen over an embedded corpus.

@@ -148,6 +148,20 @@ class CurationSpec extends SparkSpec {
     assert(heavy.isEmpty, s"sampling must stay embarrassingly parallel: $heavy")
   }
 
+  test("packSequences fills packs greedily in id order within a group") {
+    val d = Seq(
+      (1L, "a b c", "s"),      // 3 tokens, cum 3  → pack 0
+      (2L, "d e f g", "s"),    // 4 tokens, cum 7  → pack 0 (starts at 3)
+      (3L, "h i j k l", "s"),  // 5 tokens, cum 12 → pack 0 (starts at 7)
+      (4L, "m n", "s"),        // 2 tokens, cum 14 → pack 1 (starts at 12)
+      (5L, "o p q", "t")       // other group restarts at pack 0
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.packSequences(d, "source", "doc_id", "text", budgetTokens = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("s", 1L) -> 0L, ("s", 2L) -> 0L, ("s", 3L) -> 0L,
+      ("s", 4L) -> 1L, ("t", 5L) -> 0L))
+  }
+
   test("labelCohesion is 1.0 for identical vectors and counts members") {
     val embeds = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
