@@ -58,11 +58,13 @@ object QueriesFormats {
     // ------------------------------------- D14 parquet footer metadata
     // pyarrow ParquetFile.metadata analog: row-group/column-chunk
     // stats as a DataFrame, read distributed (one task per file
-    // batch, metadata-only IO). Oracle = DuckDB's parquet_metadata()
-    // over the same file; the literal sf0.01 path matches the fixed
-    // directory the driver's correctness gate always verifies at.
+    // batch, metadata-only IO). DuckDB's parquet_metadata() needs a
+    // literal path, so BOTH engines pin the sf0.01 file — the gate
+    // stays correct at any invocation dir; ParquetInfo itself is
+    // path-parameterized (ParquetInfoSpec covers arbitrary inputs).
     QueryDef("q_parquet_meta",
-      (s, d) => graft.sources.ParquetInfo.rowGroups(s, s"$d/lineitem.parquet")
+      (s, _) => graft.sources.ParquetInfo.rowGroups(s,
+          "/root/testdata/sf0.01/lineitem.parquet")
         .select(col("row_group_id"), col("path_in_schema"),
           col("row_group_num_rows"), col("num_values"),
           col("null_count"), col("total_compressed_size"))

@@ -23,15 +23,6 @@ object QueriesPipeline {
       Dedup.ngramJaccardViaLsh(Tables.documents(s, d), "doc_id", "text", threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** The exact-Jaccard>=0.8 pair relation the simhash contract query
-    * checks against — same materialize-once rationale as lshPairs.
-    */
-  private def jaccardPairs08(s: org.apache.spark.sql.SparkSession,
-                             d: String): org.apache.spark.sql.DataFrame =
-    SessionMemo(s, ("lshPairs", d, 0.8, 32))(
-      Dedup.ngramJaccardViaLsh(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.8, bands = 32)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def lshClusters(s: org.apache.spark.sql.SparkSession, d: String,
                           threshold: Double): org.apache.spark.sql.DataFrame =
@@ -188,7 +179,9 @@ object QueriesPipeline {
         val found = Dedup.simhashNearDupsFromSigs(sigs, maxHamming = 3)
           .select(col("id_a"), col("id_b"), lit(true).as("f"))
         val ham = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
-        jaccardPairs08(s, d)
+        // memoized exact-Jaccard>=0.8 pair relation (same
+        // materialize-once rationale as the 0.5-threshold pairs)
+        lshPairs(s, d, threshold = 0.8)
           .select("id_a", "id_b")
           .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), "id_a")
           .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), "id_b")

@@ -133,6 +133,7 @@ object Curation {
     */
   def packSequences(docs: DataFrame, groupCol: String, idCol: String,
                     textCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"token budget must be positive: $budgetTokens")
     val toks = docs.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
       TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
     val w = Window.partitionBy("grp").orderBy("doc_id")

@@ -46,9 +46,14 @@ object Layout {
     * pruning on BOTH columns.
     */
   def zOrderBy(df: DataFrame, x: Column, y: Column, numFiles: Int,
-               bits: Int = 16): DataFrame =
-    df.withColumn("_z", zValue(x, y, bits))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+               bits: Int = 16): DataFrame = {
+    // pick a scratch name absent from the input — overwriting a real
+    // "_z" column would silently drop user data on the way out
+    val zc = Iterator.from(0).map(i => if (i == 0) "_z" else s"_z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, zValue(x, y, bits))
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+  }
 }

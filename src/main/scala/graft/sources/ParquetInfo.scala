@@ -40,7 +40,10 @@ object ParquetInfo {
     val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val files = HadoopFiles.dataFiles(path, hconf.value)
     import spark.implicits._
-    val parts = math.max(1, math.min(files.size, 32))
+    // fan out to the cluster's full width (one footer open per file;
+    // a fixed small cap would serialize 100k-file datasets)
+    val parts = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism * 2))
     spark.createDataset(files).repartition(parts)
       .flatMap { f =>
         val reader = ParquetFileReader.open(

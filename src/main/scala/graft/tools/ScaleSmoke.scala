@@ -21,6 +21,7 @@ import graft.operators.{Curation, Dedup}
 object ScaleSmoke {
 
   private def replicated(spark: SparkSession, d: String, mult: Int): DataFrame = {
+    require(mult >= 1, s"multiplier must be >= 1: $mult")
     val base = Tables.documents(spark, d).select("doc_id", "text")
     val n = base.count()
     val copies = (0 until mult).map { k =>

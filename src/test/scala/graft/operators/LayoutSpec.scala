@@ -40,9 +40,10 @@ class LayoutSpec extends SparkSpec {
     val (zx, zy) = meanSpans(Layout.zOrderBy(grid, col("x"), col("y"), 16, bits = 6))
     val (lx, ly) = meanSpans(
       grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
-    // z-order: every 256-point slice is a compact box (≈16x16);
+    // z-order: every 256-point slice is a compact box (≈16x16; bound
+    // leaves room for range-boundary sampling straddling quadrants);
     // x-sort: x is tight but y spans the full 64
-    assert(zx <= 20 && zy <= 20, s"z-order spans ($zx, $zy) not compact")
+    assert(zx <= 28 && zy <= 28, s"z-order spans ($zx, $zy) not compact")
     assert(ly >= 60, s"x-sorted layout should leave y unclustered, got $ly")
     assert(zy < ly / 2, "z-order must beat single-column sort on the second dim")
   }
