@@ -299,8 +299,12 @@ object QueriesPipeline {
     QueryDef("q_ann_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        // train-once/search-many: the index (a bounded local relation)
+        // memoizes per session like the other derived pipelines
+        val cents = SessionMemo(s, ("ivfCents", d, 16, 7L, 1))(
+          Similarity.trainIvfCentroids(emb, nCells = 16))
         Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5,
-            nCells = 16, nprobe = 16)
+            nCells = 16, nprobe = 16, centroids = Some(cents))
           .select("qid", "nid", "rank").orderBy("qid", "rank")
       },
       Some("""SELECT qid, nid, rank FROM (

@@ -230,18 +230,26 @@ object Similarity {
     * exhaustive probing; raise it when sub-exhaustive recall matters
     * more than index-build latency.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, stride: Long = 7, nprobe: Int = 4,
-              kmeansIters: Int = 1): DataFrame = {
+  /** Train the IVF index: k-means centroids pinned as a LOCAL relation
+    * (k·dim floats — bounded), so reusing them never re-executes the
+    * iterative Lloyd lineage. Production separates this train step
+    * from search — train once per corpus version, search many times.
+    */
+  def trainIvfCentroids(corpus: DataFrame, nCells: Int = 16, stride: Long = 7,
+                        kmeansIters: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // pin the trained centroids as a local relation: otherwise both
-    // the assignment and the probe join would re-execute the whole
-    // iterative Lloyd lineage (k·dim floats — bounded)
-    val cents = kmeansCentroids(corpus, nCells, stride, kmeansIters)
+    kmeansCentroids(corpus, nCells, stride, kmeansIters)
       .select(col("cent_id").cast(LongType), col("cent"))
       .as[(Long, Array[Float])].collect().toSeq
       .toDF("cent_id", "cent")
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, stride: Long = 7, nprobe: Int = 4,
+              kmeansIters: Int = 1, centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      trainIvfCentroids(corpus, nCells, stride, kmeansIters))
     val assigned = assignToCentroids(corpus, cents)
     val qCells = queries.as("q").join(broadcast(cents.as("k")))
       .select(col("q.vec_id").as("qid"), col("q.embedding").as("qe"),
