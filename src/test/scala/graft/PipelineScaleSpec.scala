@@ -59,6 +59,44 @@ class PipelineScaleSpec extends SparkSpec {
     }
   }
 
+  test("curation queries never broadcast or cross-join the corpus") {
+    // the K-suite reads the same sf-scaling corpus tables; same
+    // contract as the LSH paths (contamination's eval side is a
+    // filtered corpus subset here — at scale it is an external
+    // benchmark set, so it must not be FORCE-broadcast either way)
+    Seq("q_contamination", "q_tfidf_top", "q_embed_cohesion",
+      "q_pack_sequences", "q_repetition", "q_sample_group_topk").foreach { q =>
+      val p = plan(q)
+      val badBroadcast = p.collect {
+        case b if b.nodeName.contains("BroadcastExchange") &&
+          b.collectLeaves().exists(l =>
+            l.toString.contains("documents.parquet") ||
+              l.toString.contains("embeddings.parquet")) &&
+          // scalar aggregates (tfidf's doc-count row) are bounded
+          !b.exists {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+              a.groupingExpressions.isEmpty
+            case _ => false
+          } => b
+      }
+      assert(badBroadcast.isEmpty, s"$q force-broadcasts a corpus scan")
+      // scalar single-row joins (tfidf's broadcast doc count) plan as
+      // BroadcastNestedLoop with a grouping-free aggregate build side
+      // — bounded by construction, not a cartesian blow-up
+      def scalarBuild(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        n.children.exists(_.exists {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case _ => false
+        })
+      val cartesian = p.collect {
+        case n if n.nodeName.contains("CartesianProduct") ||
+          (n.nodeName.contains("BroadcastNestedLoop") && !scalarBuild(n)) => n
+      }
+      assert(cartesian.isEmpty, s"$q contains a cartesian join")
+    }
+  }
+
   test("the exhaustive gate config is the only cartesian in the suite") {
     val exhaustive = plan("q_embed_neardup").collect {
       case n if n.nodeName.contains("CartesianProduct") => n
