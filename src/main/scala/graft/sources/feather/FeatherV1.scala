@@ -224,8 +224,10 @@ object FeatherV1 {
     * Returns the row count.
     */
   def writeFile(path: String, schema: StructType, rows: Iterator[InternalRow],
-                conf: Configuration = HadoopFiles.local): Long = {
+                conf: Configuration = HadoopFiles.local,
+                categories: Set[String] = Set.empty): Long = {
     schema.fields.foreach(f => featherTypeOf(f.dataType)) // validate up front
+    validateCategories(schema, categories)
     val alloc = graft.sources.arrow.ArrowIo.rootAllocator()
     val vectors = schema.fields.map { f =>
       val v = ArrowTypes.toArrowField(f.name, f.dataType, f.nullable).createVector(alloc)
@@ -243,13 +245,21 @@ object FeatherV1 {
         n += 1
       }
       writers.foreach(_.finish())
-      writeVectors(path, schema, vectors.toSeq, n, conf)
+      writeVectors(path, schema, vectors.toSeq, n, conf, categories)
       n
     } finally {
       vectors.foreach(_.close())
       alloc.close()
     }
   }
+
+  /** Driver-side category validation: fail before any task launches. */
+  private def validateCategories(schema: StructType, categories: Set[String]): Unit =
+    categories.foreach { c =>
+      require(schema.fieldNames.contains(c), s"category column $c not in schema")
+      require(schema(c).dataType == StringType,
+        s"feather v1 category column $c must be string, got ${schema(c).dataType}")
+    }
 
   private def bufBytes(buf: ArrowBuf, n: Long): Array[Byte] = {
     // feather v1 buffers are materialized as JVM byte arrays; a column
@@ -265,7 +275,8 @@ object FeatherV1 {
 
   private[feather] def writeVectors(path: String, schema: StructType,
                                     vectors: Seq[FieldVector], numRows: Long,
-                                    conf: Configuration): Unit = {
+                                    conf: Configuration,
+                                    categories: Set[String] = Set.empty): Unit = {
     val out = HadoopFiles.fs(path, conf).create(new org.apache.hadoop.fs.Path(path), true)
     var pos = 0L
     def writePadded(bytes: Array[Byte]): Long = {
@@ -276,11 +287,56 @@ object FeatherV1 {
       pos += written
       written
     }
+    /** CATEGORY column (feather.cc's pandas-categorical path): the
+      * values array becomes int32 codes into a per-file `levels`
+      * dictionary in first-occurrence order. Self-contained per file,
+      * so parallel partition writers never coordinate a vocabulary.
+      */
+    def writeCategory(f: StructField, v: FieldVector): FColumn = {
+      require(f.dataType == StringType,
+        s"feather v1 category column ${f.name} must be string, got ${f.dataType}")
+      val sv = v.asInstanceOf[VarCharVector]
+      val n = sv.getValueCount
+      val nullCount = sv.getNullCount
+      val codeOf = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      val codes = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        if (!sv.isNull(i)) {
+          val s = new String(sv.get(i), "UTF-8")
+          codes(i) = codeOf.getOrElseUpdate(s, codeOf.size)
+        }
+        i += 1
+      }
+      val startPos = pos
+      var totalBytes = 0L
+      if (nullCount > 0)
+        totalBytes += writePadded(bufBytes(sv.getValidityBuffer, (n + 7) / 8))
+      val codeBuf = ByteBuffer.allocate(n * 4).order(ByteOrder.LITTLE_ENDIAN)
+      codes.foreach(codeBuf.putInt)
+      totalBytes += writePadded(codeBuf.array())
+      val valuesArr = FArray(T.INT32, startPos, n, nullCount, totalBytes)
+      // levels: [int32 offsets][utf8 data], no validity (never null)
+      val levels = codeOf.keys.toArray
+      val levBytes = levels.map(_.getBytes("UTF-8"))
+      val offBuf = ByteBuffer.allocate((levels.length + 1) * 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      var cum = 0
+      offBuf.putInt(0)
+      levBytes.foreach { b => cum += b.length; offBuf.putInt(cum) }
+      val levStart = pos
+      var levTotal = 0L
+      levTotal += writePadded(offBuf.array())
+      levTotal += writePadded(levBytes.flatten)
+      FColumn(f.name, valuesArr, M.CATEGORY, 0, None, 0,
+        levels = Some(FArray(T.UTF8, levStart, levels.length, 0, levTotal)))
+    }
     try {
       writePadded(MAGIC)
       val cols = schema.fields.indices.map { i =>
         val f = schema.fields(i)
         val v = vectors(i)
+        if (categories.contains(f.name)) writeCategory(f, v) else {
         val n = v.getValueCount
         val nullCount = v.getNullCount
         val (tpe, metaType) = featherTypeOf(f.dataType)
@@ -316,6 +372,7 @@ object FeatherV1 {
         }
         FColumn(f.name, FArray(tpe, startPos, n, nullCount, totalBytes),
           metaType, tsUnit, tsTz, timeUnit, levels = None)
+        }
       }
       val meta = encodeMetadata(FTable(numRows, cols))
       out.write(meta)
@@ -330,9 +387,11 @@ object FeatherV1 {
     * (the same dataset-directory layout as the arrow sink, readable
     * back via `spark.read.format("arrow")`).
     */
-  def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+  def write(df: org.apache.spark.sql.DataFrame, dir: String,
+            categories: Set[String] = Set.empty): Unit = {
     val schema = df.schema
     schema.fields.foreach(f => featherTypeOf(f.dataType))
+    validateCategories(schema, categories)
     val hconf = new graft.sources.arrow.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     HadoopFiles.mkdirs(dir, hconf.value)
@@ -348,7 +407,8 @@ object FeatherV1 {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
       val tmp = s"$dir/${HadoopFiles.stagedName(token, pid, tid, "feather")}"
-      HadoopFiles.stageTask(tmp, hconf.value)(p => writeFile(p, schema, rows, hconf.value))
+      HadoopFiles.stageTask(tmp, hconf.value)(p =>
+        writeFile(p, schema, rows, hconf.value, categories))
     }
     HadoopFiles.commitStagedWrite(dir, token, stale,
       pid => f"part-$pid%05d.feather", hconf.value)

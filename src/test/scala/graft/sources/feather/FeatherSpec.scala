@@ -136,6 +136,33 @@ class FeatherSpec extends SparkSpec {
     assert(got == Seq(("lo", 0L), ("mid", 1L), ("lo", 60L), ("hi", 3600L)))
   }
 
+  test("category write path: dictionary-encoded column roundtrips and shrinks the file") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType)))
+    val rows = (0 until 2000).map(i =>
+      Row(i.toLong, if (i % 7 == 0) null else s"category-value-${i % 5}"))
+    val df = spark.createDataFrame(rows.asJava, schema).coalesce(1)
+    val plainDir = Files.createTempDirectory("graft-feather-plain").toString
+    val catDir = Files.createTempDirectory("graft-feather-cat").toString
+    FeatherV1.write(df, plainDir)
+    FeatherV1.write(df, catDir, categories = Set("cat"))
+    def only(dir: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".feather")).head
+    // 5 levels of long strings vs 2000 copies: codes must be smaller
+    assert(only(catDir).length < only(plainDir).length,
+      "dictionary encoding should shrink a low-cardinality column")
+    val back = spark.read.format("arrow").load(catDir)
+    assert(back.schema("cat").dataType == StringType) // decodes through levels
+    val a = df.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val b = back.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(a == b)
+    // rejected cleanly for non-string columns
+    val err = intercept[IllegalArgumentException] {
+      FeatherV1.write(df, catDir, categories = Set("id"))
+    }
+    assert(err.getMessage.contains("must be string"))
+  }
+
   test("a column declaring a >2 GiB buffer fails loudly, not wrong-bytes") {
     // an external file can declare any 64-bit totalBytes; a ≥4 GiB
     // value narrowed to Int would wrap positive and silently slice
