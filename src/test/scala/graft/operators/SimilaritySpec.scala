@@ -105,6 +105,56 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.head > 0.0, s"nprobe=1 found nothing: $recalls")
   }
 
+  test("train-once/search-many: pre-trained centroids reproduce the default path") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 5)
+    val cents = Similarity.trainIvfCentroids(emb, nCells = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val trained = rows(Similarity.ivfTopK(emb, queries, k = 3, nCells = 8,
+      nprobe = 8, centroids = Some(cents)))
+    val default = rows(Similarity.ivfTopK(emb, queries, k = 3, nCells = 8, nprobe = 8))
+    assert(trained == default && trained.nonEmpty)
+    // search twice against the same index: identical answers, no retrain
+    assert(rows(Similarity.ivfTopK(emb, queries, k = 3, nCells = 8,
+      nprobe = 8, centroids = Some(cents))) == trained)
+  }
+
+  test("streaming ANN: a query stream searches a static pre-trained index") {
+    // the serving shape: index trained once on the static corpus,
+    // query micro-batches answered via foreachBatch — ivfTopK's
+    // window ranking is legal inside the batch context.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = Similarity.trainIvfCentroids(emb, nCells = 8)
+    val qVecs = emb.where(col("vec_id") < 3)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    input.addData(qVecs.toIndexedSeq)
+    val results = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.ivfTopK(emb, batch, k = 2, nCells = 8, nprobe = 8,
+            centroids = Some(cents))
+          .select("qid", "nid", "rank").collect()
+          .foreach(r => results.synchronized {
+            results += ((r.getLong(0), r.getLong(1), r.getLong(2)))
+          })
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val batchAnswers = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 3),
+        k = 2, nCells = 8, nprobe = 8, centroids = Some(cents))
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(results.toSet == batchAnswers && results.nonEmpty,
+      s"stream ${results.toSet} != batch $batchAnswers")
+  }
+
   test("brute force on real embeddings: top1 of each query has highest cosine") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val res = Similarity.bruteForceTopK(emb, emb.where($"vec_id" < 3), k = 1)
