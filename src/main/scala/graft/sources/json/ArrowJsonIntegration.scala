@@ -105,7 +105,8 @@ object ArrowJsonIntegration {
   }
 
   private def writeFieldJson(gen: com.fasterxml.jackson.core.JsonGenerator,
-                             name: String, dt: DataType, nullable: Boolean): Unit = {
+                             name: String, dt: DataType, nullable: Boolean,
+                             dictId: Option[Long] = None): Unit = {
     gen.writeStartObject()
     gen.writeStringField("name", name)
     gen.writeBooleanField("nullable", nullable)
@@ -116,6 +117,48 @@ object ArrowJsonIntegration {
       case StructType(fields) =>
         fields.foreach(f => writeFieldJson(gen, f.name, f.dataType, f.nullable))
       case _ => ()
+    }
+    gen.writeEndArray()
+    // dictionary-encoded field: "type" stays the VALUE type, the
+    // encoding is declared here (reference json-internal.cc:96–123)
+    dictId.foreach { id =>
+      gen.writeObjectFieldStart("dictionary")
+      gen.writeNumberField("id", id)
+      gen.writeObjectFieldStart("indexType")
+      gen.writeStringField("name", "int")
+      gen.writeNumberField("bitWidth", 32)
+      gen.writeBooleanField("isSigned", true)
+      gen.writeEndObject()
+      gen.writeBooleanField("isOrdered", false)
+      gen.writeEndObject()
+    }
+    gen.writeEndObject()
+  }
+
+  /** Indices column of a dictionary-encoded string field: codes are
+    * assigned first-occurrence through `vocab`, which accumulates
+    * across the file's batches (the dictionaries section is written
+    * after the last batch, once the vocabulary is final).
+    */
+  private def writeDictIndicesJson(gen: com.fasterxml.jackson.core.JsonGenerator,
+                                   name: String,
+                                   values: IndexedSeq[Option[(SpecializedGetters, Int)]],
+                                   vocab: scala.collection.mutable.LinkedHashMap[String, Int])
+      : Unit = {
+    val defined = values.map(v => v.exists { case (g, o) => !g.isNullAt(o) })
+    gen.writeStartObject()
+    gen.writeStringField("name", name)
+    gen.writeNumberField("count", values.length)
+    gen.writeArrayFieldStart("VALIDITY")
+    defined.foreach(d => gen.writeNumber(if (d) 1 else 0))
+    gen.writeEndArray()
+    gen.writeArrayFieldStart("DATA")
+    values.indices.foreach { i =>
+      if (defined(i)) {
+        val (g, o) = values(i).get
+        val s = g.getUTF8String(o).toString
+        gen.writeNumber(vocab.getOrElseUpdate(s, vocab.size))
+      } else gen.writeNumber(0)
     }
     gen.writeEndArray()
     gen.writeEndObject()
@@ -242,7 +285,16 @@ object ArrowJsonIntegration {
     */
   def writeFile(path: String, schema: StructType, rows: Iterator[InternalRow],
                 batchRows: Int = 4096,
-                conf: Configuration = HadoopFiles.local): Long = {
+                conf: Configuration = HadoopFiles.local,
+                categories: Set[String] = Set.empty): Long = {
+    validateCategories(schema, categories)
+    // stable per-file dict ids in field order; vocabularies accumulate
+    // first-occurrence codes across batches
+    val dictIds: Map[String, Long] = schema.fieldNames.toIndexedSeq
+      .filter(categories.contains).zipWithIndex
+      .map { case (n, i) => n -> i.toLong }.toMap
+    val vocabs = dictIds.map { case (n, _) =>
+      n -> scala.collection.mutable.LinkedHashMap.empty[String, Int] }
     val out = HadoopFiles.fs(path, conf).create(new org.apache.hadoop.fs.Path(path), true)
     val gen = new JsonFactory().createGenerator(out: java.io.OutputStream)
     var total = 0L
@@ -250,7 +302,8 @@ object ArrowJsonIntegration {
       gen.writeStartObject()
       gen.writeObjectFieldStart("schema")
       gen.writeArrayFieldStart("fields")
-      schema.fields.foreach(f => writeFieldJson(gen, f.name, f.dataType, f.nullable))
+      schema.fields.foreach(f =>
+        writeFieldJson(gen, f.name, f.dataType, f.nullable, dictIds.get(f.name)))
       gen.writeEndArray()
       gen.writeEndObject()
       gen.writeArrayFieldStart("batches")
@@ -261,24 +314,67 @@ object ArrowJsonIntegration {
         gen.writeNumberField("count", batch.length)
         gen.writeArrayFieldStart("columns")
         schema.fields.zipWithIndex.foreach { case (f, i) =>
-          writeColumnJson(gen, f.name, f.dataType,
-            batch.indices.map(r => Some((batch(r): SpecializedGetters, i))))
+          val slots = batch.indices.map(r => Some((batch(r): SpecializedGetters, i))
+            : Option[(SpecializedGetters, Int)])
+          if (dictIds.contains(f.name))
+            writeDictIndicesJson(gen, f.name, slots, vocabs(f.name))
+          else writeColumnJson(gen, f.name, f.dataType, slots)
         }
         gen.writeEndArray()
         gen.writeEndObject()
         total += batch.length
       }
       gen.writeEndArray()
+      if (dictIds.nonEmpty) {
+        gen.writeArrayFieldStart("dictionaries")
+        dictIds.toSeq.sortBy(_._2).foreach { case (name, id) =>
+          val levels = vocabs(name).keys.toIndexedSeq
+          gen.writeStartObject()
+          gen.writeNumberField("id", id)
+          gen.writeObjectFieldStart("data")
+          gen.writeNumberField("count", levels.length)
+          gen.writeArrayFieldStart("columns")
+          gen.writeStartObject()
+          gen.writeStringField("name", name)
+          gen.writeNumberField("count", levels.length)
+          gen.writeArrayFieldStart("VALIDITY")
+          levels.foreach(_ => gen.writeNumber(1))
+          gen.writeEndArray()
+          gen.writeArrayFieldStart("OFFSET")
+          var off = 0
+          gen.writeNumber(0)
+          levels.foreach { s => off += s.getBytes("UTF-8").length; gen.writeNumber(off) }
+          gen.writeEndArray()
+          gen.writeArrayFieldStart("DATA")
+          levels.foreach(gen.writeString)
+          gen.writeEndArray()
+          gen.writeEndObject()
+          gen.writeEndArray()
+          gen.writeEndObject()
+          gen.writeEndObject()
+        }
+        gen.writeEndArray()
+      }
       gen.writeEndObject()
       total
     } finally { gen.close(); out.close() }
   }
 
+  /** Driver-side category validation: fail before any task launches. */
+  private def validateCategories(schema: StructType, categories: Set[String]): Unit =
+    categories.foreach { c =>
+      require(schema.fieldNames.contains(c), s"category column $c not in schema")
+      require(schema(c).dataType == StringType,
+        s"json integration category column $c must be string, got ${schema(c).dataType}")
+    }
+
   /** Distributed write: one integration document per partition under
     * `dir`, readable back via `spark.read.format("arrow")`.
     */
-  def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+  def write(df: org.apache.spark.sql.DataFrame, dir: String,
+            categories: Set[String] = Set.empty): Unit = {
     val schema = df.schema
+    validateCategories(schema, categories)
     val hconf = new graft.sources.arrow.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     HadoopFiles.mkdirs(dir, hconf.value)
@@ -291,7 +387,8 @@ object ArrowJsonIntegration {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val tid = org.apache.spark.TaskContext.get().taskAttemptId()
       val tmp = s"$dir/${HadoopFiles.stagedName(token, pid, tid, "arrow.json")}"
-      HadoopFiles.stageTask(tmp, hconf.value)(p => writeFile(p, schema, rows, conf = hconf.value))
+      HadoopFiles.stageTask(tmp, hconf.value)(p =>
+        writeFile(p, schema, rows, conf = hconf.value, categories = categories))
     }
     HadoopFiles.commitStagedWrite(dir, token, stale,
       pid => f"part-$pid%05d.arrow.json", hconf.value)

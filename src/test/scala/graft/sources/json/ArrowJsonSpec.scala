@@ -134,6 +134,44 @@ class ArrowJsonSpec extends SparkSpec {
       (Some("lo"), Some(200)), (None, Some(100)))) // index 2 → null level
   }
 
+  test("dictionary WRITE path roundtrips and deduplicates the values") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType)))
+    val rows = (0 until 500).map(i =>
+      Row(i.toLong, if (i % 11 == 0) null else s"dict-value-${i % 4}"))
+    val df = spark.createDataFrame(rows.asJava, schema).coalesce(1)
+    val plainDir = Files.createTempDirectory("graft-ajson-wplain").toString
+    val dictDir = Files.createTempDirectory("graft-ajson-wdict").toString
+    ArrowJsonIntegration.write(df, plainDir)
+    ArrowJsonIntegration.write(df, dictDir, categories = Set("cat"))
+    def only(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".arrow.json")).head
+    // the document declares the dictionary and stores indices, so the
+    // 4 long level strings appear once each instead of ~455 times
+    assert(only(dictDir).length < only(plainDir).length)
+    val text = new String(Files.readAllBytes(only(dictDir).toPath), "UTF-8")
+    assert(text.contains("\"dictionaries\"") && text.contains("\"dictionary\""))
+    val back = spark.read.format("arrow").load(dictDir)
+    assert(back.schema("cat").dataType == StringType)
+    val a = df.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val b = back.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(a == b)
+    // multi-batch vocab accumulation: tiny batches, same answer
+    val multiDir = Files.createTempDirectory("graft-ajson-wdict2").toString
+    val n = graft.sources.json.ArrowJsonIntegration.writeFile(
+      s"$multiDir/part-0.arrow.json", schema,
+      df.queryExecution.toRdd.collect().iterator.map(_.copy()),
+      batchRows = 64, categories = Set("cat"))
+    assert(n == 500L)
+    val back2 = spark.read.format("arrow").load(multiDir)
+    assert(back2.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet == a)
+    // rejected cleanly for non-string columns
+    val err = intercept[IllegalArgumentException] {
+      ArrowJsonIntegration.write(df, dictDir, categories = Set("id"))
+    }
+    assert(err.getMessage.contains("must be string"))
+  }
+
   test("dictionary-encoded fields nested inside structs and lists decode") {
     // indices must decode through the dictionary at any depth — a
     // nested dict field parsed as plain values would silently return
