@@ -121,5 +121,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           TensorUnpack(a, graft.functions.TensorCodec.elemOf(dtype))
         case _ => throw new IllegalArgumentException("tensor_unpack(b[, dtype])")
       }))
+    // curation/layout primitives, built as raw catalyst trees (the
+    // Column bridge yields unresolved nodes a function builder can't
+    // return) with the same semantics as Curation.sampleKey /
+    // Layout.zValue — spec-asserted equal
+    ext.injectFunction((
+      FunctionIdentifier("sample_key"),
+      info("sample_key",
+        "sample_key(id) - deterministic 2-hex-char sampling key (md5 prefix of the id rendered as a string)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) =>
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Md5, Substring}
+          import org.apache.spark.sql.types.{BinaryType, StringType}
+          Substring(Md5(Cast(Cast(a, StringType), BinaryType)),
+            Literal(1), Literal(2))
+        case _ => throw new IllegalArgumentException("sample_key(id)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("z_value"),
+      info("z_value",
+        "z_value(x, y[, bits]) - Morton (Z-curve) interleave of two non-negative coordinates (default 16 bits each)"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Literal, ShiftLeft, ShiftRightUnsigned}
+        import org.apache.spark.sql.types.LongType
+        def lit(e: Expression): Int =
+          if (e.foldable) e.eval() match {
+            case i: java.lang.Number => i.intValue()
+            case other => throw new IllegalArgumentException(
+              s"z_value: bits must be an integer literal, got $other")
+          } else throw new IllegalArgumentException("z_value: bits must be a literal")
+        val (x, y, bits) = args match {
+          case Seq(a, b) => (a, b, 16)
+          case Seq(a, b, n) => (a, b, lit(n))
+          case _ => throw new IllegalArgumentException("z_value(x, y[, bits])")
+        }
+        require(bits >= 1 && bits <= 31, s"z_value: bits out of range: $bits")
+        val xl = Cast(x, LongType)
+        val yl = Cast(y, LongType)
+        (0 until bits).map { i =>
+          val xi = ShiftLeft(BitwiseAnd(
+            ShiftRightUnsigned(xl, Literal(i)), Literal(1L)), Literal(2 * i))
+          val yi = ShiftLeft(BitwiseAnd(
+            ShiftRightUnsigned(yl, Literal(i)), Literal(1L)), Literal(2 * i + 1))
+          BitwiseOr(xi, yi): Expression
+        }.reduce[Expression]((a, b) => BitwiseOr(a, b))
+      }))
   }
 }

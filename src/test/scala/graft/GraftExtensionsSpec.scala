@@ -36,6 +36,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!row.isNullAt(1))
   }
 
+  test("sample_key and z_value are callable from SQL and match the operators") {
+    val row = extSpark.sql(
+      """SELECT sample_key(42) AS k,
+                z_value(5, 3, 3) AS z,
+                z_value(5, 3) AS z16""").head()
+    // md5("42") = a1d0c6e8...; first two hex chars
+    assert(row.getString(0) == "a1")
+    assert(row.getLong(1) == 27L) // x=101,y=011 interleaved
+    assert(row.getLong(2) == 27L) // high bits are zero for small inputs
+    val err = intercept[Exception] {
+      extSpark.sql("SELECT z_value(1, 2, id) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("tensor_pack/tensor_unpack roundtrip from SQL") {
     val row = extSpark.sql(
       """SELECT tensor_unpack(tensor_pack(named_struct(
