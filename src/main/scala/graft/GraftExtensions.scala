@@ -121,6 +121,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           TensorUnpack(a, graft.functions.TensorCodec.elemOf(dtype))
         case _ => throw new IllegalArgumentException("tensor_unpack(b[, dtype])")
       }))
+    // sketch probes (B9/B10): query serialized count-min / bloom
+    // sketches row-by-row; bloom_agg exposes the internal
+    // runtime-filter aggregate (build over xxhash64(col))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      info("cms_estimate", "cms_estimate(sketch, item) - estimated count of item in a count_min_sketch() result"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, i) => graft.functions.CmsEstimate(s, i)
+        case _ => throw new IllegalArgumentException("cms_estimate(sketch, item)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", "bloom_might_contain(filter, item) - membership probe of a bloom_agg() result (item = xxhash64 of the key)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(f, i) => graft.functions.BloomMightContain(f, i)
+        case _ => throw new IllegalArgumentException("bloom_might_contain(filter, item)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(xxhash64(col)[, estItems[, numBits]]) - serialized bloom filter over long items"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val agg = args match {
+          case Seq(c) => new BloomFilterAggregate(c, 1000000L)
+          case Seq(c, n) => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+          case _ => throw new IllegalArgumentException(
+            "bloom_agg(item[, estItems[, numBits]])")
+        }
+        agg.toAggregateExpression()
+      }))
     // curation/layout primitives, built as raw catalyst trees (the
     // Column bridge yields unresolved nodes a function builder can't
     // return) with the same semantics as Curation.sampleKey /

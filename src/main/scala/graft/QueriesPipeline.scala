@@ -364,6 +364,57 @@ object QueriesPipeline {
           FROM documents)
         ORDER BY doc_id, chunk_idx""")),
 
+    // ------------------------------------------------ B9 count-min sketch
+    // one-pass heavy-hitter counting: a scalar count_min_sketch row
+    // probed per key via the native cms_estimate expression. The CMS
+    // contract (exact <= estimate <= exact + eps*N) is deterministic
+    // with a fixed seed, so the oracle checks it as a boolean.
+    QueryDef("q_count_min",
+      (s, d) => {
+        import graft.functions.{exprs, CmsEstimate}
+        val li = Tables.lineitem(s, d)
+        // scalar aggregate: bounded single row, broadcast by construction
+        val sk = li.agg(
+          expr("count_min_sketch(l_returnflag, 0.001d, 0.99d, 42)").as("sk"),
+          count(lit(1)).as("n_total"))
+        val est = exprs.toColumn(CmsEstimate(
+          exprs.toExpr(col("sk")), exprs.toExpr(col("l_returnflag"))))
+        li.groupBy("l_returnflag").agg(count(lit(1)).as("n_exact"))
+          .join(broadcast(sk))
+          .select(col("l_returnflag"), col("n_exact"),
+            (est >= col("n_exact") &&
+              est <= col("n_exact") + ceil(col("n_total") * 0.001)).as("cms_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_exact, TRUE AS cms_ok
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------ B10 bloom membership
+    // one-pass membership filter over a selective key set — the
+    // pre-join pruning shape at 100 TB (ship the KB-scale filter, not
+    // the key list). No false negatives: every true member probes
+    // true, which the oracle checks per key.
+    QueryDef("q_bloom_filter",
+      (s, d) => {
+        import graft.functions.{exprs, BloomMightContain}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val hot = Tables.orders(s, d).where(col("o_totalprice") > 400000)
+        val bloomAgg = exprs.toColumn(
+          new BloomFilterAggregate(exprs.toExpr(xxhash64(col("o_custkey"))),
+            org.apache.spark.sql.catalyst.expressions.Literal(100000L))
+            .toAggregateExpression())
+        // scalar aggregate: single KB-scale row, broadcast by construction
+        val bloom = hot.agg(bloomAgg.as("bf"))
+        val might = exprs.toColumn(BloomMightContain(
+          exprs.toExpr(col("bf")), exprs.toExpr(xxhash64(col("o_custkey")))))
+        hot.select("o_custkey").distinct()
+          .join(broadcast(bloom))
+          .select(col("o_custkey"), might.as("might_contain"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT DISTINCT o_custkey, TRUE AS might_contain
+        FROM orders WHERE o_totalprice > 400000 ORDER BY o_custkey""")),
+
     // ------------------------------------------------ B6 approx distinct
     // HLL sketch values differ between engines, so the oracle checks
     // the HLL contract instead: the estimate must land within the
