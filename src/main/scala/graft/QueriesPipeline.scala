@@ -129,7 +129,8 @@ object QueriesPipeline {
          SELECT u FROM reach GROUP BY u HAVING u <> MIN(v))
        ORDER BY doc_id"""
 
-  private val qualityOracle: String = {
+  /** SQL mirror of TextAnalysis.qualityScore (un-rounded). */
+  private val sqlQualityExpr: String = {
     val len = "CAST(length(text) AS DOUBLE)"
     val nSpace = "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)"
     val nTok = s"($nSpace + 1.0)"
@@ -138,10 +139,12 @@ object QueriesPipeline {
     val lenScore = s"least($len / 500.0, 1.0)"
     val tokScore = s"CASE WHEN $avgTokLen >= 3.0 AND $avgTokLen <= 8.0 THEN 1.0 ELSE 0.5 END"
     val stopScore = s"least($stop * 10.0, 1.0)"
-    s"""SELECT doc_id,
-       round($lenScore * 0.4 + $tokScore * 0.3 + $stopScore * 0.3, 6) AS quality
-       FROM documents ORDER BY doc_id"""
+    s"($lenScore * 0.4 + $tokScore * 0.3 + $stopScore * 0.3)"
   }
+
+  private val qualityOracle: String =
+    s"""SELECT doc_id, round($sqlQualityExpr, 6) AS quality
+       FROM documents ORDER BY doc_id"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -349,6 +352,38 @@ object QueriesPipeline {
           TextAnalysis.fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id"),
       Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id")),
+
+    // --------------------------------------------- K14 curation pipeline
+    // the end-to-end composition a training-data pass actually runs:
+    // quality filter → exact dedup keep-first → deterministic 50%
+    // sample → per-language profile — four operators, one declarative
+    // plan, every stage oracle-mirrored. Rounded quality keeps the
+    // threshold comparison identical cross-engine (q_quality_score
+    // proves round-6 equality per doc).
+    QueryDef("q_curation_pipeline",
+      (s, d) => {
+        import graft.operators.{Curation, TextAnalysis}
+        val docs = Tables.documents(s, d)
+        val filtered = docs
+          .where(round(TextAnalysis.qualityScore(col("text")), 6) >= 0.5)
+        val keep = filtered
+          .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        filtered.join(keep, "doc_id")
+          .where(Curation.sampleKey(col("doc_id")) < "80")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH filtered AS (
+          SELECT * FROM documents WHERE round($sqlQualityExpr, 6) >= 0.5
+        ), keep AS (
+          SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text)
+        ), sampled AS (
+          SELECT f.* FROM filtered f JOIN keep k ON f.doc_id = k.doc_id
+          WHERE substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 2) < '80')
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM sampled GROUP BY lang ORDER BY lang""")),
 
     // ------------------------------------------------------ H6 chunking
     QueryDef("q_chunk_docs",
