@@ -111,6 +111,76 @@ object QueriesEvents {
         SELECT event_id, c.user_id, ts, view_ts, view_value
         FROM clicks c ASOF JOIN views v
           ON c.user_id = v.user_id AND c.ts >= v.view_ts
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ------------------------------------------------- I9 funnel analysis
+    // ordered conversion funnel with a 24 h conversion window: first
+    // view → first click within a day of it → first purchase within a
+    // day of that. Each stage is a keyed aggregate + join on the user
+    // key — no window over the raw event stream, so the funnel scales
+    // as three shuffles of per-user rows, not per-event rows.
+    QueryDef("q_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val day = expr("INTERVAL 24 HOURS")
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t_view"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, "user_id")
+          .where(col("ts") > col("t_view") && col("ts") <= col("t_view") + day)
+          .groupBy("user_id").agg(min("ts").as("t_click"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .where(col("ts") > col("t_click") && col("ts") <= col("t_click") + day)
+          .groupBy("user_id").agg(min("ts").as("t_buy"))
+        v.select(lit("1_view").as("stage"))
+          .unionAll(c.select(lit("2_click").as("stage")))
+          .unionAll(p.select(lit("3_purchase").as("stage")))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (
+          SELECT user_id, MIN(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+            AND e.ts <= v.t_view + INTERVAL 24 HOURS
+          WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t_buy FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+            AND e.ts <= c.t_click + INTERVAL 24 HOURS
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT stage, n_users FROM (
+          SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+          UNION ALL SELECT '2_click', COUNT(*) FROM c
+          UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
+        ORDER BY stage""")),
+
+    // ---------------------------------------------- I10 cohort retention
+    // day-0 cohort per user × active-day offset: the standard
+    // retention triangle. Aggregates are per (cohort, offset) — the
+    // raw events reduce to distinct (user, day) first, so the heavy
+    // shuffle carries at most users × days rows.
+    QueryDef("q_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val cohort = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+        active.join(cohort, "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH active AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        cohort AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY 1)
+        SELECT c.cohort_day, date_diff('day', c.cohort_day, a.day) AS day_offset,
+          COUNT(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
   )
 }
