@@ -181,6 +181,30 @@ object QueriesEvents {
         SELECT c.cohort_day, date_diff('day', c.cohort_day, a.day) AS day_offset,
           COUNT(DISTINCT a.user_id) AS n_users
         FROM active a JOIN cohort c ON a.user_id = c.user_id
-        GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset""")),
+
+    // ------------------------------------------- I11 path transitions
+    // consecutive-event transition matrix per user stream (the markov
+    // view of user behavior). One per-user window pass + a small
+    // (types × types) aggregate.
+    QueryDef("q_event_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .where(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM (
+          SELECT event_type,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS next_type
+          FROM events)
+        WHERE next_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY from_type, to_type"""))
   )
 }

@@ -131,6 +131,32 @@ object QueriesRelational {
       Some("""SELECT o_orderpriority AS value, COUNT(*) AS cnt
         FROM orders GROUP BY o_orderpriority ORDER BY value""")),
 
+    // ------------------------------------------------- A10 table profile
+    // pandas describe/info analog: per-column null and distinct
+    // counts in ONE scan (the multi-distinct expand is the documented
+    // cost of an exact profile; production profiling swaps in
+    // approx_count_distinct and loses the exact oracle).
+    QueryDef("q_table_profile",
+      (s, d) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+          "l_returnflag", "l_shipdate")
+        val aggs = cols.flatMap { c =>
+          Seq(count(when(col(c).isNull, 1)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"))
+        }
+        val row = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+        val stacked = cols.map { c =>
+          row.select(lit(c).as("column"), col(s"nn_$c").as("n_nulls"),
+            col(s"nd_$c").as("n_distinct"))
+        }
+        stacked.reduce(_ unionAll _).orderBy("column")
+      },
+      Some(Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
+        .map(c => s"""SELECT '$c' AS "column",
+            COUNT(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+            COUNT(DISTINCT $c) AS n_distinct FROM lineitem""")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"column\""))),
+
     // ---------------------------------------------------------- B5 hash64
     // xxhash64 has no DuckDB builtin, so the oracle checks the
     // invariant the kernel exists for: a stable injective 64-bit hash
