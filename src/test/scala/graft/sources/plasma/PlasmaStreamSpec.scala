@@ -70,10 +70,15 @@ class PlasmaStreamSpec extends SparkSpec {
     val dir = tmp()
     val store = new PlasmaStore(dir)
     store.putDataFrame("good", spark.range(3).toDF())
-    // a hex-named file with no valid footer: get() misses it, and the
-    // scan must skip it rather than crash every healthy object's read
+    // hex-named files with no valid footer: get() misses them, and the
+    // scan must skip them rather than crash every healthy object's
+    // read. "aa_first" sorts BEFORE the healthy object, so this also
+    // pins schema inference to footer-validated objects (a torn head
+    // of the id order must not break inferSchema).
     Files.write(java.nio.file.Paths.get(store.sealedPath("torn")),
       "garbage bytes, no footer".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(store.sealedPath("aa_first")),
+      "garbage that sorts first".getBytes("UTF-8"))
     val df = spark.read.format("plasma").option("dir", dir).load()
     assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
   }
