@@ -144,7 +144,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
         val agg = args match {
-          case Seq(c) => new BloomFilterAggregate(c, 1000000L)
+          // 1-arg: Spark's own constructor defaults from
+          // spark.sql.optimizer.runtime.bloomFilter.expectedNumItems
+          case Seq(c) => new BloomFilterAggregate(c)
           case Seq(c, n) => new BloomFilterAggregate(c, n)
           case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
           case _ => throw new IllegalArgumentException(

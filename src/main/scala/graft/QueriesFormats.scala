@@ -59,12 +59,11 @@ object QueriesFormats {
     // pyarrow ParquetFile.metadata analog: row-group/column-chunk
     // stats as a DataFrame, read distributed (one task per file
     // batch, metadata-only IO). DuckDB's parquet_metadata() needs a
-    // literal path, so BOTH engines pin the sf0.01 file — the gate
-    // stays correct at any invocation dir; ParquetInfo itself is
-    // path-parameterized (ParquetInfoSpec covers arbitrary inputs).
+    // literal path, so the oracle carries the {SFDIR} placeholder
+    // that Verify resolves to its invocation dir — both engines read
+    // the same file at any scale factor.
     QueryDef("q_parquet_meta",
-      (s, _) => graft.sources.ParquetInfo.rowGroups(s,
-          "/root/testdata/sf0.01/lineitem.parquet")
+      (s, d) => graft.sources.ParquetInfo.rowGroups(s, s"$d/lineitem.parquet")
         .select(col("row_group_id"), col("path_in_schema"),
           col("row_group_num_rows"), col("num_values"),
           col("null_count"), col("total_compressed_size"))
@@ -72,7 +71,7 @@ object QueriesFormats {
       Some("""SELECT row_group_id, path_in_schema, row_group_num_rows,
           num_values, CAST(stats_null_count AS BIGINT) AS null_count,
           total_compressed_size
-        FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        FROM parquet_metadata('{SFDIR}/lineitem.parquet')
         ORDER BY row_group_id, path_in_schema""")),
 
     // -------------------------------------- D11b/c plasma roundtrip

@@ -303,11 +303,15 @@ object QueriesPipeline {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         // train-once/search-many: the index (a bounded local relation)
-        // memoizes per session like the other derived pipelines
-        val cents = SessionMemo(s, ("ivfCents", d, 16, 7L, 1))(
-          Similarity.trainIvfCentroids(emb, nCells = 16))
+        // memoizes per session like the other derived pipelines. One
+        // set of named params builds BOTH the memo key and the calls,
+        // so the key always describes the cached configuration.
+        val (nCells, stride, iters) = (16, 7L, 1)
+        val cents = SessionMemo(s, ("ivfCents", d, nCells, stride, iters))(
+          Similarity.trainIvfCentroids(emb, nCells, stride, iters))
         Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5,
-            nCells = 16, nprobe = 16, centroids = Some(cents))
+            nCells = nCells, stride = stride, kmeansIters = iters,
+            nprobe = 16, centroids = Some(cents))
           .select("qid", "nid", "rank").orderBy("qid", "rank")
       },
       Some("""SELECT qid, nid, rank FROM (

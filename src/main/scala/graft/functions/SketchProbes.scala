@@ -29,13 +29,16 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
 
-  @transient private var cachedRef: AnyRef = _
+  @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedSketch: CountMinSketch = _
 
   private def sketchOf(bytes: Array[Byte]): CountMinSketch = {
-    if (!(cachedRef eq bytes)) {
+    // content comparison, not reference: UnsafeRow.getBinary hands out
+    // a fresh copy per eval, so a reference cache would re-parse the
+    // sketch on every probed row
+    if (cachedBytes == null || !java.util.Arrays.equals(cachedBytes, bytes)) {
       cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
-      cachedRef = bytes
+      cachedBytes = bytes
     }
     cachedSketch
   }
@@ -69,13 +72,14 @@ case class BloomMightContain(left: Expression, right: Expression)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 
-  @transient private var cachedRef: AnyRef = _
+  @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedFilter: BloomFilter = _
 
   private def filterOf(bytes: Array[Byte]): BloomFilter = {
-    if (!(cachedRef eq bytes)) {
+    // content comparison — see CmsEstimate.sketchOf
+    if (cachedBytes == null || !java.util.Arrays.equals(cachedBytes, bytes)) {
       cachedFilter = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-      cachedRef = bytes
+      cachedBytes = bytes
     }
     cachedFilter
   }

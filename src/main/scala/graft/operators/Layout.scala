@@ -48,9 +48,12 @@ object Layout {
   def zOrderBy(df: DataFrame, x: Column, y: Column, numFiles: Int,
                bits: Int = 16): DataFrame = {
     // pick a scratch name absent from the input — overwriting a real
-    // "_z" column would silently drop user data on the way out
+    // "_z" column would silently drop user data on the way out.
+    // Case-insensitive check: withColumn resolves case-insensitively
+    // under the default spark.sql.caseSensitive=false
+    val lower = df.columns.map(_.toLowerCase).toSet
     val zc = Iterator.from(0).map(i => if (i == 0) "_z" else s"_z$i")
-      .find(n => !df.columns.contains(n)).get
+      .find(n => !lower.contains(n)).get
     df.withColumn(zc, zValue(x, y, bits))
       .repartitionByRange(numFiles, col(zc))
       .sortWithinPartitions(zc)

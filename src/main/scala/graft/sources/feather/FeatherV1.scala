@@ -255,11 +255,7 @@ object FeatherV1 {
 
   /** Driver-side category validation: fail before any task launches. */
   private def validateCategories(schema: StructType, categories: Set[String]): Unit =
-    categories.foreach { c =>
-      require(schema.fieldNames.contains(c), s"category column $c not in schema")
-      require(schema(c).dataType == StringType,
-        s"feather v1 category column $c must be string, got ${schema(c).dataType}")
-    }
+    graft.sources.CategoryColumns.validate(schema, categories, "feather v1")
 
   private def bufBytes(buf: ArrowBuf, n: Long): Array[Byte] = {
     // feather v1 buffers are materialized as JVM byte arrays; a column

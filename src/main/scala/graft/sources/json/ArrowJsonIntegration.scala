@@ -362,11 +362,7 @@ object ArrowJsonIntegration {
 
   /** Driver-side category validation: fail before any task launches. */
   private def validateCategories(schema: StructType, categories: Set[String]): Unit =
-    categories.foreach { c =>
-      require(schema.fieldNames.contains(c), s"category column $c not in schema")
-      require(schema(c).dataType == StringType,
-        s"json integration category column $c must be string, got ${schema(c).dataType}")
-    }
+    graft.sources.CategoryColumns.validate(schema, categories, "json integration")
 
   /** Distributed write: one integration document per partition under
     * `dir`, readable back via `spark.read.format("arrow")`.

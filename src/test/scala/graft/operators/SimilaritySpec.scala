@@ -146,7 +146,8 @@ class SimilaritySpec extends SparkSpec {
           })
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    try assert(q.awaitTermination(120000), "streaming ANN query timed out")
+    finally q.stop()
     val batchAnswers = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 3),
         k = 2, nCells = 8, nprobe = 8, centroids = Some(cents))
       .select("qid", "nid", "rank").collect()
