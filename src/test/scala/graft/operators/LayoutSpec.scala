@@ -25,6 +25,33 @@ class LayoutSpec extends SparkSpec {
     assert(out.getLong(0) == 0L && out.getLong(1) == 15L)
   }
 
+  test("z-ordered parquet prunes row groups for a two-dimensional box predicate") {
+    // the end goal of K11: parquet keeps per-row-group min/max for x
+    // AND y, so a z-clustered layout lets a box predicate skip most
+    // row groups, where an x-sorted layout prunes on x only
+    val grid = spark.range(0, 200L * 200).toDF("i")
+      .select((col("i") % 200).as("x"), (col("i") / 200).cast("long").as("y"))
+    def scannedRows(dir: String): Long = {
+      val df = spark.read.parquet(dir).where(col("x") < 25 && col("y") < 25)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zprune").toString
+    // small row groups so pruning granularity is visible
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2500")
+    try {
+      Layout.zOrderBy(grid, col("x"), col("y"), numFiles = 16, bits = 8)
+        .write.mode("overwrite")
+        .option("parquet.block.size", "4096")
+        .parquet(zDir)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val scanned = scannedRows(zDir)
+    // the box holds 625 of 40,000 rows; a z-clustered layout must scan
+    // only a small neighborhood of it, never most of the dataset
+    assert(scanned < 8000, s"z-order row-group pruning ineffective: scanned $scanned")
+  }
+
   test("zOrderBy clusters BOTH dimensions; a one-column sort clusters only one") {
     // 64x64 grid of points; partition into 16 slices and measure the
     // mean per-slice bounding-box span in each dimension
