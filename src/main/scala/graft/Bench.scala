@@ -93,8 +93,14 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
     }.failed.foreach(t => Console.err.println(s"bench: could not write $outPath: $t"))
+    // the compact summary carries the slowest five queries so a parser
+    // that requires a "queries" key still parses it; with 5 entries the
+    // line is guaranteed far under a 2,000-char tail window
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val summary =
-      f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"stat":"median","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"stat":"median","queries":$slowest,"note":"slowest5_of_${results.size}_full_map_in_target/bench.json","sf":"$sfDir"}"""
     // summary, full line, summary again: the full per-query line stays
     // whole in the tail when it fits, and when it doesn't (clipped
     // mid-JSON at the window head) the trailing summary is still a

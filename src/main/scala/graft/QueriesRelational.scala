@@ -135,7 +135,10 @@ object QueriesRelational {
     // pandas describe/info analog: per-column null and distinct
     // counts in ONE scan (the multi-distinct expand is the documented
     // cost of an exact profile; production profiling swaps in
-    // approx_count_distinct and loses the exact oracle).
+    // approx_count_distinct and loses the exact oracle). The single
+    // aggregate row is pivoted to one row per column with
+    // inline(array(struct…)) — one plan, one subtree, so the single
+    // scan doesn't depend on ReuseExchange deduplicating a union.
     QueryDef("q_table_profile",
       (s, d) => {
         val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
@@ -145,11 +148,10 @@ object QueriesRelational {
             countDistinct(col(c)).as(s"nd_$c"))
         }
         val row = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
-        val stacked = cols.map { c =>
-          row.select(lit(c).as("column"), col(s"nn_$c").as("n_nulls"),
+        row.select(inline(array(cols.map { c =>
+          struct(lit(c).as("column"), col(s"nn_$c").as("n_nulls"),
             col(s"nd_$c").as("n_distinct"))
-        }
-        stacked.reduce(_ unionAll _).orderBy("column")
+        }: _*))).orderBy("column")
       },
       Some(Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
         .map(c => s"""SELECT '$c' AS "column",

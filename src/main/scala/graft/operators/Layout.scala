@@ -35,6 +35,12 @@ object Layout {
   def rangeBucket(c: Column, lo: Long, hi: Long, bits: Int = 16): Column = {
     require(hi > lo, "empty range")
     val buckets = 1L << bits
+    // (c - lo) * buckets must not overflow Long: the widest in-range
+    // offset is (hi - lo), so fail loudly instead of returning wrong
+    // buckets silently for very wide ranges
+    require(hi - lo <= (Long.MaxValue >> bits),
+      s"range [$lo, $hi] too wide for $bits-bit buckets: " +
+        s"(hi - lo) must be <= ${Long.MaxValue >> bits}")
     least(lit(buckets - 1),
       ((c.cast("long") - lo) * buckets / (hi - lo + 1)).cast("long"))
   }

@@ -105,14 +105,27 @@ object HadoopFiles {
     * litter); a write whose input reads from this same directory
     * consumes the old parts for the whole job, since nothing is
     * renamed until every task has finished.
+    *
+    * Litter hygiene: a zombie attempt of THIS job can still recreate
+    * its ".w" file and rename it to ".tmp" after this commit returns
+    * (single-writer dirs assumed — Spark jobs don't race commits on
+    * one dataset). That abandoned litter stays invisible to readers
+    * (dot-prefixed) and the NEXT commit on this directory sweeps it:
+    * every ".job-*" file from a token other than the committing job's
+    * is deleted below, so litter never outlives one more write.
     */
   def commitStagedWrite(dir: String, token: String, stale: Set[String],
                         dstName: Int => String, conf: Configuration): Unit = {
     val f = fs(dir, conf)
     val prefix = s".job-$token-part-"
-    val all = Option(f.listStatus(new Path(dir))).getOrElse(Array.empty).toSeq
-      .filter(_.isFile).map(_.getPath)
-      .filter(_.getName.startsWith(prefix))
+    val (all, abandoned) =
+      Option(f.listStatus(new Path(dir))).getOrElse(Array.empty).toSeq
+        .filter(_.isFile).map(_.getPath)
+        .filter(_.getName.startsWith(".job-"))
+        .partition(_.getName.startsWith(prefix))
+    // foreign-token files are litter from prior abandoned jobs; no
+    // other job is live here (single writer), so sweep them now
+    abandoned.foreach(p => f.delete(p, false))
     // only files whose task-side rename landed are complete; ".tmp.w"
     // in-progress litter from dead attempts is deleted, never promoted
     val (complete, torn) = all.partition(_.getName.endsWith(".tmp"))

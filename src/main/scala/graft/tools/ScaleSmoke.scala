@@ -23,10 +23,13 @@ object ScaleSmoke {
   private def replicated(spark: SparkSession, d: String, mult: Int): DataFrame = {
     require(mult >= 1, s"multiplier must be >= 1: $mult")
     val base = Tables.documents(spark, d).select("doc_id", "text")
-    val n = base.count()
+    // offset copies by max(doc_id)+1, not the row count: sparse or
+    // non-zero-based ids would otherwise collide across copies and
+    // silently shrink the dedup search space
+    val span = base.agg(max(col("doc_id").cast("long"))).head.getLong(0) + 1L
     val copies = (0 until mult).map { k =>
       base.select(
-        (col("doc_id") + lit(k * n)).as("doc_id"),
+        (col("doc_id") + lit(k * span)).as("doc_id"),
         // suffix every token with the copy index: all shingles become
         // copy-local, so cross-copy pairs never collide in LSH buckets
         concat_ws(" ", transform(split(col("text"), "\\s+"),
