@@ -296,49 +296,83 @@ object Dedup {
     * — O(E) per round, no quadratic block anywhere, the standard
     * distributed-CC shape at 100 TB.
     *
-    * Each round's label table is `localCheckpoint`ed: an iterative
+    * Each round's label table is checkpointed: an iterative
     * self-joining lineage grows exponentially otherwise (every round
     * references the previous twice), and cutting it per round is the
     * standard Spark iterative-algorithm pattern (GraphX does the
-    * same). Local checkpoints trade executor-loss recovery for speed;
-    * swap in `checkpoint()` against a reliable dir for long cluster
-    * jobs.
+    * same). With `reliableCheckpointDir` unset the cut is a
+    * `localCheckpoint` (fast, but an executor loss mid-iteration kills
+    * the job); pass a distributed-FS dir on a real cluster and every
+    * round lands in reliable storage, so lost executors recompute from
+    * the last round instead of from zero.
     *
     * Returns (id, cluster_id) for every id appearing in `pairs`,
     * cluster_id = min id of the component.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val edges = pairs
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
+                          reliableCheckpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithMetrics(pairs, maxRounds, reliableCheckpointDir)._1
+
+  /** Convergence telemetry for one connectedComponents run: rounds
+    * executed and labels changed per round (monotone non-increasing on
+    * typical graphs; the final 0 is the fixed-point proof). At 100 TB
+    * the per-round `count` is a blocking driver job — this is the
+    * number to watch when tuning maxRounds, so it is returned rather
+    * than buried in logs.
+    */
+  final case class CcMetrics(rounds: Int, labelsChanged: Seq[Long])
+
+  /** One round-boundary lineage cut: reliable `checkpoint` against
+    * `dir` when set (survives executor loss), `localCheckpoint`
+    * otherwise. Both are eager — the round's labels materialize here.
+    */
+  private def roundCheckpoint(df: DataFrame, dir: Option[String]): DataFrame =
+    dir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+
+  /** [[connectedComponents]] plus its [[CcMetrics]]. */
+  def connectedComponentsWithMetrics(
+      pairs: DataFrame, maxRounds: Int = 50,
+      reliableCheckpointDir: Option[String] = None): (DataFrame, CcMetrics) = {
+    val edges = roundCheckpoint(pairs
       .select(col("id_a").cast(LongType).as("u"), col("id_b").cast(LongType).as("v"))
       .unionAll(pairs
-        .select(col("id_b").cast(LongType).as("u"), col("id_a").cast(LongType).as("v")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+        .select(col("id_b").cast(LongType).as("u"), col("id_a").cast(LongType).as("v"))),
+      reliableCheckpointDir)
+    var labels = roundCheckpoint(
+      edges.select(col("u").as("id")).distinct().withColumn("label", col("id")),
+      reliableCheckpointDir)
+    val changedPerRound = Seq.newBuilder[Long]
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("lv")), "v")
         .groupBy(col("u").as("id")).agg(min(col("lv")).as("nl"))
-      val m = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val next = m.as("a")
+      val m = roundCheckpoint(labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label")),
+        reliableCheckpointDir)
+      val next = roundCheckpoint(m.as("a")
         .join(m.select(col("id").as("jid"), col("label").as("jl")).as("b"),
           col("a.label") === col("jid"), "left")
-        .select(col("a.id").as("id"), coalesce(col("jl"), col("a.label")).as("label"))
-        .localCheckpoint(true)
+        .select(col("a.id").as("id"), coalesce(col("jl"), col("a.label")).as("label")),
+        reliableCheckpointDir)
       changed = next
         .join(labels.select(col("id"), col("label").as("prev")), "id")
         .where(col("label") =!= col("prev")).count()
+      changedPerRound += changed
       labels = next
       round += 1
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxRounds rounds")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    (labels.select(col("id"), col("label").as("cluster_id")),
+      CcMetrics(round, changedPerRound.result()))
   }
 
   /** Canonical corpus after near-dup clustering: every document whose

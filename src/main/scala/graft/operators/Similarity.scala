@@ -202,6 +202,13 @@ object Similarity {
     * means per map partition, never vectors to the driver beyond the
     * k·dim centroid collect. Cells that lose all members drop out
     * (k shrinks), standard Lloyd behavior.
+    *
+    * Unlike [[graft.operators.Dedup.connectedComponents]], this loop
+    * needs no checkpoint wiring: every iteration's assignToCentroids
+    * collects the k·dim centroid matrix to the driver, so the next
+    * iteration's lineage is (corpus scan + literal centroids) — depth
+    * constant in `iters`, and an executor loss mid-step just re-runs
+    * that one bounded step from the source scan.
     */
   def kmeansCentroids(corpus: DataFrame, nCells: Int, stride: Long,
                       iters: Int = 2): DataFrame = {

@@ -152,6 +152,47 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("connectedComponents with a reliable checkpoint dir matches the local-checkpoint run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val rnd = new scala.util.Random(11)
+      val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }.distinct
+        .toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      val (reliable, metrics) = Dedup.connectedComponentsWithMetrics(
+        edges, reliableCheckpointDir = Some(dir))
+      assert(reliable.as[(Long, Long)].collect().toMap == local)
+      // the reliable path must actually write round snapshots to the dir
+      def rddFiles(d: java.io.File): Int =
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .map(f => if (f.isDirectory) rddFiles(f) else 1).sum
+      assert(rddFiles(new java.io.File(dir)) > 0,
+        "no checkpoint files written to the reliable dir")
+      assert(metrics.labelsChanged.last == 0L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("connectedComponents telemetry: chain graph converges in O(log n) rounds") {
+    // diameter-32 chain: neighbor-min alone would need 32 rounds;
+    // pointer jumping doubles collapse distance, so rounds stay
+    // logarithmic — the telemetry makes that visible and the early
+    // exit fires the round labelsChanged hits 0
+    val pairs = (1L until 33L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, metrics) = Dedup.connectedComponentsWithMetrics(pairs)
+    assert(labels.select("cluster_id").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(metrics.rounds == metrics.labelsChanged.size)
+    assert(metrics.rounds <= 8,
+      s"expected logarithmic convergence, got ${metrics.rounds} rounds: ${metrics.labelsChanged}")
+    assert(metrics.labelsChanged.last == 0L)
+    // strictly decreasing tail is not guaranteed, but no round after
+    // the first may touch more labels than the node count
+    assert(metrics.labelsChanged.forall(_ <= 33L))
+  }
+
   test("dropNearDuplicates keeps cluster representatives and unpaired docs") {
     val docs = Seq((1L, "a"), (2L, "a1"), (3L, "b"), (4L, "c"), (5L, "a2"))
       .toDF("doc_id", "text")

@@ -19,6 +19,54 @@ class SkewSpec extends SparkSpec {
     assert(plain.count(_.head == 1L) == 101)
   }
 
+  test("AQE splits a skewed sort-merge join partition (OptimizeSkewedJoin fires)") {
+    // SURVEY §4 claims AQE handles fact-fact skew at runtime; this
+    // proves it on a deliberately skewed key, with thresholds scaled
+    // down to test size (production defaults: 256 MB threshold, 5x
+    // median factor). saltedJoin remains the tool for the case AQE
+    // can't fix: a single key so hot that even one key's rows exceed
+    // an executor — AQE splits partitions, never a single key's rows
+    // beyond map-output granularity.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // ~95% of fact rows share key 1 → one reduce partition dwarfs
+      // the median; id-derived payloads (not constant-foldable, poorly
+      // compressible) keep real bytes in the shuffle so the hot
+      // partition clears the 32k threshold
+      val fact = spark.range(0, 60000).selectExpr(
+        "CASE WHEN id % 20 = 0 THEN id % 50 ELSE 1 END AS k",
+        "concat(md5(CAST(id AS STRING)), md5(CAST(id + 1 AS STRING))) AS payload")
+      val dim = spark.range(0, 50).selectExpr("id AS k", "concat('d', id) AS name")
+      val joined = fact.join(dim, "k")
+      // run THIS dataframe (not a derived count plan) so its adaptive
+      // plan reaches isFinalPlan=true before inspection
+      val n = joined.collect().length
+      assert(n == 60000, s"inner join must keep every fact row, got $n")
+      val finalPlan = joined.queryExecution.executedPlan.toString()
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire; final plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("keySkewReport surfaces the dominant key first") {
     val df = ((1 to 90).map(_ => 7L) ++ (1 to 10).map(_.toLong)).toDF("k")
     val top = Skew.keySkewReport(df, "k", topN = 1).head()
