@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -321,6 +322,58 @@ object QueriesPipeline {
           FROM embeddings q, embeddings c
           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ----------------------------------------------------- G5 ANN recall
+    // numeric recall gate at SUB-exhaustive settings — the production
+    // latency/recall dial the exhaustive gates above can't judge. The
+    // corpus plants 3 deterministic near-neighbors per vector
+    // (sin-noise, amplitude 0.04 vs component sd 0.125 → cos ≈ 0.97,
+    // far above the ≤0.52 stranger ceiling), so exact top-3 per query
+    // IS the planted set by construction. LSH (planes=2, probes=4:
+    // per-pair miss ≈ (1-(1-θ/π)²)⁴ ≈ 3e-4 at θ≈0.22) and IVF
+    // (nprobe=4 of 16 cells; a jittered copy lands in its base's cell)
+    // must each recover ≥ the gate bound of that truth — measured ≈1.0;
+    // bounds leave margin for centroid float drift. All inputs are
+    // deterministic (fixed seeds/hyperplanes), so the booleans are
+    // stable, and the oracle checks them per method.
+    QueryDef("q_ann_recall",
+      (s, d) => {
+        val base = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val planted = (0 until 3).map { j =>
+          base.select(
+            (col("vec_id") * 8 + lit(1000000 + j)).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x + sin(col("vec_id") * 131 + i * 17 + lit(j * 37)) * lit(0.04d))
+                .cast(FloatType)).as("embedding"))
+        }.reduce(_ unionAll _)
+        val corpus = base.unionAll(planted)
+        val queries = base.where(pmod(col("vec_id"), lit(37)) === 0)
+        val k = 3
+        val exact = Similarity.bruteForceTopK(corpus, queries, k)
+          .select("qid", "nid")
+        def recallRow(method: String, approx: DataFrame, bound: Double) =
+          exact.join(approx.select("qid", "nid").withColumn("hit", lit(1)),
+              Seq("qid", "nid"), "left")
+            .agg((sum(coalesce(col("hit"), lit(0))).cast(DoubleType)
+              / count(lit(1))).as("recall"))
+            .select(lit(method).as("method"), lit(k.toLong).as("k"),
+              (col("recall") >= bound).as("recall_ok"))
+        val lsh = Similarity.lshRadiusTopK(corpus, queries, k, dim = 64,
+          threshold = 0.8, planes = 2, probes = 4)
+        val ivf = Similarity.ivfTopK(corpus, queries, k,
+          nCells = 16, stride = 7, nprobe = 4)
+        val nq = queries.agg(count(lit(1)).as("n_queries"))
+        recallRow("ivf", ivf, 0.8)
+          .unionAll(recallRow("lsh_radius", lsh, 0.9))
+          .crossJoin(broadcast(nq))
+          .select("method", "k", "n_queries", "recall_ok")
+          .orderBy("method")
+      },
+      Some("""SELECT m.method, CAST(3 AS BIGINT) AS k,
+          (SELECT COUNT(*) FROM embeddings WHERE vec_id % 37 = 0) AS n_queries,
+          TRUE AS recall_ok
+        FROM (VALUES ('ivf'), ('lsh_radius')) AS m(method)
+        ORDER BY method""")),
 
     // ---------------------------------------------------------- H1 lang id
     QueryDef("q_lang_id",

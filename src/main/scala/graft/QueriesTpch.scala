@@ -492,7 +492,7 @@ object QueriesTpch {
             col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, d).where(col("r_name") === "EUROPE")),
             col("n_regionkey") === col("r_regionkey"))
-        val cand = Tables.partsupp(s, d)
+        val cand = Tables.partsuppBucketed(s, d)
           .join(suppEur, col("ps_suppkey") === col("s_suppkey"))
         val w = Window.partitionBy("ps_partkey")
         cand
@@ -533,7 +533,7 @@ object QueriesTpch {
         val natSupp = Tables.supplier(s, d)
           .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_7")),
             col("s_nationkey") === col("n_nationkey"))
-        val perPart = Tables.partsupp(s, d)
+        val perPart = Tables.partsuppBucketed(s, d)
           .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
           .groupBy("ps_partkey")
           .agg(sum(dec2(col("ps_supplycost")) * col("ps_availqty"))
@@ -569,7 +569,7 @@ object QueriesTpch {
       (s, d) => {
         val flagged = Tables.supplier(s, d)
           .where(col("s_acctbal") < 0).select("s_suppkey")
-        Tables.partsupp(s, d)
+        Tables.partsuppBucketed(s, d)
           .join(flagged, col("ps_suppkey") === col("s_suppkey"), "left_anti")
           .join(Tables.part(s, d)
               .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
@@ -604,7 +604,7 @@ object QueriesTpch {
           .agg(sum(dec2(col("l_quantity"))).as("qty"))
         val redParts = Tables.part(s, d)
           .where(col("p_name").startsWith("red")).select("p_partkey")
-        val excess = Tables.partsupp(s, d)
+        val excess = Tables.partsuppBucketed(s, d)
           .join(shipped, col("ps_partkey") === col("l_partkey") &&
             col("ps_suppkey") === col("l_suppkey"))
           // part scales with sf → semi join, no hint.

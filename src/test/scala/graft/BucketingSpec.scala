@@ -57,4 +57,42 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("bucketed derived-partsupp joins and windows without reshuffling itself") {
+    import org.apache.spark.sql.expressions.Window
+    val ps = Tables.partsuppBucketed(spark, sfDir)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // Q16 shape: part-side join keyed ps_partkey — partsupp must NOT
+      // exchange (part does; at 100 TB that is the smaller relation of
+      // the two sides only by constant factor, but partsupp is the one
+      // reused across four queries)
+      val q16ish = ps.join(Tables.part(spark, sfDir),
+        col("ps_partkey") === col("p_partkey"))
+      q16ish.collect()
+      val p1 = q16ish.queryExecution.executedPlan.toString()
+      assert(!p1.contains("Exchange hashpartitioning(ps_partkey"),
+        s"bucketed partsupp reshuffled for the part join:\n$p1")
+
+      // Q2 shape: window min over ps_partkey directly on the scan —
+      // the bucketed partitioning must satisfy the window, no exchange
+      val w = Window.partitionBy("ps_partkey")
+      val q2ish = ps.withColumn("mincost", min(col("ps_supplycost")).over(w))
+        .where(col("ps_supplycost") === col("mincost"))
+      q2ish.collect()
+      val p2 = q2ish.queryExecution.executedPlan.toString()
+      assert(!p2.contains("Exchange"),
+        s"window over ps_partkey must reuse the bucket partitioning:\n$p2")
+
+      // Q20 shape: groupBy (ps_partkey, ps_suppkey) — hash partitioning
+      // on ps_partkey alone satisfies the superset clustering
+      val q20ish = ps.groupBy("ps_partkey", "ps_suppkey")
+        .agg(sum(col("ps_availqty")).as("q"))
+      q20ish.collect()
+      val p3 = q20ish.queryExecution.executedPlan.toString()
+      assert(!p3.contains("Exchange"),
+        s"agg keyed by a superset of the bucket key must not exchange:\n$p3")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }

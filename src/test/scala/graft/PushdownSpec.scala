@@ -96,14 +96,16 @@ class PushdownSpec extends SparkSpec {
       s"partition predicate leaked into data filters:\n$plan")
   }
 
-  test("q_tpch11 reads partsupp from the session-materialized cache") {
-    // the derived partsupp is persisted once per session — its four
-    // consumers must plan an in-memory scan, not re-derive the
-    // lineitem-wide distinct
+  test("q_tpch11 reads partsupp from the bucketed table, not a re-derive") {
+    // the derived partsupp is written once per session as a bucketed
+    // table (round 6) — its four consumers must plan a bucketed scan
+    // of that table, not re-derive the lineitem-wide distinct
     val df = SparkEntry.queries("q_tpch11")(spark, sfDir)
     val plan = executedPlanString(df)
-    assert(plan.contains("InMemoryTableScan"),
-      s"expected partsupp InMemoryTableScan in:\n$plan")
+    assert(plan.contains("graft_partsupp_b8") && plan.contains("Bucketed: true"),
+      s"expected a bucketed graft_partsupp scan in:\n$plan")
+    assert(!plan.contains("lineitem.parquet"),
+      s"q_tpch11 must not re-derive partsupp from lineitem:\n$plan")
   }
 
   test("q_tpch21 scans lineitem once") {
