@@ -33,13 +33,16 @@ object QueriesCuration {
        ), ex AS (SELECT doc_id, unnest(g) AS gram FROM sh)"""
 
   /** SQL mirror of Layout.zValue over `bits`-bit coordinates (plain
-    * >>/&/<< arithmetic, identical semantics for non-negative inputs).
+    * >>/&/<< arithmetic, identical semantics for non-negative inputs):
+    * bit i of dimension c lands at position i·N + c, like the operator.
     */
+  private def sqlZValue(dims: Seq[String], bits: Int): String =
+    (for { i <- 0 until bits; (d, ci) <- dims.zipWithIndex } yield
+      s"(((CAST($d AS BIGINT) >> $i) & 1) << ${i * dims.size + ci})"
+    ).mkString("(", " | ", ")")
+
   private def sqlZValue(x: String, y: String, bits: Int): String =
-    (0 until bits).map { i =>
-      s"(((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i}) | " +
-        s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
-    }.mkString("(", " | ", ")")
+    sqlZValue(Seq(x, y), bits)
 
   val all: Seq[QueryDef] = Seq(
 
@@ -229,6 +232,24 @@ object QueriesCuration {
       Some(s"""SELECT (z >> 8) AS zbucket, COUNT(*) AS n,
           MIN(z) AS min_z, MAX(z) AS max_z
         FROM (SELECT ${sqlZValue("o_custkey % 256", "o_orderkey % 256", 8)} AS z
+              FROM orders)
+        GROUP BY 1 ORDER BY zbucket""")),
+
+    // --------------------------------------------- K11b 3-D Z-order curve
+    // round 6: the N-dimensional generalization (bit i of dim c at
+    // position i·N+c), checked cell-for-cell over three coordinates.
+    // LayoutSpec proves the matching 3-D row-group pruning.
+    QueryDef("q_zorder3",
+      (s, d) => Tables.orders(s, d)
+        .select(Layout.zValue(Seq(col("o_custkey") % 64, col("o_orderkey") % 64,
+            year(col("o_orderdate")).cast(LongType) % 64), 6).as("z"))
+        .groupBy(shiftrightunsigned(col("z"), 9).as("zbucket"))
+        .agg(count(lit(1)).as("n"), min("z").as("min_z"), max("z").as("max_z"))
+        .orderBy("zbucket"),
+      Some(s"""SELECT (z >> 9) AS zbucket, COUNT(*) AS n,
+          MIN(z) AS min_z, MAX(z) AS max_z
+        FROM (SELECT ${sqlZValue(Seq("o_custkey % 64", "o_orderkey % 64",
+            "year(o_orderdate) % 64"), 6)} AS z
               FROM orders)
         GROUP BY 1 ORDER BY zbucket""")),
 

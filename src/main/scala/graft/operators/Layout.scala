@@ -13,19 +13,28 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton (Z-curve) value of two columns, `bits` bits each,
-    * interleaved x→even positions, y→odd. Inputs must already be
-    * non-negative and < 2^bits (callers range-encode first — see
-    * rangeBucket). Pure bit arithmetic: codegen'd, no UDF, no shuffle.
+  /** Morton (Z-curve) value of N columns, `bits` bits each,
+    * round-robin interleaved: bit i of dimension c lands at position
+    * i·N + c (for N = 2 this is exactly the classic x→even / y→odd
+    * layout). Inputs must already be non-negative and < 2^bits
+    * (callers range-encode first — see rangeBucket), and the N·bits
+    * interleaved bits must fit a Long's 63 value bits — real layout
+    * jobs at 3–4 dimensions split the bit budget accordingly (e.g.
+    * 4 × 15 bits). Pure bit arithmetic: codegen'd, no UDF, no shuffle.
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
-    (0 until bits).map { i =>
-      val xi = shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(1L), 2 * i)
-      val yi = shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
-      xi.bitwiseOR(yi)
-    }.reduce(_.bitwiseOR(_))
+  def zValue(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, s"z-order needs at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n dimensions x $bits bits exceed a Long's 63 value bits")
+    (for { i <- 0 until bits; (c, ci) <- dims.zipWithIndex } yield
+      shiftleft(shiftrightunsigned(c.cast("long"), i).bitwiseAND(1L), i * n + ci)
+    ).reduce(_.bitwiseOR(_))
   }
+
+  /** Two-dimensional [[zValue]] (x→even positions, y→odd). */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValue(Seq(x, y), bits)
 
   /** Equi-width range bucket of `c` into [0, 2^bits): the cheap
     * deterministic encoder for zValue over arbitrary numeric ranges.
@@ -46,13 +55,13 @@ object Layout {
   }
 
   /** Rewrite `df` into `numFiles` range-partitioned slices of the
-    * Z-curve over two encoded dimensions — each output partition holds
-    * a compact Z-range, i.e. a small bounding box in (x, y). Callers
-    * write the result with one file per partition and get min/max
-    * pruning on BOTH columns.
+    * Z-curve over N encoded dimensions — each output partition holds
+    * a compact Z-range, i.e. a small bounding box in every dimension.
+    * Callers write the result with one file per partition and get
+    * min/max pruning on ALL the z-ordered columns.
     */
-  def zOrderBy(df: DataFrame, x: Column, y: Column, numFiles: Int,
-               bits: Int = 16): DataFrame = {
+  def zOrderBy(df: DataFrame, dims: Seq[Column], numFiles: Int,
+               bits: Int): DataFrame = {
     // pick a scratch name absent from the input — overwriting a real
     // "_z" column would silently drop user data on the way out.
     // Case-insensitive check: withColumn resolves case-insensitively
@@ -60,9 +69,14 @@ object Layout {
     val lower = df.columns.map(_.toLowerCase).toSet
     val zc = Iterator.from(0).map(i => if (i == 0) "_z" else s"_z$i")
       .find(n => !lower.contains(n)).get
-    df.withColumn(zc, zValue(x, y, bits))
+    df.withColumn(zc, zValue(dims, bits))
       .repartitionByRange(numFiles, col(zc))
       .sortWithinPartitions(zc)
       .drop(zc)
   }
+
+  /** Two-dimensional [[zOrderBy]]. */
+  def zOrderBy(df: DataFrame, x: Column, y: Column, numFiles: Int,
+               bits: Int = 16): DataFrame =
+    zOrderBy(df, Seq(x, y), numFiles, bits)
 }

@@ -77,24 +77,65 @@ object IncrementalDedup {
   /** Streaming wrapper: foreachBatch dedups against the parquet
     * signature store at `storeDir`, hands the clean rows to `sink`,
     * then appends the survivors' signatures to the store.
+    *
+    * Store maintenance is exactly-once and bounded:
+    *  - each batch writes its signatures into its OWN partition
+    *    (`batch_id=<b>`, dynamic partition overwrite) and reads only
+    *    partitions with `batch_id < b`. A batch replayed after a crash
+    *    therefore overwrites its own partial partition instead of
+    *    double-appending, and never sees its own in-flight rows
+    *    (exactly-once given the usual foreachBatch contract: a
+    *    deterministic pipeline over checkpointed source offsets).
+    *  - `retainBatches = Some(r)` bounds the store to the last r
+    *    batches: older partitions are excluded at read time and their
+    *    directories deleted after each successful batch. Compaction is
+    *    thus pure partition drops — live data is never rewritten, so a
+    *    crash mid-compaction only delays deletes until the next batch.
+    *    Documents older than the horizon can re-enter the corpus; that
+    *    is the retention trade, and `None` (the default) keeps the
+    *    store unbounded as before.
     */
   def start(docs: DataFrame, idCol: String, textCol: String,
             storeDir: String, threshold: Double = 0.8,
-            numPerm: Int = 64, bands: Int = 16)
-           (sink: (DataFrame, Long) => Unit): StreamingQuery =
-    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+            numPerm: Int = 64, bands: Int = 16,
+            retainBatches: Option[Long] = None,
+            checkpointDir: Option[String] = None)
+           (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    retainBatches.foreach(r => require(r >= 1, s"retainBatches must be >= 1: $r"))
+    val writer = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val cached = batch.persist()
       try {
+        val minLive = retainBatches.map(batchId - _).getOrElse(Long.MinValue)
         val store =
           if (new java.io.File(storeDir).exists() &&
               spark.read.parquet(storeDir).columns.nonEmpty)
-            Some(spark.read.parquet(storeDir))
+            Some(spark.read.parquet(storeDir)
+              .where(col("batch_id") < batchId && col("batch_id") >= minLive)
+              .select("doc_id", "sig"))
           else None
         val res = dedupBatch(cached, idCol, textCol, store, threshold,
           numPerm, bands)
         sink(res.clean, batchId)
-        res.cleanSigs.write.mode("append").parquet(storeDir)
+        res.cleanSigs.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+        // compaction: drop partitions that fell off the retention
+        // horizon (directory deletes only — nothing live is rewritten)
+        retainBatches.foreach { _ =>
+          Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+            .filter(_.getName.stripPrefix("batch_id=").toLong < minLive)
+            .foreach { d =>
+              java.nio.file.Files.walk(d.toPath)
+                .sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => java.nio.file.Files.deleteIfExists(p))
+            }
+        }
       } finally cached.unpersist()
-    }.start()
+    }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 }

@@ -18,6 +18,49 @@ class LayoutSpec extends SparkSpec {
     assert(spread == 5L) // 11 → 0101
   }
 
+  test("zValue generalizes to N dimensions with round-robin bit placement") {
+    // (x=3, y=0, w=1) at 2 bits: x→positions 0,3; y→1,4; w→2,5
+    // = 1 + 8 + 4 = 13
+    val z3 = Seq((3L, 0L, 1L)).toDF("x", "y", "w")
+      .select(Layout.zValue(Seq(col("x"), col("y"), col("w")), 2))
+      .collect()(0).getLong(0)
+    assert(z3 == 13L)
+    // the 2-column overload and Seq form must agree bit-for-bit
+    val pair = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 3).as("a"),
+        Layout.zValue(Seq(col("x"), col("y")), 3).as("b"))
+      .collect()(0)
+    assert(pair.getLong(0) == pair.getLong(1))
+    // bit budget enforced: 4 dims x 16 bits = 64 > 63 value bits
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("x"), col("y"), col("x"), col("y")), 16)
+    }
+  }
+
+  test("3-D z-ordered parquet prunes row groups for a three-dimensional box") {
+    // 32^3 grid; the box x<8 & y<8 & w<8 holds 512 of 32,768 rows. A
+    // 3-D z-clustering keeps each row group a compact cube, so min/max
+    // stats skip most groups for the box on ALL THREE columns.
+    val grid = spark.range(0, 32L * 32 * 32).toDF("i")
+      .select((col("i") % 32).as("x"),
+        ((col("i") / 32) % 32).cast("long").as("y"),
+        (col("i") / (32 * 32)).cast("long").as("w"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zprune3").toString
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2500")
+    try {
+      Layout.zOrderBy(grid, Seq(col("x"), col("y"), col("w")), numFiles = 16, bits = 5)
+        .write.mode("overwrite")
+        .option("parquet.block.size", "4096")
+        .parquet(zDir)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val df = spark.read.parquet(zDir)
+      .where(col("x") < 8 && col("y") < 8 && col("w") < 8)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned < 8000, s"3-D z-order pruning ineffective: scanned $scanned of 32768")
+  }
+
   test("rangeBucket is monotone and stays in range") {
     val out = spark.range(0, 1000).toDF("v")
       .select(Layout.rangeBucket(col("v"), 0, 999, 4).as("b"))
