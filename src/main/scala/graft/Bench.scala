@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // pinned-protocol context: OS load (1/5/15-min averages) so a
+  // noisy-VM run is distinguishable from a plan regression when two
+  // rounds' numbers are compared
+  private def loadavg: String = scala.util.Try(
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim
+      .split(" ").take(3).mkString(",")).getOrElse("")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,6 +53,7 @@ object Bench {
     // ±40% with VM load on sub-second queries; medians are the signal.
     val reps = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3).max(1)
+    val loadStart = loadavg
     val timings = Array.fill(names.size)(new Array[Double](reps))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (r <- 0 until reps; i <- names.indices) {
@@ -75,6 +84,7 @@ object Bench {
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
     val results = names.indices.map(i => names(i)._1 -> median(timings(i)))
+    val loadEnd = loadavg
     // 2-decimal rounding keeps the per-query line short: the driver
     // captures only the output TAIL, so every byte saved here keeps more
     // entries inside the clipped window
@@ -83,8 +93,9 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val ts = java.time.Instant.now().toString
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"stat":"median","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"stat":"median","n_queries":${results.size},"n_errors":${errors.size},"cpus":"$cpus","load_start":"$loadStart","load_end":"$loadEnd","ts":"$ts","errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     // the full JSON also lands in a file, immune to stdout tail-clipping
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     scala.util.Try {
