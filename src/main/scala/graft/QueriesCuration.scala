@@ -274,5 +274,68 @@ object QueriesCuration {
                 FROM documents)
         SELECT source, n_docs,
           CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE) AS weight
-        FROM c CROSS JOIN t ORDER BY source""")))
+        FROM c CROSS JOIN t ORDER BY source""")),
+
+    // ------------------------------------- K15 duplicated n-gram share
+    // round 6: per doc, the fraction of its distinct 3-grams occurring
+    // in >= 2 documents corpus-wide — the cross-document boilerplate
+    // signal (within-doc twin is K6). Exact integer ratio → exact
+    // cross-engine double.
+    QueryDef("q_dup_ngrams",
+      (s, d) => Curation.dupNgramFraction(Tables.documents(s, d),
+          "doc_id", "text", n = 3, minDf = 2)
+        .orderBy("doc_id"),
+      Some(s"""${shingleCte(3)}, dfq AS (
+          SELECT gram, COUNT(*) AS df FROM ex GROUP BY 1)
+        SELECT e.doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_grams,
+          CAST(SUM(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+        FROM ex e JOIN dfq USING (gram)
+        GROUP BY e.doc_id ORDER BY e.doc_id""")),
+
+    // --------------------------------------- K16 leakage-safe split
+    // round 6: split keyed by the near-dup cluster id (threshold-0.5
+    // LSH clusters, memoized with F6), so a cluster never straddles
+    // train/test. Oracle recomputes the transitive closure with the
+    // recursive CTE and applies the same hash boundaries.
+    QueryDef("q_split_leakage_safe",
+      (s, d) => Curation.leakageSafeSplit(Tables.documents(s, d), "doc_id",
+          QueriesPipeline.lshClusters(s, d, threshold = 0.5))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id"),
+      Some(s"""${QueriesPipeline.clusterGraphCte(0.5)}, lab AS (
+          SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+        ), keyed AS (
+          SELECT d.doc_id,
+            substr(md5(CAST(COALESCE(lab.cluster_id, d.doc_id) AS VARCHAR)),
+              1, 2) AS k
+          FROM documents d LEFT JOIN lab USING (doc_id))
+        SELECT doc_id, CASE WHEN k < 'cc' THEN 'train'
+            WHEN k < 'e6' THEN 'val' ELSE 'test' END AS split
+        FROM keyed ORDER BY doc_id""")),
+
+    // ------------------------------------- K17 token-budget selection
+    // round 6: per source, the highest-quality docs greedily kept
+    // until a 600-token budget — "best data under a fixed training
+    // budget". Ranking uses the 6-dp quality score (cross-engine
+    // exact per q_quality_score) with the id tiebreak.
+    QueryDef("q_token_budget",
+      (s, d) => Curation.tokenBudgetSelect(Tables.documents(s, d),
+          "source", "doc_id", "text", budgetTokens = 600)
+        .orderBy("source", "doc_id"),
+      Some(s"""WITH scored AS (
+          SELECT source, doc_id,
+            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+              AS n_tokens,
+            round(${QueriesPipeline.sqlQualityExpr}, 6) AS quality
+          FROM documents
+        ), c AS (
+          SELECT source, doc_id, n_tokens, quality,
+            SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id) AS cum
+          FROM scored)
+        SELECT source, doc_id, n_tokens, quality, CAST(cum AS BIGINT) AS cum
+        FROM c WHERE cum - n_tokens < 600 ORDER BY source, doc_id""")))
 }

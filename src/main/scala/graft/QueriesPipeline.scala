@@ -25,7 +25,7 @@ object QueriesPipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
 
-  private def lshClusters(s: org.apache.spark.sql.SparkSession, d: String,
+  private[graft] def lshClusters(s: org.apache.spark.sql.SparkSession, d: String,
                           threshold: Double): org.apache.spark.sql.DataFrame =
     SessionMemo(s, ("lshClusters", d, threshold))(
       Dedup.connectedComponents(lshPairs(s, d, threshold).select("id_a", "id_b"))
@@ -91,7 +91,7 @@ object QueriesPipeline {
     * components at sf0.01 are tiny; the Spark side must reproduce it
     * with O(E)-per-round label propagation.
     */
-  private def clusterGraphCte(threshold: Double): String = {
+  private[graft] def clusterGraphCte(threshold: Double): String = {
     val jac = """CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
        CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)"""
     s"""WITH RECURSIVE toks AS (
@@ -131,7 +131,7 @@ object QueriesPipeline {
        ORDER BY doc_id"""
 
   /** SQL mirror of TextAnalysis.qualityScore (un-rounded). */
-  private val sqlQualityExpr: String = {
+  private[graft] val sqlQualityExpr: String = {
     val len = "CAST(length(text) AS DOUBLE)"
     val nSpace = "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)"
     val nTok = s"($nSpace + 1.0)"

@@ -145,6 +145,77 @@ object Curation {
         col("n_tokens"))
   }
 
+  /** Cross-document duplicated n-gram share (the corpus-level twin of
+    * [[topBigramShare]]'s within-doc signal): for each document, the
+    * fraction of its distinct word n-grams that occur in at least
+    * `minDf` documents corpus-wide. High values flag boilerplate and
+    * template text that per-doc filters cannot see.
+    *
+    * Scale shape: one shuffle keyed by the n-gram for the document
+    * frequency (map-side combinable), one gram-keyed join back —
+    * identical shape to [[contamination]]/[[tfidfTopTerm]], never
+    * all-pairs. Counts are exact integers, so the final ratio is a
+    * bit-identical cross-engine double.
+    */
+  def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minDf: Int = 2): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    // shingles are pre-distinct per doc, so count(1) IS the doc frequency
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_fraction",
+        col("n_dup_grams").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+
+  /** Train/val/test split that cannot leak near-duplicates across the
+    * boundary: the split key is the document's near-dup cluster id
+    * (from [[Dedup.connectedComponents]]) instead of its own id, so a
+    * whole cluster always lands in one split — the fix for the classic
+    * eval-contamination failure where a test doc's near-copy sits in
+    * train. Unpaired documents fall back to their own id and split
+    * exactly like [[splitAssign]].
+    *
+    * One id-keyed left join; the split itself stays a pure hash
+    * filter, so the assignment is reproducible across engines and
+    * cluster sizes.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+                       clusters: DataFrame): DataFrame =
+    docs.join(
+        clusters.select(col("id").cast(LongType).as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("split",
+        splitAssign(coalesce(col("cluster_id"), col(idCol).cast(LongType))))
+
+  /** Token-budget corpus selection: per group, keep the
+    * highest-quality documents until the group's token budget is
+    * exhausted — the "best data under a fixed training budget" step of
+    * a data-mixing pipeline. A document is kept if it STARTS within
+    * budget (same greedy convention as [[packSequences]]). Ranking
+    * uses the 6-dp-rounded quality score (cross-engine exact, see
+    * TextAnalysis.qualityScore) with the id as tiebreak, so the
+    * selected set is deterministic. One window per group — at 100 TB
+    * the group key is (source, shard), never the whole corpus.
+    */
+  def tokenBudgetSelect(docs: DataFrame, groupCol: String, idCol: String,
+                        textCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"token budget must be positive: $budgetTokens")
+    val scored = docs.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      round(TextAnalysis.qualityScore(col(textCol)), 6).as("quality"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    scored.withColumn("cum", sum("n_tokens").over(w))
+      .where(col("cum") - col("n_tokens") < budgetTokens)
+      .select(col("grp").as(groupCol), col("doc_id"), col("n_tokens"),
+        col("quality"), col("cum"))
+  }
+
   /** Embedding-space cohesion per label: each label's centroid, then
     * the mean cosine of members to their centroid — the standard
     * cluster-quality / label-noise screen over an embedded corpus.

@@ -162,6 +162,61 @@ class CurationSpec extends SparkSpec {
       ("s", 4L) -> 1L, ("t", 5L) -> 0L))
   }
 
+  test("dupNgramFraction flags shared trigrams and only those") {
+    // docs 0 and 3 share the prefix "the cat sat on the mat" → its 4
+    // trigrams are duplicated; each doc's remaining trigrams are unique
+    val out = Curation.dupNgramFraction(docs, "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (4L, 4L), "doc 0: all 4 trigrams shared with doc 3")
+    assert(out(3L) == (5L, 4L), "doc 3: 4 of 5 trigrams shared, 'on the mat today' tail unique")
+    assert(out(2L)._2 == 0L && out(4L)._2 == 0L, "unique docs have zero dup grams")
+    // spam doc: shingles are distinct per doc, so its single repeated
+    // trigram occurs in one doc only → not a cross-doc duplicate
+    assert(out(1L) == (1L, 0L))
+  }
+
+  test("leakageSafeSplit never lets a cluster straddle two splits") {
+    // force a multi-doc cluster whose member ids would split apart on
+    // their own: pair ids chosen so splitAssign differs across members
+    val ids = spark.range(0, 300).toDF("doc_id")
+    val own = ids.select(col("doc_id"),
+      Curation.splitAssign(col("doc_id")).as("own_split"))
+    // clusters of 3 consecutive ids: cluster_id = id - id % 3
+    val clusters = ids.select(col("doc_id").as("id"),
+      (col("doc_id") - col("doc_id") % 3).as("cluster_id"))
+    val out = Curation.leakageSafeSplit(own, "doc_id", clusters)
+    val perCluster = out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits")).collect()
+    assert(perCluster.forall(_.getLong(1) == 1L), "one split per cluster")
+    // the invariant is non-vacuous: member-id splits DO differ somewhere
+    val mixed = out.groupBy("cluster_id")
+      .agg(countDistinct("own_split").as("n")).where(col("n") > 1).count()
+    assert(mixed > 0, "test must contain clusters whose own-id splits differ")
+    // unpaired docs (absent from clusters) fall back to their own split
+    val solo = Curation.leakageSafeSplit(own, "doc_id",
+      clusters.where(col("id") < 0))
+    assert(solo.where(col("split") =!= col("own_split")).count() == 0)
+  }
+
+  test("tokenBudgetSelect keeps the best docs and respects the budget") {
+    val d = Seq(
+      // src s: quality rises with "the" density (stopword score), so
+      // the ranking is doc3 (6 tok, starts at 0), doc2 (4 tok, starts
+      // at 6), doc4, doc1 — budget 8 admits docs 3 and 2 only
+      (1L, "x y z", "s"),                  // low quality: no stopwords
+      (2L, "the cat the dog", "s"),        // high quality
+      (3L, "the fox the hen the owl", "s"),// high quality
+      (4L, "q r s t", "s"),                // low quality
+      (5L, "the end", "t")                 // other group selected independently
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.tokenBudgetSelect(d, "source", "doc_id", "text", 8L)
+    val kept = out.collect().map(r => r.getLong(1)).toSet
+    assert(kept == Set(2L, 3L, 5L),
+      s"highest-quality docs within budget, per group: $kept")
+    // every kept doc STARTS within budget (packSequences convention)
+    assert(out.where(col("cum") - col("n_tokens") >= 8).count() == 0)
+  }
+
   test("labelCohesion is 1.0 for identical vectors and counts members") {
     val embeds = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
