@@ -98,6 +98,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      info("pq_adc", "pq_adc(codes, lut) - product-quantization asymmetric-distance sum: lut[m*ncodes + codes[m]] over subspaces"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, l) => graft.functions.PqAdc(c, l)
+        case _ => throw new IllegalArgumentException("pq_adc(codes, lut)")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("tensor_pack"),
       info("tensor_pack", "tensor_pack(struct<shape,data>) - serialize tensor to binary"),
       (args: Seq[Expression]) => args match {

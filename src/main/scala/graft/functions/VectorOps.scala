@@ -59,6 +59,81 @@ object VectorRuntime {
     new GenericArrayData(out)
   }
 
+  /** Nearest product-quantization code for subspace `m` of `vec`
+    * (slice [m·sub, (m+1)·sub), sub = code width of book m): argmin
+    * squared L2 distance, first wins ties. Reads the slice in place —
+    * no per-subspace array allocation.
+    */
+  def nearestPqCode(vec: ArrayData, m: Int, books: Array[Array[Array[Double]]]): Int = {
+    val book = books(m)
+    val sub = book(0).length
+    val off = m * sub
+    var best = -1
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    while (c < book.length) {
+      val code = book(c)
+      var d = 0.0
+      var i = 0
+      while (i < sub) {
+        val diff = vec.getFloat(off + i).toDouble - code(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestDist) { bestDist = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** All M subspace codes of `vec` (PQ encoding). */
+  def pqCodes(vec: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val out = new Array[Int](books.length)
+    var m = 0
+    while (m < books.length) { out(m) = nearestPqCode(vec, m, books); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table, flattened [m·ncodes + c]: the dot
+    * product of query subspace m against code c of book m. One table
+    * per query row; every corpus score is then M adds off this table.
+    */
+  def pqLut(q: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val ncodes = books(0).length
+    val out = new Array[Double](m * ncodes)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val sub = book(0).length
+      val off = s * sub
+      var c = 0
+      while (c < ncodes) {
+        val code = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < sub) { acc += q.getFloat(off + i).toDouble * code(i); i += 1 }
+        out(s * ncodes + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance sum: Σ_m lut[m·ncodes + codes[m]]. With a
+    * dot-product LUT this approximates <q, x>; with a squared-norm LUT
+    * it reconstructs ‖x‖². ncodes is inferred from the table length.
+    */
+  def pqAdc(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    val ncodes = lut.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += lut.getDouble(s * ncodes + codes.getInt(s)); s += 1 }
+    acc
+  }
+
   /** Index of the centroid (row of `cents`) with the largest dot
     * product against `vec`; first wins ties (callers pass centroids
     * sorted by cent_id, matching ORDER BY score DESC, cent_id).
@@ -189,4 +264,101 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
+}
+
+/** pq_encode(array<float>) → array<int>: the M product-quantization
+  * codes of the vector against a driver-trained codebook set
+  * (M × ncodes × sub doubles — bounded, the same sanctioned-collect
+  * shape as NearestCentroid's matrix). Map-only projection; the
+  * encoded corpus carries M ints per row instead of dim floats —
+  * the memory/bandwidth win PQ exists for.
+  */
+case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "codebooks must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val matrix: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.pqCodes(input.asInstanceOf[ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("pqBooks", matrix, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorRuntime.pqCodes($c, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** pq_lut(array<float>) → array<double>: the query's flattened ADC
+  * lookup table [m·ncodes + c] = <q_m, book[m][c]>. Computed once per
+  * query row; scoring a corpus row is then M table adds (PqAdc)
+  * instead of a dim-wide dot product.
+  */
+case class PqLut(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "codebooks must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  @transient private lazy val matrix: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.pqLut(input.asInstanceOf[ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("pqBooks", matrix, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorRuntime.pqLut($c, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** pq_adc(array<int>, array<double>) → double: Σ_m lut[m·ncodes +
+  * codes[m]] — the PQ asymmetric-distance accumulation, one static
+  * loop inside codegen.
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<int> codes and array<double> lut, got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorRuntime.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorRuntime.pqAdc($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
 }

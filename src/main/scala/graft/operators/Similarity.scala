@@ -274,6 +274,115 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Product-quantization codebooks: the embedding space split into
+    * `m` subspaces of dim/m dimensions, each clustered into `ncodes`
+    * L2 centroids (deterministic seeds, Lloyd-refined). Returned as
+    * the m × ncodes × (dim/m) matrix both PQ expressions take.
+    *
+    * Scale shape: each Lloyd iteration is ONE map-only encode pass
+    * (PqEncode) plus one (m, code, pos)-keyed partial-mean shuffle; the
+    * driver collects only dim·ncodes partial means per iteration (the
+    * same bounded sanctioned collect as the IVF centroid matrix —
+    * SURVEY §4), never vectors. Codes that lose all members keep their
+    * previous centroid, standard Lloyd behavior.
+    */
+  def trainPqCodebooks(corpus: DataFrame, dim: Int, m: Int = 8,
+                       ncodes: Int = 16, stride: Long = 7,
+                       iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must be divisible by m $m")
+    require(ncodes > 0, s"ncodes must be positive: $ncodes")
+    val sub = dim / m
+    val seeds = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(ncodes)
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length > 0, "corpus has no seed rows for PQ training")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      seeds.map(v => v.slice(s * sub, (s + 1) * sub)))
+    val fanned = fanOut(corpus)
+    for (_ <- 0 until iters) {
+      val enc = fanned.withColumn("codes", {
+        import graft.functions.{exprs, PqEncode}
+        exprs.toColumn(PqEncode(exprs.toExpr(col("embedding")),
+          books.map(_.map(_.toSeq).toSeq).toSeq))
+      })
+      val upd = enc
+        .select(col("codes"),
+          posexplode(col("embedding").cast(ArrayType(DoubleType)))
+            .as(Seq("p", "v")))
+        .select((col("p") / sub).cast(IntegerType).as("m"),
+          pmod(col("p"), lit(sub)).as("pos"),
+          element_at(col("codes"), (col("p") / sub).cast(IntegerType) + 1)
+            .as("code"),
+          col("v"))
+        .groupBy("m", "code", "pos").agg(avg("v").as("c"))
+        .collect() // bounded: ≤ dim·ncodes rows regardless of corpus size
+      books = books.map(_.map(_.clone()))
+      upd.foreach { r =>
+        books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+    }
+    books.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
+  /** PQ ANN (asymmetric distance): the corpus is encoded to m small
+    * integer codes per vector (a dim·4/m-fold memory cut — the reason
+    * PQ is the 100 TB serving format), each query carries a flattened
+    * LUT of subspace-dot-products, and scoring a corpus row is m table
+    * adds instead of a dim-wide dot. The top refine·k approximate
+    * candidates per query are re-ranked with exact cosine (id-keyed
+    * join against the corpus, candidate set broadcast); refine <= 0
+    * skips re-ranking and returns approximate ranks directly.
+    *
+    * The approximate cosine uses the PQ reconstruction on the corpus
+    * side only: <q, x̂> / (‖q‖·‖x̂‖), with ‖x̂‖² reconstructed from a
+    * squared-norm LUT through the same PqAdc kernel.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             m: Int = 8, ncodes: Int = 16, stride: Long = 7,
+             iters: Int = 2, refine: Int = 4,
+             codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    import graft.functions.{exprs, PqAdc, PqEncode, PqLut}
+    val books = codebooks.getOrElse(
+      trainPqCodebooks(corpus, dim, m, ncodes, stride, iters))
+    def encodeCol(c: Column) = exprs.toColumn(PqEncode(exprs.toExpr(c), books))
+    def lutCol(c: Column) = exprs.toColumn(PqLut(exprs.toExpr(c), books))
+    def adcCol(a: Column, b: Column) =
+      exprs.toColumn(PqAdc(exprs.toExpr(a), exprs.toExpr(b)))
+    // squared-norm LUT: ‖book[m][c]‖², flattened like the query LUT
+    val normLut: Seq[Double] = books.flatMap(_.map(_.map(x => x * x).sum))
+    val enc = fanOut(corpus)
+      .select(col("vec_id"), encodeCol(col("embedding")).as("codes"))
+      .withColumn("anrm", sqrt(adcCol(col("codes"), typedlit(normLut))))
+    val q = queries.select(col("vec_id").as("qid"),
+      lutCol(col("embedding")).as("lut"), norm(col("embedding")).as("qnrm"))
+    val scored = enc.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (adcCol(col("codes"), col("lut")) / (col("qnrm") * col("anrm")))
+          .as("acos"))
+    val wa = Window.partitionBy("qid").orderBy(col("acos").desc, col("nid"))
+    if (refine <= 0)
+      return scored.withColumn("rank", row_number().over(wa).cast(LongType))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("nid"), col("rank"))
+    val cand = scored.withColumn("r", row_number().over(wa))
+      .where(col("r") <= refine * k)
+      .select("qid", "nid")
+    val qe = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), norm(col("embedding")).as("qn"))
+    val rer = corpus
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        norm(col("embedding")).as("nn"))
+      .join(broadcast(cand), "nid")
+      .join(broadcast(qe), "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    rer.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-probe LSH
     * buckets: candidates collide in any of `probes` independent
     * hyperplane sets, then exact cosine verifies.

@@ -98,4 +98,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(3) - 1.0) < 1e-12)
     assert(!row.isNullAt(4))
   }
+
+  test("pq_adc is callable from SQL and sums the right table cells") {
+    // 2 subspaces × 2 codes: lut = [m0c0, m0c1, m1c0, m1c1];
+    // codes (1, 0) → lut[1] + lut[2] = 20 + 30
+    val v = extSpark.sql(
+      """SELECT pq_adc(array(1, 0),
+                       array(10.0D, 20.0D, 30.0D, 40.0D)) AS s""").head().getDouble(0)
+    assert(v == 50.0)
+  }
 }

@@ -156,6 +156,71 @@ class SimilaritySpec extends SparkSpec {
       s"stream ${results.toSet} != batch $batchAnswers")
   }
 
+  test("pq codebooks have the right shape and encoding is deterministic") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val books = Similarity.trainPqCodebooks(emb, dim = 64, m = 8, ncodes = 4)
+    assert(books.length == 8 && books.forall(_.forall(_.length == 8)),
+      "8 subspaces of width 64/8")
+    assert(books.forall(b => b.length <= 4 && b.nonEmpty))
+    import graft.functions.{exprs, PqEncode}
+    def codesOf() = emb.orderBy("vec_id")
+      .select(exprs.toColumn(PqEncode(exprs.toExpr(col("embedding")), books)))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    val c1 = codesOf()
+    assert(c1 == codesOf(), "same books must encode identically")
+    assert(c1.flatten.forall(c => c >= 0 && c < 4), "codes within book range")
+  }
+
+  test("pq with full-corpus refine is exactly brute force") {
+    // refine·k >= corpus size → the exact re-rank sees every candidate
+    // the ADC scan produced for each query; with ncodes ≥ distinct
+    // subvector patterns the scan keeps everything, so the result must
+    // equal brute force row for row
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = emb.where($"vec_id" < 3)
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(emb, q, k = 3))
+    val pq = rows(Similarity.pqTopK(emb, q, k = 3, dim = 64,
+      m = 8, ncodes = 16, refine = n))
+    assert(pq == brute && pq.nonEmpty, s"pq $pq vs brute $brute")
+  }
+
+  test("pq recall: planted near-duplicates surface through ADC + re-rank") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    // plant a jittered copy of every query vector; top-1 must find it
+    val q = emb.where($"vec_id" < 5)
+    val planted = q.select(($"vec_id" + 1000000).as("vec_id"),
+      transform($"embedding",
+        (x, i) => (x + sin($"vec_id" * 131 + i * 17) * lit(0.01d))
+          .cast("float")).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionAll(planted)
+    val top1 = Similarity.pqTopK(corpus, q, k = 1, dim = 64,
+        m = 8, ncodes = 16, refine = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { id =>
+      assert(top1.get(id).contains(id + 1000000),
+        s"query $id: expected planted copy, got ${top1.get(id)}")
+    }
+  }
+
+  test("pq train-once/search-many reproduces the default path") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = emb.where($"vec_id" < 3)
+    val books = Similarity.trainPqCodebooks(emb, dim = 64, m = 8, ncodes = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val trained = rows(Similarity.pqTopK(emb, q, k = 3, dim = 64,
+      codebooks = Some(books)))
+    assert(trained == rows(Similarity.pqTopK(emb, q, k = 3, dim = 64)) &&
+      trained.nonEmpty)
+    assert(rows(Similarity.pqTopK(emb, q, k = 3, dim = 64,
+      codebooks = Some(books))) == trained, "same index, same answers")
+  }
+
   test("brute force on real embeddings: top1 of each query has highest cosine") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val res = Similarity.bruteForceTopK(emb, emb.where($"vec_id" < 3), k = 1)
