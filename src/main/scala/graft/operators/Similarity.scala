@@ -368,6 +368,15 @@ object Similarity {
     val cand = scored.withColumn("r", row_number().over(wa))
       .where(col("r") <= refine * k)
       .select("qid", "nid")
+    exactReRank(corpus, queries, cand, k)
+  }
+
+  /** Exact-cosine re-rank of an approximate candidate set: (qid, nid)
+    * pairs joined back to the full-precision corpus (id-keyed, the
+    * small candidate set broadcast), scored exactly, top-k per query.
+    */
+  private def exactReRank(corpus: DataFrame, queries: DataFrame,
+                          cand: DataFrame, k: Int): DataFrame = {
     val qe = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qe"), norm(col("embedding")).as("qn"))
     val rer = corpus
@@ -381,6 +390,64 @@ object Similarity {
     rer.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** IVF-PQ: the composed billion-scale index shape — the corpus is
+    * partitioned into IVF cells AND PQ-encoded, a query probes its
+    * `nprobe` nearest cells and ADC-scans only those rows (nprobe/k of
+    * the data, m table adds per row), then the top refine·k candidates
+    * re-rank exactly. At 100 TB the encoded corpus is written as
+    * cell-partitioned parquet: the probe prunes partitions on disk and
+    * each scanned row is m ints, not dim floats.
+    *
+    * Both index halves are train-once (pass `centroids`/`codebooks`);
+    * nprobe = nCells and a deep refine degrade gracefully to exact
+    * search, which is what the spec pins.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                nCells: Int = 16, stride: Long = 7, nprobe: Int = 4,
+                m: Int = 8, ncodes: Int = 16, iters: Int = 2,
+                refine: Int = 4,
+                centroids: Option[DataFrame] = None,
+                codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    import graft.functions.{exprs, PqAdc, PqEncode, PqLut}
+    val cents = centroids.getOrElse(trainIvfCentroids(corpus, nCells, stride))
+    val books = codebooks.getOrElse(
+      trainPqCodebooks(corpus, dim, m, ncodes, stride, iters))
+    def encodeCol(c: Column) = exprs.toColumn(PqEncode(exprs.toExpr(c), books))
+    def lutCol(c: Column) = exprs.toColumn(PqLut(exprs.toExpr(c), books))
+    def adcCol(a: Column, b: Column) =
+      exprs.toColumn(PqAdc(exprs.toExpr(a), exprs.toExpr(b)))
+    val normLut: Seq[Double] = books.flatMap(_.map(_.map(x => x * x).sum))
+    val enc = assignToCentroids(corpus, cents)
+      .select(col("vec_id"), col("cent_id"),
+        encodeCol(col("embedding")).as("codes"))
+      .withColumn("anrm", sqrt(adcCol(col("codes"), typedlit(normLut))))
+    val qCells = queries.as("q").join(broadcast(cents.as("c")))
+      .select(col("q.vec_id").as("qid"), col("c.cent_id").as("cent_id"),
+        cosine(col("q.embedding"), col("c.cent")).as("ccos"))
+    val wq = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
+    // LUT computed once per query row, joined onto its nprobe cells
+    val qLut = queries.select(col("vec_id").as("qid"),
+      lutCol(col("embedding")).as("lut"), norm(col("embedding")).as("qnrm"))
+    val probes = qCells.withColumn("r", row_number().over(wq))
+      .where(col("r") <= nprobe)
+      .select(col("qid"), col("cent_id"))
+      .join(qLut, "qid")
+    val scored = enc.as("c").join(broadcast(probes.as("p")),
+        col("p.cent_id") === col("c.cent_id") && col("p.qid") =!= col("c.vec_id"))
+      .select(col("p.qid").as("qid"), col("c.vec_id").as("nid"),
+        (adcCol(col("c.codes"), col("p.lut")) / (col("p.qnrm") * col("c.anrm")))
+          .as("acos"))
+    val wa = Window.partitionBy("qid").orderBy(col("acos").desc, col("nid"))
+    if (refine <= 0)
+      return scored.withColumn("rank", row_number().over(wa).cast(LongType))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("nid"), col("rank"))
+    val cand = scored.withColumn("r", row_number().over(wa))
+      .where(col("r") <= refine * k)
+      .select("qid", "nid")
+    exactReRank(corpus, queries, cand, k)
   }
 
   /** Embedding-cosine near-duplicate pairs via multi-probe LSH

@@ -21,12 +21,20 @@ object PqProbe {
     val queries = base.where(pmod(col("vec_id"), lit(37)) === 0)
     val k = 3
     val exact = Similarity.bruteForceTopK(corpus, queries, k).select("qid", "nid")
+    def recall(name: String, approx: org.apache.spark.sql.DataFrame, t0: Long): Unit = {
+      val rec = exact.join(approx.select("qid", "nid").withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("r")).head.getDouble(0)
+      println(f"$name recall=$rec%.4f  (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    }
     for (refine <- Seq(0, 2, 4)) {
       val t0 = System.nanoTime()
-      val pq = Similarity.pqTopK(corpus, queries, k, dim = 64, m = 8, ncodes = 16, refine = refine)
-      val rec = exact.join(pq.select("qid", "nid").withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
-        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("r")).head.getDouble(0)
-      println(f"PQ refine=$refine recall=$rec%.4f  (${(System.nanoTime()-t0)/1e9}%.1f s)")
+      recall(s"PQ refine=$refine", Similarity.pqTopK(corpus, queries, k,
+        dim = 64, m = 8, ncodes = 16, refine = refine), t0)
+    }
+    for (nprobe <- Seq(2, 4, 8)) {
+      val t0 = System.nanoTime()
+      recall(s"IVFPQ nprobe=$nprobe", Similarity.ivfPqTopK(corpus, queries, k,
+        dim = 64, nCells = 16, nprobe = nprobe, m = 8, ncodes = 16, refine = 4), t0)
     }
     spark.stop()
   }

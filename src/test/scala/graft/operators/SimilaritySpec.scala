@@ -206,6 +206,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq with exhaustive probes and full refine is exactly brute force") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = emb.where($"vec_id" < 3)
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(emb, q, k = 3))
+    val ivfpq = rows(Similarity.ivfPqTopK(emb, q, k = 3, dim = 64,
+      nCells = 4, nprobe = 4, m = 8, ncodes = 16, refine = n))
+    assert(ivfpq == brute && ivfpq.nonEmpty, s"ivfpq $ivfpq vs brute $brute")
+  }
+
+  test("ivf-pq finds planted duplicates at sub-exhaustive settings") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = emb.where($"vec_id" < 5)
+    val planted = q.select(($"vec_id" + 1000000).as("vec_id"),
+      transform($"embedding",
+        (x, i) => (x + sin($"vec_id" * 131 + i * 17) * lit(0.01d))
+          .cast("float")).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionAll(planted)
+    // a jittered copy quantizes into its base's IVF cell, so probing
+    // the query's own top cells must surface it
+    val top1 = Similarity.ivfPqTopK(corpus, q, k = 1, dim = 64,
+        nCells = 8, nprobe = 2, m = 8, ncodes = 16, refine = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { id =>
+      assert(top1.get(id).contains(id + 1000000),
+        s"query $id: expected planted copy, got ${top1.get(id)}")
+    }
+  }
+
   test("pq train-once/search-many reproduces the default path") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val q = emb.where($"vec_id" < 3)
