@@ -65,7 +65,8 @@ class PipelineScaleSpec extends SparkSpec {
     // filtered corpus subset here — at scale it is an external
     // benchmark set, so it must not be FORCE-broadcast either way)
     Seq("q_contamination", "q_tfidf_top", "q_embed_cohesion",
-      "q_pack_sequences", "q_repetition", "q_sample_group_topk").foreach { q =>
+      "q_pack_sequences", "q_repetition", "q_sample_group_topk",
+      "q_dup_ngrams", "q_split_leakage_safe", "q_token_budget").foreach { q =>
       val p = plan(q)
       val badBroadcast = p.collect {
         case b if b.nodeName.contains("BroadcastExchange") &&
