@@ -253,6 +253,35 @@ object QueriesPipeline {
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         ORDER BY id_a, id_b""")),
 
+    // ------------------------------------------------- F7 semantic dedup
+    // round 6: the SemDeDup recipe end to end — cell-blocked pairwise
+    // cosine → connected components → canonical survivors. Gate config
+    // is the explicit exhaustive mode (nCells=1: every pair scored
+    // once), so the oracle is the exact all-pairs closure; production
+    // cell blocking is spec-covered on planted duplicates.
+    QueryDef("q_semantic_dedup",
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d),
+          threshold = 0.4, nCells = 1)
+        .select(col("vec_id").cast(LongType).as("vec_id"))
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        ), edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ), reach AS (
+          SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+        WHERE vec_id NOT IN (
+          SELECT u FROM reach GROUP BY u HAVING u <> MIN(v))
+        ORDER BY vec_id""")),
+
     // ------------------------------------------------------ G1 brute force
     QueryDef("q_ann_bruteforce",
       (s, d) => {

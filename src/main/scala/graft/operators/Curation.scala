@@ -151,20 +151,21 @@ object Curation {
     * `minDf` documents corpus-wide. High values flag boilerplate and
     * template text that per-doc filters cannot see.
     *
-    * Scale shape: one shuffle keyed by the n-gram for the document
-    * frequency (map-side combinable), one gram-keyed join back —
-    * identical shape to [[contamination]]/[[tfidfTopTerm]], never
-    * all-pairs. Counts are exact integers, so the final ratio is a
-    * bit-identical cross-engine double.
+    * Scale shape: the corpus is shingled ONCE; the document frequency
+    * is a count window over the gram key (one gram-keyed shuffle —
+    * an aggregate+self-join spelling shingles the corpus twice), then
+    * one doc-keyed aggregate. Never all-pairs. Counts are exact
+    * integers, so the final ratio is a bit-identical cross-engine
+    * double.
     */
   def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, minDf: Int = 2): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1: $minDf")
     val grams = docs.select(col(idCol).as("doc_id"),
       explode(Dedup.shingles(col(textCol), n)).as("gram"))
-    // shingles are pre-distinct per doc, so count(1) IS the doc frequency
-    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-    grams.join(dfreq, "gram")
+    // shingles are pre-distinct per doc, so the per-gram row count IS
+    // the document frequency
+    grams.withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_grams"))

@@ -450,6 +450,57 @@ object Similarity {
     exactReRank(corpus, queries, cand, k)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: k-means cells as
+    * the blocking structure (the clustering IS the candidate
+    * generator), exact pairwise cosine within a cell only. The
+    * complementary blocking to [[cosineNearDups]]'s hyperplane
+    * buckets: cells adapt to the data distribution, so dense regions
+    * — where semantic duplicates live — get finer blocking than any
+    * fixed random-projection grid.
+    *
+    * nCells <= 1 is the explicit exhaustive mode (every pair scored
+    * once through a single constant-key bucket) for ground truth and
+    * the exact-oracle gate; production runs nCells ≈ corpus/10⁵ so a
+    * cell's pair count stays bounded. Cross-cell duplicate pairs are
+    * the recall cost of the blocking, exactly as in the SemDeDup
+    * recipe (near-identical vectors co-assign except on a cell
+    * boundary).
+    */
+  def semanticNearDups(corpus: DataFrame, threshold: Double,
+                       nCells: Int = 16, stride: Long = 7, iters: Int = 1,
+                       centroids: Option[DataFrame] = None): DataFrame = {
+    val withCell = (if (nCells <= 1)
+      fanOut(corpus).select(col("vec_id"), col("embedding"),
+        lit(0L).as("cent_id"))
+    else {
+      val cents = centroids.getOrElse(
+        trainIvfCentroids(corpus, nCells, stride, iters))
+      assignToCentroids(corpus, cents)
+    }).withColumn("nrm", norm(col("embedding")))
+    withCell.as("a").join(withCell.as("x"),
+        col("a.cent_id") === col("x.cent_id") &&
+          col("a.vec_id") < col("x.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("x.vec_id").as("id_b"),
+        (dot(col("a.embedding"), col("x.embedding"))
+          / (col("a.nrm") * col("x.nrm"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** The canonical corpus after semantic dedup: near-dup pairs from
+    * [[semanticNearDups]] clustered by connected components, every
+    * non-representative member dropped — the full SemDeDup recipe as
+    * one composition. Returns the surviving rows of `corpus`.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    nCells: Int = 16, stride: Long = 7, iters: Int = 1,
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val pairs = semanticNearDups(corpus, threshold, nCells, stride, iters,
+      centroids)
+    val clusters = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    Dedup.dropNearDuplicates(corpus, "vec_id", clusters)
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-probe LSH
     * buckets: candidates collide in any of `probes` independent
     * hyperplane sets, then exact cosine verifies.

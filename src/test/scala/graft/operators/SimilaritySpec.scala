@@ -253,6 +253,37 @@ class SimilaritySpec extends SparkSpec {
       codebooks = Some(books))) == trained, "same index, same answers")
   }
 
+  test("semanticDedup drops exactly the planted duplicates under cell blocking") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    // plant a barely-jittered copy of 5 vectors; the copy must
+    // co-assign with its base cell and be dropped (canonical = min id)
+    val bases = emb.where($"vec_id" < 5)
+    val planted = bases.select(($"vec_id" + 1000000).as("vec_id"),
+      transform($"embedding",
+        (x, i) => (x + sin($"vec_id" * 131 + i * 17) * lit(0.001d))
+          .cast("float")).as("embedding"), $"label")
+    val corpus = emb.unionAll(planted)
+    // corpus strangers top out near cos 0.5, planted copies ≈ 1.0
+    val kept = Similarity.semanticDedup(corpus, threshold = 0.9, nCells = 8)
+      .select("vec_id").as[Long].collect().toSet
+    (0L until 5L).foreach { id =>
+      assert(kept.contains(id), s"base $id must survive as canonical")
+      assert(!kept.contains(id + 1000000), s"copy of $id must be dropped")
+    }
+    assert(kept.size == emb.count(), "exactly the 5 copies are removed")
+  }
+
+  test("semantic pair generation is cell-local — no cartesian at nCells > 1") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val p = Similarity.semanticNearDups(emb, threshold = 0.9, nCells = 8)
+      .queryExecution.executedPlan
+    val cartesian = p.collect {
+      case n if n.nodeName.contains("CartesianProduct") ||
+        n.nodeName.contains("BroadcastNestedLoop") => n
+    }
+    assert(cartesian.isEmpty, "cell blocking must plan as an equi-join")
+  }
+
   test("brute force on real embeddings: top1 of each query has highest cosine") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val res = Similarity.bruteForceTopK(emb, emb.where($"vec_id" < 3), k = 1)
