@@ -77,15 +77,13 @@ object Tables {
       s.sql(s"DROP TABLE IF EXISTS $table")
       // the in-memory catalog forgets tables between JVMs but their
       // warehouse files survive, and saveAsTable refuses a managed
-      // location that already exists — clear leftovers explicitly
-      val wh = java.net.URI.create(
-        s.conf.get("spark.sql.warehouse.dir")).getPath
-      val leftover = new java.io.File(wh, table)
-      if (leftover.exists()) {
-        java.nio.file.Files.walk(leftover.toPath)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      // location that already exists — clear leftovers explicitly,
+      // through Hadoop FS so a non-local warehouse (HDFS/object store)
+      // is swept too, not just the driver's local disk
+      val leftover = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = leftover.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(leftover)) fs.delete(leftover, true)
       partsupp(s, d).write
         .bucketBy(buckets, "ps_partkey").sortBy("ps_partkey")
         .mode("overwrite").saveAsTable(table)

@@ -124,14 +124,23 @@ object VectorRuntime {
   /** Asymmetric-distance sum: Σ_m lut[m·ncodes + codes[m]]. With a
     * dot-product LUT this approximates <q, x>; with a squared-norm LUT
     * it reconstructs ‖x‖². ncodes is inferred from the table length.
+    * Degenerate shapes (no codes, lut not a multiple, code outside the
+    * table) return null — pq_adc is SQL-reachable with arbitrary
+    * arrays, and a silent truncation or an index crash would be worse.
     */
-  def pqAdc(codes: ArrayData, lut: ArrayData): Double = {
+  def pqAdc(codes: ArrayData, lut: ArrayData): java.lang.Double = {
     val m = codes.numElements()
+    if (m == 0 || lut.numElements() % m != 0) return null
     val ncodes = lut.numElements() / m
     var acc = 0.0
     var s = 0
-    while (s < m) { acc += lut.getDouble(s * ncodes + codes.getInt(s)); s += 1 }
-    acc
+    while (s < m) {
+      val c = codes.getInt(s)
+      if (c < 0 || c >= ncodes) return null
+      acc += lut.getDouble(s * ncodes + c)
+      s += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 
   /** Index of the centroid (row of `cents`) with the largest dot
@@ -349,14 +358,27 @@ case class PqAdc(left: Expression, right: Expression)
         s"$prettyName requires array<int> codes and array<double> lut, got $l / $r")
     }
   override def dataType: DataType = DoubleType
+  // degenerate shapes (empty codes, lut not a multiple of codes) yield
+  // null rather than a task-killing ArithmeticException or a silently
+  // truncated ncodes — pq_adc is SQL-reachable with arbitrary arrays
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_adc"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorRuntime.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorRuntime.pqAdc($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh local: several pq_adc calls can fuse into one codegen scope
+      val r = ctx.freshName("pqAdcRes")
+      s"""
+      java.lang.Double $r = graft.functions.VectorRuntime.pqAdc($a, $b);
+      if ($r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $r.doubleValue();
+      }"""
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdc =

@@ -330,7 +330,13 @@ object Dedup {
     dir match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        // setCheckpointDir stores an FS-qualified, UUID-suffixed child
+        // (e.g. file:/dir/<uuid>), so equality against `d` never holds
+        // — match on the parent-path substring or every round would
+        // mkdir a fresh UUID directory
+        val marker = d.stripSuffix("/") + "/"
+        if (!sc.getCheckpointDir.exists(_.contains(marker)))
+          sc.setCheckpointDir(d)
         df.checkpoint(true)
       case None => df.localCheckpoint(true)
     }

@@ -50,8 +50,13 @@ object Layout {
     require(hi - lo <= (Long.MaxValue >> bits),
       s"range [$lo, $hi] too wide for $bits-bit buckets: " +
         s"(hi - lo) must be <= ${Long.MaxValue >> bits}")
+    // out-of-range VALUES are clamped to the edge buckets before the
+    // multiply: an unclamped c far outside [lo, hi] would overflow
+    // (c - lo) * buckets and emit a negative bucket, which zValue's
+    // bit interleave silently scrambles
+    val clamped = least(lit(hi), greatest(lit(lo), c.cast("long")))
     least(lit(buckets - 1),
-      ((c.cast("long") - lo) * buckets / (hi - lo + 1)).cast("long"))
+      ((clamped - lo) * buckets / (hi - lo + 1)).cast("long"))
   }
 
   /** Rewrite `df` into `numFiles` range-partitioned slices of the

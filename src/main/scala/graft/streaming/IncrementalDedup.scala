@@ -107,13 +107,27 @@ object IncrementalDedup {
       val cached = batch.persist()
       try {
         val minLive = retainBatches.map(batchId - _).getOrElse(Long.MinValue)
+        // Hadoop FS, not java.io.File: the store lives on whatever
+        // filesystem the URI names (HDFS/object store on a cluster) —
+        // a local-File probe would silently skip the store there
+        val storePath = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+        val hasData = fs.exists(storePath) && fs.listStatus(storePath)
+          .exists { st =>
+            val n = st.getPath.getName
+            n.startsWith("batch_id=") || n.endsWith(".parquet")
+          }
         val store =
-          if (new java.io.File(storeDir).exists() &&
-              spark.read.parquet(storeDir).columns.nonEmpty)
-            Some(spark.read.parquet(storeDir)
+          if (hasData) {
+            val df = spark.read.parquet(storeDir)
+            require(df.columns.contains("batch_id"),
+              s"signature store at $storeDir predates the partitioned " +
+                "layout (no batch_id partition column); rewrite it into " +
+                "batch_id=<n> partitions or point at a fresh storeDir")
+            Some(df
               .where(col("batch_id") < batchId && col("batch_id") >= minLive)
               .select("doc_id", "sig"))
-          else None
+          } else None
         val res = dedupBatch(cached, idCol, textCol, store, threshold,
           numPerm, bands)
         sink(res.clean, batchId)
@@ -123,16 +137,16 @@ object IncrementalDedup {
           .partitionBy("batch_id")
           .parquet(storeDir)
         // compaction: drop partitions that fell off the retention
-        // horizon (directory deletes only — nothing live is rewritten)
+        // horizon (directory deletes only — nothing live is rewritten);
+        // same FS handle as the read, so remote stores compact too
         retainBatches.foreach { _ =>
-          Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-            .filter(_.getName.stripPrefix("batch_id=").toLong < minLive)
-            .foreach { d =>
-              java.nio.file.Files.walk(d.toPath)
-                .sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => java.nio.file.Files.deleteIfExists(p))
-            }
+          fs.listStatus(storePath)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("batch_id="))
+            .filter(st => scala.util.Try(
+              st.getPath.getName.stripPrefix("batch_id=").toLong)
+              .toOption.exists(_ < minLive))
+            .foreach(st => fs.delete(st.getPath, true))
         }
       } finally cached.unpersist()
     }

@@ -55,7 +55,13 @@ def main():
     for name in sorted(oracle):
         times = []
         for _ in range(reps):
-            timer = threading.Timer(timeout_s, con.interrupt)
+            fired = threading.Event()
+
+            def interrupt():
+                fired.set()
+                con.interrupt()
+
+            timer = threading.Timer(timeout_s, interrupt)
             timer.start()
             t0 = time.time()
             try:
@@ -71,6 +77,15 @@ def main():
                 break
             finally:
                 timer.cancel()
+                if fired.is_set():
+                    # the timer can fire between fetchall() returning and
+                    # cancel(), leaving a pending interrupt on the shared
+                    # connection that would abort the NEXT healthy query —
+                    # drain it with a throwaway statement
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except Exception:
+                        pass
         if times:
             results[name] = round(statistics.median(times), 3)
     line = {
