@@ -458,28 +458,34 @@ object Similarity {
     * — where semantic duplicates live — get finer blocking than any
     * fixed random-projection grid.
     *
-    * nCells <= 1 is the explicit exhaustive mode (every pair scored
-    * once through a single constant-key bucket) for ground truth and
-    * the exact-oracle gate; production runs nCells ≈ corpus/10⁵ so a
-    * cell's pair count stays bounded. Cross-cell duplicate pairs are
-    * the recall cost of the blocking, exactly as in the SemDeDup
-    * recipe (near-identical vectors co-assign except on a cell
-    * boundary).
+    * nCells <= 1 is the explicit exhaustive mode for ground truth and
+    * the exact-oracle gate — a distributed all-pairs cartesian (the
+    * shape cosineNearDups' planes=0 mode uses; a constant-key
+    * equi-join would hash every row into ONE partition and serialize
+    * the O(n²) scoring on a single core). Production runs nCells ≈
+    * corpus/10⁵ so a cell's pair count stays bounded. Cross-cell
+    * duplicate pairs are the recall cost of the blocking, exactly as
+    * in the SemDeDup recipe (near-identical vectors co-assign except
+    * on a cell boundary).
     */
   def semanticNearDups(corpus: DataFrame, threshold: Double,
                        nCells: Int = 16, stride: Long = 7, iters: Int = 1,
                        centroids: Option[DataFrame] = None): DataFrame = {
-    val withCell = (if (nCells <= 1)
-      fanOut(corpus).select(col("vec_id"), col("embedding"),
-        lit(0L).as("cent_id"))
-    else {
+    val paired = if (nCells <= 1) {
+      val fanned = fanOut(corpus)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", norm(col("embedding")))
+      fanned.as("a").join(fanned.as("x"), col("a.vec_id") < col("x.vec_id"))
+    } else {
       val cents = centroids.getOrElse(
         trainIvfCentroids(corpus, nCells, stride, iters))
-      assignToCentroids(corpus, cents)
-    }).withColumn("nrm", norm(col("embedding")))
-    withCell.as("a").join(withCell.as("x"),
+      val withCell = assignToCentroids(corpus, cents)
+        .withColumn("nrm", norm(col("embedding")))
+      withCell.as("a").join(withCell.as("x"),
         col("a.cent_id") === col("x.cent_id") &&
           col("a.vec_id") < col("x.vec_id"))
+    }
+    paired
       .select(col("a.vec_id").as("id_a"), col("x.vec_id").as("id_b"),
         (dot(col("a.embedding"), col("x.embedding"))
           / (col("a.nrm") * col("x.nrm"))).as("cos"))

@@ -253,6 +253,40 @@ class SimilaritySpec extends SparkSpec {
       codebooks = Some(books))) == trained, "same index, same answers")
   }
 
+  test("streaming PQ serving: query micro-batches search static codebooks") {
+    // same serving shape as the IVF case: codebooks trained once on
+    // the static corpus, query batches answered via foreachBatch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val books = Similarity.trainPqCodebooks(emb, dim = 64, m = 8, ncodes = 16)
+    val qVecs = emb.where(col("vec_id") < 3)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    input.addData(qVecs.toIndexedSeq)
+    val results = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.pqTopK(emb, batch, k = 2, dim = 64,
+            codebooks = Some(books))
+          .select("qid", "nid", "rank").collect()
+          .foreach(r => results.synchronized {
+            results += ((r.getLong(0), r.getLong(1), r.getLong(2)))
+          })
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000), "streaming PQ query timed out")
+    finally q.stop()
+    val batchAnswers = Similarity.pqTopK(emb, emb.where(col("vec_id") < 3),
+        k = 2, dim = 64, codebooks = Some(books))
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(results.toSet == batchAnswers && results.nonEmpty,
+      s"stream ${results.toSet} != batch $batchAnswers")
+  }
+
   test("semanticDedup drops exactly the planted duplicates under cell blocking") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     // plant a barely-jittered copy of 5 vectors; the copy must
