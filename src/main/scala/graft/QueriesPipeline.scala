@@ -574,6 +574,25 @@ object QueriesPipeline {
           FROM documents)
         WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term LIMIT 20""")),
 
+    // ------------------------------------------- H7 unigram surprisal
+    // round 6: −mean(ln p(token)) with p from the corpus itself — the
+    // cheap perplexity-style quality filter. Term-keyed shuffle + join
+    // (tfidf's shape); mean rounded to 6 dp per the float contract.
+    QueryDef("q_surprisal",
+      (s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents
+        ), tf AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY 1),
+        t AS (SELECT COUNT(*) AS n_total FROM toks)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          round(AVG(-ln(CAST(tf.tf AS DOUBLE) / CAST(t.n_total AS DOUBLE))), 6)
+            AS surprisal
+        FROM toks JOIN tf USING (term) CROSS JOIN t
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ------------------------------------------------- E3/E4 media decode
     // end-to-end through the multimodal plumbing: encode documents into
     // the fake binary media format, decode via the mapPartitions stub,

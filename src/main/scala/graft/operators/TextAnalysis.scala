@@ -81,6 +81,28 @@ object TextAnalysis {
     lenScore * 0.4 + tokScore * 0.3 + stopScore * 0.3
   }
 
+  /** Per-document mean unigram surprisal −mean(ln p(token)), with
+    * p estimated from the corpus itself — the cheap stand-in for the
+    * KenLM-perplexity quality filter (CCNet-style): documents made of
+    * corpus-typical tokens score low, token-salad scores high. The
+    * scale shape is [[graft.operators.Curation.tfidfTopTerm]]'s: one
+    * term-keyed shuffle for frequencies, a term-keyed join back, the
+    * corpus-total as a broadcast scalar. The mean is a distributed
+    * double reduction, so it surfaces rounded to 6 dp (the established
+    * cross-engine float contract).
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(tf, "term").join(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("tf").cast(DoubleType)
+          / col("n_total").cast(DoubleType))), 6).as("surprisal"))
+  }
+
   /** Content fingerprint: md5 of lowercased text (hex). Identical
     * builtin exists in DuckDB, so exact-dedup results are
     * oracle-checkable end to end.

@@ -66,7 +66,8 @@ class PipelineScaleSpec extends SparkSpec {
     // benchmark set, so it must not be FORCE-broadcast either way)
     Seq("q_contamination", "q_tfidf_top", "q_embed_cohesion",
       "q_pack_sequences", "q_repetition", "q_sample_group_topk",
-      "q_dup_ngrams", "q_split_leakage_safe", "q_token_budget").foreach { q =>
+      "q_dup_ngrams", "q_split_leakage_safe", "q_token_budget",
+      "q_surprisal").foreach { q =>
       val p = plan(q)
       val badBroadcast = p.collect {
         case b if b.nodeName.contains("BroadcastExchange") &&

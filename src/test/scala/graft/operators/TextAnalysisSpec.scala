@@ -79,4 +79,19 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tf == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
   }
+
+  test("unigramSurprisal: corpus-typical text scores below token salad") {
+    val df = Seq(
+      (1L, "the the the the"),   // the most common token → lowest surprisal
+      (2L, "the the rare rare"), // mixed
+      (3L, "one of a kind salad")// all hapaxes → highest surprisal
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 4L && out(3L)._1 == 5L, "token counts carried through")
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2,
+      s"surprisal must rank common < mixed < hapax: $out")
+    // hand check: doc 1 is 4 tokens of p = 6/13 → -ln(6/13)
+    assert(math.abs(out(1L)._2 - (-math.log(6.0 / 13.0))) < 1e-6)
+  }
 }
