@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-shape budgets for headline queries: every entry pins the
+  * number of shuffles (hash + range exchanges) and parquet scans its
+  * plan is allowed, at today's values. A failure here means a code
+  * change quietly added a shuffle or an extra pass over a source
+  * table — exactly the regressions that are invisible at sf0.01 and
+  * dominate at 100 TB. Budgets are ceilings: a plan that gets BETTER
+  * passes (tighten the row when it does).
+  *
+  * AQE is disabled for the count so the budget sees the static plan
+  * (AQE only ever removes exchanges at runtime, never adds).
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  private lazy val session = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  // query -> (max hash exchanges, max range exchanges, max parquet scans)
+  private val budgets: Seq[(String, (Int, Int, Int))] = Seq(
+    "q1_agg" -> (1, 1, 1), // one agg shuffle + output sort
+    "q_tpch3" -> (1, 0, 3), // dims broadcast; one agg shuffle
+    "q_tpch5" -> (1, 1, 6), // 6-table join, one agg shuffle
+    "q_tpch17" -> (1, 0, 2), // window reuses the agg partitioning
+    "q_tpch21" -> (3, 0, 2), // SINGLE lineitem scan + supplier
+    "q_dedup_exact" -> (1, 1, 1), // one md5-keyed shuffle
+    "q_dedup_minhash" -> (2, 1, 3), // band shuffle + verify, no explode join
+    "q_sample_hash" -> (0, 1, 1), // pure filter: NO shuffle at all
+    "q_topn_per_group" -> (1, 1, 1), // one window shuffle
+    "q_asof_join" -> (2, 1, 2), // union+window single-shuffle shape
+    "q_tfidf_top" -> (4, 1, 3),
+    "q_surprisal" -> (2, 1, 3),
+    "q_dup_ngrams" -> (2, 1, 1) // window-over-gram: ONE corpus scan
+  )
+
+  budgets.foreach { case (q, (maxHash, maxRange, maxScans)) =>
+    test(s"$q stays within its shuffle/scan budget ($maxHash/$maxRange/$maxScans)") {
+      val plan = SparkEntry.queries(q)(session, sfDir)
+        .queryExecution.executedPlan.toString
+      val hash = "Exchange hashpartitioning".r.findAllIn(plan).length
+      val range = "Exchange rangepartitioning".r.findAllIn(plan).length
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(hash <= maxHash,
+        s"$q grew a hash exchange: $hash > $maxHash — new shuffle in the plan")
+      assert(range <= maxRange,
+        s"$q grew a range exchange: $range > $maxRange")
+      assert(scans <= maxScans,
+        s"$q reads a source table more often: $scans > $maxScans scans")
+    }
+  }
+}
