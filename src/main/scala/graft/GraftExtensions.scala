@@ -73,6 +73,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("dot_product(a, b)")
       }))
     ext.injectFunction((
+      FunctionIdentifier("l2_distance"),
+      info("l2_distance", "l2_distance(a, b) - Euclidean distance of two float/double arrays"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.L2Distance(a, b)
+        case _ => throw new IllegalArgumentException("l2_distance(a, b)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(str[, form]) - Unicode normalization (NFC default; NFD/NFKC/NFKD)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => graft.functions.UnicodeNormalize(a)
+        case Seq(a, f) =>
+          val form = f match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+                if s != null => s.toString
+            case _ => throw new IllegalArgumentException(
+              "unicode_normalize form must be a string literal")
+          }
+          graft.functions.UnicodeNormalize(a, form)
+        case _ => throw new IllegalArgumentException("unicode_normalize(str[, form])")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("unit_norm"),
       info("unit_norm", "unit_norm(a) - unit-L2-normalized copy of a float array"),
       (args: Seq[Expression]) => args match {

@@ -337,5 +337,40 @@ object QueriesCuration {
               ORDER BY quality DESC, doc_id) AS cum
           FROM scored)
         SELECT source, doc_id, n_tokens, quality, CAST(cum AS BIGINT) AS cum
-        FROM c WHERE cum - n_tokens < 600 ORDER BY source, doc_id""")))
+        FROM c WHERE cum - n_tokens < 600 ORDER BY source, doc_id""")),
+
+    // --------------------------------------- K18 weighted hash sample
+    // Keep probability ∝ n_chars/400 capped at 1 — the quality-
+    // weighted resampling primitive. Deterministic (16-bit md5 key vs
+    // per-row threshold), so the subset is identical across engines,
+    // runs and cluster sizes; docs at/over 400 chars take the
+    // always-keep branch, the rest the probabilistic one.
+    QueryDef("q_sample_weighted",
+      (s, d) => Curation.weightedSample(Tables.documents(s, d), "doc_id",
+          col("n_chars").cast(DoubleType) / 400.0)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars FROM documents
+        WHERE floor(least(n_chars / 400.0, 1.0) * 65536) >= 65536
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < printf('%04x', CAST(floor(least(n_chars / 400.0, 1.0) * 65536) AS INT))
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------ K19 MAD outlier filter
+    // Robust outliers: |n_chars − median(source)| > 2·MAD(source).
+    // Medians of integer inputs are integers or .5 (exact in double),
+    // so the filter boundary is engine-independent without rounding.
+    QueryDef("q_mad_outliers",
+      (s, d) => Curation.madOutliers(Tables.documents(s, d), "source", "n_chars", 2.0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("med"), col("mad"))
+        .orderBy("doc_id"),
+      Some("""WITH stats AS (
+          SELECT source, CAST(median(n_chars) AS DOUBLE) AS med,
+                 CAST(mad(n_chars) AS DOUBLE) AS mad
+          FROM documents GROUP BY source)
+        SELECT d.doc_id, d.source, d.n_chars, s.med, s.mad
+        FROM documents d JOIN stats s USING (source)
+        WHERE abs(d.n_chars - s.med) > 2.0 * s.mad
+        ORDER BY d.doc_id""")))
 }

@@ -205,6 +205,43 @@ object QueriesEvents {
               AS next_type
           FROM events)
         WHERE next_type IS NOT NULL
-        GROUP BY 1, 2 ORDER BY from_type, to_type"""))
+        GROUP BY 1, 2 ORDER BY from_type, to_type""")),
+
+    // ------------------------------------------------- C52 forward fill
+    // Gap-fill: 'view' events get a null value, forward-filled from
+    // the user's previous non-null event. Pure window op — one
+    // user-keyed shuffle, value doubles pass through untouched so the
+    // hash compare is exact.
+    QueryDef("q_gap_fill",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("v",
+          when(col("event_type") === "view", lit(null).cast("double"))
+            .otherwise(col("value")))
+        Events.forwardFill(ev, "user_id", Seq("ts", "event_id"), "v")
+          .select(col("event_id"), col("user_id"), col("v_filled"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+          last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM events ORDER BY event_id""")),
+
+    // --------------------------------------------- I12 z-score anomaly
+    // Events > 2 sample stddevs from their type's mean. Group moments
+    // are distributed double reductions, so z rounds to 6 dp on both
+    // sides (the established float contract) — and the filter uses the
+    // rounded z so membership is engine-independent too.
+    QueryDef("q_anomaly_zscore",
+      (s, d) => Events.zScoreAnomalies(Tables.events(s, d), "event_type", "value", 2.0)
+        .select(col("event_id"), col("event_type"), col("z"))
+        .orderBy("event_id"),
+      Some("""WITH stats AS (
+          SELECT event_type, avg(value) AS mean_v, stddev_samp(value) AS sd_v
+          FROM events GROUP BY event_type)
+        SELECT event_id, event_type, round((value - mean_v) / sd_v, 6) AS z
+        FROM events JOIN stats USING (event_type)
+        WHERE abs(round((value - mean_v) / sd_v, 6)) > 2.0
+        ORDER BY event_id"""))
   )
 }

@@ -651,6 +651,101 @@ object QueriesPipeline {
       Some("""SELECT doc_id,
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         CAST(ascii(text) AS BIGINT) AS head_byte
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------ G8 L2 ANN
+    // Euclidean-metric twin of q_ann_bruteforce: native l2_distance
+    // kernel (sequential accumulation = DuckDB list_distance), rank
+    // ascending. Cosine and L2 ranks genuinely differ on this corpus
+    // (vectors are not unit-norm), so this exercises a distinct path.
+    QueryDef("q_ann_l2",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopKL2(emb, emb.where(col("vec_id") < 10), k = 5)
+          .select("qid", "nid", "rank").orderBy("qid", "rank")
+      },
+      Some("""SELECT qid, nid, rank FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_distance(q.embedding, c.embedding) ASC, c.vec_id) AS BIGINT) AS rank
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ---------------------------------------------- H7 normalize text
+    // Unicode NFC (native kernel; the reference's utf8_normalize) +
+    // whitespace collapse. The decomposed prefix ("e"+U+0301,
+    // "A"+U+030A, double space, tab) is synthesized identically on
+    // both sides, so the oracle verifies real (de)composition work,
+    // not just the ASCII fast path.
+    QueryDef("q_normalize_text",
+      (s, d) => {
+        val raw = concat(lit("Café  Å\t"), col("text"))
+        val norm = TextAnalysis.normalizeText(raw)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            length(raw).cast(LongType).as("n_raw"),
+            length(norm).cast(LongType).as("n_norm"),
+            substring(norm, 1, 8).as("prefix"),
+            md5(norm).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            'Cafe' || chr(769) || '  A' || chr(778) || chr(9) || text AS raw
+          FROM documents
+        ), n AS (
+          SELECT doc_id, raw,
+            trim(regexp_replace(nfc_normalize(raw), '\s+', ' ', 'g')) AS norm
+          FROM t)
+        SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+          CAST(length(norm) AS BIGINT) AS n_norm,
+          substr(norm, 1, 8) AS prefix, md5(norm) AS fp
+        FROM n ORDER BY doc_id""")),
+
+    // ------------------------------------------------- H8 PII redact
+    // Typed scrubbing of emails / phones / IPv4s with per-kind counts.
+    // PII is synthesized deterministically from doc_id on BOTH sides
+    // (the corpus itself is clean), so every doc exercises the email
+    // path and modular subsets exercise phone/IP. Patterns are
+    // RE2-compatible by construction — identical matches in Spark's
+    // java.util.regex and DuckDB's RE2.
+    QueryDef("q_pii_redact",
+      (s, d) => {
+        import TextAnalysis.{emailRe, ipv4Re, phoneRe}
+        val raw = concat(col("text"),
+          lit(" contact u"), col("doc_id").cast(StringType), lit("@ex-mail.org"),
+          when(pmod(col("doc_id"), lit(3)) === 0, " call 555-123-4567").otherwise(""),
+          when(pmod(col("doc_id"), lit(4)) === 0, " ip 10.2.33.77").otherwise(""))
+        val noEmail = regexp_replace(raw, emailRe, "<EMAIL>")
+        val noIp = regexp_replace(noEmail, ipv4Re, "<IP>")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.redactPii(raw).as("redacted"),
+            regexp_count(raw, lit(emailRe)).cast(LongType).as("n_emails"),
+            regexp_count(noIp, lit(phoneRe)).cast(LongType).as("n_phones"),
+            regexp_count(noEmail, lit(ipv4Re)).cast(LongType).as("n_ips"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id,
+            text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-mail.org'
+              || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END
+              || CASE WHEN doc_id % 4 = 0 THEN ' ip 10.2.33.77' ELSE '' END AS raw
+          FROM documents
+        ), r AS (
+          SELECT doc_id, raw,
+            regexp_replace(raw, '${TextAnalysis.emailRe}', '<EMAIL>', 'g') AS no_email
+          FROM t
+        ), r2 AS (
+          SELECT doc_id, raw, no_email,
+            regexp_replace(no_email, '${TextAnalysis.ipv4Re}', '<IP>', 'g') AS no_ip
+          FROM r)
+        SELECT doc_id,
+          regexp_replace(no_ip, '${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS redacted,
+          CAST(len(regexp_extract_all(raw, '${TextAnalysis.emailRe}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(no_ip, '${TextAnalysis.phoneRe}')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(no_email, '${TextAnalysis.ipv4Re}')) AS BIGINT) AS n_ips
+        FROM r2 ORDER BY doc_id"""))
   )
 }

@@ -42,6 +42,34 @@ object VectorRuntime {
     acc
   }
 
+  /** Euclidean distance, sequential accumulation of squared diffs in
+    * element order — the same association DuckDB's `list_distance`
+    * uses, so the oracle ranks identically.
+    */
+  def l2F(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  def l2D(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
   /** Unit-normalize to a double array; zero-norm input → zero vector
     * (cosine against it is then 0, never NaN).
     */
@@ -212,6 +240,51 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** l2_distance(array<float|double>, array<float|double>) → double —
+  * Euclidean distance, the metric twin of dot_product for L2-indexed
+  * ANN (SURVEY §2.G8). Ragged pairs → null, like dot_product.
+  */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> or two array<double>, got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_distance"
+
+  private def kernel: String = left.dataType match {
+    case ArrayType(FloatType, _) => "l2F"
+    case _ => "l2D"
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else left.dataType match {
+      case ArrayType(FloatType, _) => VectorRuntime.l2F(x, y)
+      case _ => VectorRuntime.l2D(x, y)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorRuntime.$kernel($a, $b);
+      }""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Distance =
     copy(left = newLeft, right = newRight)
 }
 

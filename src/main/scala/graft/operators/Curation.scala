@@ -37,6 +37,48 @@ object Curation {
     else df.where(sampleKey(col(idCol)) < lit(f"$rate256%02x"))
   }
 
+  /** Weighted deterministic sampling (K18): keep a row with
+    * probability min(weight, 1), decided by comparing a 16-bit hash
+    * key of the id against the per-row threshold — the quality-score
+    * / temperature-resampling primitive behind "sample good documents
+    * more". Like hashSample it is a pure filter: no shuffle, no RNG
+    * state, identical subset at any cluster size, and weight >= 1
+    * means "always keep" exactly.
+    *
+    * Resolution is 1/65536 (4 hex chars); fixed-width lowercase hex
+    * compares lexicographically == numerically, which is what makes
+    * the DuckDB oracle a verbatim mirror.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val key = substring(md5(col(idCol).cast(StringType)), 1, 4)
+    val thr = floor(least(weight, lit(1.0)) * 65536).cast(LongType)
+    df.where(thr >= 65536 || key < format_string("%04x", thr))
+  }
+
+  /** Robust outlier detection (K19): flag rows whose value deviates
+    * from its group median by more than k times the group MAD (median
+    * absolute deviation) — the robust-statistics twin of z-scoring,
+    * immune to the outliers it hunts. Two exact-percentile
+    * aggregations on the group key plus broadcast-joinable group
+    * stats (one row per group): at 100 TB the shuffles carry
+    * (group, value) pairs only.
+    *
+    * All arithmetic is exact in double for integer inputs (medians of
+    * integers are integers or .5), so membership of the k·MAD filter
+    * is engine-independent.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val med = df.groupBy(groupCol)
+      .agg(percentile(v, lit(0.5)).as("med"))
+    val withMed = df.join(broadcast(med), groupCol)
+    val mad = withMed.groupBy(groupCol)
+      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .where(abs(v - col("med")) > lit(k) * col("mad"))
+  }
+
   /** Deterministic train/val/test assignment by id hash. Boundaries
     * are hex prefixes: [00,cc) train ≈ 79.7%, [cc,e6) val ≈ 10.2%,
     * [e6,ff] test ≈ 10.2%.

@@ -46,4 +46,36 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
   }
+
+  /** Forward fill (C52): replace nulls in `valueCol` with the last
+    * non-null value of the same partition in `orderCols` order — the
+    * time-series gap-fill primitive (sensor dropouts, sparse
+    * attributes). One shuffle on the partition key; the running
+    * `last(ignoreNulls)` frame is O(1) state per row.
+    */
+  def forwardFill(df: DataFrame, partCol: String, orderCols: Seq[String],
+                  valueCol: String): DataFrame = {
+    val w = Window.partitionBy(partCol)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${valueCol}_filled",
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Per-group z-score anomaly flags (I12): events whose value
+    * deviates from the group mean by more than `k` sample standard
+    * deviations. Group stats are one map-side-combined aggregation
+    * (rows = |groups|, broadcast-joinable); z is surfaced rounded to
+    * 6 dp — the cross-engine float contract for distributed moment
+    * reductions.
+    */
+  def zScoreAnomalies(df: DataFrame, groupCol: String, valueCol: String,
+                      k: Double = 2.0): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val stats = df.groupBy(groupCol)
+      .agg(avg(v).as("mean_v"), stddev_samp(v).as("sd_v"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("z", round((v - col("mean_v")) / col("sd_v"), 6))
+      .where(abs(col("z")) > k)
+  }
 }

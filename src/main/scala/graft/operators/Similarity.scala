@@ -71,6 +71,29 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Euclidean distance via the native kernel (sequential squared-diff
+    * accumulation — the association DuckDB's list_distance shares).
+    */
+  def l2(a: Column, b: Column): Column = {
+    import graft.functions.{exprs, L2Distance}
+    exprs.toColumn(L2Distance(exprs.toExpr(a), exprs.toExpr(b)))
+  }
+
+  /** Exact brute-force L2 top-k (G8) — the metric twin of
+    * bruteForceTopK for embeddings that are NOT unit-normalized, where
+    * cosine and Euclidean ranks genuinely differ. Same scale shape:
+    * one corpus pass against broadcast queries, per-query window rank.
+    */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = fanOut(corpus).as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
+        l2(col("q.embedding"), col("c.embedding")).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("nid"))
+    joined.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
+
   /** Random-hyperplane signature: `planes` deterministic pseudo-random
     * hyperplanes; sign pattern packed into a long bucket key. Native
     * expression — one pass over the vector (`dim` is taken from the

@@ -103,6 +103,47 @@ object TextAnalysis {
           / col("n_total").cast(DoubleType))), 6).as("surprisal"))
   }
 
+  /** Unicode NFC normalization + whitespace collapse — the canonical
+    * first step of a text-curation pipeline (the reference's
+    * `utf8_normalize` kernel followed by trim). Native expression, so
+    * the whole cleanup stays one codegen'd map over the scan.
+    */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column = {
+    import graft.functions.{exprs, UnicodeNormalize}
+    exprs.toColumn(UnicodeNormalize(exprs.toExpr(text), form))
+  }
+
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    trim(regexp_replace(unicodeNormalize(text, form), "\\s+", " "))
+
+  /** PII redaction: emails, North-American phone numbers and IPv4
+    * addresses replaced with typed placeholder tags. Patterns are
+    * deliberately RE2-compatible (no lookarounds, no backrefs) so the
+    * same regexes run in Spark (java.util.regex) and the DuckDB
+    * oracle (RE2) with identical semantics. Order matters: emails are
+    * scrubbed before phones/IPs so their digit runs can't be
+    * re-matched inside an address.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4Re, "<IP>")
+    regexp_replace(noIp, phoneRe, "<PHONE>")
+  }
+
+  /** Per-kind redaction counts (same pattern order as redactPii). */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val noEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4Re, "<IP>")
+    Seq(
+      "n_emails" -> regexp_count(text, lit(emailRe)).cast(LongType),
+      "n_ips" -> regexp_count(noEmail, lit(ipv4Re)).cast(LongType),
+      "n_phones" -> regexp_count(noIp, lit(phoneRe)).cast(LongType))
+  }
+
   /** Content fingerprint: md5 of lowercased text (hex). Identical
     * builtin exists in DuckDB, so exact-dedup results are
     * oracle-checkable end to end.

@@ -99,6 +99,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!row.isNullAt(4))
   }
 
+  test("unicode_normalize and l2_distance are callable from SQL") {
+    val row = extSpark.sql(
+      """SELECT unicode_normalize('Café') AS nfc,
+                unicode_normalize('①', 'NFKC') AS nfkc,
+                l2_distance(array(1.0F, 2.0F), array(4.0F, 6.0F)) AS d""").head()
+    assert(row.getString(0) == "Café")
+    assert(row.getString(1) == "1")
+    assert(row.getDouble(2) == 5.0)
+    intercept[Exception] {
+      extSpark.sql("SELECT unicode_normalize('x', 'BAD')").head()
+    }
+  }
+
   test("pq_adc is callable from SQL and sums the right table cells") {
     // 2 subspaces × 2 codes: lut = [m0c0, m0c1, m1c0, m1c1];
     // codes (1, 0) → lut[1] + lut[2] = 20 + 30

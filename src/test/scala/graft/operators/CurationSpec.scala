@@ -217,6 +217,45 @@ class CurationSpec extends SparkSpec {
     assert(out.where(col("cum") - col("n_tokens") >= 8).count() == 0)
   }
 
+  test("weightedSample: w=0 keeps nothing, w>=1 keeps everything, higher w keeps supersets") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 400L).toDF("doc_id")
+    assert(Curation.weightedSample(df, "doc_id", lit(0.0)).count() == 0)
+    assert(Curation.weightedSample(df, "doc_id", lit(1.0)).count() == 400)
+    assert(Curation.weightedSample(df, "doc_id", lit(2.5)).count() == 400, "w>1 clamps to keep-all")
+    val at25 = Curation.weightedSample(df, "doc_id", lit(0.25))
+      .select("doc_id").as[Long].collect().toSet
+    val at50 = Curation.weightedSample(df, "doc_id", lit(0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(at25.subsetOf(at50), "thresholds nest: raising w never drops a kept row")
+    // ~uniform: the 25% sample should land in a loose band around 100
+    assert(at25.size > 60 && at25.size < 140, s"got ${at25.size}")
+    // deterministic across invocations
+    val again = Curation.weightedSample(df, "doc_id", lit(0.25))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == at25)
+  }
+
+  test("madOutliers flags exactly the hand-computed outliers") {
+    import org.apache.spark.sql.functions._
+    // group g: values 10..14 plus spike 100 → median 12.5, deviations
+    // (2.5,1.5,.5,.5,1.5,87.5) → MAD 1.5; |x-med| > 3·1.5 flags only 100
+    val df = (Seq(10, 11, 12, 13, 14, 100).zipWithIndex.map {
+      case (v, i) => (i.toLong, "g", v)
+    }).toDF("id", "grp", "v")
+    val out = Curation.madOutliers(df, "grp", "v", 3.0)
+      .select("id", "v", "med", "mad").collect()
+    assert(out.length == 1, s"got ${out.toSeq}")
+    assert(out.head.getInt(1) == 100)
+    assert(out.head.getDouble(2) == 12.5)
+    assert(out.head.getDouble(3) == 1.5)
+    // robustness: the spike itself never drags the boundary enough to
+    // flag inliers — 14 stays unflagged even at k=1.5
+    val k15 = Curation.madOutliers(df, "grp", "v", 1.5)
+      .select("v").as[Int].collect().toSet
+    assert(!k15.contains(13) && k15.contains(100))
+  }
+
   test("labelCohesion is 1.0 for identical vectors and counts members") {
     val embeds = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),

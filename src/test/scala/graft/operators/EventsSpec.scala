@@ -45,4 +45,38 @@ class EventsSpec extends SparkSpec {
     assert(e.schema("ts").dataType.typeName == "timestamp_ntz")
     assert(e.count() == 1000)
   }
+
+  test("forwardFill carries the last non-null value per user in time order") {
+    import org.apache.spark.sql.functions._
+    // null out type-'b' values: user 1's third event inherits 2.0
+    val withNulls = ev.withColumn("v",
+      when($"event_type" === "b", lit(null).cast("double")).otherwise($"value"))
+    val out = Events.forwardFill(withNulls, "user_id", Seq("ts", "event_id"), "v")
+      .select("event_id", "v_filled").as[(Long, Option[Double])].collect().toMap
+    assert(out(10L).contains(1.0))
+    assert(out(11L).contains(2.0))
+    assert(out(12L).contains(2.0), "null filled from previous event")
+    assert(out(20L).contains(4.0))
+    // a leading null has nothing to inherit → stays null
+    val leading = Seq((1L, 1L, ts("2024-01-01 00:00:00"), "b", 9.9))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .withColumn("v", lit(null).cast("double"))
+    val lf = Events.forwardFill(leading, "user_id", Seq("ts", "event_id"), "v")
+      .select("v_filled").collect()
+    assert(lf.head.isNullAt(0))
+  }
+
+  test("zScoreAnomalies flags only far-from-mean values") {
+    import org.apache.spark.sql.functions._
+    // group 'a': 9 values at 1.0 and one at 100 → only the spike has |z|>2
+    val rows = (1L to 9L).map(i => (i, "a", 1.0)) :+ (10L, "a", 100.0)
+    val df = rows.toDF("event_id", "event_type", "value")
+    val out = Events.zScoreAnomalies(df, "event_type", "value", 2.0)
+      .select("event_id", "z").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(10L), s"got ${out.toSeq}")
+    assert(out.head._2 > 2.0)
+    // single-member groups have null stddev → never flagged, never crash
+    val single = Seq((1L, "solo", 5.0)).toDF("event_id", "event_type", "value")
+    assert(Events.zScoreAnomalies(single, "event_type", "value").count() == 0)
+  }
 }

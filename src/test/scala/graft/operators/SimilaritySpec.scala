@@ -31,6 +31,50 @@ class SimilaritySpec extends SparkSpec {
     assert(res.map(_._2).toSeq == Seq(1L, 4L), s"got ${res.toSeq}")
   }
 
+  test("bruteForceTopKL2 ranks by Euclidean distance, excludes self") {
+    // from vec 0: L2 says 1 (0.1 away) < 4 (~0.76) < 2 (~1.41) < 3 (2.0)
+    val res = Similarity.bruteForceTopKL2(vecs, vecs.where($"vec_id" === 0), k = 4)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(res.map(_._2).toSeq == Seq(1L, 4L, 2L, 3L), s"got ${res.toSeq}")
+  }
+
+  test("l2 metric disagrees with cosine on non-unit vectors, agrees on unit ones") {
+    // scaled copy of vec 2: cosine rank unchanged, L2 rank pushed out
+    val scaled = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)), // slightly off-direction, near in L2
+      (2L, Array(10f, 0f, 0f, 0f))     // exactly parallel, far in L2
+    ).toDF("vec_id", "embedding")
+    val q = scaled.where($"vec_id" === 0)
+    val byCos = Similarity.bruteForceTopK(scaled, q, k = 2)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    val byL2 = Similarity.bruteForceTopKL2(scaled, q, k = 2)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(byCos == Seq(2L, 1L), s"cosine prefers direction: $byCos")
+    assert(byL2 == Seq(1L, 2L), s"l2 prefers proximity: $byL2")
+    // on unit-normalized embeddings the two rankings coincide
+    val unit = vecs.select($"vec_id", exprUnit($"embedding").as("embedding"))
+    val qu = unit.where($"vec_id" === 0)
+    val cosR = Similarity.bruteForceTopK(unit, qu, k = 4)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    val l2R = Similarity.bruteForceTopKL2(unit, qu, k = 4)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(cosR == l2R, s"unit-norm: cosine $cosR vs l2 $l2R")
+  }
+
+  private def exprUnit(c: org.apache.spark.sql.Column) = {
+    import graft.functions.{exprs, UnitNorm}
+    // UnitNorm yields array<double>; cast back to float for the topK APIs
+    exprs.toColumn(UnitNorm(exprs.toExpr(c))).cast("array<float>")
+  }
+
+  test("l2 distance: ragged pairs are null, identical vectors are 0") {
+    val df = Seq((Array(1f, 2f), Array(1f, 2f))).toDF("a", "b")
+    assert(df.select(Similarity.l2($"a", $"b")).as[Double].head() == 0.0)
+    val ragged = Seq((Array(1f, 2f), Array(1f))).toDF("a", "b")
+    assert(ragged.select(Similarity.l2($"a", $"b")).head().isNullAt(0))
+  }
+
   test("cosineNearDups finds the planted near-duplicate at 0.95") {
     val pairs = Similarity.cosineNearDups(vecs, threshold = 0.95, dim = 4, planes = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -94,4 +94,52 @@ class TextAnalysisSpec extends SparkSpec {
     // hand check: doc 1 is 4 tokens of p = 6/13 → -ln(6/13)
     assert(math.abs(out(1L)._2 - (-math.log(6.0 / 13.0))) < 1e-6)
   }
+
+  test("unicodeNormalize composes NFC and decomposes NFD") {
+    val decomposed = "Café"    // e + combining acute
+    val composed = "Café"       // precomposed é
+    assert(one(decomposed, TextAnalysis.unicodeNormalize(col("text"))).getString(0) == composed)
+    assert(one(composed, TextAnalysis.unicodeNormalize(col("text"), "NFD")).getString(0) == decomposed)
+    // NFC is idempotent; ASCII passes through untouched
+    assert(one(composed, TextAnalysis.unicodeNormalize(col("text"))).getString(0) == composed)
+    assert(one("plain ascii", TextAnalysis.unicodeNormalize(col("text"))).getString(0) == "plain ascii")
+  }
+
+  test("unicodeNormalize NFKC folds compatibility characters") {
+    // U+2460 CIRCLED DIGIT ONE → "1"; U+FB01 LATIN SMALL LIGATURE FI → "fi"
+    assert(one("①ﬁ", TextAnalysis.unicodeNormalize(col("text"), "NFKC")).getString(0) == "1fi")
+    // ...but canonical NFC leaves them alone
+    assert(one("①ﬁ", TextAnalysis.unicodeNormalize(col("text"))).getString(0) == "①ﬁ")
+  }
+
+  test("unicodeNormalize rejects unknown forms and passes nulls") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unicodeNormalize(col("text"), "NFX")
+    }
+    val r = Seq[String](null).toDF("text")
+      .select(TextAnalysis.unicodeNormalize(col("text"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("normalizeText collapses whitespace after NFC") {
+    assert(one("  á\t b \n c  ", TextAnalysis.normalizeText(col("text")))
+      .getString(0) == "á b c")
+  }
+
+  test("redactPii scrubs emails, phones and IPv4s with counts") {
+    val text = "mail a.b+c@ex-mail.org or x@y.io, call 555-123-4567 / 555 987 6543, host 10.2.33.77 up"
+    val df = Seq(text).toDF("text")
+    val red = df.select(TextAnalysis.redactPii(col("text"))).head().getString(0)
+    assert(red == "mail <EMAIL> or <EMAIL>, call <PHONE> / <PHONE>, host <IP> up", red)
+    val counts = df.select(TextAnalysis.piiCounts(col("text"))
+      .map { case (n, c) => c.as(n) }: _*).head()
+    assert(counts.getLong(0) == 2L, "emails")
+    assert(counts.getLong(1) == 1L, "ips")
+    assert(counts.getLong(2) == 2L, "phones")
+  }
+
+  test("redactPii leaves clean text and version-ish numerics alone") {
+    val clean = "nothing here v1.2 see 12.5 and 1.2.3 release"
+    assert(one(clean, TextAnalysis.redactPii(col("text"))).getString(0) == clean)
+  }
 }
