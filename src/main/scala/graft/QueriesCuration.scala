@@ -372,5 +372,43 @@ object QueriesCuration {
         SELECT d.doc_id, d.source, d.n_chars, s.med, s.mad
         FROM documents d JOIN stats s USING (source)
         WHERE abs(d.n_chars - s.med) > 2.0 * s.mad
-        ORDER BY d.doc_id""")))
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------ K20 apply mix weights
+    // K10's uniform-target weights actually applied: over-represented
+    // sources are down-sampled to the per-source average, the rest
+    // keep everything (weight >= 1 → exact keep-all branch). The
+    // weight is an exact integer ratio and ×65536 a pure exponent
+    // shift, so the kept subset is engine-exact end to end.
+    QueryDef("q_mix_apply",
+      (s, d) => Curation.applyMixWeights(Tables.documents(s, d), "doc_id", "source")
+        .select(col("doc_id"), col("source"),
+          round(col("mix_weight"), 6).as("mix_weight"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+          t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT source) AS n_sources
+                FROM documents),
+          w AS (SELECT source,
+                  CAST(n_total AS DOUBLE) / CAST(n_sources * n_src AS DOUBLE)
+                    AS mix_weight
+                FROM c CROSS JOIN t)
+        SELECT doc_id, source, round(mix_weight, 6) AS mix_weight
+        FROM documents JOIN w USING (source)
+        WHERE floor(least(mix_weight, 1.0) * 65536) >= 65536
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < printf('%04x', CAST(floor(least(mix_weight, 1.0) * 65536) AS INT))
+        ORDER BY doc_id""")),
+
+    // --------------------------------------- K21 exact-size sample
+    // Exact-k uniform-without-replacement via smallest md5 keys.
+    // Plans as TakeOrderedAndProject (per-partition top-k + driver
+    // merge of k·partitions rows) — never a full sort.
+    QueryDef("q_sample_exact_k",
+      (s, d) => Curation.exactKSample(Tables.documents(s, d), "doc_id", 100)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+          SELECT doc_id, source FROM documents
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
+        ORDER BY doc_id""")))
 }

@@ -653,6 +653,25 @@ object QueriesPipeline {
         CAST(ascii(text) AS BIGINT) AS head_byte
         FROM documents ORDER BY doc_id""")),
 
+    // ----------------------------------------- F8 edit-distance pairs
+    // Levenshtein near-dup pairs under deterministic length blocking
+    // (equi-join both engines mirror exactly). Spark runs the
+    // threshold-banded DP (O(len·maxDist) per pair); the oracle's
+    // plain levenshtein agrees on every surviving pair. Production
+    // composes editDistanceVerify with LSH candidates instead —
+    // spec-covered (DedupSpec).
+    QueryDef("q_edit_distance",
+      (s, d) => Dedup.editDistancePairs(Tables.documents(s, d),
+          "doc_id", "text", "n_chars", maxDist = 10, blockWidth = 10)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH d AS (
+          SELECT doc_id, text, n_chars // 10 AS blk FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= 10
+        ORDER BY id_a, id_b""")),
+
     // ------------------------------------------------------ G8 L2 ANN
     // Euclidean-metric twin of q_ann_bruteforce: native l2_distance
     // kernel (sequential accumulation = DuckDB list_distance), rank

@@ -55,6 +55,40 @@ object Curation {
     df.where(thr >= 65536 || key < format_string("%04x", thr))
   }
 
+  /** Apply source-mixing weights (K20): resample the corpus so every
+    * source contributes ~equally — the uniform-target rebalance
+    * composed end to end: per-source keep probability
+    * n_total / (n_sources · n_source) capped at 1, applied via
+    * weightedSample. The weight is an exact integer ratio (one IEEE
+    * division, identical across engines) and ×65536 is a pure
+    * exponent shift, so the kept subset is engine-exact. Group counts
+    * are one map-side-combined agg broadcast back; the sample itself
+    * is a pure filter.
+    */
+  def applyMixWeights(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n_src"))
+    val totals = df.agg(count(lit(1)).as("n_total"),
+      countDistinct(sourceCol).as("n_sources"))
+    val weighted = df
+      .join(broadcast(counts), sourceCol)
+      .join(broadcast(totals))
+      .withColumn("mix_weight", col("n_total").cast(DoubleType) /
+        (col("n_sources") * col("n_src")).cast(DoubleType))
+    weightedSample(weighted, idCol, col("mix_weight"))
+      .drop("n_src", "n_total", "n_sources")
+  }
+
+  /** Exact-size deterministic sample (K21): the k rows with the
+    * smallest md5 key — "uniform without replacement" with a hash in
+    * place of the RNG. Plans as TakeOrderedAndProject: per-partition
+    * top-k then a driver merge of k·partitions rows, never a full
+    * sort — the global-quota complement to groupSample's per-group k.
+    */
+  def exactKSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 0, s"k out of range: $k")
+    df.orderBy(md5(col(idCol).cast(StringType)), col(idCol)).limit(k)
+  }
+
   /** Robust outlier detection (K19): flag rows whose value deviates
     * from its group median by more than k times the group MAD (median
     * absolute deviation) — the robust-statistics twin of z-scoring,

@@ -391,4 +391,41 @@ object Dedup {
       clusters.where(col("id") =!= col("cluster_id"))
         .select(col("id").cast(LongType).as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Edit-distance verification of candidate pairs (F8 production
+    * path): keep pairs within `maxDist` Levenshtein edits. The
+    * threshold form of Spark's levenshtein runs the banded DP —
+    * O(len·maxDist) per pair instead of O(len²) — and composes with
+    * any candidate generator (LSH bands, simhash buckets), so the
+    * quadratic kernel only ever runs on bucket-local candidates.
+    * Expects `text_a`/`text_b` columns; appends `dist`.
+    */
+  def editDistanceVerify(pairs: DataFrame, maxDist: Int): DataFrame =
+    pairs
+      .withColumn("dist",
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast(LongType))
+      // threshold-exceeded is surfaced as -1; 0 (identical) is a keep
+      .where(col("dist") >= 0)
+
+  /** Edit-distance near-dup pairs under deterministic length blocking
+    * (F8 gate mode): candidates are pairs in the same `blockWidth`-char
+    * length band — a plain equi-join both engines compute identically,
+    * which is what makes this config fully oracle-checkable (LSH
+    * banding gives no closed-form guarantee for edit distance). A real
+    * run at scale narrows the blocks or feeds LSH candidates through
+    * editDistanceVerify instead; near-dups whose lengths straddle a
+    * band boundary are missed by construction (documented tradeoff).
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        lenCol: String, maxDist: Int,
+                        blockWidth: Int = 10): DataFrame = {
+    require(blockWidth > 0 && maxDist >= 0, "blockWidth > 0, maxDist >= 0")
+    val blocked = docs.select(col(idCol), col(textCol).as("t"),
+      floor(col(lenCol) / blockWidth).as("blk"))
+    val a = blocked.select(col(idCol).as("id_a"), col("t").as("text_a"), col("blk"))
+    val b = blocked.select(col(idCol).as("id_b"), col("t").as("text_b"), col("blk"))
+    editDistanceVerify(
+      a.join(b, Seq("blk")).where(col("id_a") < col("id_b")), maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

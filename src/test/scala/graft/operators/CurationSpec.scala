@@ -236,6 +236,40 @@ class CurationSpec extends SparkSpec {
     assert(again == at25)
   }
 
+  test("applyMixWeights downsamples over-represented sources toward uniform") {
+    import org.apache.spark.sql.functions._
+    // 300 docs of 'big', 20 of 'small': weights 320/(2·300)≈0.53 and
+    // 320/(2·20)=8 → 'small' kept whole, 'big' roughly halved
+    val df = ((1L to 300L).map(i => (i, "big")) ++ (301L to 320L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val out = Curation.applyMixWeights(df, "doc_id", "source")
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") == 20L, "under-represented source kept in full")
+    assert(bySrc("big") > 100L && bySrc("big") < 220L,
+      s"over-represented source ~halved, got ${bySrc("big")}")
+    // helper columns dropped, weight surfaced
+    assert(out.columns.toSet == Set("doc_id", "source", "mix_weight"))
+    // deterministic
+    assert(Curation.applyMixWeights(df, "doc_id", "source").count() == out.count())
+  }
+
+  test("exactKSample returns exactly k deterministic rows and plans as a top-k") {
+    val df = (1L to 500L).toDF("doc_id")
+    val s1 = Curation.exactKSample(df, "doc_id", 50)
+    assert(s1.count() == 50)
+    val ids = s1.select("doc_id").as[Long].collect().toSet
+    assert(Curation.exactKSample(df, "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet == ids, "deterministic")
+    // top-k of a larger k contains the smaller sample (nested prefixes)
+    val s2 = Curation.exactKSample(df, "doc_id", 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(s2))
+    // scale shape: global top-k, not a full sort
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("madOutliers flags exactly the hand-computed outliers") {
     import org.apache.spark.sql.functions._
     // group g: values 10..14 plus spike 100 → median 12.5, deviations

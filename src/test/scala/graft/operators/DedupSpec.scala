@@ -193,6 +193,37 @@ class DedupSpec extends SparkSpec {
     assert(metrics.labelsChanged.forall(_ <= 33L))
   }
 
+  test("editDistancePairs finds near-identical docs within a length block") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumped"),  // 2 edits from doc 1
+      (3L, "completely different words!!!"), // same block, far away
+      (4L, "x")                             // different block
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text", "n_chars",
+        maxDist = 5, blockWidth = 10)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 2L)), s"got $pairs")
+  }
+
+  test("editDistanceVerify on LSH candidates keeps only close pairs, banded DP agrees with full") {
+    import org.apache.spark.sql.functions._
+    // production composition: candidate pairs from any generator,
+    // threshold-capped verify on top
+    val cands = Seq(
+      ("aaaa bbbb cccc", "aaaa bbbb cccx"),  // dist 1
+      ("aaaa bbbb cccc", "zzzz yyyy xxxx")   // dist 12 > 3
+    ).toDF("text_a", "text_b")
+    val kept = Dedup.editDistanceVerify(cands, maxDist = 3)
+      .select("text_b", "dist").as[(String, Long)].collect().toSeq
+    assert(kept == Seq(("aaaa bbbb cccx", 1L)), s"got $kept")
+    // identical pair → dist 0 survives (not confused with the -1 sentinel)
+    val same = Seq(("abc", "abc")).toDF("text_a", "text_b")
+    assert(Dedup.editDistanceVerify(same, maxDist = 0)
+      .select("dist").as[Long].head() == 0L)
+  }
+
   test("dropNearDuplicates keeps cluster representatives and unpaired docs") {
     val docs = Seq((1L, "a"), (2L, "a1"), (3L, "b"), (4L, "c"), (5L, "a2"))
       .toDF("doc_id", "text")
