@@ -765,6 +765,89 @@ object QueriesPipeline {
           CAST(len(regexp_extract_all(raw, '${TextAnalysis.emailRe}')) AS BIGINT) AS n_emails,
           CAST(len(regexp_extract_all(no_ip, '${TextAnalysis.phoneRe}')) AS BIGINT) AS n_phones,
           CAST(len(regexp_extract_all(no_email, '${TextAnalysis.ipv4Re}')) AS BIGINT) AS n_ips
-        FROM r2 ORDER BY doc_id"""))
+        FROM r2 ORDER BY doc_id""")),
+
+    // --------------------------------------- H10 URL canonicalization
+    // the dedup key of a web corpus: synthesized messy URLs (mixed
+    // case, www., default port, utm tracking, fragments — keyed off
+    // doc_id like the PII query) canonicalized + parsed into
+    // host/domain/path. Every step one RE2 regex run by both engines.
+    QueryDef("q_url_canonical",
+      (s, d) => {
+        val id = col("doc_id").cast(StringType)
+        val raw = concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+          when(pmod(col("doc_id"), lit(5)) === 0, ":443").otherwise(""),
+          lit("/Docs/"), id,
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("?utm_source=feed&utm_medium=x&id="), id,
+              lit("&utm_campaign=z")))
+            .otherwise(concat(lit("?id="), id)),
+          when(pmod(col("doc_id"), lit(3)) === 0, "#sec-2").otherwise(""))
+        val canon = TextAnalysis.canonicalizeUrl(raw)
+        Tables.documents(s, d)
+          .select(Seq(col("doc_id"), canon.as("url")) ++
+            TextAnalysis.urlParts(canon).map { case (n, c) => c.as(n) }: _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH raw AS (
+          SELECT doc_id,
+            'HTTPS://WWW.' || source || '.Example.COM'
+            || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+            || '/Docs/' || CAST(doc_id AS VARCHAR)
+            || CASE WHEN doc_id % 2 = 0
+                 THEN '?utm_source=feed&utm_medium=x&id='
+                      || CAST(doc_id AS VARCHAR) || '&utm_campaign=z'
+                 ELSE '?id=' || CAST(doc_id AS VARCHAR) END
+            || CASE WHEN doc_id % 3 = 0 THEN '#sec-2' ELSE '' END AS url
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS nofrag FROM raw
+        ), s2 AS (
+          SELECT doc_id, nofrag,
+            regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1) AS pre
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(lower(pre),
+              '://www\\.', '://', 'g'), ':(80|443)$$', '', 'g') AS prec,
+            substr(nofrag, length(pre) + 1) AS rest
+          FROM s2
+        ), s4 AS (
+          SELECT doc_id, prec,
+            regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(rest, '${TextAnalysis.urlTrackingRe}', '', 'g'),
+              '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$$', '', 'g') AS restc
+          FROM s3
+        ), s5 AS (SELECT doc_id, prec || restc AS url FROM s4)
+        SELECT doc_id, url,
+          regexp_extract(url, '://([^/?:]+)', 1) AS host,
+          regexp_extract(regexp_extract(url, '://([^/?:]+)', 1),
+            '([^.]+\\.[^.]+)$$', 1) AS domain,
+          regexp_extract(url, '://[^/?]*(/[^?]*)', 1) AS path
+        FROM s5 ORDER BY doc_id""")),
+
+    // ------------------------------------------------ H11 bigram LM
+    // top next-token continuations P(w2|w1): narrow zip_with pair
+    // extraction (no self-join), one (w1,w2) agg, one w1-keyed window
+    // for totals + ranks. p_next is an exact integer ratio, rounded 6.
+    QueryDef("q_bigram_lm",
+      (s, d) => TextAnalysis.bigramNextTokens(Tables.documents(s, d),
+          "text", k = 3, minHeadCount = 20L)
+        .orderBy("w1", "rk"),
+      Some("""WITH toks AS (
+          SELECT string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+        ), pairs AS (
+          SELECT u.z[1] AS w1, u.z[2] AS w2
+          FROM toks, unnest(list_zip(l, l[2:])) AS u(z)
+          WHERE u.z[2] IS NOT NULL
+        ), c AS (SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+        r AS (SELECT w1, w2, cnt,
+                SUM(cnt) OVER (PARTITION BY w1) AS cnt_w1,
+                ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rk
+              FROM c)
+        SELECT w1, w2, cnt, CAST(cnt_w1 AS BIGINT) AS cnt_w1,
+          round(CAST(cnt AS DOUBLE) / CAST(cnt_w1 AS DOUBLE), 6) AS p_next,
+          CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 3 AND cnt_w1 >= 20 ORDER BY w1, rk"""))
   )
 }

@@ -587,6 +587,36 @@ object QueriesRelational {
         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ------------------------------------------- B11 higher moments
+    // skewness/excess kurtosis from raw power sums: the builtins are
+    // population-vs-sample mismatched across engines, the moment-sum
+    // route is engine-exact for the integral l_quantity (see
+    // Compute.momentStats). One map-side-combined agg.
+    QueryDef("q_moments",
+      (s, d) => Compute.momentStats(Tables.lineitem(s, d),
+          "l_returnflag", "l_quantity")
+        .orderBy("l_returnflag"),
+      Some("""WITH a AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+            sum(l_quantity) AS s1,
+            sum(l_quantity*l_quantity) AS s2,
+            sum(l_quantity*l_quantity*l_quantity) AS s3,
+            sum(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
+          FROM lineitem GROUP BY 1
+        ), m AS (
+          SELECT l_returnflag, n,
+            s1/n AS mean,
+            s2/n - (s1/n)*(s1/n) AS m2,
+            s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+            s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+              - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+          FROM a)
+        SELECT l_returnflag, n,
+          round(mean, 6) AS mean, round(m2, 6) AS m2,
+          round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+          round(m4 / (m2 * m2) - 3, 6) AS kurtosis
+        FROM m ORDER BY l_returnflag""")),
+
     // ---------------------------------------------- C13b cube grouping
     QueryDef("q_cube",
       (s, d) => Tables.lineitem(s, d)

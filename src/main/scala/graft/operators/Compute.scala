@@ -67,4 +67,37 @@ object Compute {
     * arrow's internal hashing used by the hash kernels.
     */
   def hash64(c: Column): Column = xxhash64(c)
+
+  /** Skewness and excess kurtosis from raw power sums (B11 — the
+    * higher-moment end of the aggregation kernel family). Spark's
+    * builtin skewness/kurtosis use population formulas while DuckDB's
+    * are sample-bias-corrected, so the builtins are not cross-engine
+    * comparable; central moments derived from Σxᵏ are. For
+    * integer-valued inputs bounded by B, every partial sum of Σxᵏ is
+    * an integer below 2⁵³ (B⁴·n ≪ 2⁵³ at any realistic group size),
+    * so the four sums are exact and order-independent — the only
+    * inexact flops are the handful of derivations after the agg,
+    * rounded to 6 dp per the cross-engine float contract. Cost: one
+    * map-side-combined aggregation, identical to any plain groupBy.
+    */
+  def momentStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val agg = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("s1"), sum(x * x).as("s2"),
+      sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    val nd = col("n").cast(DoubleType)
+    val mean = col("s1") / nd
+    val m2 = col("s2") / nd - mean * mean
+    val m3 = col("s3") / nd - lit(3.0) * mean * (col("s2") / nd) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4") / nd - lit(4.0) * mean * (col("s3") / nd) +
+      lit(6.0) * mean * mean * (col("s2") / nd) -
+      lit(3.0) * mean * mean * mean * mean
+    agg.select(col(groupCol), col("n"),
+      round(mean, 6).as("mean"),
+      round(m2, 6).as("m2"),
+      round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+      round(m4 / (m2 * m2) - 3.0, 6).as("kurtosis"))
+  }
 }

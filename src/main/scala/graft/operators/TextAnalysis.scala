@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -142,6 +143,79 @@ object TextAnalysis {
       "n_emails" -> regexp_count(text, lit(emailRe)).cast(LongType),
       "n_ips" -> regexp_count(noEmail, lit(ipv4Re)).cast(LongType),
       "n_phones" -> regexp_count(noIp, lit(phoneRe)).cast(LongType))
+  }
+
+  /** URL canonicalization (H10): the dedup key a web-corpus pipeline
+    * derives before exact dedup. Fragment stripped; scheme and
+    * authority lowercased (the path stays case-sensitive per
+    * RFC 3986); default ports (:80/:443) and a leading `www.`
+    * dropped; tracking parameters (utm_*, fbclid, gclid) removed with
+    * separator cleanup (`?&&x` → `?x`, trailing `?`/`&` trimmed).
+    * Every step is an RE2-compatible regex (no lookarounds, no
+    * backrefs), so the identical patterns run in Spark and the DuckDB
+    * oracle. Pure narrow map — the whole cleanup is one codegen stage
+    * over the scan.
+    */
+  val urlTrackingRe = "(utm_[a-z]+|fbclid|gclid)=[^&]*"
+
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val pre = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)
+    val preCanon = regexp_replace(
+      regexp_replace(lower(pre), "://www\\.", "://"), ":(80|443)$", "")
+    val rest = noFrag.substr(length(pre) + 1, length(noFrag))
+    val restCanon = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(rest, urlTrackingRe, ""),
+      "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
+    concat(preCanon, restCanon)
+  }
+
+  /** host / registrable-domain-ish suffix / path of a canonical URL
+    * (the group-by keys of per-site corpus stats). "Domain" is the
+    * last two host labels — real pipelines substitute a public-suffix
+    * list; the two-label fallback is the deterministic,
+    * oracle-mirrorable core.
+    */
+  def urlParts(canon: Column): Seq[(String, Column)] = {
+    val host = regexp_extract(canon, "://([^/?:]+)", 1)
+    Seq(
+      "host" -> host,
+      "domain" -> regexp_extract(host, "([^.]+\\.[^.]+)$", 1),
+      "path" -> regexp_extract(canon, "://[^/?]*(/[^?]*)", 1))
+  }
+
+  /** Top next-token continuations (H11): the bigram conditional
+    * P(w2|w1) table, the count-based n-gram language-model building
+    * block (and the data behind repeated-template detection). Pair
+    * extraction is a narrow zip_with of the token array against its
+    * own tail — no self-join, no extra shuffle; counting is one
+    * (w1,w2)-keyed aggregation with map-side combine; head totals and
+    * ranks ride one w1-keyed window pass. Everything after the first
+    * agg is vocabulary²-bounded, far below corpus size at any scale.
+    * `minHeadCount` keeps only statistically meaningful heads.
+    */
+  def bigramNextTokens(df: DataFrame, textCol: String, k: Int = 3,
+                       minHeadCount: Long = 20L): DataFrame = {
+    require(k > 0 && minHeadCount >= 0, s"bad k=$k / minHeadCount=$minHeadCount")
+    val t = tokens(col(textCol))
+    val pairs = df
+      .select(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val byHead = Window.partitionBy("w1")
+    counts
+      .withColumn("cnt_w1", sum(col("cnt")).over(byHead))
+      .withColumn("rk",
+        row_number().over(byHead.orderBy(col("cnt").desc, col("w2"))))
+      .where(col("rk") <= k && col("cnt_w1") >= minHeadCount)
+      .select(col("w1"), col("w2"), col("cnt"), col("cnt_w1"),
+        round(col("cnt").cast(DoubleType) / col("cnt_w1").cast(DoubleType), 6)
+          .as("p_next"),
+        col("rk").cast(LongType).as("rk"))
   }
 
   /** Content fingerprint: md5 of lowercased text (hex). Identical

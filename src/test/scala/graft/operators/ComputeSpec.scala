@@ -74,4 +74,23 @@ class ComputeSpec extends SparkSpec {
     assert(h(0) == h(2))
     assert(h(0) != h(1))
   }
+
+  test("momentStats matches hand-computed moments, skew sign, and flat-kurtosis") {
+    // g: 1..5 → mean 3, m2 2, m3 0 (symmetric), m4 6.8 → kurtosis -1.3
+    // h: 1,1,1,10 → right tail → skewness > 0
+    val df = ((1 to 5).map(v => ("g", v.toDouble)) ++
+      Seq(1.0, 1.0, 1.0, 10.0).map(("h", _))).toDF("grp", "v")
+    val rows = Compute.momentStats(df, "grp", "v").orderBy("grp")
+      .select("grp", "n", "mean", "m2", "skewness", "kurtosis")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    val g = rows(0)
+    assert(g == (("g", 5L, 3.0, 2.0, 0.0, -1.3)), g.toString)
+    val h2 = rows(1)
+    assert(h2._2 == 4L && h2._3 == 3.25)
+    assert(h2._5 > 1.0, s"expected strong right skew, got ${h2._5}")
+    // builtin (population) skewness agrees in sign and roughly in value
+    val builtin = df.where(col("grp") === "h")
+      .select(skewness(col("v"))).as[Double].head()
+    assert(math.abs(h2._5 - builtin) < 1e-6, s"moments ${h2._5} vs builtin $builtin")
+  }
 }

@@ -142,4 +142,49 @@ class TextAnalysisSpec extends SparkSpec {
     val clean = "nothing here v1.2 see 12.5 and 1.2.3 release"
     assert(one(clean, TextAnalysis.redactPii(col("text"))).getString(0) == clean)
   }
+
+  test("canonicalizeUrl strips fragment/tracking/www/default port, lowercases scheme+host only") {
+    def canon(u: String): String =
+      Seq(u).toDF("text").select(TextAnalysis.canonicalizeUrl(col("text"))).head().getString(0)
+    assert(canon("HTTPS://WWW.News.Example.COM:443/A/Path?utm_source=x&id=7&utm_campaign=y#top")
+      == "https://news.example.com/A/Path?id=7")
+    // all-tracking query vanishes entirely, :80 dropped, path case kept
+    assert(canon("http://Example.org:80/Keep/Case?utm_medium=a&fbclid=zz")
+      == "http://example.org/Keep/Case")
+    // nothing to strip → unchanged
+    assert(canon("https://a.example.net/x?id=1") == "https://a.example.net/x?id=1")
+    // mid-query tracking leaves one separator
+    assert(canon("https://e.io/p?id=1&gclid=g&next=2") == "https://e.io/p?id=1&next=2")
+  }
+
+  test("urlParts extracts host, two-label domain, and path") {
+    val canon = TextAnalysis.canonicalizeUrl(col("text"))
+    val row = Seq("https://sub.news.example.com/a/b?id=9").toDF("text")
+      .select(TextAnalysis.urlParts(canon).map { case (n, c) => c.as(n) }: _*).head()
+    assert(row.getString(0) == "sub.news.example.com")
+    assert(row.getString(1) == "example.com")
+    assert(row.getString(2) == "/a/b")
+  }
+
+  test("bigramNextTokens ranks continuations with exact conditional probabilities") {
+    // heads: "a" -> b,b,c (cnt_w1=3); "b" -> a (via "b a"), ...
+    val docs = Seq("a b a b", "a c b a").toDF("text")
+    // pairs: (a,b),(b,a),(a,b) ; (a,c),(c,b),(b,a)
+    val out = TextAnalysis.bigramNextTokens(docs, "text", k = 2, minHeadCount = 0L)
+      .orderBy("w1", "rk")
+      .select("w1", "w2", "cnt", "cnt_w1", "p_next", "rk")
+      .as[(String, String, Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 3L, 0.666667, 1L),
+      ("a", "c", 1L, 3L, 0.333333, 2L),
+      ("b", "a", 2L, 2L, 1.0, 1L),
+      ("c", "b", 1L, 1L, 1.0, 1L)), out.toString)
+    // minHeadCount prunes thin heads
+    val pruned = TextAnalysis.bigramNextTokens(docs, "text", k = 2, minHeadCount = 2L)
+      .select("w1").distinct().as[String].collect().toSet
+    assert(pruned == Set("a", "b"))
+    // single-token and empty docs produce no pairs
+    assert(TextAnalysis.bigramNextTokens(Seq("one", "").toDF("text"), "text",
+      k = 1, minHeadCount = 0L).count() == 0L)
+  }
 }
