@@ -296,15 +296,19 @@ object Dedup {
     * — O(E) per round, no quadratic block anywhere, the standard
     * distributed-CC shape at 100 TB.
     *
-    * Each round's label table is checkpointed: an iterative
-    * self-joining lineage grows exponentially otherwise (every round
-    * references the previous twice), and cutting it per round is the
-    * standard Spark iterative-algorithm pattern (GraphX does the
-    * same). With `reliableCheckpointDir` unset the cut is a
-    * `localCheckpoint` (fast, but an executor loss mid-iteration kills
-    * the job); pass a distributed-FS dir on a real cluster and every
-    * round lands in reliable storage, so lost executors recompute from
-    * the last round instead of from zero.
+    * Each round runs exactly ONE Spark action: the round's label
+    * table is lazily persisted and the convergence count is the job
+    * that materializes it — the blocking driver round-trips per
+    * iteration (the real per-round cost at 100 TB, where every job
+    * carries scheduler + stage-launch latency) stay at one. The cut
+    * itself still happens every round — a lazy cut replaces the
+    * logical plan immediately, which is what stops the
+    * self-referencing round plans growing exponentially — with
+    * `reliableCheckpointDir` unset the cut is a `localCheckpoint`
+    * (fast, but an executor loss mid-iteration kills the job); pass a
+    * distributed-FS dir on a real cluster and every round lands in
+    * reliable storage, so lost executors recompute from the last
+    * round instead of from zero.
     *
     * Returns (id, cluster_id) for every id appearing in `pairs`,
     * cluster_id = min id of the component.
@@ -324,9 +328,14 @@ object Dedup {
 
   /** One round-boundary lineage cut: reliable `checkpoint` against
     * `dir` when set (survives executor loss), `localCheckpoint`
-    * otherwise. Both are eager — the round's labels materialize here.
+    * otherwise. Lazy cuts (`eager = false`) still replace the logical
+    * plan with a flat LogicalRDD immediately — which is what stops the
+    * self-referencing round plans growing exponentially — but defer
+    * materialization to the round's one counting action instead of
+    * spending a dedicated job here.
     */
-  private def roundCheckpoint(df: DataFrame, dir: Option[String]): DataFrame =
+  private def roundCheckpoint(df: DataFrame, dir: Option[String],
+                              eager: Boolean = true): DataFrame =
     dir match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
@@ -337,8 +346,8 @@ object Dedup {
         val marker = d.stripSuffix("/") + "/"
         if (!sc.getCheckpointDir.exists(_.contains(marker)))
           sc.setCheckpointDir(d)
-        df.checkpoint(true)
-      case None => df.localCheckpoint(true)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
     }
 
   /** [[connectedComponents]] plus its [[CcMetrics]]. */
@@ -360,14 +369,25 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("lv")), "v")
         .groupBy(col("u").as("id")).agg(min(col("lv")).as("nl"))
+      // neighbor-min merge, then one pointer jump through the merged
+      // table. (A second jump per round was tried and REGRESSED:
+      // convergence here is bound by graph diameter through the
+      // neighbor-min step — the min travels one hop per round — so
+      // extra jumps only compress label-tree depth, which is already
+      // shallow, while tripling per-round compute.) Both cuts are
+      // LAZY: the single `changed` count below is the round's one
+      // Spark action and materializes m + next in the same job —
+      // per-round blocking driver round-trips stay at one — while the
+      // flat LogicalRDD plans keep the self-referencing lineage from
+      // growing exponentially.
       val m = roundCheckpoint(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label")),
-        reliableCheckpointDir)
+        reliableCheckpointDir, eager = false)
       val next = roundCheckpoint(m.as("a")
         .join(m.select(col("id").as("jid"), col("label").as("jl")).as("b"),
           col("a.label") === col("jid"), "left")
         .select(col("a.id").as("id"), coalesce(col("jl"), col("a.label")).as("label")),
-        reliableCheckpointDir)
+        reliableCheckpointDir, eager = false)
       changed = next
         .join(labels.select(col("id"), col("label").as("prev")), "id")
         .where(col("label") =!= col("prev")).count()
