@@ -34,4 +34,32 @@ private[graft] object SessionMemo {
         df
     }
   }
+
+  /** Same memo discipline for non-DataFrame training artifacts (PQ
+    * codebooks, SQ quantization ranges — bounded driver-side values
+    * whose builds nonetheless run Spark jobs). Kept in a separate
+    * store so the DataFrame map stays monomorphic.
+    */
+  private val anyStore = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.concurrent.TrieMap[Any, java.lang.ref.SoftReference[AnyRef]]]()
+
+  def any[T <: AnyRef](s: SparkSession, key: Any)(build: => T): T = {
+    val perSession = anyStore.synchronized {
+      var t = anyStore.get(s)
+      if (t == null) {
+        t = scala.collection.concurrent.TrieMap
+          .empty[Any, java.lang.ref.SoftReference[AnyRef]]
+        anyStore.put(s, t)
+      }
+      t
+    }
+    perSession.get(key).flatMap(r => Option(r.get())) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val v = build
+        perSession.put(key, new java.lang.ref.SoftReference[AnyRef](v))
+        v
+    }
+  }
 }
