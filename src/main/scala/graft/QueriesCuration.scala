@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Curation, Layout}
+import graft.operators.{Curation, Layout, TextAnalysis}
 
 /** Corpus-curation gate queries (SURVEY §2.K): deterministic
   * sampling/splits, benchmark decontamination, repetition scoring,
@@ -15,6 +15,17 @@ object QueriesCuration {
 
   /** SQL mirror of Curation.sampleKey. */
   private val sqlKey = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+  /** SQL mirror of Curation.shardAssign's 16-bit key: the first 4 hex
+    * chars of md5(id) as an integer, spelled with per-nibble strpos
+    * arithmetic because DuckDB has no hex-string→int cast.
+    */
+  private def sqlHex16(idExpr: String): String = {
+    val k = s"md5(CAST($idExpr AS VARCHAR))"
+    (1 to 4).map { i =>
+      s"(strpos('0123456789abcdef', substr($k, $i, 1)) - 1) * ${1 << ((4 - i) * 4)}"
+    }.mkString("(", " + ", ")")
+  }
 
   /** Shared shingle CTE (mirrors Dedup.shingles semantics: distinct
     * word n-grams of the lowercased text; whole text when shorter
@@ -410,5 +421,89 @@ object QueriesCuration {
       Some("""SELECT doc_id, source FROM (
           SELECT doc_id, source FROM documents
           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ------------------------------------ K22 cross-source overlap
+    // round 6: per ordered source pair, shared distinct 3-grams and
+    // the containment |grams(a) ∩ grams(b)| / |grams(a)| — the
+    // "is src_b a re-crawl of src_a" composition screen. Corpus
+    // shingled once, collapsed to distinct (source, gram); the join
+    // fan-out is bounded by the source count. Exact integer ratio.
+    QueryDef("q_source_overlap",
+      (s, d) => Curation.sourceOverlap(Tables.documents(s, d), "source", "text",
+          n = 3)
+        .orderBy("src_a", "src_b"),
+      Some("""WITH toks AS (
+          SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT source,
+            CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+            END AS g
+          FROM toks
+        ), ex AS (
+          SELECT DISTINCT source, gram
+          FROM (SELECT source, unnest(g) AS gram FROM sh)
+        ), per AS (SELECT source, COUNT(*) AS n_grams FROM ex GROUP BY 1)
+        SELECT a.source AS src_a, b.source AS src_b,
+          COUNT(*) AS n_shared, ANY_VALUE(p.n_grams) AS n_grams,
+          CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(p.n_grams) AS containment
+        FROM ex a JOIN ex b ON a.gram = b.gram AND a.source <> b.source
+        JOIN per p ON p.source = a.source
+        GROUP BY 1, 2 ORDER BY src_a, src_b""")),
+
+    // ----------------------------------------- K23 shard-plan profile
+    // round 6: hash-range sharding (first 16 md5 bits scaled onto 16
+    // shards) profiled per shard — the pre-write balance check for an
+    // N-shard training-corpus output job. Pure map + one aggregate; no
+    // global sort anywhere. The oracle rebuilds the 16-bit key with
+    // per-nibble strpos arithmetic (DuckDB has no hex→int cast).
+    QueryDef("q_shard_plan",
+      (s, d) => Curation.shardPlan(Tables.documents(s, d), "doc_id", 16,
+          col("n_chars"))
+        .select(col("shard_id"), col("n_docs"), col("payload").as("n_chars"))
+        .orderBy("shard_id"),
+      Some(s"""WITH keyed AS (
+          SELECT CAST(floor(${sqlHex16("doc_id")} * 16 / 65536.0) AS BIGINT)
+            AS shard_id, n_chars
+          FROM documents)
+        SELECT shard_id, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM keyed GROUP BY 1 ORDER BY shard_id""")),
+
+    // ------------------------------------- K24 curriculum buckets
+    // round 6: documents cut into 4 equal-count tiers by type-token
+    // ratio (distinct/total tokens — an exact integer ratio, so the
+    // order key is engine-exact), per-tier profile. The exact global
+    // ntile doubles as the oracle for the approxQuantile boundary
+    // form production uses at scale.
+    QueryDef("q_curriculum",
+      (s, d) => {
+        val t = TextAnalysis.tokens(col("text"))
+        val scored = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+          (size(array_distinct(t)).cast(DoubleType)
+            / size(t).cast(DoubleType)).as("ttr"))
+        Curation.curriculumBuckets(scored, "doc_id", col("ttr"), 4)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), round(avg("ttr"), 6).as("avg_ttr"),
+            sum("n_chars").as("n_chars"))
+          .orderBy("bucket")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, n_chars,
+            string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, n_chars,
+            CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+          FROM toks
+        ), b AS (
+          SELECT n_chars, ttr,
+            CAST(ntile(4) OVER (ORDER BY ttr, doc_id) AS BIGINT) AS bucket
+          FROM scored)
+        SELECT bucket, COUNT(*) AS n_docs, round(avg(ttr), 6) AS avg_ttr,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM b GROUP BY 1 ORDER BY bucket""")))
 }

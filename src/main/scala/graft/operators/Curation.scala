@@ -293,6 +293,83 @@ object Curation {
         col("quality"), col("cum"))
   }
 
+  /** Cross-source n-gram overlap matrix (K22): for every ordered
+    * source pair (a, b), how many of a's distinct word n-grams also
+    * occur in b, and the containment ratio |grams(a) ∩ grams(b)| /
+    * |grams(a)| — the corpus-composition screen behind "is src_b a
+    * re-crawl/subset of src_a" and the source-level twin of
+    * [[dupNgramFraction]]'s per-document signal.
+    *
+    * Scale shape: the corpus is shingled once and collapsed to
+    * distinct (source, gram) rows — all later joins are gram-keyed
+    * over that reduced relation, and each gram matches at most
+    * n_sources rows per side, so the join fan-out is bounded by the
+    * (small) source count, never by corpus size. Counts are exact
+    * integers → the ratio is a bit-identical cross-engine double.
+    */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val grams = docs.select(col(sourceCol).as("source"),
+        explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val per = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(per.withColumnRenamed("source", "src_a"), "src_a")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_grams"),
+        (col("n_shared").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("containment"))
+  }
+
+  /** Hash-range shard id in [0, nShards): the first 16 bits of
+    * md5(id) scaled onto the shard count — the deterministic,
+    * coordination-free assignment for writing a training corpus as N
+    * balanced output shards. A pure map (no global sort, no
+    * row_number), so it holds at any scale and any executor count,
+    * and the same id lands in the same shard across engines and runs.
+    */
+  def shardAssign(id: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards out of range [1, 65536]: $nShards")
+    floor(conv(substring(md5(id.cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType) * nShards / lit(65536.0)).cast(LongType)
+  }
+
+  /** Shard-plan profile (K23): per hash-range shard, the document
+    * count and total payload — the pre-write balance check that shows
+    * no shard is pathologically hot before a 100 TB output job
+    * commits to the layout. One shard-keyed aggregate.
+    */
+  def shardPlan(df: DataFrame, idCol: String, nShards: Int,
+                payload: Column): DataFrame =
+    df.select(shardAssign(col(idCol), nShards).as("shard_id"),
+        payload.as("payload"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("payload").as("payload"))
+
+  /** Curriculum quartile/decile buckets (K24): rank documents by a
+    * quality-style score and cut them into `nBuckets` equal-count
+    * tiers (ntile) — the assignment step of curriculum training
+    * schedules ("train on easy/clean tiers first"). Deterministic:
+    * the order key is (score, id).
+    *
+    * The exact global ntile is a single ordered window — right for
+    * gate-sized corpora and for the per-group form (pass a
+    * pre-partitioned df and wrap in groups). At 100 TB the same
+    * contract is served by approxQuantile boundary cuts + a map-only
+    * bucket lookup; the exact form here is also the oracle for that
+    * approximation.
+    */
+  def curriculumBuckets(df: DataFrame, idCol: String, score: Column,
+                        nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    val w = Window.orderBy(score.asc, col(idCol).asc)
+    df.withColumn("bucket", ntile(nBuckets).over(w).cast(LongType))
+  }
+
   /** Embedding-space cohesion per label: each label's centroid, then
     * the mean cosine of members to their centroid — the standard
     * cluster-quality / label-noise screen over an embedded corpus.

@@ -290,6 +290,44 @@ class CurationSpec extends SparkSpec {
     assert(!k15.contains(13) && k15.contains(100))
   }
 
+  test("sourceOverlap reports shared distinct n-grams per ordered source pair") {
+    val out = Curation.sourceOverlap(docs, "source", "text", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList.sorted
+    // src0 distinct grams: doc0 "the cat sat on the mat" -> 4 trigrams;
+    // doc1 all-spam -> 1 distinct trigram ("spam spam spam") => 5 total.
+    // src1: doc2 -> 5, doc3 -> 5 (doc0's 4 + "the mat today"), doc4 -> 3 => 13.
+    // Shared grams: the 4 trigrams of doc0 occur in both sources.
+    assert(out == List(("src0", "src1", 4L, 5L), ("src1", "src0", 4L, 13L)))
+    val cont = Curation.sourceOverlap(docs, "source", "text", n = 3)
+      .where($"src_a" === "src0").select("containment").as[Double].head()
+    assert(cont == 4.0 / 5.0)
+  }
+
+  test("shardPlan covers every doc once with in-range deterministic shards") {
+    val plan = Curation.shardPlan(docs, "doc_id", 4, length($"text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(plan.map(_._2).sum == 5, "every doc lands in exactly one shard")
+    assert(plan.forall { case (s, _) => s >= 0 && s < 4 })
+    // determinism: same ids → same assignment on a re-run
+    val again = Curation.shardPlan(docs, "doc_id", 4, length($"text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(plan.sorted == again.sorted)
+    // single shard degenerates to the full corpus
+    val one = Curation.shardPlan(docs, "doc_id", 1, lit(1)).collect()
+    assert(one.length == 1 && one.head.getLong(1) == 5)
+  }
+
+  test("curriculumBuckets cuts equal-count tiers ordered by the score") {
+    val df = Seq((1L, 0.1), (2L, 0.2), (3L, 0.3), (4L, 0.4), (5L, 0.5),
+      (6L, 0.6), (7L, 0.7), (8L, 0.8)).toDF("doc_id", "score")
+    val out = Curation.curriculumBuckets(df, "doc_id", $"score", 4)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L))
+  }
+
   test("labelCohesion is 1.0 for identical vectors and counts members") {
     val embeds = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
