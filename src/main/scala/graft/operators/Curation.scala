@@ -300,25 +300,32 @@ object Curation {
     * re-crawl/subset of src_a" and the source-level twin of
     * [[dupNgramFraction]]'s per-document signal.
     *
-    * Scale shape: the corpus is shingled once and collapsed to
-    * distinct (source, gram) rows — all later joins are gram-keyed
-    * over that reduced relation, and each gram matches at most
-    * n_sources rows per side, so the join fan-out is bounded by the
-    * (small) source count, never by corpus size. Counts are exact
-    * integers → the ratio is a bit-identical cross-engine double.
+    * Scale shape: the corpus is shingled ONCE into a gram-keyed
+    * `collect_set(source)` (collect_set dedups, so Catalyst folds the
+    * distinct into the partial aggregate — one shuffle whose rows are
+    * (gram, ≤n_sources array)). Both outputs derive from that
+    * relation: the pair matrix expands ordered pairs from the bounded
+    * array (no gram-keyed self-join, never all-pairs over docs) and
+    * the per-source denominators re-explode the same sets (a gram
+    * counts once per member source ⇔ distinct-gram count). The two
+    * consumers share the shingle exchange via ReuseExchange. Counts
+    * are exact integers → the ratio is a bit-identical cross-engine
+    * double.
     */
   def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
                     n: Int = 3): DataFrame = {
-    val grams = docs.select(col(sourceCol).as("source"),
+    val bySrc = docs.select(col(sourceCol).as("source"),
         explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .distinct()
-    val per = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    grams.as("a")
-      .join(grams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") =!= col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(per.withColumnRenamed("source", "src_a"), "src_a")
+      .groupBy("gram").agg(collect_set(col("source")).as("srcs"))
+    val per = bySrc.select(explode(col("srcs")).as("src_a"))
+      .groupBy("src_a").agg(count(lit(1)).as("n_grams"))
+    bySrc
+      .where(size(col("srcs")) > 1)
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .where(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(per, "src_a")
       .select(col("src_a"), col("src_b"), col("n_shared"), col("n_grams"),
         (col("n_shared").cast(DoubleType) / col("n_grams").cast(DoubleType))
           .as("containment"))
