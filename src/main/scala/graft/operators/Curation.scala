@@ -357,6 +357,22 @@ object Curation {
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("payload").as("payload"))
 
+  /** Write a corpus as `nShards` hash-range shards (the output job
+    * [[shardPlan]] profiles): shard id becomes a partition column, the
+    * data is range-repartitioned on it so each shard's rows land in
+    * one task, and each `shard_id=N/` directory is a self-contained,
+    * deterministic slice of the corpus. Re-running on the same ids —
+    * any cluster size, any row order — produces identical shard
+    * membership, which is what makes shard-level resume/retry of a
+    * downstream trainer safe. Works identically in foreachBatch: the
+    * assignment is a stateless pure function of the id.
+    */
+  def writeSharded(df: DataFrame, idCol: String, nShards: Int,
+                   path: String): Unit =
+    df.withColumn("shard_id", shardAssign(col(idCol), nShards))
+      .repartitionByRange(nShards, col("shard_id"), col(idCol))
+      .write.partitionBy("shard_id").mode("overwrite").parquet(path)
+
   /** Curriculum quartile/decile buckets (K24): rank documents by a
     * quality-style score and cut them into `nBuckets` equal-count
     * tiers (ntile) — the assignment step of curriculum training
@@ -375,6 +391,32 @@ object Curation {
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
     val w = Window.orderBy(score.asc, col(idCol).asc)
     df.withColumn("bucket", ntile(nBuckets).over(w).cast(LongType))
+  }
+
+  /** The scale form of [[curriculumBuckets]]: bucket boundaries from
+    * approxQuantile (one aggregate pass, nBuckets−1 doubles collected
+    * — bounded by construction), then a map-only array-expression
+    * lookup assigns `bucket` = 1 + #cuts strictly below the score. No
+    * global window, no sort — the only wide op is approxQuantile's
+    * internal aggregate, so the assignment itself is embarrassingly
+    * parallel at any corpus size. `relativeError = 0` computes exact
+    * boundaries (Greenwald–Khanna degenerates to exact), matching the
+    * ntile form up to boundary-tie placement.
+    */
+  def curriculumBucketsApprox(df: DataFrame, score: Column, nBuckets: Int,
+                              relativeError: Double = 0.001): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    val scored = df.withColumn("__cb_score", score.cast(DoubleType))
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val cuts =
+      if (nBuckets == 1) Array.empty[Double]
+      else scored.stat.approxQuantile("__cb_score", probs, relativeError)
+    val cutArr = array(cuts.map(lit).toIndexedSeq: _*)
+    scored
+      .withColumn("bucket",
+        (lit(1) + size(filter(cutArr, c => c < col("__cb_score"))))
+          .cast(LongType))
+      .drop("__cb_score")
   }
 
   /** Embedding-space cohesion per label: each label's centroid, then

@@ -328,6 +328,44 @@ class CurationSpec extends SparkSpec {
       5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L))
   }
 
+  test("curriculumBucketsApprox matches the exact ntile form at relativeError 0") {
+    val df = Seq((1L, 0.1), (2L, 0.2), (3L, 0.3), (4L, 0.4), (5L, 0.5),
+      (6L, 0.6), (7L, 0.7), (8L, 0.8)).toDF("doc_id", "score")
+    val approx = Curation.curriculumBucketsApprox(df, $"score", 4,
+        relativeError = 0.0)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    val exact = Curation.curriculumBuckets(df, "doc_id", $"score", 4)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(approx == exact)
+    // map-only assignment: no window, no sort in the bucket plan
+    val plan = Curation.curriculumBucketsApprox(df, $"score", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"bucket assignment must stay narrow:\n$plan")
+    // single bucket degenerates to the identity tier
+    val one = Curation.curriculumBucketsApprox(df, $"score", 1)
+      .select("bucket").as[Long].collect().toSet
+    assert(one == Set(1L))
+  }
+
+  test("writeSharded round-trips the corpus as deterministic shard dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards")
+      .toString + "/docs"
+    Curation.writeSharded(docs, "doc_id", 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5)
+    // shard membership matches the pure-function assignment
+    val expected = docs
+      .select($"doc_id", Curation.shardAssign($"doc_id", 4).as("shard_id"))
+      .as[(Long, Long)].collect().toMap
+    val got = back.select($"doc_id", $"shard_id".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // the same text survives the round trip
+    assert(back.select("doc_id", "text").as[(Long, String)].collect().toMap
+      == docs.select("doc_id", "text").as[(Long, String)].collect().toMap)
+  }
+
   test("labelCohesion is 1.0 for identical vectors and counts members") {
     val embeds = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
