@@ -505,5 +505,37 @@ object QueriesCuration {
           FROM scored)
         SELECT bucket, COUNT(*) AS n_docs, round(avg(ttr), 6) AS avg_ttr,
           CAST(SUM(n_chars) AS BIGINT) AS n_chars
-        FROM b GROUP BY 1 ORDER BY bucket""")))
+        FROM b GROUP BY 1 ORDER BY bucket""")),
+
+    // --------------------------------------- K25 corpus drift monitor
+    // round 6: per source, base-2 Jensen–Shannon divergence of its
+    // unigram distribution vs the rest of the corpus — the mix-shift /
+    // outlier-source screen. Absent-token JS terms collapse to the
+    // residual rest-mass (1 − Σ_present q), so both engines sum only
+    // over existing (source, token) rows; p and q are exact integer
+    // ratios and the JS is rounded to 6 dp.
+    QueryDef("q_source_drift",
+      (s, d) => Curation.sourceDrift(Tables.documents(s, d), "source", "text")
+        .orderBy("source"),
+      Some("""WITH tok AS (
+          SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+'))
+            AS token
+          FROM documents
+        ), by_src AS (
+          SELECT source, token, COUNT(*) AS cnt FROM tok
+          WHERE token <> '' GROUP BY 1, 2
+        ), by_tok AS (SELECT token, SUM(cnt) AS g_cnt FROM by_src GROUP BY 1),
+        tot AS (SELECT source, SUM(cnt) AS n_src FROM by_src GROUP BY 1),
+        n AS (SELECT SUM(cnt) AS n_all FROM by_src),
+        terms AS (
+          SELECT b.source, t.n_src,
+            CAST(b.cnt AS DOUBLE) / t.n_src AS p,
+            CAST(g.g_cnt - b.cnt AS DOUBLE) / (n.n_all - t.n_src) AS q
+          FROM by_src b
+          JOIN by_tok g USING (token) JOIN tot t USING (source) CROSS JOIN n)
+        SELECT source, CAST(ANY_VALUE(n_src) AS BIGINT) AS n_tokens,
+          round((SUM(p * log2(2 * p / (p + q)))
+            + SUM(CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END)
+            + (1 - SUM(q))) * 0.5, 6) AS js_divergence
+        FROM terms GROUP BY source ORDER BY source""")))
 }

@@ -419,6 +419,50 @@ object Curation {
       .drop("__cb_score")
   }
 
+  /** Corpus-drift monitor (K25): per source, the Jensen–Shannon
+    * divergence (base-2, in [0, 1]) between that source's unigram
+    * token distribution and the rest of the corpus — the "did the mix
+    * shift / is this source an outlier" screen run before a source is
+    * admitted into a training blend.
+    *
+    * No full-outer over the vocabulary: for tokens a source never
+    * emits, the JS term degenerates to the rest-distribution mass, so
+    * JS = ½·Σ_present p·log2(2p/(p+q)) + ½·(Σ_present q·log2(2q/(p+q))
+    * + (1 − Σ_present q)) and every sum ranges over the (source,
+    * token) rows that exist. Plan: one tokenize pass → (source, token)
+    * counts → token-keyed join with the global counts re-aggregated
+    * from the same relation → per-source sum. Per-source totals are
+    * broadcast; p and q are exact integer ratios; the final JS is
+    * rounded to 6 dp (log2 reductions agree cross-engine well inside
+    * that boundary). Needs ≥2 sources (the rest-distribution is
+    * otherwise empty).
+    */
+  def sourceDrift(docs: DataFrame, sourceCol: String, textCol: String)
+      : DataFrame = {
+    val bySrc = docs.select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val byTok = bySrc.groupBy("token").agg(sum("cnt").as("g_cnt"))
+    val tot = bySrc.groupBy("source").agg(sum("cnt").as("n_src"))
+    val nAll = tot.agg(sum("n_src").as("n_all"))
+    val p = col("cnt").cast(DoubleType) / col("n_src").cast(DoubleType)
+    val q = (col("g_cnt") - col("cnt")).cast(DoubleType) /
+      (col("n_all") - col("n_src")).cast(DoubleType)
+    bySrc.join(byTok, "token")
+      .join(broadcast(tot), "source")
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("n_src"),
+        (p * log2(lit(2) * p / (p + q))).as("term_p"),
+        when(q > 0, q * log2(lit(2) * q / (p + q))).otherwise(lit(0.0))
+          .as("term_q"),
+        q.as("q_mass"))
+      .groupBy("source")
+      .agg(first("n_src").as("n_tokens"),
+        round((sum("term_p") + sum("term_q") + (lit(1.0) - sum("q_mass")))
+          * lit(0.5), 6).as("js_divergence"))
+  }
+
   /** Embedding-space cohesion per label: each label's centroid, then
     * the mean cosine of members to their centroid — the standard
     * cluster-quality / label-noise screen over an embedded corpus.

@@ -366,6 +366,28 @@ class CurationSpec extends SparkSpec {
       == docs.select("doc_id", "text").as[(Long, String)].collect().toMap)
   }
 
+  test("sourceDrift: identical distributions give 0, disjoint give 1") {
+    // s0 and s1 emit the same token distribution; s2 is disjoint from
+    // the (much larger) rest, so its JS vs rest approaches... compute:
+    // with rest mass fully disjoint, JS = 1 exactly.
+    val same = Seq(
+      (0L, "a b", "s0"), (1L, "a b", "s1"),
+      (2L, "x y", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.sourceDrift(same, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toList.sortBy(_._1)
+    // s0 vs rest {a b x y}: p=(.5,.5), q=(.25,.25,.25,.25) over shared
+    // support {a,b}: term_p = 2*.5*log2(2*.5/.75) = log2(4/3),
+    // term_q = 2*.25*log2(.5/.75) = .5*log2(2/3), residual q-mass .5
+    val js01 = 0.5 * (math.log(4.0 / 3) / math.log(2)
+      + 0.5 * (math.log(2.0 / 3) / math.log(2)) + 0.5)
+    assert(out.map(_._1) == List("s0", "s1", "s2"))
+    assert(out.map(_._2) == List(2L, 2L, 2L))
+    assert(math.abs(out(0)._3 - js01) < 1e-6 && out(0)._3 == out(1)._3)
+    assert(out(2)._3 == 1.0, "disjoint vocabulary must give JS = 1")
+  }
+
   test("labelCohesion is 1.0 for identical vectors and counts members") {
     val embeds = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
