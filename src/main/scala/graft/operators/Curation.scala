@@ -325,7 +325,7 @@ object Curation {
       .select(col("src_a"), explode(col("srcs")).as("src_b"))
       .where(col("src_a") =!= col("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
-      .join(per, "src_a")
+      .join(broadcast(per), "src_a") // n_sources rows — always tiny
       .select(col("src_a"), col("src_b"), col("n_shared"), col("n_grams"),
         (col("n_shared").cast(DoubleType) / col("n_grams").cast(DoubleType))
           .as("containment"))
@@ -439,9 +439,14 @@ object Curation {
     */
   def sourceDrift(docs: DataFrame, sourceCol: String, textCol: String)
       : DataFrame = {
+    // the explicit not-null filters make every consumer branch carry
+    // the same scan subtree (join-key constraint propagation would
+    // otherwise add isnotnull to only some branches and break
+    // ReuseExchange, re-scanning the corpus per consumer)
     val bySrc = docs.select(col(sourceCol).as("source"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .where(col("token") =!= "")
+      .where(col("token") =!= "" && col("source").isNotNull &&
+        col("token").isNotNull)
       .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
     val byTok = bySrc.groupBy("token").agg(sum("cnt").as("g_cnt"))
     val tot = bySrc.groupBy("source").agg(sum("cnt").as("n_src"))

@@ -33,16 +33,23 @@ class PlanBudgetSpec extends SparkSpec {
     "q_asof_join" -> (2, 1, 2), // union+window single-shuffle shape
     "q_tfidf_top" -> (4, 1, 3),
     "q_surprisal" -> (2, 1, 3),
-    "q_dup_ngrams" -> (2, 1, 1) // window-over-gram: ONE corpus scan
+    "q_dup_ngrams" -> (2, 1, 1), // window-over-gram: ONE corpus scan
+    "q_source_overlap" -> (3, 1, 1), // ONE shingle pass, reused exchange
+    "q_shard_plan" -> (1, 1, 1), // pure map + one agg
+    "q_source_drift" -> (5, 1, 1) // ONE tokenize pass feeds all aggs
   )
 
   budgets.foreach { case (q, (maxHash, maxRange, maxScans)) =>
     test(s"$q stays within its shuffle/scan budget ($maxHash/$maxRange/$maxScans)") {
       val plan = SparkEntry.queries(q)(session, sfDir)
         .queryExecution.executedPlan.toString
-      val hash = "Exchange hashpartitioning".r.findAllIn(plan).length
-      val range = "Exchange rangepartitioning".r.findAllIn(plan).length
-      val scans = "Scan parquet".r.findAllIn(plan).length
+      // a ReusedExchange line embeds the original exchange's text —
+      // count only lines that EXECUTE an exchange / scan
+      val lines = plan.linesIterator.filterNot(_.contains("ReusedExchange"))
+        .toSeq
+      val hash = lines.count(_.contains("Exchange hashpartitioning"))
+      val range = lines.count(_.contains("Exchange rangepartitioning"))
+      val scans = lines.count(_.contains("Scan parquet"))
       assert(hash <= maxHash,
         s"$q grew a hash exchange: $hash > $maxHash — new shuffle in the plan")
       assert(range <= maxRange,
