@@ -36,7 +36,14 @@ class PlanBudgetSpec extends SparkSpec {
     "q_dup_ngrams" -> (2, 1, 1), // window-over-gram: ONE corpus scan
     "q_source_overlap" -> (3, 1, 1), // ONE shingle pass, reused exchange
     "q_shard_plan" -> (1, 1, 1), // pure map + one agg
-    "q_source_drift" -> (5, 1, 1) // ONE tokenize pass feeds all aggs
+    "q_source_drift" -> (5, 1, 1), // ONE tokenize pass feeds all aggs
+    "q_dedup_simhash" -> (6, 1, 6), // static view: 6 signature consumers;
+    // the SessionMemo persist collapses them to ONE runtime scan (PlanProbe)
+    "q_bigram_lm" -> (2, 1, 1), // zip_with pairs: ONE corpus scan
+    "q_embed_neardup" -> (0, 1, 1), // exhaustive oracle mode: no hash shuffle
+    "q_edit_distance" -> (0, 1, 2), // len-blocked self-join (gate mode)
+    "q_tpch11" -> (1, 1, 3) // 3 scans = 3 TABLES (partsupp/supplier/nation);
+    // the partsupp agg itself is computed once
   )
 
   budgets.foreach { case (q, (maxHash, maxRange, maxScans)) =>
