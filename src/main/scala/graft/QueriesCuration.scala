@@ -29,19 +29,21 @@ object QueriesCuration {
 
   /** Shared shingle CTE (mirrors Dedup.shingles semantics: distinct
     * word n-grams of the lowercased text; whole text when shorter
-    * than n tokens). `n` is the shingle width.
+    * than n tokens). `n` is the shingle width; `key` is the column the
+    * grams stay attached to (doc-keyed dedup vs source-keyed overlap
+    * share the one fragile slice-arithmetic implementation).
     */
-  private def shingleCte(n: Int): String =
+  private def shingleCte(n: Int, key: String = "doc_id"): String =
     s"""WITH toks AS (
-         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+         SELECT $key, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
        ), sh AS (
-         SELECT doc_id,
+         SELECT $key,
            CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
                 ELSE list_distinct(list_transform(range(1, len(t) - ${n - 2}),
                        i -> array_to_string(t[i:i+${n - 1}], ' ')))
            END AS g
          FROM toks
-       ), ex AS (SELECT doc_id, unnest(g) AS gram FROM sh)"""
+       ), ex AS (SELECT $key, unnest(g) AS gram FROM sh)"""
 
   /** SQL mirror of Layout.zValue over `bits`-bit coordinates (plain
     * >>/&/<< arithmetic, identical semantics for non-negative inputs):
@@ -433,24 +435,13 @@ object QueriesCuration {
       (s, d) => Curation.sourceOverlap(Tables.documents(s, d), "source", "text",
           n = 3)
         .orderBy("src_a", "src_b"),
-      Some("""WITH toks AS (
-          SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
-          FROM documents
-        ), sh AS (
-          SELECT source,
-            CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                 ELSE list_distinct(list_transform(range(1, len(t) - 1),
-                        i -> array_to_string(t[i:i+2], ' ')))
-            END AS g
-          FROM toks
-        ), ex AS (
-          SELECT DISTINCT source, gram
-          FROM (SELECT source, unnest(g) AS gram FROM sh)
-        ), per AS (SELECT source, COUNT(*) AS n_grams FROM ex GROUP BY 1)
+      Some(s"""${shingleCte(3, "source")},
+        exd AS (SELECT DISTINCT source, gram FROM ex),
+        per AS (SELECT source, COUNT(*) AS n_grams FROM exd GROUP BY 1)
         SELECT a.source AS src_a, b.source AS src_b,
           COUNT(*) AS n_shared, ANY_VALUE(p.n_grams) AS n_grams,
           CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(p.n_grams) AS containment
-        FROM ex a JOIN ex b ON a.gram = b.gram AND a.source <> b.source
+        FROM exd a JOIN exd b ON a.gram = b.gram AND a.source <> b.source
         JOIN per p ON p.source = a.source
         GROUP BY 1, 2 ORDER BY src_a, src_b""")),
 
@@ -500,8 +491,10 @@ object QueriesCuration {
             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
           FROM toks
         ), b AS (
+          -- NULLS FIRST pins DuckDB to Spark's ASC default ordering
           SELECT n_chars, ttr,
-            CAST(ntile(4) OVER (ORDER BY ttr, doc_id) AS BIGINT) AS bucket
+            CAST(ntile(4) OVER (ORDER BY ttr ASC NULLS FIRST, doc_id)
+              AS BIGINT) AS bucket
           FROM scored)
         SELECT bucket, COUNT(*) AS n_docs, round(avg(ttr), 6) AS avg_ttr,
           CAST(SUM(n_chars) AS BIGINT) AS n_chars
@@ -522,8 +515,10 @@ object QueriesCuration {
             AS token
           FROM documents
         ), by_src AS (
+          -- source IS NOT NULL mirrors the operator's explicit filter
           SELECT source, token, COUNT(*) AS cnt FROM tok
-          WHERE token <> '' GROUP BY 1, 2
+          WHERE token <> '' AND source IS NOT NULL AND token IS NOT NULL
+          GROUP BY 1, 2
         ), by_tok AS (SELECT token, SUM(cnt) AS g_cnt FROM by_src GROUP BY 1),
         tot AS (SELECT source, SUM(cnt) AS n_src FROM by_src GROUP BY 1),
         n AS (SELECT SUM(cnt) AS n_all FROM by_src),

@@ -358,19 +358,21 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("payload").as("payload"))
 
   /** Write a corpus as `nShards` hash-range shards (the output job
-    * [[shardPlan]] profiles): shard id becomes a partition column, the
-    * data is range-repartitioned on it so each shard's rows land in
-    * one task, and each `shard_id=N/` directory is a self-contained,
-    * deterministic slice of the corpus. Re-running on the same ids —
-    * any cluster size, any row order — produces identical shard
-    * membership, which is what makes shard-level resume/retry of a
-    * downstream trainer safe. Works identically in foreachBatch: the
-    * assignment is a stateless pure function of the id.
+    * [[shardPlan]] profiles): shard id becomes a partition column and
+    * the data is hash-repartitioned on it, which maps every shard
+    * wholly into exactly one task (shards may share a task, but a
+    * shard never splits) — so each `shard_id=N/` directory is a
+    * single-file, self-contained, deterministic slice of the corpus.
+    * Re-running on the same ids — any cluster size, any row order —
+    * produces identical shard membership, which is what makes
+    * shard-level resume/retry of a downstream trainer safe. Works
+    * identically in foreachBatch: the assignment is a stateless pure
+    * function of the id.
     */
   def writeSharded(df: DataFrame, idCol: String, nShards: Int,
                    path: String): Unit =
     df.withColumn("shard_id", shardAssign(col(idCol), nShards))
-      .repartitionByRange(nShards, col("shard_id"), col(idCol))
+      .repartition(nShards, col("shard_id"))
       .write.partitionBy("shard_id").mode("overwrite").parquet(path)
 
   /** Curriculum quartile/decile buckets (K24): rank documents by a
@@ -394,29 +396,31 @@ object Curation {
   }
 
   /** The scale form of [[curriculumBuckets]]: bucket boundaries from
-    * approxQuantile (one aggregate pass, nBuckets−1 doubles collected
-    * — bounded by construction), then a map-only array-expression
-    * lookup assigns `bucket` = 1 + #cuts strictly below the score. No
-    * global window, no sort — the only wide op is approxQuantile's
-    * internal aggregate, so the assignment itself is embarrassingly
-    * parallel at any corpus size. `relativeError = 0` computes exact
-    * boundaries (Greenwald–Khanna degenerates to exact), matching the
-    * ntile form up to boundary-tie placement.
+    * a percentile_approx aggregate (one wide pass, nBuckets−1 doubles,
+    * broadcast back), then a map-only array-expression lookup assigns
+    * `bucket` = 1 + #cuts strictly below the score. No global window,
+    * no sort, no driver action — the whole thing is one lazy plan that
+    * recomputes boundaries on each execution, so it composes into
+    * pipelines/foreachBatch like every other operator here. `accuracy`
+    * is percentile_approx's knob (error ≤ 1/accuracy of rank); raise
+    * it past the corpus size for exact boundaries, matching the ntile
+    * form up to boundary-tie placement.
     */
   def curriculumBucketsApprox(df: DataFrame, score: Column, nBuckets: Int,
-                              relativeError: Double = 0.001): DataFrame = {
+                              accuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    require(accuracy >= 1, s"accuracy must be positive: $accuracy")
     val scored = df.withColumn("__cb_score", score.cast(DoubleType))
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val cuts =
-      if (nBuckets == 1) Array.empty[Double]
-      else scored.stat.approxQuantile("__cb_score", probs, relativeError)
-    val cutArr = array(cuts.map(lit).toIndexedSeq: _*)
-    scored
-      .withColumn("bucket",
-        (lit(1) + size(filter(cutArr, c => c < col("__cb_score"))))
-          .cast(LongType))
+    if (nBuckets == 1) return scored.withColumn("bucket", lit(1L))
       .drop("__cb_score")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = scored.agg(percentile_approx(col("__cb_score"),
+      array(probs.map(lit): _*), lit(accuracy)).as("__cb_cuts"))
+    scored.crossJoin(broadcast(cuts)) // 1 row × (nBuckets−1) doubles
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("__cb_cuts"), c => c < col("__cb_score"))))
+          .cast(LongType))
+      .drop("__cb_score", "__cb_cuts")
   }
 
   /** Corpus-drift monitor (K25): per source, the Jensen–Shannon

@@ -22,15 +22,22 @@ object PlanProbe {
     df.collect()
     val wall = (System.nanoTime() - t0) / 1e9
     // count in the FINAL adaptive plan only (the string also embeds
-    // the pre-AQE Initial Plan)
+    // the pre-AQE Initial Plan), and skip ReusedExchange lines — they
+    // embed the referenced exchange's text but execute nothing
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    def n(re: String) = re.r.findAllIn(plan).length
-    val spans = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size
+    val lines = plan.linesIterator.toSeq
+    val live = lines.filterNot(_.contains("ReusedExchange"))
+    def n(re: String) = live.count(l => re.r.findFirstIn(l).isDefined)
+    // codegen span ids restart per AQE stage: count runs of consecutive
+    // span-marked lines, not distinct ids
+    val marks = lines.map("\\*\\(\\d+\\)".r.findFirstIn(_))
+    val spans = marks.zip(None +: marks.dropRight(1))
+      .count { case (cur, prev) => cur.isDefined && cur != prev }
     println(f"[planprobe] $name wall=$wall%.2fs scans=${n("FileScan ")}" +
       s" shuffles=${n("Exchange (hash|range|Single)")}" +
-      s" reused=${n("ReusedExchange")} broadcasts=${n("BroadcastExchange")}" +
-      s" codegen_spans=$spans")
+      s" reused=${lines.count(_.contains("ReusedExchange"))}" +
+      s" broadcasts=${n("BroadcastExchange")} codegen_spans=$spans")
     if (args.contains("--full")) println(plan)
   }
 }

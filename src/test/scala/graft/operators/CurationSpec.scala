@@ -328,16 +328,16 @@ class CurationSpec extends SparkSpec {
       5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L))
   }
 
-  test("curriculumBucketsApprox matches the exact ntile form at relativeError 0") {
+  test("curriculumBucketsApprox matches the exact ntile form at high accuracy") {
     val df = Seq((1L, 0.1), (2L, 0.2), (3L, 0.3), (4L, 0.4), (5L, 0.5),
       (6L, 0.6), (7L, 0.7), (8L, 0.8)).toDF("doc_id", "score")
     val approx = Curation.curriculumBucketsApprox(df, $"score", 4,
-        relativeError = 0.0)
+        accuracy = 1000000)
       .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
     val exact = Curation.curriculumBuckets(df, "doc_id", $"score", 4)
       .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
     assert(approx == exact)
-    // map-only assignment: no window, no sort in the bucket plan
+    // one lazy plan: no window, no sort, no eager driver action
     val plan = Curation.curriculumBucketsApprox(df, $"score", 4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("Sort"),
@@ -364,6 +364,15 @@ class CurationSpec extends SparkSpec {
     // the same text survives the round trip
     assert(back.select("doc_id", "text").as[(Long, String)].collect().toMap
       == docs.select("doc_id", "text").as[(Long, String)].collect().toMap)
+    // hash repartition on shard_id ⇒ a shard never splits across
+    // tasks ⇒ exactly one data file per shard directory
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard_id="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { sd =>
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName} has ${files.length} files")
+    }
   }
 
   test("sourceDrift: identical distributions give 0, disjoint give 1") {
