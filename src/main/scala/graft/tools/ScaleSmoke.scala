@@ -22,7 +22,7 @@ object ScaleSmoke {
 
   private def replicated(spark: SparkSession, d: String, mult: Int): DataFrame = {
     require(mult >= 1, s"multiplier must be >= 1: $mult")
-    val base = Tables.documents(spark, d).select("doc_id", "text")
+    val base = Tables.documents(spark, d).select("doc_id", "text", "source")
     // offset copies by max(doc_id)+1, not the row count: sparse or
     // non-zero-based ids would otherwise collide across copies and
     // silently shrink the dedup search space
@@ -33,7 +33,8 @@ object ScaleSmoke {
         // suffix every token with the copy index: all shingles become
         // copy-local, so cross-copy pairs never collide in LSH buckets
         concat_ws(" ", transform(split(col("text"), "\\s+"),
-          t => concat(t, lit(s"_$k")))).as("text"))
+          t => concat(t, lit(s"_$k")))).as("text"),
+        col("source"))
     }
     copies.reduce(_ union _)
   }
@@ -66,9 +67,15 @@ object ScaleSmoke {
         Curation.contamination(docs, "doc_id", "text", col("doc_id") % 31 === 0).count())
       val (tSample, nSample) = time(
         Curation.hashSample(docs, "doc_id", 26).count())
+      val (tOverlap, nOverlap) = time(
+        Curation.sourceOverlap(docs, "source", "text").count())
+      val (tDrift, nDrift) = time(
+        Curation.sourceDrift(docs, "source", "text").count())
+      val (tShard, nShard) = time(
+        Curation.shardPlan(docs, "doc_id", 64, length(col("text"))).count())
       docs.unpersist()
       println(
-        f"""{"mult":$m,"n_docs":$nDocs,"exact_dedup_s":$tExact%.2f,"lsh_pairs_s":$tLsh%.2f,"contamination_s":$tContam%.2f,"hash_sample_s":$tSample%.2f,"rows":{"exact":$nExact,"lsh":$nLsh,"contam":$nContam,"sample":$nSample}}""")
+        f"""{"mult":$m,"n_docs":$nDocs,"exact_dedup_s":$tExact%.2f,"lsh_pairs_s":$tLsh%.2f,"contamination_s":$tContam%.2f,"hash_sample_s":$tSample%.2f,"source_overlap_s":$tOverlap%.2f,"source_drift_s":$tDrift%.2f,"shard_plan_s":$tShard%.2f,"rows":{"exact":$nExact,"lsh":$nLsh,"contam":$nContam,"sample":$nSample,"overlap":$nOverlap,"drift":$nDrift,"shard":$nShard}}""")
     }
     spark.stop()
   }
