@@ -36,4 +36,17 @@ class SparkEntrySpec extends SparkSpec {
       assert(df.schema.nonEmpty, s"$name has empty schema")
     }
   }
+
+  test("every oracle-checked query is deterministic across two executions") {
+    // the driver's gate hashes ordered rows — any run-to-run
+    // nondeterminism (missing tiebreak, unordered result, RNG where a
+    // hash belongs) fails the oracle compare; catch it here first.
+    // toJSON gives comparison-safe renderings (base64 binary, JSON
+    // arrays) where Row.toString would compare array identities.
+    SparkEntry.registry.filter(_.oracle.isDefined).foreach { q =>
+      val a = q.fn(spark, sfDir).toJSON.collect().toSeq
+      val b = q.fn(spark, sfDir).toJSON.collect().toSeq
+      assert(a == b, s"${q.name} returned different rows across two runs")
+    }
+  }
 }
