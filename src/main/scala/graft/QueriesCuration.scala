@@ -532,5 +532,23 @@ object QueriesCuration {
           round((SUM(p * log2(2 * p / (p + q)))
             + SUM(CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END)
             + (1 - SUM(q))) * 0.5, 6) AS js_divergence
-        FROM terms GROUP BY source ORDER BY source""")))
+        FROM terms GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------ K26 referential integrity
+    // round 6: matched / dangling distinct keys between documents and
+    // embeddings — the screen a multi-table pipeline runs before a
+    // join silently drops rows. One full-outer join of distinct keys.
+    QueryDef("q_ref_integrity",
+      (s, d) => Curation.refIntegrity(
+        Tables.documents(s, d), "doc_id", Tables.embeddings(s, d), "vec_id"),
+      Some("""WITH l AS (SELECT DISTINCT doc_id AS k FROM documents),
+        r AS (SELECT DISTINCT vec_id AS k FROM embeddings)
+        SELECT
+          CAST(SUM(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS left_only,
+          CAST(SUM(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS right_only,
+          CAST(SUM(CASE WHEN l.k IS NOT NULL AND r.k IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS matched
+        FROM l FULL OUTER JOIN r ON l.k = r.k""")))
 }

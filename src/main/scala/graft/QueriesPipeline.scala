@@ -679,6 +679,24 @@ object QueriesPipeline {
                     ELSE 64 * (f // 2) END AS BIGINT) AS frame_bytes
         FROM t ORDER BY doc_id""")),
 
+    // ------------------------------------------------ E5 media dedup
+    // exact byte-level dedup of the opaque media column: only (hash,
+    // id) shuffles, never the payload. The blob here is the encoded
+    // text (the header-free payload both engines can synthesize), so
+    // duplicate texts form real duplicate-blob groups.
+    QueryDef("q_media_dedup",
+      (s, d) => {
+        import graft.operators.Multimodal
+        Multimodal.dedupMediaExact(
+          Tables.documents(s, d)
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
+          "doc_id", "blob")
+          .orderBy("canonical_id")
+      },
+      Some("""SELECT md5(text) AS media_hash, COUNT(*) AS n_copies,
+        MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY 1 ORDER BY canonical_id""")),
+
     // ------------------------------------------------------ E3 media meta
     QueryDef("q_media_meta",
       (s, d) => Tables.documents(s, d)

@@ -472,6 +472,28 @@ object Curation {
           * lit(0.5), 6).as("js_divergence"))
   }
 
+  /** Referential-integrity audit (K26): given two keyed relations
+    * (documents ↔ embeddings, docs ↔ media, facts ↔ dims), one summary
+    * row of matched / left-only / right-only distinct keys — the
+    * dangling-pointer screen a multi-table training pipeline runs
+    * before a join silently drops rows. Two distinct-aggregates and a
+    * key-keyed full-outer join; no driver action, scales like any
+    * key-keyed aggregate.
+    */
+  def refIntegrity(left: DataFrame, leftKey: String,
+                   right: DataFrame, rightKey: String): DataFrame = {
+    val l = left.select(col(leftKey).cast(LongType).as("k")).distinct()
+      .withColumn("l", lit(1))
+    val r = right.select(col(rightKey).cast(LongType).as("k")).distinct()
+      .withColumn("r", lit(1))
+    l.join(r, Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("r").isNull, 1L).otherwise(0L)).as("left_only"),
+        sum(when(col("l").isNull, 1L).otherwise(0L)).as("right_only"),
+        sum(when(col("l").isNotNull && col("r").isNotNull, 1L)
+          .otherwise(0L)).as("matched"))
+  }
+
   /** Embedding-space cohesion per label: each label's centroid, then
     * the mean cosine of members to their centroid — the standard
     * cluster-quality / label-noise screen over an embedded corpus.

@@ -112,4 +112,19 @@ object Multimodal {
         .map { case (frame, idx) => (m.doc_id, idx, frame) }
     }.toDF("doc_id", "frame_idx", "frame")
   }
+
+  /** Exact media dedup (E5): group identical blobs by content hash —
+    * the byte-level twin of text exact dedup, run before any decode
+    * (re-crawled/re-encoded identical assets are the bulk of media
+    * duplication). One hash-keyed shuffle whose rows are (hash, id) —
+    * the payload bytes never shuffle, so cost is independent of asset
+    * size, the property that matters when the blobs are images. A
+    * perceptual near-dup pass (pHash over decoded pixels) slots in by
+    * swapping the hash column; the grouping plumbing is identical.
+    */
+  def dedupMediaExact(df: DataFrame, idCol: String, blobCol: String)
+      : DataFrame =
+    df.select(col(idCol), md5(col(blobCol)).as("media_hash"))
+      .groupBy("media_hash")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
 }

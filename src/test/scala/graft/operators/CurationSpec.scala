@@ -397,6 +397,14 @@ class CurationSpec extends SparkSpec {
     assert(out(2)._3 == 1.0, "disjoint vocabulary must give JS = 1")
   }
 
+  test("refIntegrity counts matched and dangling keys exactly") {
+    val l = Seq(1L, 2L, 3L, 3L).toDF("doc_id")
+    val r = Seq(2L, 3L, 4L, 5L).toDF("vec_id")
+    val row = Curation.refIntegrity(l, "doc_id", r, "vec_id").collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((1L, 2L, 2L)),
+      s"got $row") // left-only {1}, right-only {4,5}, matched {2,3}
+  }
+
   test("labelCohesion is 1.0 for identical vectors and counts members") {
     val embeds = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),

@@ -61,4 +61,14 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("frame_idx").collect()
     assert(f.forall(_.getAs[Int]("frame_idx") % 2 == 0))
   }
+
+  test("dedupMediaExact groups identical blobs and picks the min id") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa")
+    ).toDF("doc_id", "s").select($"doc_id", encode($"s", "UTF-8").as("blob"))
+    val out = Multimodal.dedupMediaExact(df, "doc_id", "blob")
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L))
+  }
 }
