@@ -318,6 +318,35 @@ object QueriesPipeline {
           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // ---------------------------------------------- G9 filtered ANN
+    // metadata predicate composed INTO the similarity search — the
+    // "top-k within label/tenant/source" query a vector store answers
+    // with per-filter index partitions. In Spark the filter is a
+    // declarative relational op that pushes into the corpus scan
+    // (PushedFilters), and the IVF index path composes with it
+    // unchanged: filter → assign-to-cells → probe. Exhaustive-probe
+    // config, so brute-force-within-filter is the exact oracle.
+    QueryDef("q_ann_filtered",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val subset = emb.where(col("label") === 3)
+        val (nCells, stride, iters) = (8, 7L, 1)
+        val cents = SessionMemo(s, ("ivfCentsF", d, nCells, stride, iters))(
+          Similarity.trainIvfCentroids(subset, nCells, stride, iters))
+        Similarity.ivfTopK(subset, subset.where(col("vec_id") < 100), k = 5,
+            nCells = nCells, stride = stride, kmeansIters = iters,
+            nprobe = 8, centroids = Some(cents))
+          .select("qid", "nid", "rank").orderBy("qid", "rank")
+      },
+      Some("""SELECT qid, nid, rank FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS BIGINT) AS rank
+          FROM embeddings q, embeddings c
+          WHERE q.label = 3 AND c.label = 3 AND q.vec_id < 100
+            AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
     // --------------------------------------------------------- G2 LSH ANN
     // Radius-bounded form: top-5 among neighbors with cosine >= 0.3,
     // which is what hyperplane LSH can answer exactly — the collision

@@ -369,4 +369,16 @@ class SimilaritySpec extends SparkSpec {
     assert(res.length == 3)
     assert(res.forall { case (_, c) => c > -1.0 && c < 1.0 })
   }
+
+  test("filtered ANN pushes the metadata predicate to the corpus scan") {
+    // the vector-store "search within tenant/label" query: the filter
+    // must reach the parquet reader (row-group pruning at scale), not
+    // run post-scan
+    val subset = graft.Tables.embeddings(spark, sfDir).where($"label" === 3)
+    val df = Similarity.ivfTopK(subset, subset.where($"vec_id" < 50), k = 3,
+      nCells = 4, nprobe = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(label,3)"),
+      s"label predicate not pushed to the scan:\n$plan")
+  }
 }
