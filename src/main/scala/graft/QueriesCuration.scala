@@ -550,5 +550,42 @@ object QueriesCuration {
             AS right_only,
           CAST(SUM(CASE WHEN l.k IS NOT NULL AND r.k IS NOT NULL
             THEN 1 ELSE 0 END) AS BIGINT) AS matched
-        FROM l FULL OUTER JOIN r ON l.k = r.k""")))
+        FROM l FULL OUTER JOIN r ON l.k = r.k""")),
+
+    // ---------------------------------------- K27 corpus snapshot diff
+    // round 6: added/removed/modified/unchanged between two corpus
+    // versions — the change audit before an incremental retrain. The
+    // "new" snapshot is synthesized identically in both engines:
+    // docs with id%7=0 removed, id%11=0 rewritten, and a %13 slice
+    // re-added under shifted ids. Only (id, md5) ever shuffles.
+    QueryDef("q_snapshot_diff",
+      (s, d) => {
+        val old = Tables.documents(s, d)
+        val kept = old.where(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        val added = old.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+        Curation.snapshotDiff(old, kept.unionAll(added), "doc_id", "text")
+      },
+      Some("""WITH neu AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 10000000 AS doc_id, text
+          FROM documents WHERE doc_id % 13 = 0),
+        o AS (SELECT doc_id AS k, md5(text) AS h_old FROM documents),
+        n AS (SELECT doc_id AS k, md5(text) AS h_new FROM neu)
+        SELECT
+          CAST(SUM(CASE WHEN h_old IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS added,
+          CAST(SUM(CASE WHEN h_new IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS removed,
+          CAST(SUM(CASE WHEN h_old IS NOT NULL AND h_new IS NOT NULL
+            AND h_old <> h_new THEN 1 ELSE 0 END) AS BIGINT) AS modified,
+          CAST(SUM(CASE WHEN h_old = h_new THEN 1 ELSE 0 END) AS BIGINT)
+            AS unchanged
+        FROM o FULL OUTER JOIN n USING (k)""")))
 }

@@ -494,6 +494,29 @@ object Curation {
           .otherwise(0L)).as("matched"))
   }
 
+  /** Corpus snapshot diff (K27): one summary row of added / removed /
+    * modified / unchanged document counts between two corpus versions
+    * — the change audit run before an incremental retrain ("did the
+    * refresh really only touch the sources we expected"). Content
+    * equality is md5 of the content column, so the shuffle carries
+    * (id, 32-byte hash), never the documents; one id-keyed full-outer
+    * join + global aggregate.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+                   contentCol: String): DataFrame = {
+    def keyed(df: DataFrame, side: String) =
+      df.select(col(idCol).cast(LongType).as("k"),
+        md5(col(contentCol).cast(StringType)).as(s"h_$side"))
+    keyed(oldSnap, "old").join(keyed(newSnap, "new"), Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("h_old").isNull, 1L).otherwise(0L)).as("added"),
+        sum(when(col("h_new").isNull, 1L).otherwise(0L)).as("removed"),
+        sum(when(col("h_old").isNotNull && col("h_new").isNotNull &&
+          col("h_old") =!= col("h_new"), 1L).otherwise(0L)).as("modified"),
+        sum(when(col("h_old") === col("h_new"), 1L).otherwise(0L))
+          .as("unchanged"))
+  }
+
   /** Embedding-space cohesion per label: each label's centroid, then
     * the mean cosine of members to their centroid — the standard
     * cluster-quality / label-noise screen over an embedded corpus.

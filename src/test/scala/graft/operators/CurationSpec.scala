@@ -405,6 +405,14 @@ class CurationSpec extends SparkSpec {
       s"got $row") // left-only {1}, right-only {4,5}, matched {2,3}
   }
 
+  test("snapshotDiff classifies added, removed, modified, unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "text")
+    val row = Curation.snapshotDiff(old, neu, "doc_id", "text").collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((1L, 1L, 1L, 1L))) // +{4}, -{3}, ~{2}, ={1}
+  }
+
   test("labelCohesion is 1.0 for identical vectors and counts members") {
     val embeds = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
