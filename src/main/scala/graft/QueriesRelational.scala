@@ -272,6 +272,36 @@ object QueriesRelational {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, rn""")),
 
+    // ------------------------------------- C52 window navigation fns
+    // first/last/nth value with explicit frames: the full-partition
+    // frame makes last_value/nth deterministic (default frame stops at
+    // CURRENT ROW and would be order-dependent prefix values).
+    QueryDef("q_window_navfuncs",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wAll = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(wAll).as("first_order"),
+          last(col("o_orderkey")).over(wAll).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(wAll).as("second_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        first_value(o_orderkey) OVER wa AS first_order,
+        last_value(o_orderkey) OVER wa AS last_order,
+        nth_value(o_orderkey, 2) OVER wa AS second_order,
+        lead(o_orderkey, 1) OVER w AS next_order
+        FROM orders
+        WINDOW
+          w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")),
+
     // ----------------------------------------------------------- C8 having
     QueryDef("q_having",
       (s, d) => Tables.orders(s, d)
