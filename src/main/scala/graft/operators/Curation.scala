@@ -366,8 +366,10 @@ object Curation {
     * Re-running on the same ids — any cluster size, any row order —
     * produces identical shard membership, which is what makes
     * shard-level resume/retry of a downstream trainer safe. Works
-    * identically in foreachBatch: the assignment is a stateless pure
-    * function of the id.
+    * identically in foreachBatch — the assignment is a stateless pure
+    * function of the id — with one path per micro-batch (overwrite
+    * mode would clobber a shared root; CurationSpec proves
+    * batch/stream shard-membership equality).
     */
   def writeSharded(df: DataFrame, idCol: String, nShards: Int,
                    path: String): Unit =

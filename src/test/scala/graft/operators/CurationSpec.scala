@@ -405,6 +405,36 @@ class CurationSpec extends SparkSpec {
       s"got $row") // left-only {1}, right-only {4,5}, matched {2,3}
   }
 
+  test("shard assignment under foreachBatch matches the batch writer") {
+    // writeSharded's streaming claim: the assignment is a stateless
+    // pure function of the id, so per-micro-batch shard dirs carry
+    // exactly the rows the one-shot batch writer would place there
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_shards")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Curation.writeSharded(batch, "doc_id", 4, s"$root/batch-$id")
+        ()
+      }.start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+      input.addData((4L, "d"), (5L, "e"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$root/batch-0")
+      .unionAll(spark.read.parquet(s"$root/batch-1"))
+      .select($"doc_id", $"shard_id".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val expected = (1L to 5L).map(i =>
+      i -> Curation.shardAssign(lit(i), 4)).toMap.map { case (i, c) =>
+      i -> spark.range(1).select(c).as[Long].head()
+    }
+    assert(streamed == expected)
+  }
+
   test("snapshotDiff classifies added, removed, modified, unchanged") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val neu = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "text")
