@@ -576,16 +576,19 @@ object QueriesCuration {
           UNION ALL
           SELECT doc_id + 10000000 AS doc_id, text
           FROM documents WHERE doc_id % 13 = 0),
-        o AS (SELECT doc_id AS k, md5(text) AS h_old FROM documents),
-        n AS (SELECT doc_id AS k, md5(text) AS h_new FROM neu)
+        o AS (SELECT doc_id AS k, md5(text) AS h_old, 1 AS p_old
+          FROM documents),
+        n AS (SELECT doc_id AS k, md5(text) AS h_new, 1 AS p_new FROM neu)
         SELECT
-          CAST(SUM(CASE WHEN h_old IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          CAST(SUM(CASE WHEN p_old IS NULL THEN 1 ELSE 0 END) AS BIGINT)
             AS added,
-          CAST(SUM(CASE WHEN h_new IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          CAST(SUM(CASE WHEN p_new IS NULL THEN 1 ELSE 0 END) AS BIGINT)
             AS removed,
-          CAST(SUM(CASE WHEN h_old IS NOT NULL AND h_new IS NOT NULL
-            AND h_old <> h_new THEN 1 ELSE 0 END) AS BIGINT) AS modified,
-          CAST(SUM(CASE WHEN h_old = h_new THEN 1 ELSE 0 END) AS BIGINT)
-            AS unchanged
+          CAST(SUM(CASE WHEN p_old = 1 AND p_new = 1
+            AND h_old IS DISTINCT FROM h_new THEN 1 ELSE 0 END) AS BIGINT)
+            AS modified,
+          CAST(SUM(CASE WHEN p_old = 1 AND p_new = 1
+            AND h_old IS NOT DISTINCT FROM h_new THEN 1 ELSE 0 END)
+            AS BIGINT) AS unchanged
         FROM o FULL OUTER JOIN n USING (k)""")))
 }

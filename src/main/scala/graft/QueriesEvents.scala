@@ -207,7 +207,7 @@ object QueriesEvents {
         WHERE next_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY from_type, to_type""")),
 
-    // ------------------------------------------------- C52 forward fill
+    // ------------------------------------------------- C50 forward fill
     // Gap-fill: 'view' events get a null value, forward-filled from
     // the user's previous non-null event. Pure window op — one
     // user-keyed shuffle, value doubles pass through untouched so the

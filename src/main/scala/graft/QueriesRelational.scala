@@ -272,7 +272,7 @@ object QueriesRelational {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, rn""")),
 
-    // ------------------------------------- C52 window navigation fns
+    // ------------------------------------- C51 window navigation fns
     // first/last/nth value with explicit frames: the full-partition
     // frame makes last_value/nth deterministic (default frame stops at
     // CURRENT ROW and would be order-dependent prefix values).

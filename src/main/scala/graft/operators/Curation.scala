@@ -484,10 +484,13 @@ object Curation {
     */
   def refIntegrity(left: DataFrame, leftKey: String,
                    right: DataFrame, rightKey: String): DataFrame = {
-    val l = left.select(col(leftKey).cast(LongType).as("k")).distinct()
-      .withColumn("l", lit(1))
-    val r = right.select(col(rightKey).cast(LongType).as("k")).distinct()
-      .withColumn("r", lit(1))
+    // keys keep their native type (a Long re-cast would silently null
+    // string/uuid keys and report garbage); NULL keys can never match
+    // and are excluded so the audit is about real keys
+    val l = left.select(col(leftKey).as("k")).where(col("k").isNotNull)
+      .distinct().withColumn("l", lit(1))
+    val r = right.select(col(rightKey).as("k")).where(col("k").isNotNull)
+      .distinct().withColumn("r", lit(1))
     l.join(r, Seq("k"), "full_outer")
       .agg(
         sum(when(col("r").isNull, 1L).otherwise(0L)).as("left_only"),
@@ -500,23 +503,26 @@ object Curation {
     * modified / unchanged document counts between two corpus versions
     * — the change audit run before an incremental retrain ("did the
     * refresh really only touch the sources we expected"). Content
-    * equality is md5 of the content column, so the shuffle carries
-    * (id, 32-byte hash), never the documents; one id-keyed full-outer
-    * join + global aggregate.
+    * equality is md5 of the content column (string or binary — no
+    * lossy re-cast), so the shuffle carries (id, 32-byte hash), never
+    * the documents; one id-keyed full-outer join + global aggregate.
+    * Row presence is tracked with explicit markers — NULL content is
+    * a value (null-safe compared), not absence.
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
                    contentCol: String): DataFrame = {
     def keyed(df: DataFrame, side: String) =
-      df.select(col(idCol).cast(LongType).as("k"),
-        md5(col(contentCol).cast(StringType)).as(s"h_$side"))
+      df.select(col(idCol).as("k"), md5(col(contentCol)).as(s"h_$side"),
+        lit(1).as(s"p_$side"))
+    val both = col("p_old").isNotNull && col("p_new").isNotNull
     keyed(oldSnap, "old").join(keyed(newSnap, "new"), Seq("k"), "full_outer")
       .agg(
-        sum(when(col("h_old").isNull, 1L).otherwise(0L)).as("added"),
-        sum(when(col("h_new").isNull, 1L).otherwise(0L)).as("removed"),
-        sum(when(col("h_old").isNotNull && col("h_new").isNotNull &&
-          col("h_old") =!= col("h_new"), 1L).otherwise(0L)).as("modified"),
-        sum(when(col("h_old") === col("h_new"), 1L).otherwise(0L))
-          .as("unchanged"))
+        sum(when(col("p_old").isNull, 1L).otherwise(0L)).as("added"),
+        sum(when(col("p_new").isNull, 1L).otherwise(0L)).as("removed"),
+        sum(when(both && !(col("h_old") <=> col("h_new")), 1L)
+          .otherwise(0L)).as("modified"),
+        sum(when(both && (col("h_old") <=> col("h_new")), 1L)
+          .otherwise(0L)).as("unchanged"))
   }
 
   /** Embedding-space cohesion per label: each label's centroid, then

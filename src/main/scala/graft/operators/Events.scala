@@ -47,7 +47,7 @@ object Events {
         min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
   }
 
-  /** Forward fill (C52): replace nulls in `valueCol` with the last
+  /** Forward fill (C50): replace nulls in `valueCol` with the last
     * non-null value of the same partition in `orderCols` order — the
     * time-series gap-fill primitive (sensor dropouts, sparse
     * attributes). One shuffle on the partition key; the running

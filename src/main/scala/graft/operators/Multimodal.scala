@@ -124,7 +124,9 @@ object Multimodal {
     */
   def dedupMediaExact(df: DataFrame, idCol: String, blobCol: String)
       : DataFrame =
-    df.select(col(idCol), md5(col(blobCol)).as("media_hash"))
-      .groupBy("media_hash")
-      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
+    // one hash-group dedup implementation: delegate to Dedup
+    // (md5 hashes the binary payload directly)
+    Dedup.exactGroups(df, idCol, blobCol)
+      .select(col("h").as("media_hash"), col("n_dups").as("n_copies"),
+        col("keep_id").as("canonical_id"))
 }

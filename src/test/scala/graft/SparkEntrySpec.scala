@@ -43,6 +43,10 @@ class SparkEntrySpec extends SparkSpec {
     // hash belongs) fails the oracle compare; catch it here first.
     // toJSON gives comparison-safe renderings (base64 binary, JSON
     // arrays) where Row.toString would compare array identities.
+    // Caveat: queries built on SessionMemo-persisted relations reread
+    // the materialized cache on the second run, so for those this
+    // checks determinism of the plan AROUND the memo, not of the
+    // memoized computation itself (that is the oracle gate's job).
     SparkEntry.registry.filter(_.oracle.isDefined).foreach { q =>
       val a = q.fn(spark, sfDir).toJSON.collect().toSeq
       val b = q.fn(spark, sfDir).toJSON.collect().toSeq

@@ -443,6 +443,18 @@ class CurationSpec extends SparkSpec {
       == ((1L, 1L, 1L, 1L))) // +{4}, -{3}, ~{2}, ={1}
   }
 
+  test("snapshotDiff treats NULL content as a value, not absence") {
+    val old = Seq((1L, null: String), (2L, null: String), (3L, "c"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, null: String), (2L, "filled"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val row = Curation.snapshotDiff(old, neu, "doc_id", "text").collect().head
+    // null→null unchanged, null→"filled" modified, "c" unchanged;
+    // nothing added or removed — and the classes sum to the key count
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((0L, 0L, 1L, 2L)), s"got $row")
+  }
+
   test("labelCohesion is 1.0 for identical vectors and counts members") {
     val embeds = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
