@@ -590,5 +590,26 @@ object QueriesCuration {
           CAST(SUM(CASE WHEN p_old = 1 AND p_new = 1
             AND h_old IS NOT DISTINCT FROM h_new THEN 1 ELSE 0 END)
             AS BIGINT) AS unchanged
-        FROM o FULL OUTER JOIN n USING (k)""")))
+        FROM o FULL OUTER JOIN n USING (k)""")),
+
+    // --------------------------------------------- K28 novelty share
+    // round 6: per doc, the fraction of its distinct 3-grams it is the
+    // first (by doc_id = ingestion order) to contribute — the
+    // marginal-contribution screen for "does this doc/source add
+    // anything new". Gram-keyed window min (one shuffle, no
+    // self-join) + one doc-keyed agg; exact integer ratio.
+    QueryDef("q_novelty",
+      (s, d) => Curation.noveltyShare(Tables.documents(s, d),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id"),
+      Some(s"""${shingleCte(3)},
+        fs AS (SELECT gram, MIN(doc_id) AS first_id
+               FROM ex GROUP BY gram)
+        SELECT doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+          CAST(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS novelty
+        FROM ex JOIN fs USING (gram)
+        GROUP BY doc_id ORDER BY doc_id""")))
 }

@@ -242,6 +242,26 @@ object QueriesEvents {
         SELECT event_id, event_type, round((value - mean_v) / sd_v, 6) AS z
         FROM events JOIN stats USING (event_type)
         WHERE abs(round((value - mean_v) / sd_v, 6)) > 2.0
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ------------------------------------------ I13 time-decayed score
+    // recency-weighted engagement per user: Σ value · 0.5^⌊days/7⌋ vs
+    // the corpus max date. The decay bucket is integer and the weight
+    // an exact power of two, so every term is bit-exact on both
+    // engines (no transcendental); terms round 6 dp and decimal-sum.
+    // One broadcast scalar + one user-keyed map-side-combined agg.
+    QueryDef("q_decay_score",
+      (s, d) => Events.decayedEngagement(Tables.events(s, d),
+          "value", halfLifeDays = 7)
+        .orderBy("user_id"),
+      Some("""WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_d FROM events),
+        c AS (SELECT user_id,
+            CAST(round(value * power(0.5,
+                floor(date_diff('day', CAST(ts AS DATE), ref_d) / 7.0)), 6)
+              AS DECIMAL(28,6)) AS c
+          FROM events CROSS JOIN ref)
+        SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(c) AS DOUBLE) AS score
+        FROM c GROUP BY user_id ORDER BY user_id"""))
   )
 }

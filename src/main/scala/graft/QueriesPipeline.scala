@@ -934,6 +934,110 @@ object QueriesPipeline {
         SELECT w1, w2, cnt, CAST(cnt_w1 AS BIGINT) AS cnt_w1,
           round(CAST(cnt AS DOUBLE) / CAST(cnt_w1 AS DOUBLE), 6) AS p_next,
           CAST(rk AS BIGINT) AS rk
-        FROM r WHERE rk <= 3 AND cnt_w1 >= 20 ORDER BY w1, rk"""))
+        FROM r WHERE rk <= 3 AND cnt_w1 >= 20 ORDER BY w1, rk""")),
+
+    // ------------------------------------------------- H12 BM25 rank
+    // Okapi BM25 over a fixed term bag mixing a rare term ('dup',
+    // df≈5% of docs — high idf) with two common ones, so idf contrast
+    // is actually exercised. Every per-term contribution is computed
+    // from exact integers through an expression tree the oracle
+    // mirrors verbatim, rounded 6 dp, and decimal-summed — the ranking
+    // and its top-20 cut are engine-exact. Plan: one tokenize pass,
+    // broadcast df + corpus scalars, TakeOrderedAndProject top-k.
+    QueryDef("q_bm25",
+      (s, d) => TextAnalysis.bm25Scores(Tables.documents(s, d),
+          "doc_id", "text", Seq("dup", "join", "vector"))
+        .orderBy(col("bm25").desc, col("doc_id")),
+      Some("""WITH tk AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents
+        ), tkf AS (SELECT * FROM tk WHERE term <> ''),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tkf GROUP BY 1),
+        st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tkf
+               WHERE term IN ('dup', 'join', 'vector') GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+            CAST(round(
+              ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                * CAST(tf AS DOUBLE) * 2.2
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                     * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))),
+              6) AS DECIMAL(18,6)) AS s
+          FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+        SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25, COUNT(*) AS n_terms
+        FROM sc GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+    // -------------------------------------------- G10 hybrid RRF fusion
+    // the hybrid-retrieval pattern every vector store ships: a lexical
+    // retriever (BM25 query-by-example on the query doc's tokens) and
+    // a vector retriever (brute-force cosine over embeddings, the
+    // exact config q_ann_bruteforce already oracles) fused by
+    // reciprocal rank. Ranks — not scores — cross the fusion boundary,
+    // so no calibration; 1/(60+rank) terms are rounded 6 dp and
+    // decimal-summed, making the fused ordering engine-exact.
+    QueryDef("q_hybrid_rrf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val cosR = Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id") < 3), k = 20)
+          .select("qid", "nid", "rank")
+        val lexR = TextAnalysis.bm25Retrieve(
+          docs, docs.where(col("doc_id") < 3), "doc_id", "text", topK = 20)
+          .select("qid", "nid", "rank")
+        Similarity.rrfFuse(Seq(cosR, lexR), k = 60, topK = 10)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH cos AS (
+          SELECT qid, nid, rank FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+              CAST(row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                  c.vec_id) AS BIGINT) AS rank
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
+          WHERE rank <= 20
+        ), tk AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents
+        ), tkf AS (SELECT * FROM tk WHERE term <> ''),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tkf GROUP BY 1),
+        st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        qt AS (SELECT DISTINCT doc_id AS qid, term FROM tkf WHERE doc_id < 3),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tkf
+               WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        lexsc AS (SELECT qt.qid, tf.doc_id AS nid,
+            CAST(round(
+              ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                * CAST(tf AS DOUBLE) * 2.2
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                     * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))),
+              6) AS DECIMAL(18,6)) AS s
+          FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+          WHERE tf.doc_id <> qt.qid
+        ), lex0 AS (SELECT qid, nid, CAST(SUM(s) AS DOUBLE) AS bm25
+                    FROM lexsc GROUP BY 1, 2),
+        lex AS (SELECT qid, nid, rank FROM (
+            SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY bm25 DESC, nid) AS BIGINT) AS rank FROM lex0)
+          WHERE rank <= 20
+        ), u AS (SELECT * FROM cos UNION ALL SELECT * FROM lex),
+        f AS (SELECT qid, nid,
+            CAST(SUM(CAST(round(1.0 / (rank + 60.0), 6) AS DECIMAL(18,6)))
+              AS DOUBLE) AS rrf,
+            COUNT(*) AS n_lists
+          FROM u GROUP BY 1, 2)
+        SELECT qid, nid, rrf, n_lists, rank FROM (
+          SELECT qid, nid, rrf, n_lists,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY rrf DESC, nid) AS BIGINT) AS rank
+          FROM f)
+        WHERE rank <= 10 ORDER BY qid, rank"""))
   )
 }

@@ -549,4 +549,30 @@ object Curation {
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"), round(avg("cos"), 6).as("avg_cos"))
   }
+
+  /** Per-document novelty share (K28): the fraction of a document's
+    * distinct n-grams that it is the FIRST document to contribute,
+    * ordering by id (= ingestion order) — the marginal-contribution
+    * screen behind "does this source add anything the corpus doesn't
+    * already have". A doc of fresh text scores ~1, boilerplate
+    * re-paste scores ~0; unlike pairwise dedup it prices partial
+    * overlap against the whole accumulated corpus, not one neighbor.
+    * Exact integer ratio → engine-exact double. Scale shape: one
+    * shingle pass; first-contributor resolved with a gram-keyed
+    * window min (one shuffle, no self-join), then one doc-keyed
+    * aggregation. Never all-pairs.
+    */
+  def noveltyShare(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val w = Window.partitionBy("gram")
+    grams
+      .withColumn("first_id", min(col("doc_id")).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("doc_id") === col("first_id")).cast(LongType)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
 }

@@ -78,4 +78,31 @@ object Events {
       .withColumn("z", round((v - col("mean_v")) / col("sd_v"), 6))
       .where(abs(col("z")) > k)
   }
+
+  /** Time-decayed engagement score (I13): per user,
+    * Σ value · 0.5^⌊days_ago / halfLifeDays⌋ against the corpus max
+    * date — the recency-weighted activity feature behind retention /
+    * ranking models. The decay step is quantized to whole buckets so
+    * the weight is an exact power of two (no transcendental in the hot
+    * path): every term is bit-exact across engines, each contribution
+    * is rounded to 6 dp and summed as decimal, so the reduction is
+    * order-independent. Scale shape: the reference date is a single
+    * broadcast scalar; everything else is one map + one user-keyed
+    * map-side-combined aggregation.
+    */
+  def decayedEngagement(events: DataFrame, valueCol: String = "value",
+                        halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val ref = events.agg(max(to_date(col("ts"))).as("ref_d"))
+    events.join(broadcast(ref))
+      .withColumn("buckets",
+        floor(datediff(col("ref_d"), to_date(col("ts")))
+          / lit(halfLifeDays.toDouble)).cast(DoubleType))
+      .withColumn("c",
+        round(col(valueCol) * pow(lit(0.5), col("buckets")), 6)
+          .cast(DecimalType(28, 6)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("c")).cast(DoubleType).as("score"))
+  }
 }

@@ -570,4 +570,33 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Reciprocal-rank fusion (G10): combine N retriever rankings
+    * (qid, nid, rank) into one hybrid ranking by
+    * score(q, d) = Σ_r 1 / (k + rank_r(q, d)), the standard fusion of
+    * a lexical (BM25) and a vector (ANN) retriever. Rank-based, so no
+    * score calibration across retrievers is needed; a document missing
+    * from one list simply contributes nothing. Each contribution is
+    * rounded to 6 dp and summed as decimal, so the fused score is
+    * order-independent and engine-exact. Scale shape: the inputs are
+    * already per-query top-k lists (rows ≈ |queries|·k·|retrievers|),
+    * one (qid, nid)-keyed aggregation, one qid-keyed window.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val all = rankings
+      .map(_.select(col("qid"), col("nid"), col("rank")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("nid"))
+    all
+      .withColumn("c",
+        round(lit(1.0) / (col("rank") + lit(k.toDouble)), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("qid", "nid")
+      .agg(sum(col("c")).cast(DoubleType).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= topK)
+  }
 }

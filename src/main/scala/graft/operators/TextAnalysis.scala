@@ -265,4 +265,98 @@ object TextAnalysis {
     df.select(explode(tokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** Non-empty (doc_id, term) token stream — the shared upstream of
+    * the BM25 family.
+    */
+  private def tokenStream(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+
+  /** Per-term Okapi BM25 contribution. All inputs are exact integers
+    * (tf, df, dl, n_docs, sum_dl), the arithmetic is a fixed expression
+    * tree mirrored verbatim by the SQL oracle, and the result is
+    * rounded to 6 dp and cast to decimal so the per-document sum is
+    * order-independent and exact.
+    */
+  private def bm25TermScore(k1: Double, b: Double): Column = {
+    val nd = col("n_docs").cast(DoubleType)
+    val idf = log(lit(1.0) +
+      (nd - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    // dl / avgdl as (dl * n_docs) / sum_dl — one division, exact ints in
+    val dlNorm = col("dl").cast(DoubleType) * nd / col("sum_dl").cast(DoubleType)
+    val tfD = col("tf").cast(DoubleType)
+    round(idf * tfD * lit(k1 + 1.0)
+      / (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlNorm)), 6)
+      .cast(DecimalType(18, 6))
+  }
+
+  /** Okapi BM25 ranking of every document against a fixed bag of query
+    * terms — the lexical half of a retrieval stack (the classic
+    * tf-idf-family relevance the reference's users run via
+    * `pyarrow`-backed search engines). Scale shape: one tokenize pass
+    * feeds doc lengths, term frequencies and document frequencies; the
+    * per-term df relation and the two corpus scalars are broadcast; tf
+    * rows shuffle once keyed (doc, term); the final ranking is a
+    * TakeOrderedAndProject (per-partition top-k + driver merge of
+    * k·partitions rows), never a full sort.
+    */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                 topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tk = tokenStream(df, idCol, textCol)
+    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = tk.where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .join(broadcast(stats))
+      .withColumn("s", bm25TermScore(k1, b))
+      .groupBy("doc_id")
+      .agg(sum(col("s")).cast(DoubleType).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Multi-query BM25 retrieval (query-by-example): each query row's
+    * distinct tokens form its term bag; candidates are corpus documents
+    * sharing at least one term, scored per (query, candidate) and
+    * ranked within the query. The query set is bounded (it is the thing
+    * a user types or the handful of eval documents), so it broadcasts;
+    * the corpus-side work is the same single tokenize pass + one
+    * (doc, term)-keyed aggregation as [[bm25Scores]], and the per-term
+    * join fan-out is the inverted-index posting-list size — never
+    * all-pairs over documents. Self-matches are excluded.
+    */
+  def bm25Retrieve(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, textCol: String,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   topK: Int = 20): DataFrame = {
+    val tk = tokenStream(corpus, idCol, textCol)
+    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qt = tokenStream(queries, idCol, textCol)
+      .select(col("doc_id").as("qid"), col("term")).distinct()
+    val tf = tk.join(broadcast(qt.select("term").distinct()), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = qt.join(tf, "term")
+      .where(col("doc_id") =!= col("qid"))
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .join(broadcast(stats))
+      .withColumn("s", bm25TermScore(k1, b))
+      .groupBy(col("qid"), col("doc_id").as("nid"))
+      .agg(sum(col("s")).cast(DoubleType).as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("bm25").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= topK)
+  }
 }

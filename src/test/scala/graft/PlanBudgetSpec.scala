@@ -16,6 +16,13 @@ class PlanBudgetSpec extends SparkSpec {
   private lazy val session = {
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    // The CacheManager is shared across newSession()s: if another suite
+    // already ran a query whose memoized upstream was persisted, our
+    // identical subtree would be substituted with an InMemoryRelation
+    // whose stringified cached plan inflates the exchange/scan counts
+    // (budgets would then depend on suite execution ORDER). Start from
+    // a cold cache so every budget measures the fresh static plan.
+    s.catalog.clearCache()
     s
   }
 

@@ -464,4 +464,24 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList.sorted
     assert(out == List((0, 2L, 1.0), (1, 2L, 1.0)))
   }
+
+  test("noveltyShare: first contributor scores 1, re-paste scores 0") {
+    val nd = Seq(
+      (1L, "a b c d"), // grams {a b c, b c d} — both first here
+      (2L, "a b c d"), // exact re-paste: nothing new
+      (3L, "a b c x") // {a b c} seen, {b c x} new → 0.5
+    ).toDF("doc_id", "text")
+    val out = Curation.noveltyShare(nd, "doc_id", "text", n = 3)
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0),
+      (3L, 2L, 1L, 0.5)), s"got $out")
+  }
+
+  test("noveltyShare: short docs fall back to the whole-text gram") {
+    val nd = Seq((1L, "hi there"), (2L, "hi there")).toDF("doc_id", "text")
+    val out = Curation.noveltyShare(nd, "doc_id", "text", n = 3)
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toSet
+    assert(out == Set((1L, 1.0), (2L, 0.0)), s"got $out")
+  }
 }

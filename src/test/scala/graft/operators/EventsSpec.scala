@@ -79,4 +79,33 @@ class EventsSpec extends SparkSpec {
     val single = Seq((1L, "solo", 5.0)).toDF("event_id", "event_type", "value")
     assert(Events.zScoreAnomalies(single, "event_type", "value").count() == 0)
   }
+
+  test("decayedEngagement: weekly-quantized powers of two vs max date") {
+    // ref date = 2024-02-01. user 1: 0 days → ·1, 7 days → ·0.5,
+    // 14 days → ·0.25; user 2: 1 day old → still bucket 0.
+    val de = Seq(
+      (1L, ts("2024-02-01 12:00:00"), 10.0),
+      (1L, ts("2024-01-25 00:00:00"), 8.0),
+      (1L, ts("2024-01-18 23:59:59"), 8.0),
+      (2L, ts("2024-01-31 06:00:00"), 3.5)
+    ).toDF("user_id", "ts", "value")
+    val out = Events.decayedEngagement(de, "value", halfLifeDays = 7)
+      .select("user_id", "n_events", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 3L, 10.0 + 4.0 + 2.0), (2L, 1L, 3.5)), s"got $out")
+  }
+
+  test("decayedEngagement: longer half-life dominates, zero value safe") {
+    val de = Seq(
+      (1L, ts("2024-02-01 00:00:00"), 0.0),
+      (1L, ts("2024-01-01 00:00:00"), 64.0)
+    ).toDF("user_id", "ts", "value")
+    // 31 days ago: half-life 7 → bucket 4 → 64/16 = 4; half-life 31 → 32
+    val s7 = Events.decayedEngagement(de, "value", 7)
+      .select("score").as[Double].head()
+    val s31 = Events.decayedEngagement(de, "value", 31)
+      .select("score").as[Double].head()
+    assert(s7 == 4.0, s"got $s7")
+    assert(s31 == 32.0, s"got $s31")
+  }
 }

@@ -381,4 +381,27 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("EqualTo(label,3)"),
       s"label predicate not pushed to the scan:\n$plan")
   }
+
+  test("rrfFuse: reciprocal ranks add across lists, missing contributes 0") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "nid", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("qid", "nid", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), k = 60, topK = 10)
+      .select("qid", "nid", "rrf", "n_lists", "rank")
+      .as[(Long, Long, Double, Long, Long)].collect()
+      .sortBy(_._5)
+    // contributions rounded to 6 dp: 1/61 → 0.016393, 1/62 → 0.016129;
+    // the sum is decimal-exact, so 0.032522 arrives bit-exactly
+    assert(out.map(t => (t._2, t._3, t._4, t._5)).toSeq == Seq(
+      (11L, 0.032522, 2L, 1L), // in both lists → wins fusion
+      (10L, 0.016393, 1L, 2L),
+      (12L, 0.016129, 1L, 3L)), s"got ${out.toSeq}")
+  }
+
+  test("rrfFuse: topK cuts per query, ties broken by nid") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
+      .toDF("qid", "nid", "rank")
+    val out = Similarity.rrfFuse(Seq(a), k = 60, topK = 1)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L, 1L), (2L, 20L, 1L)), s"got $out")
+  }
 }

@@ -187,4 +187,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bigramNextTokens(Seq("one", "").toDF("text"), "text",
       k = 1, minHeadCount = 0L).count() == 0L)
   }
+
+  /** Hand-computed Okapi BM25 term contribution (k1=1.2, b=0.75). */
+  private def bm25Term(tf: Int, df: Int, dl: Int, n: Int, sumDl: Int): Double = {
+    val idf = math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+    val dlNorm = dl.toDouble * n / sumDl
+    idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlNorm))
+  }
+
+  private lazy val bmDocs = Seq(
+    (1L, "apple banana apple"), // dl 3
+    (2L, "banana cherry"), // dl 2
+    (3L, "cherry cherry cherry date") // dl 4
+  ).toDF("doc_id", "text")
+
+  test("bm25Scores matches the hand-computed formula and ranks by score") {
+    val out = TextAnalysis.bm25Scores(bmDocs, "doc_id", "text",
+        Seq("apple", "cherry"))
+      .select("doc_id", "bm25", "n_terms")
+      .as[(Long, Double, Long)].collect()
+    // N=3, sum_dl=9; tf: (1,apple)=2 df=1; (2,cherry)=1, (3,cherry)=3 df=2
+    val exp = Map(
+      1L -> bm25Term(2, 1, 3, 3, 9),
+      2L -> bm25Term(1, 2, 2, 3, 9),
+      3L -> bm25Term(3, 2, 4, 3, 9))
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 2L), s"rank order: ${out.toSeq}")
+    assert(out.forall(_._3 == 1L))
+    out.foreach { case (id, s, _) =>
+      assert(math.abs(s - exp(id)) < 1e-5, s"doc $id: $s vs ${exp(id)}") }
+    // rare term beats common: doc 1 (unique 'apple' twice) on top
+    assert(out.head._1 == 1L)
+  }
+
+  test("bm25Retrieve: query-by-example excludes self and ranks within query") {
+    val out = TextAnalysis.bm25Retrieve(bmDocs,
+        bmDocs.where($"doc_id" === 1), "doc_id", "text")
+      .select("qid", "nid", "bm25", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    // query terms {apple, banana}: only doc 2 shares a term (banana,
+    // corpus df=2) — doc 1 itself is excluded
+    assert(out.length == 1, s"got ${out.toSeq}")
+    val (qid, nid, s, rank) = out.head
+    assert((qid, nid, rank) == ((1L, 2L, 1L)))
+    assert(math.abs(s - bm25Term(1, 2, 2, 3, 9)) < 1e-5)
+  }
 }
