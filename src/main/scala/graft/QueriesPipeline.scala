@@ -644,8 +644,11 @@ object QueriesPipeline {
 
     // ------------------------------------------- H7 unigram surprisal
     // round 6: −mean(ln p(token)) with p from the corpus itself — the
-    // cheap perplexity-style quality filter. Term-keyed shuffle + join
-    // (tfidf's shape); mean rounded to 6 dp per the float contract.
+    // cheap perplexity-style quality filter. Tokenize-once: ONE corpus
+    // scan into (doc, term) counts; term frequencies, the corpus total
+    // and doc lengths are re-aggregations of it. Per-term
+    // contributions round 6 dp and decimal-sum (order-independent),
+    // then the mean rounds 6 dp.
     QueryDef("q_surprisal",
       (s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d),
           "doc_id", "text")
@@ -653,12 +656,16 @@ object QueriesPipeline {
       Some("""WITH toks AS (
           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
           FROM documents
-        ), tf AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY 1),
-        t AS (SELECT COUNT(*) AS n_total FROM toks)
-        SELECT doc_id, COUNT(*) AS n_tokens,
-          round(AVG(-ln(CAST(tf.tf AS DOUBLE) / CAST(t.n_total AS DOUBLE))), 6)
-            AS surprisal
-        FROM toks JOIN tf USING (term) CROSS JOIN t
+        ), dt AS (SELECT doc_id, term, COUNT(*) AS tf_dt
+                  FROM toks GROUP BY 1, 2),
+        tf AS (SELECT term, SUM(tf_dt) AS tf FROM dt GROUP BY 1),
+        t AS (SELECT SUM(tf) AS n_total FROM tf)
+        SELECT doc_id, CAST(SUM(tf_dt) AS BIGINT) AS n_tokens,
+          round(CAST(SUM(CAST(round(CAST(tf_dt AS DOUBLE)
+                * -ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+              AS DECIMAL(28,6))) AS DOUBLE)
+            / CAST(SUM(tf_dt) AS DOUBLE), 6) AS surprisal
+        FROM dt JOIN tf USING (term) CROSS JOIN t
         GROUP BY doc_id ORDER BY doc_id""")),
 
     // ------------------------------------------------- E3/E4 media decode

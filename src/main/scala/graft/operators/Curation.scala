@@ -179,16 +179,24 @@ object Curation {
   /** Highest-TF-IDF term per document. IDF is the exact rational
     * N/df (no log) so the score — tf·N/df in IEEE doubles — is
     * bit-identical across engines; ranking ties break on the term.
-    * Two key-local shuffles (doc_id+term, then term) plus a per-doc
-    * window; the doc-count scalar joins as a broadcast single row.
+    *
+    * Tokenize-once: the corpus is scanned and exploded exactly once
+    * into (doc, term) counts; df comes from a term-keyed WINDOW count
+    * over that relation rather than a separate aggregate + join (a
+    * branch aggregate re-tokenizes the corpus — the optimizer prunes
+    * each branch differently, so their exchange subtrees never unify
+    * and every branch pays its own scan). The doc-count scalar is a
+    * zero-column parquet count (footer metadata, no text IO),
+    * broadcast. Plan: one heavy scan, three key-local shuffles.
     */
   def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term").join(broadcast(nDocs))
+    val scored = tf
+      .withColumn("df", count(col("tf")).over(Window.partitionBy("term")))
+      .join(broadcast(nDocs))
       .withColumn("tfidf",
         (col("tf") * col("n_docs")).cast(DoubleType) / col("df").cast(DoubleType))
     val w = Window.partitionBy("doc_id")

@@ -85,23 +85,32 @@ object TextAnalysis {
   /** Per-document mean unigram surprisal −mean(ln p(token)), with
     * p estimated from the corpus itself — the cheap stand-in for the
     * KenLM-perplexity quality filter (CCNet-style): documents made of
-    * corpus-typical tokens score low, token-salad scores high. The
-    * scale shape is [[graft.operators.Curation.tfidfTopTerm]]'s: one
-    * term-keyed shuffle for frequencies, a term-keyed join back, the
-    * corpus-total as a broadcast scalar. The mean is a distributed
-    * double reduction, so it surfaces rounded to 6 dp (the established
-    * cross-engine float contract).
+    * corpus-typical tokens score low, token-salad scores high.
+    *
+    * Tokenize-once shape: the corpus is scanned and exploded exactly
+    * once into per-(doc, term) counts; corpus term frequencies, the
+    * corpus total and per-doc lengths are all re-aggregations of that
+    * relation (vocabulary-sized — no second pass over the raw text).
+    * The mean is computed as Σ tf_dt·(−ln p_t) / n_d with each term's
+    * contribution rounded to 6 dp and decimal-summed, so the reduction
+    * is order-independent and engine-exact — stronger than the
+    * rounded-double-avg contract it replaces.
     */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(tf, "term").join(broadcast(total))
+    val dt = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf_dt"))
+    val tf = dt.groupBy("term").agg(sum(col("tf_dt")).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("n_total"))
+    dt.join(tf, "term").join(broadcast(total))
+      .withColumn("c",
+        round(col("tf_dt").cast(DoubleType)
+          * -log(col("tf").cast(DoubleType) / col("n_total").cast(DoubleType)),
+          6).cast(DecimalType(28, 6)))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(-log(col("tf").cast(DoubleType)
-          / col("n_total").cast(DoubleType))), 6).as("surprisal"))
+      .agg(sum(col("tf_dt")).as("n_tokens"),
+        round(sum(col("c")).cast(DoubleType)
+          / sum(col("tf_dt")).cast(DoubleType), 6).as("surprisal"))
   }
 
   /** Unicode NFC normalization + whitespace collapse — the canonical
@@ -293,29 +302,43 @@ object TextAnalysis {
       .cast(DecimalType(18, 6))
   }
 
+  /** Corpus length scalars (n_docs with ≥1 token, total token count)
+    * from a narrow map over the table: the token array is sized and
+    * discarded per row — no explode, no shuffle, one cheap pass.
+    */
+  private def corpusStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(size(filter(tokens(col(textCol)), t => t =!= ""))
+        .cast(LongType).as("dl"))
+      .where(col("dl") > 0)
+      .agg(count(col("dl")).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
   /** Okapi BM25 ranking of every document against a fixed bag of query
     * terms — the lexical half of a retrieval stack (the classic
     * tf-idf-family relevance the reference's users run via
-    * `pyarrow`-backed search engines). Scale shape: one tokenize pass
-    * feeds doc lengths, term frequencies and document frequencies; the
-    * per-term df relation and the two corpus scalars are broadcast; tf
-    * rows shuffle once keyed (doc, term); the final ranking is a
-    * TakeOrderedAndProject (per-partition top-k + driver merge of
-    * k·partitions rows), never a full sort.
+    * `pyarrow`-backed search engines).
+    *
+    * Scale shape: ONE tokenize-explode pass builds the (doc, term)
+    * counts; doc length and document frequency come from doc-/term-
+    * keyed WINDOW aggregates over that relation (a separate aggregate
+    * branch would re-tokenize the corpus: the optimizer prunes each
+    * branch differently so their exchanges never unify); the two
+    * corpus scalars come from a narrow no-explode map pass, broadcast.
+    * The final ranking is a TakeOrderedAndProject (per-partition
+    * top-k + driver merge), never a full sort.
     */
   def bm25Scores(df: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                  topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val tk = tokenStream(df, idCol, textCol)
-    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = tk.where(col("term").isin(queryTerms: _*))
+    val dt = tokenStream(df, idCol, textCol)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "term")
-      .join(dl, "doc_id")
-      .join(broadcast(stats))
+    val tf = dt
+      .withColumn("dl", sum(col("tf"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .where(col("term").isin(queryTerms: _*))
+      .withColumn("df", count(col("tf"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    tf.join(broadcast(corpusStats(df, textCol)))
       .withColumn("s", bm25TermScore(k1, b))
       .groupBy("doc_id")
       .agg(sum(col("s")).cast(DoubleType).as("bm25"),
@@ -338,19 +361,22 @@ object TextAnalysis {
                    idCol: String, textCol: String,
                    k1: Double = 1.2, b: Double = 0.75,
                    topK: Int = 20): DataFrame = {
-    val tk = tokenStream(corpus, idCol, textCol)
-    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // same single-tokenize-pass shape as bm25Scores: dl/df as window
+    // aggregates over the one (doc, term) relation, scalars from the
+    // narrow stats pass, the bounded query term set broadcast
+    val dt = tokenStream(corpus, idCol, textCol)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val qt = tokenStream(queries, idCol, textCol)
       .select(col("doc_id").as("qid"), col("term")).distinct()
-    val tf = tk.join(broadcast(qt.select("term").distinct()), "term")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = dt
+      .withColumn("dl", sum(col("tf"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .join(broadcast(qt.select("term").distinct()), "term")
+      .withColumn("df", count(col("tf"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
     val scored = qt.join(tf, "term")
       .where(col("doc_id") =!= col("qid"))
-      .join(broadcast(dfreq), "term")
-      .join(dl, "doc_id")
-      .join(broadcast(stats))
+      .join(broadcast(corpusStats(corpus, textCol)))
       .withColumn("s", bm25TermScore(k1, b))
       .groupBy(col("qid"), col("doc_id").as("nid"))
       .agg(sum(col("s")).cast(DoubleType).as("bm25"))
