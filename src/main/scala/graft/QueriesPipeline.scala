@@ -765,6 +765,37 @@ object QueriesPipeline {
         WHERE levenshtein(a.text, b.text) <= 10
         ORDER BY id_a, id_b""")),
 
+    // ------------------------------------- F9 chunk dedup + rebuild
+    // intra-corpus boilerplate removal: fixed-size token chunks, keep
+    // the corpus-wide first occurrence of each, rebuild the cleaned
+    // doc in order. Edits documents instead of dropping them — the
+    // pass doc-level dedup can't express. One chunk explode, one
+    // md5-keyed window, one doc-keyed agg; never all-pairs.
+    QueryDef("q_dedup_chunks",
+      (s, d) => Dedup.dedupChunks(Tables.documents(s, d),
+          "doc_id", "text", chunkSize = 32)
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (
+          SELECT doc_id, CAST((s - 1) / 32 AS BIGINT) AS chunk_idx,
+            array_to_string(t[s : s + 31], ' ') AS chunk
+          FROM (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
+              unnest(range(1,
+                greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)
+                  + 1, 32)) AS s
+            FROM documents)
+        ), mk AS (
+          SELECT doc_id, chunk_idx, chunk,
+            COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks,
+            row_number() OVER (PARTITION BY md5(chunk)
+              ORDER BY doc_id, chunk_idx) AS rn
+          FROM ch)
+        SELECT doc_id, CAST(MAX(n_chunks) AS BIGINT) AS n_chunks,
+          COUNT(*) AS n_kept,
+          string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+        FROM mk WHERE rn = 1
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ------------------------------------------------------ G8 L2 ANN
     // Euclidean-metric twin of q_ann_bruteforce: native l2_distance
     // kernel (sequential accumulation = DuckDB list_distance), rank

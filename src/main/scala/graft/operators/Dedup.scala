@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -436,6 +437,42 @@ object Dedup {
     * editDistanceVerify instead; near-dups whose lengths straddle a
     * band boundary are missed by construction (documented tradeoff).
     */
+  /** Chunk-level exact dedup with document reconstruction (F9): split
+    * every document into fixed-size non-overlapping token chunks,
+    * keep only the corpus-wide FIRST occurrence (by doc_id, then
+    * chunk position) of each chunk, and rebuild the cleaned document
+    * from its surviving chunks in original order — the intra-corpus
+    * boilerplate-removal pass (repeated headers/footers/navigation
+    * text) that doc-level dedup cannot express: it edits documents
+    * instead of dropping them. A document whose every chunk appeared
+    * earlier vanishes entirely (it contributed nothing new).
+    *
+    * Scale shape: one chunk explode; first-occurrence is a
+    * row_number over the chunk-hash window (one md5-keyed shuffle —
+    * only (hash, id, idx) move for the dedup decision); rebuild is
+    * one doc-keyed aggregation. Never all-pairs, cost linear in
+    * corpus size.
+    */
+  def dedupChunks(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 32): DataFrame = {
+    val ch = TextAnalysis.chunkDocs(docs, idCol, textCol, chunkSize,
+      overlap = 0)
+    val wDoc = Window.partitionBy("doc_id")
+    val wFirst = Window.partitionBy("h")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    ch
+      .withColumn("n_chunks", count(lit(1)).over(wDoc))
+      .withColumn("h", md5(col("chunk")))
+      .withColumn("rn", row_number().over(wFirst))
+      .where(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(max(col("n_chunks")).as("n_chunks"),
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk"))).as("clean_text"))
+  }
+
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         lenCol: String, maxDist: Int,
                         blockWidth: Int = 10): DataFrame = {

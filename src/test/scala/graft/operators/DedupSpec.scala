@@ -233,4 +233,27 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 4L))
   }
+
+  test("dedupChunks keeps first occurrences and rebuilds cleaned docs") {
+    val docs = Seq(
+      (1L, "a b c d"), // chunks [a b][c d] — both first here
+      (2L, "a b x y"), // [a b] is boilerplate, [x y] is new
+      (3L, "c d") // wholly boilerplate → vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupChunks(docs, "doc_id", "text", chunkSize = 2)
+      .select("doc_id", "n_chunks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 2L, 2L, "a b c d"), (2L, 2L, 1L, "x y")),
+      s"got $out")
+  }
+
+  test("dedupChunks preserves order across a removed middle chunk") {
+    val docs = Seq(
+      (1L, "x1 x2"),
+      (2L, "p q x1 x2 r s") // middle chunk removed, ends stitched in order
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupChunks(docs, "doc_id", "text", chunkSize = 2)
+      .where($"doc_id" === 2).select("clean_text").as[String].head()
+    assert(out == "p q r s", s"got $out")
+  }
 }
