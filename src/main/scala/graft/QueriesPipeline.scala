@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{AnnIndex, Dedup, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline queries (SURVEY §2.F/G/H + E3):
   * dedup, similarity search, text analysis, multimodal metadata.
@@ -393,6 +393,35 @@ object QueriesPipeline {
             nCells = nCells, stride = stride, kmeansIters = iters,
             nprobe = 16, centroids = Some(cents))
           .select("qid", "nid", "rank").orderBy("qid", "rank")
+      },
+      Some("""SELECT qid, nid, rank FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS BIGINT) AS rank
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ------------------------------------------- G11 persisted ANN index
+    // the serving shape: the encoded corpus is WRITTEN ONCE as
+    // cent_id-partitioned parquet (AnnIndex.write), searches open the
+    // index and read only the probed cell directories — partition
+    // pruning on disk, asserted in AnnIndexSpec. Gate config probes
+    // all cells through exact-within-cell scoring, so search-from-disk
+    // must equal brute force (the q_ann_ivf oracle); sub-exhaustive
+    // probing, the ADC path, appends, and drift are spec-covered.
+    QueryDef("q_ann_index",
+      (s, d) => {
+        val idx = SessionMemo.any(s, ("annIndex", d)) {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-ann-index").toString
+          AnnIndex.write(Tables.embeddings(s, d), dir, dim = 64,
+            nCells = 16, stride = 7, kmeansIters = 1, m = 8, ncodes = 16)
+        }
+        AnnIndex.searchExact(idx,
+            Tables.embeddings(s, d).where(col("vec_id") < 10),
+            k = 5, nprobe = 16)
+          .orderBy("qid", "rank")
       },
       Some("""SELECT qid, nid, rank FROM (
           SELECT q.vec_id AS qid, c.vec_id AS nid,
@@ -1020,8 +1049,11 @@ object QueriesPipeline {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val emb = Tables.embeddings(s, d)
+        // 6dp-rounded cosine before the rank window (nid tie-break):
+        // the fused score is decimal-exact only if the input RANKS are
+        // engine-stable, and raw-double near-ties can flip cross-engine
         val cosR = Similarity.bruteForceTopK(
-          emb, emb.where(col("vec_id") < 3), k = 20)
+          emb, emb.where(col("vec_id") < 3), k = 20, roundCosTo = 6)
           .select("qid", "nid", "rank")
         val lexR = TextAnalysis.bm25Retrieve(
           docs, docs.where(col("doc_id") < 3), "doc_id", "text", topK = 20)
@@ -1033,7 +1065,7 @@ object QueriesPipeline {
           SELECT qid, nid, rank FROM (
             SELECT q.vec_id AS qid, c.vec_id AS nid,
               CAST(row_number() OVER (PARTITION BY q.vec_id
-                ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 6) DESC,
                   c.vec_id) AS BIGINT) AS rank
             FROM embeddings q, embeddings c
             WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)

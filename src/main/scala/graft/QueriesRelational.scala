@@ -132,26 +132,22 @@ object QueriesRelational {
         FROM orders GROUP BY o_orderpriority ORDER BY value""")),
 
     // ------------------------------------------------- A10 table profile
-    // pandas describe/info analog: per-column null and distinct
-    // counts in ONE scan (the multi-distinct expand is the documented
-    // cost of an exact profile; production profiling swaps in
-    // approx_count_distinct and loses the exact oracle). The single
-    // aggregate row is pivoted to one row per column with
-    // inline(array(struct…)) — one plan, one subtree, so the single
-    // scan doesn't depend on ReuseExchange deduplicating a union.
+    // pandas describe/info analog via Compute.tableProfile. Gate runs
+    // the exact configuration (countDistinct per column — hash-exact
+    // against the oracle); the default API is approx_count_distinct.
+    // One aggregate per column, NOT one aggregate with 5 distincts:
+    // the multi-distinct form plans an Expand that replicates every
+    // row 6× into one shuffle (the round-6 regression — ~600 TB of
+    // shuffle at 100 TB), while per-column single-distinct aggs each
+    // shuffle only that column's distinct values off a column-pruned
+    // scan. Budget-pinned in PlanBudgetSpec (0 Expand).
     QueryDef("q_table_profile",
       (s, d) => {
         val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
           "l_returnflag", "l_shipdate")
-        val aggs = cols.flatMap { c =>
-          Seq(count(when(col(c).isNull, 1)).as(s"nn_$c"),
-            countDistinct(col(c)).as(s"nd_$c"))
-        }
-        val row = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
-        row.select(inline(array(cols.map { c =>
-          struct(lit(c).as("column"), col(s"nn_$c").as("n_nulls"),
-            col(s"nd_$c").as("n_distinct"))
-        }: _*))).orderBy("column")
+        graft.operators.Compute.tableProfile(
+            Tables.lineitem(s, d), cols, exact = true)
+          .orderBy("column")
       },
       Some(Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
         .map(c => s"""SELECT '$c' AS "column",

@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted IVF / IVF-PQ ANN index (SURVEY G11/G12).
+  *
+  * [[Similarity.ivfTopK]] / [[Similarity.ivfPqTopK]] re-run
+  * assign-to-centroids over the corpus on every search — fine for an
+  * index you build and query in one job, wrong for the serving shape
+  * where one corpus version answers many query batches. This operator
+  * makes the 100 TB story code: the encoded corpus is written ONCE as
+  * cent_id-partitioned parquet, and every search reads only the
+  * `nprobe` probed cell directories — partition pruning on disk, the
+  * same mechanism as a hive-partitioned table (reference analog: the
+  * partition-pruned ParquetDataset read,
+  * python/pyarrow/parquet.py `ParquetDataset(filters=...)`).
+  *
+  * On-disk layout under `dir`:
+  *   cells/cent_id=N/ — parquet of (vec_id, codes: array<int>,
+  *                      anrm: double, embedding: array<float>)
+  *   centroids/       — parquet of (cent_id: long, cent: array<float>)
+  *   codebooks/       — parquet of (m: int, code: int, cent: array<double>)
+  *   cellstats/       — parquet of (cent_id: long, n: long) at build time
+  *
+  * `codes`/`anrm` serve the ADC scan (each scanned row is m ints, not
+  * dim floats); `embedding` serves exact re-rank and exact-within-cell
+  * search from the SAME pruned read, so refine never touches an
+  * unprobed partition. Centroids and codebooks are bounded (k·dim and
+  * m·ncodes·sub) and load as local relations — opening an index runs
+  * no corpus job at all.
+  */
+object AnnIndex {
+
+  /** An opened index: bounded driver-side artifacts plus the lazy
+    * cell-partitioned corpus relation. `centroids` is a LOCAL relation
+    * (k·dim floats), so probe selection never scans the corpus.
+    */
+  final case class IvfPqIndex(
+      spark: SparkSession,
+      dir: String,
+      centroids: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]]) {
+    /** Cell-partitioned encoded corpus; cent_id is a partition column. */
+    def cells: DataFrame = spark.read.parquet(s"$dir/cells")
+  }
+
+  private def normLut(books: Seq[Seq[Seq[Double]]]): Seq[Double] =
+    books.flatMap(_.map(_.map(x => x * x).sum))
+
+  /** Assign + PQ-encode a corpus slice against fixed index artifacts.
+    * Map-only: NearestCentroid + PqEncode + the squared-norm LUT, no
+    * shuffle — the shape both the initial build and every append use.
+    */
+  private def encode(rows: DataFrame, cents: DataFrame,
+                     books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import graft.functions.{exprs, PqAdc, PqEncode}
+    Similarity.assignToCentroids(rows, cents)
+      .select(col("vec_id"), col("cent_id"),
+        exprs.toColumn(PqEncode(exprs.toExpr(col("embedding")), books))
+          .as("codes"),
+        col("embedding"))
+      .withColumn("anrm", sqrt(exprs.toColumn(PqAdc(
+        exprs.toExpr(col("codes")),
+        exprs.toExpr(typedlit(normLut(books)))))))
+  }
+
+  /** Build and persist the index: train both halves (or reuse
+    * pre-trained artifacts), encode the corpus, and write it
+    * cent_id-partitioned. The repartition-by-partition-column before
+    * the write is the D7 discipline — one writer task per cell, not
+    * tasks × cells small files.
+    */
+  def write(corpus: DataFrame, dir: String, dim: Int,
+            nCells: Int = 16, stride: Long = 7, kmeansIters: Int = 1,
+            m: Int = 8, ncodes: Int = 16, pqIters: Int = 2,
+            centroids: Option[DataFrame] = None,
+            codebooks: Option[Seq[Seq[Seq[Double]]]] = None): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids.getOrElse(
+      Similarity.trainIvfCentroids(corpus, nCells, stride, kmeansIters))
+    val books = codebooks.getOrElse(
+      Similarity.trainPqCodebooks(corpus, dim, m, ncodes, stride, pqIters))
+    val enc = encode(corpus, cents, books)
+    enc.repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/cells")
+    cents.select(col("cent_id").cast(LongType), col("cent"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex
+      .flatMap { case (sub, mi) =>
+        sub.zipWithIndex.map { case (c, ci) => (mi, ci, c) } }
+      .toDF("m", "code", "cent")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    // build-time cell histogram: the drift baseline (bounded: nCells rows)
+    spark.read.parquet(s"$dir/cells")
+      .groupBy("cent_id").agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cellstats")
+    IvfPqIndex(spark, dir, cents, books)
+  }
+
+  /** Open a persisted index. Loads only the bounded artifacts
+    * (centroids pinned as a local relation, codebooks to the driver);
+    * the corpus relation stays lazy and partition-discovered.
+    */
+  def open(spark: SparkSession, dir: String): IvfPqIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .as[(Long, Array[Float])].collect().toSeq
+      .sortBy(_._1).toDF("cent_id", "cent")
+    val books = spark.read.parquet(s"$dir/codebooks")
+      .as[(Int, Int, Array[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    IvfPqIndex(spark, dir, cents, books)
+  }
+
+  /** Per-query probe cells: broadcast join against the LOCAL centroid
+    * relation (never the corpus), top-`nprobe` cells by centroid
+    * cosine. Bounded output: |queries|·nprobe rows.
+    */
+  private def probeCells(index: IvfPqIndex, queries: DataFrame,
+                         nprobe: Int): DataFrame = {
+    val qCells = queries.as("q").join(broadcast(index.centroids.as("c")))
+      .select(col("q.vec_id").as("qid"), col("q.embedding").as("qe"),
+        col("c.cent_id").as("cent_id"),
+        Similarity.cosine(col("q.embedding"), col("c.cent")).as("ccos"))
+    val wq = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
+    qCells.withColumn("r", row_number().over(wq)).where(col("r") <= nprobe)
+      .select(col("qid"), col("qe"), col("cent_id"))
+  }
+
+  /** The probed slice of the on-disk corpus: the distinct probe cell
+    * ids (bounded: ≤ |queries|·nprobe, collected) become a LITERAL
+    * `cent_id IN (...)` predicate, which Catalyst satisfies entirely
+    * by partition pruning — unprobed cell directories are never
+    * listed into the scan. This is the on-disk analog of ivfTopK's
+    * "only probed cells are scored", and the reason the index exists.
+    */
+  private def prunedCells(index: IvfPqIndex, probes: DataFrame): DataFrame = {
+    val cellIds = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    index.cells.where(col("cent_id").isin(cellIds.map(_.asInstanceOf[Any]): _*))
+  }
+
+  /** Exact search over the probed cells: full-precision cosine against
+    * the stored embedding column, read from the pruned partitions
+    * only. With nprobe = nCells this IS brute force (the oracle-gate
+    * config, matching q_ann_ivf); sub-exhaustive nprobe is the
+    * latency/recall dial.
+    */
+  def searchExact(index: IvfPqIndex, queries: DataFrame, k: Int,
+                  nprobe: Int): DataFrame = {
+    val probes = probeCells(index, queries, nprobe)
+    val joined = prunedCells(index, probes).as("c")
+      .join(broadcast(probes.as("p")),
+        col("p.cent_id") === col("c.cent_id") && col("p.qid") =!= col("c.vec_id"))
+      .select(col("p.qid").as("qid"), col("c.vec_id").as("nid"),
+        Similarity.cosine(col("p.qe"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    joined.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** ADC search over the probed cells: each scanned row costs m table
+    * adds against the query LUT; the top refine·k approximate
+    * candidates re-rank with exact cosine — from the SAME pruned
+    * relation, so refinement also never reads an unprobed cell.
+    * refine <= 0 returns approximate ranks directly (the pure-PQ
+    * serving shape where embeddings may not even be stored).
+    */
+  def searchAdc(index: IvfPqIndex, queries: DataFrame, k: Int,
+                nprobe: Int, refine: Int = 4): DataFrame = {
+    import graft.functions.{exprs, PqAdc, PqLut}
+    val probes = probeCells(index, queries, nprobe)
+    val qLut = queries.select(col("vec_id").as("qid"),
+      exprs.toColumn(PqLut(exprs.toExpr(col("embedding")), index.codebooks))
+        .as("lut"),
+      Similarity.norm(col("embedding")).as("qnrm"))
+    val probesLut = probes.join(qLut, "qid")
+    val pruned = prunedCells(index, probes)
+    val scored = pruned.as("c")
+      .join(broadcast(probesLut.as("p")),
+        col("p.cent_id") === col("c.cent_id") && col("p.qid") =!= col("c.vec_id"))
+      .select(col("p.qid").as("qid"), col("c.vec_id").as("nid"),
+        col("p.qe").as("qe"), col("p.qnrm").as("qnrm"),
+        (exprs.toColumn(PqAdc(exprs.toExpr(col("c.codes")),
+          exprs.toExpr(col("p.lut"))))
+          / (col("p.qnrm") * col("c.anrm"))).as("acos"))
+    val wa = Window.partitionBy("qid").orderBy(col("acos").desc, col("nid"))
+    if (refine <= 0)
+      return scored.withColumn("rank", row_number().over(wa).cast(LongType))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("nid"), col("rank"))
+    val cand = scored.withColumn("r", row_number().over(wa))
+      .where(col("r") <= refine * k)
+      .select("qid", "nid", "qe", "qnrm")
+    val rer = pruned.select(col("vec_id").as("nid"), col("embedding"))
+      .join(broadcast(cand), "nid")
+      .select(col("qid"), col("nid"),
+        (Similarity.dot(col("qe"), col("embedding"))
+          / (col("qnrm") * Similarity.norm(col("embedding")))).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    rer.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** Incremental maintenance (G12): assign + encode `rows` with the
+    * index's FROZEN artifacts and append them to the cell partitions
+    * — new files land inside existing cent_id= directories, searches
+    * pick them up on the next partition discovery. Centroids and
+    * codebooks deliberately do not move (moving them would invalidate
+    * every previously-encoded row); [[assignmentDrift]] is the signal
+    * for when a full re-train/re-write is due.
+    */
+  def append(index: IvfPqIndex, rows: DataFrame): Unit =
+    encode(rows, index.centroids, index.codebooks)
+      .repartition(col("cent_id"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"${index.dir}/cells")
+
+  /** Continuous ingestion: every micro-batch runs the same bounded
+    * append (assign + encode + partitioned write). foreachBatch is the
+    * right tool — the append is an idempotent-per-batch batch write,
+    * exactly the I8 incremental-dedup discipline.
+    */
+  def streamingAppend(index: IvfPqIndex, stream: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) append(index, batch)
+      }
+
+  /** Re-train trigger: Jensen–Shannon divergence (base-2, in [0,1])
+    * between the batch's cell-assignment histogram and the build-time
+    * baseline stored in the index. Both histograms are ≤ nCells rows,
+    * so the divergence is driver-side arithmetic on two bounded
+    * collects; a batch from the training distribution lands near 0, a
+    * shifted corpus concentrates into few cells and scores high. The
+    * K25 sourceDrift measures the same thing over token space; this is
+    * the embedding-space twin the index maintains for itself.
+    */
+  def assignmentDrift(index: IvfPqIndex, rows: DataFrame): Double = {
+    // cent_id comes back as int from partition-directory inference but
+    // long from assignToCentroids — normalize via Number
+    def hist(df: DataFrame): Map[Long, Long] = df.collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getAs[Number](1).longValue())
+      .toMap
+    val base = hist(index.spark.read.parquet(s"${index.dir}/cellstats"))
+    val batch = hist(Similarity.assignToCentroids(rows, index.centroids)
+      .groupBy("cent_id").agg(count(lit(1)).as("n")))
+    val keys = (base.keySet ++ batch.keySet).toSeq
+    val nb = base.values.sum.toDouble.max(1.0)
+    val nx = batch.values.sum.toDouble.max(1.0)
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    keys.map { c =>
+      val p = base.getOrElse(c, 0L) / nb
+      val q = batch.getOrElse(c, 0L) / nx
+      val mid = (p + q) / 2.0
+      (if (p > 0) p * log2(p / mid) else 0.0) +
+        (if (q > 0) q * log2(q / mid) else 0.0)
+    }.sum * 0.5
+  }
+}

@@ -100,4 +100,32 @@ object Compute {
       round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
       round(m4 / (m2 * m2) - 3.0, 6).as("kurtosis"))
   }
+
+  /** Table profile (A10; pandas describe/info analog): per-column null
+    * and distinct counts.
+    *
+    * One aggregate per column, unioned — NOT one aggregate with N
+    * `countDistinct`s. Multiple distinct aggregates make Catalyst plan
+    * an Expand that replicates every input row N+1 times into a single
+    * hash shuffle (at 100 TB, a ~600 TB shuffle to profile a table).
+    * Per-column single-distinct aggregates each plan as a column-
+    * pruned scan + two-phase hash agg whose shuffle carries only the
+    * column's DISTINCT values; total IO across the N branches is each
+    * column read once — the same bytes as one full-width scan, with
+    * none of the replication.
+    *
+    * Default is the production configuration: `approx_count_distinct`
+    * (HLL++, map-side partial, fixed-size sketch shuffle). `exact =
+    * true` is the oracle-gate configuration, the same exhaustive-mode
+    * pattern the ANN and dedup operators use.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String],
+                   exact: Boolean = false): DataFrame =
+    cols.map { c =>
+      df.agg(
+          count(when(col(c).isNull, 1)).as("n_nulls"),
+          (if (exact) countDistinct(col(c))
+           else approx_count_distinct(col(c))).as("n_distinct"))
+        .select(lit(c).as("column"), col("n_nulls"), col("n_distinct"))
+    }.reduce(_ unionAll _)
 }

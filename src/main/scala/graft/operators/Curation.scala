@@ -242,14 +242,47 @@ object Curation {
     * integers, so the final ratio is a bit-identical cross-engine
     * double.
     */
+  /** Each (doc_id, gram) row annotated with its gram's corpus stats
+    * (df, first_id) — the shared primitive behind K15/K28, in two
+    * plan shapes:
+    *
+    * hotCap = 0 (default): a gram-keyed window. One corpus scan, but a
+    * window partition holds EVERY row of its gram — a viral
+    * boilerplate gram in 10% of docs puts 10% of all rows in one task,
+    * and no AQE rule can split a window partition (the J2 hot-key
+    * failure, in window form).
+    *
+    * hotCap > 0: skew-resistant. Per-gram stats come from a hash
+    * aggregate (map-side partial combine: a hot gram contributes one
+    * row per map task to the shuffle, never its row count). Grams at
+    * df >= hotCap are by construction few (≤ rows/hotCap) — they
+    * broadcast, and their rows get stats map-side with no shuffle at
+    * all. The remaining cold join has every key bounded below hotCap,
+    * so no reducer can be hot. At 100 TB run hotCap ≈ 10⁴: web-corpus
+    * gram frequencies are heavy-tailed, and the head IS the skew.
+    */
+  private def withGramStats(grams: DataFrame, hotCap: Int): DataFrame = {
+    if (hotCap <= 0)
+      return grams
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+        .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy("gram")))
+    val stats = grams.groupBy("gram")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_id"))
+    val hot = stats.where(col("df") >= hotCap)
+    val marked = grams.join(broadcast(hot), Seq("gram"), "left")
+    marked.where(col("df").isNotNull)
+      .unionByName(marked.where(col("df").isNull).drop("df", "first_id")
+        .join(stats.where(col("df") < hotCap), "gram"))
+  }
+
   def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, minDf: Int = 2): DataFrame = {
+                       n: Int = 3, minDf: Int = 2, hotCap: Int = 0): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1: $minDf")
     val grams = docs.select(col(idCol).as("doc_id"),
       explode(Dedup.shingles(col(textCol), n)).as("gram"))
     // shingles are pre-distinct per doc, so the per-gram row count IS
     // the document frequency
-    grams.withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+    withGramStats(grams, hotCap)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_grams"))
@@ -384,6 +417,38 @@ object Curation {
     df.withColumn("shard_id", shardAssign(col(idCol), nShards))
       .repartition(nShards, col("shard_id"))
       .write.partitionBy("shard_id").mode("overwrite").parquet(path)
+
+  /** The end-to-end corpus-curation job — the workload this engine
+    * exists for, composed as ONE declarative plan: quality gate →
+    * exact dedup (keep-first by content hash) → split assignment →
+    * eval-overlap decontamination (any train/val doc sharing an
+    * `ngram`-gram with a test doc is dropped) → ready for
+    * [[writeSharded]]. Every stage is the already-gated operator
+    * (q_quality_score / q_dedup_exact / q_split_assign /
+    * q_contamination / q_shard_plan semantics); this is their
+    * production composition, benched at sf1 by tools/PipelineBench.
+    *
+    * Scale shape: narrow quality filter on the scan; dedup shuffles
+    * (hash, id) not text; the contamination join is gram-keyed with
+    * eval grams deduplicated first (never all-pairs); the final
+    * anti-join is id-keyed. No driver actions anywhere in the plan.
+    */
+  def curationPipeline(docs: DataFrame, idCol: String, textCol: String,
+                       minQuality: Double = 0.5, ngram: Int = 5): DataFrame = {
+    val q = docs.where(
+      round(TextAnalysis.qualityScore(col(textCol)), 6) >= minQuality)
+    val keep = q.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as(idCol)).select(idCol)
+    val withSplit = q.join(keep, idCol)
+      .withColumn("split", splitAssign(col(idCol)))
+    val grams = withSplit.select(col(idCol),
+      (col("split") === "test").as("is_eval"),
+      explode(Dedup.shingles(col(textCol), ngram)).as("gram"))
+    val evalGrams = grams.where(col("is_eval")).select("gram").distinct()
+    val contaminated = grams.where(!col("is_eval"))
+      .join(evalGrams, "gram").select(idCol).distinct()
+    withSplit.join(contaminated, Seq(idCol), "left_anti")
+  }
 
   /** Curriculum quartile/decile buckets (K24): rank documents by a
     * quality-style score and cut them into `nBuckets` equal-count
@@ -571,12 +636,10 @@ object Curation {
     * aggregation. Never all-pairs.
     */
   def noveltyShare(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3): DataFrame = {
+                   n: Int = 3, hotCap: Int = 0): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),
       explode(Dedup.shingles(col(textCol), n)).as("gram"))
-    val w = Window.partitionBy("gram")
-    grams
-      .withColumn("first_id", min(col("doc_id")).over(w))
+    withGramStats(grams, hotCap)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum((col("doc_id") === col("first_id")).cast(LongType)).as("n_novel"))

@@ -91,17 +91,19 @@ object Events {
     * map-side-combined aggregation.
     */
   def decayedEngagement(events: DataFrame, valueCol: String = "value",
-                        halfLifeDays: Int = 7): DataFrame = {
+                        halfLifeDays: Int = 7,
+                        userCol: String = "user_id",
+                        tsCol: String = "ts"): DataFrame = {
     require(halfLifeDays > 0, "halfLifeDays must be positive")
-    val ref = events.agg(max(to_date(col("ts"))).as("ref_d"))
+    val ref = events.agg(max(to_date(col(tsCol))).as("ref_d"))
     events.join(broadcast(ref))
       .withColumn("buckets",
-        floor(datediff(col("ref_d"), to_date(col("ts")))
+        floor(datediff(col("ref_d"), to_date(col(tsCol)))
           / lit(halfLifeDays.toDouble)).cast(DoubleType))
       .withColumn("c",
         round(col(valueCol) * pow(lit(0.5), col("buckets")), 6)
           .cast(DecimalType(28, 6)))
-      .groupBy("user_id")
+      .groupBy(userCol)
       .agg(count(lit(1)).as("n_events"),
         sum(col("c")).cast(DoubleType).as("score"))
   }

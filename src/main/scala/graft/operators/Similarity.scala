@@ -54,18 +54,28 @@ object Similarity {
 
   /** Exact brute-force cosine top-k for a (small, broadcast) query set.
     * One pass over the corpus, per-query top-k via window rank.
+    *
+    * `roundCosTo >= 0` rounds the cosine to that many decimals BEFORE
+    * the rank window (nid breaks ties, as always). Ranks that feed a
+    * downstream engine-exact contract — RRF fusion sums 1/(60+rank)
+    * terms — should use 6, the repo-wide float boundary: a raw-double
+    * near-tie can rank-flip between engines and shift the fused order.
+    * Default keeps raw doubles (the exact-oracle gates mirror DuckDB's
+    * unrounded ordering byte-for-byte).
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     roundCosTo: Int = -1): DataFrame = {
     // norms projected once per row BEFORE the pair join: each pair then
     // costs one dot, not three (value unchanged — same expressions,
     // just evaluated N+Q times instead of N·Q)
     val c = fanOut(corpus).withColumn("nrm", norm(col("embedding")))
     val q = queries.withColumn("nrm", norm(col("embedding")))
+    val rawCos = dot(col("q.embedding"), col("c.embedding")) /
+      (col("q.nrm") * col("c.nrm"))
     val joined = c.as("c")
       .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
-        (dot(col("q.embedding"), col("c.embedding"))
-          / (col("q.nrm") * col("c.nrm"))).as("cos"))
+        (if (roundCosTo >= 0) round(rawCos, roundCosTo) else rawCos).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)

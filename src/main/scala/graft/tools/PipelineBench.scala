@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.operators.Curation
+
+/** End-to-end curation-pipeline bench (VERDICT r6 item 4): runs
+  * [[Curation.curationPipeline]] (quality → exact dedup → split →
+  * decontaminate) through [[Curation.writeSharded]] as ONE job at the
+  * given scale factor, asserts the plan's shuffle/scan ceilings (the
+  * PlanBudgetSpec discipline applied to the composed workload), and
+  * emits a single JSON artifact line with wall time, stage
+  * cardinalities, and the pinned-protocol context (loadavg, cpus,
+  * UTC timestamp).
+  *
+  * Usage: PipelineBench <sfDir> <outDir>  (env SPARK_GRAFT_CPUS)
+  */
+object PipelineBench {
+
+  private def loadavg: String = scala.util.Try(
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim
+      .split(" ").take(3).mkString(",")).getOrElse("")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: PipelineBench <sfDir> <outDir>")
+    val (sfDir, outDir) = (args(0), args(1))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    val nShards = 64
+    val pipeline = Curation.curationPipeline(docs, "doc_id", "text")
+
+    // plan-budget gate on the composed job: ceilings at today's plan,
+    // counted AQE-off/broadcast-off like PlanBudgetSpec so the static
+    // shape is what's measured. A regression here is a new shuffle or
+    // corpus re-scan that sf-small wall time would never surface.
+    locally {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      val static = Curation.curationPipeline(
+        Tables.documents(s2, sfDir), "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      val lines = static.linesIterator
+        .filterNot(_.contains("ReusedExchange")).toSeq
+      val hash = lines.count(_.contains("Exchange hashpartitioning"))
+      val scans = lines.count(_.contains("Scan parquet"))
+      require(hash <= 7, s"pipeline grew a hash exchange: $hash > 7\n$static")
+      require(scans <= 5, s"pipeline re-scans the corpus: $scans > 5\n$static")
+      require(!static.contains("CartesianProduct") &&
+        !static.contains("BroadcastNestedLoopJoin"),
+        s"pipeline must not pair-join:\n$static")
+    }
+
+    val loadStart = loadavg
+    val t0 = System.nanoTime()
+    Curation.writeSharded(pipeline, "doc_id", nShards, s"$outDir/shards")
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    // stage cardinalities (cheap: read back the written shards for the
+    // output side; input-side counts are one aggregate each)
+    val nDocs = docs.count()
+    val out = spark.read.parquet(s"$outDir/shards")
+    val nOut = out.count()
+    val nShardsWritten = out.select("shard_id").distinct().count()
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
+
+    val ts = java.time.Instant.now().toString
+    println(s"""{"metric":"pipeline_sf_wall","value":$wall,"unit":"sec",""" +
+      s""""sf_dir":"$sfDir","n_docs_in":$nDocs,"n_docs_out":$nOut,""" +
+      s""""n_shards":$nShardsWritten,"splits":{$bySplit},""" +
+      s""""cpus":$cpus,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",""" +
+      s""""utc":"$ts"}""")
+    spark.stop()
+  }
+}

@@ -50,8 +50,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q_bigram_lm" -> (2, 1, 1), // zip_with pairs: ONE corpus scan
     "q_embed_neardup" -> (0, 1, 1), // exhaustive oracle mode: no hash shuffle
     "q_edit_distance" -> (0, 1, 2), // len-blocked self-join (gate mode)
-    "q_tpch11" -> (1, 1, 3) // 3 scans = 3 TABLES (partsupp/supplier/nation);
+    "q_tpch11" -> (1, 1, 3), // 3 scans = 3 TABLES (partsupp/supplier/nation);
     // the partsupp agg itself is computed once
+    "q_table_profile" -> (5, 1, 5) // 5 per-column branches, each one
+    // column-pruned scan + one distinct-valued shuffle; no Expand (below)
   )
 
   budgets.foreach { case (q, (maxHash, maxRange, maxScans)) =>
@@ -72,5 +74,14 @@ class PlanBudgetSpec extends SparkSpec {
       assert(scans <= maxScans,
         s"$q reads a source table more often: $scans > $maxScans scans")
     }
+  }
+
+  test("q_table_profile never plans an Expand (multi-distinct row replication)") {
+    // the round-6 regression: 5 countDistincts in ONE aggregate made
+    // Catalyst Expand every lineitem row 6× into a single shuffle
+    val plan = SparkEntry.queries("q_table_profile")(session, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"q_table_profile must stay per-column single-distinct:\n$plan")
   }
 }

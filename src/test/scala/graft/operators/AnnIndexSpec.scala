@@ -1,0 +1,153 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index (G11) + incremental maintenance (G12):
+  * search-from-disk correctness, the on-disk probe-pruning proof, and
+  * append/stream/drift behavior.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+    .select("vec_id", "embedding")
+  private lazy val queries = emb.where($"vec_id" < 10)
+
+  // one index on disk shared by the read-only tests
+  private lazy val index: AnnIndex.IvfPqIndex = {
+    val dir = Files.createTempDirectory("graft-annidx-spec").toString
+    AnnIndex.write(emb, dir, dim = 64, nCells = 16, stride = 7,
+      kmeansIters = 1, m = 8, ncodes = 16)
+  }
+
+  private def asTuples(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.select("qid", "nid", "rank").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+
+  test("exhaustive searchExact from disk equals brute force") {
+    val fromDisk = asTuples(AnnIndex.searchExact(index, queries, k = 5, nprobe = 16))
+    val exact = asTuples(Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("qid", "nid", "rank"))
+    assert(fromDisk == exact, s"disk=${fromDisk.take(5)} exact=${exact.take(5)}")
+  }
+
+  test("open() round-trips centroids and codebooks exactly") {
+    val reopened = AnnIndex.open(spark, index.dir)
+    assert(reopened.codebooks == index.codebooks)
+    val a = index.centroids.as[(Long, Array[Float])].collect()
+      .map { case (i, v) => (i, v.toSeq) }.sortBy(_._1).toSeq
+    val b = reopened.centroids.as[(Long, Array[Float])].collect()
+      .map { case (i, v) => (i, v.toSeq) }.sortBy(_._1).toSeq
+    assert(a == b)
+    // and a search through the reopened handle matches the original
+    assert(asTuples(AnnIndex.searchExact(reopened, queries, 5, 16)) ==
+      asTuples(AnnIndex.searchExact(index, queries, 5, 16)))
+  }
+
+  test("sub-exhaustive probe prunes cell partitions on disk") {
+    val pruned = AnnIndex.searchExact(index, queries, k = 5, nprobe = 2)
+    // 1. the probe predicate is a partition filter, not a data filter
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters:") && plan.contains("cent_id"),
+      s"expected cent_id partition filters in:\n$plan")
+    assert(!plan.contains("PushedFilters: [In(cent_id"),
+      s"probe predicate leaked into data filters:\n$plan")
+    // 2. the files actually read are a strict subset of the index, and
+    //    every one lives under a probed cent_id= directory (the same
+    //    pruned relation the search plans, observed via file names)
+    val allCells = index.cells.select(input_file_name()).distinct()
+      .as[String].collect().toSet
+    val readFiles = index.cells.where($"cent_id".isin(
+        probedCellIds(nprobe = 2).map(_.asInstanceOf[Any]): _*))
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    assert(readFiles.nonEmpty && readFiles.size < allCells.size,
+      s"pruned read must touch fewer files: ${readFiles.size} of ${allCells.size}")
+    val cells = probedCellIds(nprobe = 2).toSet
+    assert(readFiles.forall(f => cells.exists(c => f.contains(s"cent_id=$c/"))),
+      s"read a file outside probed cells: $readFiles vs $cells")
+  }
+
+  /** The distinct probe cells the search would read at this nprobe —
+    * recomputed the same way the operator does (local centroid
+    * relation only).
+    */
+  private def probedCellIds(nprobe: Int): Seq[Long] = {
+    val qc = queries.as("q").join(broadcast(index.centroids.as("c")))
+      .select($"q.vec_id".as("qid"), $"c.cent_id".as("cent_id"),
+        Similarity.cosine($"q.embedding", $"c.cent").as("ccos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy($"ccos".desc, $"cent_id")
+    qc.withColumn("r", row_number().over(w)).where($"r" <= nprobe)
+      .select("cent_id").distinct().as[Long].collect().toSeq.sorted
+  }
+
+  test("searchAdc with full refine equals exact search") {
+    // refine·k >= corpus size → every probed row is re-ranked exactly
+    // (the full-refine==exact contract SimilaritySpec pins for pqTopK;
+    // sub-full refine recall is gated numerically in q_ann_recall)
+    val n = emb.count().toInt
+    val adc = asTuples(AnnIndex.searchAdc(index, queries, k = 5,
+      nprobe = 16, refine = n / 5 + 1))
+    val exact = asTuples(AnnIndex.searchExact(index, queries, k = 5, nprobe = 16))
+    assert(adc == exact)
+  }
+
+  test("append: base index + appended rows equals an index built whole") {
+    val dir = Files.createTempDirectory("graft-annidx-append").toString
+    val base = emb.where($"vec_id" % 3 =!= 0)
+    val extra = emb.where($"vec_id" % 3 === 0)
+    // freeze artifacts on the base slice, then build both ways with them
+    val baseIdx = AnnIndex.write(base, dir, dim = 64, nCells = 8, stride = 7)
+    AnnIndex.append(baseIdx, extra)
+    val wholeDir = Files.createTempDirectory("graft-annidx-whole").toString
+    val wholeIdx = AnnIndex.write(emb, wholeDir, dim = 64, nCells = 8,
+      stride = 7, centroids = Some(baseIdx.centroids),
+      codebooks = Some(baseIdx.codebooks))
+    val q = emb.where($"vec_id" < 10)
+    assert(asTuples(AnnIndex.searchExact(baseIdx, q, 5, 8)) ==
+      asTuples(AnnIndex.searchExact(wholeIdx, q, 5, 8)))
+  }
+
+  test("streamingAppend: streamed batches converge to the batch index") {
+    val dir = Files.createTempDirectory("graft-annidx-stream").toString
+    val base = emb.where($"vec_id" % 3 =!= 0)
+    val extraRows = emb.where($"vec_id" % 3 === 0)
+      .as[(Long, Array[Float])].collect().toSeq
+    val baseIdx = AnnIndex.write(base, dir, dim = 64, nCells = 8, stride = 7)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val query = AnnIndex.streamingAppend(baseIdx, stream)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-annidx-ckpt").toString)
+      .start()
+    try {
+      val (h, t) = extraRows.splitAt(extraRows.length / 2)
+      mem.addData(h: _*); query.processAllAvailable()
+      mem.addData(t: _*); query.processAllAvailable()
+    } finally query.stop()
+    val wholeDir = Files.createTempDirectory("graft-annidx-whole2").toString
+    val wholeIdx = AnnIndex.write(emb, wholeDir, dim = 64, nCells = 8,
+      stride = 7, centroids = Some(baseIdx.centroids),
+      codebooks = Some(baseIdx.codebooks))
+    val q = emb.where($"vec_id" < 10)
+    assert(asTuples(AnnIndex.searchExact(baseIdx, q, 5, 8)) ==
+      asTuples(AnnIndex.searchExact(wholeIdx, q, 5, 8)))
+  }
+
+  test("assignmentDrift: shifted batch scores far above in-distribution") {
+    val inDist = emb.where($"vec_id" % 7 === 0)
+    val shifted = inDist.select($"vec_id",
+      transform($"embedding", x => (x + lit(5.0f)).cast("float"))
+        .as("embedding"))
+    val dIn = AnnIndex.assignmentDrift(index, inDist)
+    val dShift = AnnIndex.assignmentDrift(index, shifted)
+    assert(dIn >= 0.0 && dIn < 0.2, s"in-distribution drift too high: $dIn")
+    assert(dShift > dIn + 0.2, s"shifted drift $dShift vs in-dist $dIn")
+  }
+}

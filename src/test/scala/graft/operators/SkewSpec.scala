@@ -73,4 +73,37 @@ class SkewSpec extends SparkSpec {
     assert(top.getLong(0) == 7L)
     assert(top.getLong(1) == 91L) // 90 planted + the 7 from 1..10
   }
+
+  test("hot-gram corpora: capped K15/K28 path matches the window path") {
+    // a viral boilerplate trigram planted into HALF the corpus — the
+    // case where the gram-keyed window puts half of all (gram, doc)
+    // rows into one unsplittable task. hotCap > 0 must produce
+    // byte-identical results through the broadcast-hot/cold-join plan.
+    val docs = (0L until 200L).map { i =>
+      val boiler = if (i % 2 == 0) "click here subscribe " else ""
+      (i, s"${boiler}doc $i body token${i % 17} tail${i % 5}")
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_grams", "n_dup_grams", "dup_fraction")
+        .collect().map(_.toSeq).toSet
+    val dupW = rows(Curation.dupNgramFraction(docs, "doc_id", "text", n = 3))
+    val dupC = rows(Curation.dupNgramFraction(docs, "doc_id", "text", n = 3,
+      hotCap = 50))
+    assert(dupC == dupW)
+    def nov(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_grams", "n_novel", "novelty")
+        .collect().map(_.toSeq).toSet
+    val novW = nov(Curation.noveltyShare(docs, "doc_id", "text", n = 3))
+    val novC = nov(Curation.noveltyShare(docs, "doc_id", "text", n = 3,
+      hotCap = 50))
+    assert(novC == novW)
+    // plan shape: the capped path must not window over the gram key —
+    // the hot gram resolves through a broadcast, the cold join's keys
+    // are all bounded below hotCap
+    val plan = Curation.dupNgramFraction(docs, "doc_id", "text", n = 3,
+      hotCap = 50).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), s"capped path must not window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot grams must resolve via broadcast:\n$plan")
+  }
 }

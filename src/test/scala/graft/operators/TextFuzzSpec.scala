@@ -1,0 +1,180 @@
+package graft.operators
+
+import java.text.Normalizer
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property fuzzing for the newest text operators (H8 normalize, H9
+  * PII redaction, H10 URL canonicalization): 1000 adversarial
+  * generated strings per family, pushed through the Spark expressions
+  * in ONE job and compared row-by-row against independent driver-side
+  * reference implementations (java.text.Normalizer + jdk regex). The
+  * DeterministicKeysSpec discipline — seeded, reproducible, one
+  * DataFrame per property, not one Spark job per case.
+  *
+  * What this hardens: the native UnicodeNormalize codegen expression
+  * against ICU edge cases (combining marks, compatibility forms,
+  * surrogates, Hangul jamo), the staged redaction order (emails
+  * before IPs before phones), and the multi-stage URL regex chain
+  * (separator cleanup, port/www/fragment stripping) — the operators
+  * shipped last round with only example-based tests.
+  */
+class TextFuzzSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val N = 1000
+
+  private def sample[A](g: Gen[Seq[A]], seed: Long): Seq[A] =
+    g.apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(sys.error("generator failed"))
+
+  // ---------------------------------------------------------------- H8
+
+  /** Adversarial unicode: combining sequences vs precomposed,
+    * compatibility characters (ligatures, full-width, circled),
+    * whitespace runs incl. non-\s unicode spaces, controls, emoji
+    * (surrogate pairs), Hangul jamo.
+    */
+  private val genUnicode: Gen[String] = {
+    val atoms = Gen.oneOf(
+      "é", "é", "Å", "Å", "ﬁ", "Ｈｉ",
+      "①", "½", "ẛ̣", "각", "각",
+      " ", "  ", "\t", "\n", "\r\n", " ", " ", "",
+      "🎉", "plain", "x", "İ", "ß", "")
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, atoms).map(_.mkString))
+  }
+
+  /** Driver reference for normalizeText: Normalizer + jdk \s+ collapse
+    * + space-only trim. The trim mirror must strip ' ' at the PHYSICAL
+    * string ends — a `" +$"` regex is wrong (jdk `$` also matches
+    * before a final line terminator, so "x  " would lose its
+    * interior space; Spark's trim keeps it), and String.trim is wrong
+    * too (it also strips controls).
+    */
+  private def refNormalize(s: String, form: String): String = {
+    val c = Normalizer.normalize(s, Normalizer.Form.valueOf(form))
+      .replaceAll("\\s+", " ")
+    var i = 0
+    var j = c.length
+    while (i < j && c.charAt(i) == ' ') i += 1
+    while (j > i && c.charAt(j - 1) == ' ') j -= 1
+    c.substring(i, j)
+  }
+
+  test(s"H8 normalizeText matches java.text.Normalizer on $N fuzzed strings") {
+    val cases = sample(Gen.listOfN(N, genUnicode), 0xf00d1L)
+    val df = cases.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+    for (form <- Seq("NFC", "NFKC")) {
+      val got = df.select($"i", TextAnalysis.normalizeText($"s", form).as("n"))
+        .as[(Int, String)].collect().toMap
+      cases.zipWithIndex.foreach { case (s, i) =>
+        val want = refNormalize(s, form)
+        assert(got(i) == want,
+          s"$form mismatch on ${s.map(c => f"\\u${c.toInt}%04x").mkString}: " +
+            s"got ${got(i)} want $want")
+      }
+      // idempotence: normalizing a normalized string is the identity
+      val twice = df.select($"i",
+        TextAnalysis.normalizeText(
+          TextAnalysis.normalizeText($"s", form), form).as("n"))
+        .as[(Int, String)].collect().toMap
+      assert(twice == got, s"$form normalizeText is not idempotent")
+    }
+  }
+
+  // ---------------------------------------------------------------- H9
+
+  /** PII-shaped fragments: valid and near-miss emails/phones/IPs,
+    * adjacent digit runs, overlapping candidates (an email whose
+    * domain looks like an IP, digits touching word chars to stress
+    * \b), mixed with plain words.
+    */
+  private val genPii: Gen[String] = {
+    val atoms = Gen.oneOf(
+      "alice@example.com", "b.ob+tag@sub.domain.org", "x@y.zz", "no@tld",
+      "@missing.com", "user@@double.com", "a@1.2.3.4.com",
+      "555-123-4567", "555.123.4567", "555 123 4567", "55-123-4567",
+      "5551234567", "555-1234-567", "1.2.3.4", "999.999.999.999",
+      "1.2.3.4.5", "10.0.0.1:8080", "v1.2.3.4", "1.2.3.4w",
+      "word", "a", "42", ".", "-", " ", "  ", "\n", "(", ")")
+    Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, atoms).map(_.mkString(" ")))
+  }
+
+  /** Driver reference mirroring redactPii's staged order exactly:
+    * emails, then IPv4, then phones.
+    */
+  private def refRedact(s: String): String =
+    s.replaceAll(TextAnalysis.emailRe, "<EMAIL>")
+      .replaceAll(TextAnalysis.ipv4Re, "<IP>")
+      .replaceAll(TextAnalysis.phoneRe, "<PHONE>")
+
+  test(s"H9 redactPii matches the staged jdk-regex reference on $N fuzzed strings") {
+    val cases = sample(Gen.listOfN(N, genPii), 0xf00d2L)
+    val df = cases.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+    val got = df.select($"i", TextAnalysis.redactPii($"s").as("r"))
+      .as[(Int, String)].collect().toMap
+    cases.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i) == refRedact(s), s"mismatch on <$s>: got <${got(i)}>")
+    }
+    // no raw PII survives its own pattern after redaction
+    cases.zipWithIndex.foreach { case (s, i) =>
+      assert(!TextAnalysis.emailRe.r.findFirstIn(got(i)).isDefined ||
+        refRedact(s).contains("@"),
+        s"email pattern survived redaction in <${got(i)}>")
+    }
+  }
+
+  // --------------------------------------------------------------- H10
+
+  /** URL soup: scheme case, userinfo, www/ports, tracking params at
+    * every position, separator runs, fragments containing ?/&, no
+    * scheme at all. Hosts stay ASCII (lower() on the authority is
+    * UTF8String-lowercase in Spark vs locale-lowercase on the driver;
+    * the path — which is NOT lowercased — carries the unicode).
+    */
+  private val genUrl: Gen[String] = for {
+    scheme <- Gen.oneOf("http://", "HTTP://", "https://", "HTTPS://",
+      "ftp://", "weird+s.cheme://", "")
+    www <- Gen.oneOf("", "www.", "WWW.", "wwww.")
+    host <- Gen.oneOf("example.com", "Sub.Host.ORG", "a-b.cd", "localhost")
+    port <- Gen.oneOf("", ":80", ":443", ":8080", ":0443")
+    path <- Gen.oneOf("", "/", "/Path/TO/page", "/café/①", "/a b")
+    q <- Gen.oneOf("", "?", "?x=1", "?utm_source=a", "?utm_source=a&x=1",
+      "?x=1&utm_campaign=b", "?fbclid=f&gclid=g", "?utm_a=1&utm_b=2&y=3",
+      "?x=1&&y=2", "?&x=1", "?utm_source=", "?x=utm_source=nested")
+    frag <- Gen.oneOf("", "#", "#frag", "#a?b&c", "#utm_source=f")
+  } yield s"$scheme$www$host$port$path$q$frag"
+
+  /** Driver reference mirroring canonicalizeUrl stage-for-stage. */
+  private def refCanonUrl(u: String): String = {
+    val noFrag = u.replaceAll("#.*", "")
+    val m = java.util.regex.Pattern
+      .compile("^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)").matcher(noFrag)
+    val pre = if (m.find()) m.group(1) else ""
+    val preCanon = pre.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("://www\\.", "://").replaceAll(":(80|443)$", "")
+    val rest = noFrag.substring(pre.length)
+    val restCanon = rest.replaceAll(TextAnalysis.urlTrackingRe, "")
+      .replaceAll("\\?&+", "?").replaceAll("&&+", "&").replaceAll("[?&]+$", "")
+    preCanon + restCanon
+  }
+
+  test(s"H10 canonicalizeUrl matches the staged reference on $N fuzzed URLs") {
+    val cases = sample(Gen.listOfN(N, genUrl), 0xf00d3L)
+    val df = cases.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+    val got = df.select($"i", TextAnalysis.canonicalizeUrl($"s").as("c"))
+      .as[(Int, String)].collect().toMap
+    cases.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i) == refCanonUrl(s), s"mismatch on <$s>: got <${got(i)}>")
+    }
+    // canonicalization is idempotent: a canonical URL maps to itself
+    val twice = df.select($"i",
+      TextAnalysis.canonicalizeUrl(TextAnalysis.canonicalizeUrl($"s")).as("c"))
+      .as[(Int, String)].collect().toMap
+    assert(twice == got, "canonicalizeUrl is not idempotent")
+  }
+}
