@@ -52,8 +52,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q_edit_distance" -> (0, 1, 2), // len-blocked self-join (gate mode)
     "q_tpch11" -> (1, 1, 3), // 3 scans = 3 TABLES (partsupp/supplier/nation);
     // the partsupp agg itself is computed once
-    "q_table_profile" -> (5, 1, 5) // 5 per-column branches, each one
+    "q_table_profile" -> (5, 1, 5), // 5 per-column branches, each one
     // column-pruned scan + one distinct-valued shuffle; no Expand (below)
+    "q_ann_index" -> (3, 1, 2) // serving path: probe window + rank window;
+    // queries scan + the PRUNED cells scan; probes broadcast, never the corpus
   )
 
   budgets.foreach { case (q, (maxHash, maxRange, maxScans)) =>

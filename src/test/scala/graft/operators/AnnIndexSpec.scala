@@ -140,6 +140,30 @@ class AnnIndexSpec extends SparkSpec {
       asTuples(AnnIndex.searchExact(wholeIdx, q, 5, 8)))
   }
 
+  test("streaming query serving through the persisted index matches batch") {
+    // G4's serving loop composed with G11: query micro-batches answered
+    // by searchExact against the on-disk index inside foreachBatch —
+    // the full production serving shape (open once, serve many)
+    val served = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val opened = AnnIndex.open(spark, index.dir)
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        served ++= AnnIndex.searchExact(opened, batch, k = 5, nprobe = 16)
+          .select("qid", "nid", "rank").as[(Long, Long, Long)].collect()
+        ()
+      }.start()
+    try {
+      val rows = queries.as[(Long, Array[Float])].collect().toSeq
+      val (h, t) = rows.splitAt(rows.length / 2)
+      mem.addData(h: _*); q.processAllAvailable()
+      mem.addData(t: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(served.sorted.toSeq ==
+      asTuples(AnnIndex.searchExact(index, queries, k = 5, nprobe = 16)))
+  }
+
   test("assignmentDrift: shifted batch scores far above in-distribution") {
     val inDist = emb.where($"vec_id" % 7 === 0)
     val shifted = inDist.select($"vec_id",
