@@ -73,11 +73,19 @@ object AnnIndex {
     * the write is the D7 discipline — one writer task per cell, not
     * tasks × cells small files.
     */
+  /** `storeEmbeddings = false` writes the codes-only index — the true
+    * 100 TB serving format: each corpus row persists as m small ints
+    * + one norm (a dim·4/m-fold size cut), enough for the pure-ADC
+    * search path (searchAdc with refine <= 0). Exact-within-cell
+    * search and exact re-rank need the stored vectors and reject a
+    * codes-only index explicitly.
+    */
   def write(corpus: DataFrame, dir: String, dim: Int,
             nCells: Int = 16, stride: Long = 7, kmeansIters: Int = 1,
             m: Int = 8, ncodes: Int = 16, pqIters: Int = 2,
             centroids: Option[DataFrame] = None,
-            codebooks: Option[Seq[Seq[Seq[Double]]]] = None): IvfPqIndex = {
+            codebooks: Option[Seq[Seq[Seq[Double]]]] = None,
+            storeEmbeddings: Boolean = true): IvfPqIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = centroids.getOrElse(
@@ -85,7 +93,8 @@ object AnnIndex {
     val books = codebooks.getOrElse(
       Similarity.trainPqCodebooks(corpus, dim, m, ncodes, stride, pqIters))
     val enc = encode(corpus, cents, books)
-    enc.repartition(col("cent_id"))
+    (if (storeEmbeddings) enc else enc.drop("embedding"))
+      .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/cells")
     cents.select(col("cent_id").cast(LongType), col("cent"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -151,8 +160,14 @@ object AnnIndex {
     * config, matching q_ann_ivf); sub-exhaustive nprobe is the
     * latency/recall dial.
     */
+  private def hasEmbeddings(index: IvfPqIndex): Boolean =
+    index.cells.columns.contains("embedding")
+
   def searchExact(index: IvfPqIndex, queries: DataFrame, k: Int,
                   nprobe: Int): DataFrame = {
+    require(hasEmbeddings(index),
+      "searchExact needs stored embeddings; this is a codes-only index " +
+        "(write(storeEmbeddings = true), or use searchAdc(refine = 0))")
     val probes = probeCells(index, queries, nprobe)
     val joined = prunedCells(index, probes).as("c")
       .join(broadcast(probes.as("p")),
@@ -175,6 +190,9 @@ object AnnIndex {
   def searchAdc(index: IvfPqIndex, queries: DataFrame, k: Int,
                 nprobe: Int, refine: Int = 4): DataFrame = {
     import graft.functions.{exprs, PqAdc, PqLut}
+    require(refine <= 0 || hasEmbeddings(index),
+      "exact re-rank needs stored embeddings; on a codes-only index " +
+        "pass refine <= 0 (approximate ADC ranks)")
     val probes = probeCells(index, queries, nprobe)
     val qLut = queries.select(col("vec_id").as("qid"),
       exprs.toColumn(PqLut(exprs.toExpr(col("embedding")), index.codebooks))
@@ -217,10 +235,12 @@ object AnnIndex {
     * every previously-encoded row); [[assignmentDrift]] is the signal
     * for when a full re-train/re-write is due.
     */
-  def append(index: IvfPqIndex, rows: DataFrame): Unit =
-    encode(rows, index.centroids, index.codebooks)
+  def append(index: IvfPqIndex, rows: DataFrame): Unit = {
+    val enc = encode(rows, index.centroids, index.codebooks)
+    (if (hasEmbeddings(index)) enc else enc.drop("embedding"))
       .repartition(col("cent_id"))
       .write.mode("append").partitionBy("cent_id").parquet(s"${index.dir}/cells")
+  }
 
   /** Continuous ingestion: every micro-batch runs the same bounded
     * append (assign + encode + partitioned write). foreachBatch is the

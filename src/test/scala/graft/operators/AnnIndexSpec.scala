@@ -164,6 +164,42 @@ class AnnIndexSpec extends SparkSpec {
       asTuples(AnnIndex.searchExact(index, queries, k = 5, nprobe = 16)))
   }
 
+  test("codes-only index: ADC ranks match the full index, exact paths reject") {
+    val dir = Files.createTempDirectory("graft-annidx-codes").toString
+    val codesIdx = AnnIndex.write(emb, dir, dim = 64, nCells = 16, stride = 7,
+      centroids = Some(index.centroids), codebooks = Some(index.codebooks),
+      storeEmbeddings = false)
+    // approximate ranks are identical — the codes are the same codes
+    val a = asTuples(AnnIndex.searchAdc(codesIdx, queries, 5, 16, refine = 0))
+    val b = asTuples(AnnIndex.searchAdc(index, queries, 5, 16, refine = 0))
+    assert(a == b)
+    // the serving-format size cut is real: codes-only cells are smaller
+    def bytes(d: String) = {
+      val root = new java.io.File(s"$d/cells")
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(root)
+    }
+    assert(bytes(dir) < bytes(index.dir) / 2,
+      s"codes-only ${bytes(dir)} vs full ${bytes(index.dir)}")
+    // exact paths state the contract instead of failing downstream
+    intercept[IllegalArgumentException] {
+      AnnIndex.searchExact(codesIdx, queries, 5, 16)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.searchAdc(codesIdx, queries, 5, 16, refine = 4)
+    }
+    // appends keep the codes-only layout readable
+    AnnIndex.append(codesIdx, emb.where($"vec_id" < 3).select($"vec_id" + 100000 as "vec_id", $"embedding"))
+    assert(!codesIdx.cells.columns.contains("embedding"))
+  }
+
+  test("empty query batch returns an empty result, not an error") {
+    val none = queries.where($"vec_id" < 0)
+    assert(AnnIndex.searchExact(index, none, 5, 4).count() == 0)
+    assert(AnnIndex.searchAdc(index, none, 5, 4).count() == 0)
+  }
+
   test("assignmentDrift: shifted batch scores far above in-distribution") {
     val inDist = emb.where($"vec_id" % 7 === 0)
     val shifted = inDist.select($"vec_id",
