@@ -96,6 +96,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("unicode_normalize(str[, form])")
       }))
     ext.injectFunction((
+      FunctionIdentifier("deflate_size"),
+      info("deflate_size",
+        "deflate_size(str) - deflated byte size of the UTF-8 text (compression-ratio quality signal)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => graft.functions.DeflateSize(a)
+        case _ => throw new IllegalArgumentException("deflate_size(str)")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("unit_norm"),
       info("unit_norm", "unit_norm(a) - unit-L2-normalized copy of a float array"),
       (args: Seq[Expression]) => args match {

@@ -527,6 +527,29 @@ object QueriesPipeline {
         .orderBy("doc_id"),
       Some(qualityOracle)),
 
+    // --------------------------------------------- H13 compression ratio
+    // deflate-based information-density screen (CCNet/Gopher lineage):
+    // no DuckDB deflate builtin exists, so the oracle is the contract
+    // pattern (B9/B10 style) — per-doc invariant booleans the kernel
+    // must satisfy on every row: the ratio is positive and bounded
+    // (deflate overhead can't exceed 10% on >=100-byte natural text),
+    // and doubling a text deflates to LESS than twice its size (the
+    // LZ77 window sees the first copy). Both engines emit the same
+    // (doc_id, true, true) rows iff the kernel honors the contract.
+    // Per-row values/determinism are spec-tested (TextAnalysisSpec).
+    QueryDef("q_compress_ratio",
+      (s, d) => Tables.documents(s, d).where(col("n_chars") >= 100)
+        .select(col("doc_id"),
+          (TextAnalysis.deflateSize(col("text")) > 0 &&
+            TextAnalysis.compressionRatio(col("text")) <= 1.1)
+            .as("ratio_bounded"),
+          (TextAnalysis.deflateSize(concat(col("text"), col("text"))) <
+            TextAnalysis.deflateSize(col("text")) * 2)
+            .as("dup_compresses"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, TRUE AS ratio_bounded, TRUE AS dup_compresses
+        FROM documents WHERE n_chars >= 100 ORDER BY doc_id""")),
+
     // ----------------------------------------------------- H3 token count
     QueryDef("q_token_count",
       (s, d) => Tables.documents(s, d)

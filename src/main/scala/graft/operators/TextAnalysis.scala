@@ -126,6 +126,23 @@ object TextAnalysis {
   def normalizeText(text: Column, form: String = "NFC"): Column =
     trim(regexp_replace(unicodeNormalize(text, form), "\\s+", " "))
 
+  /** Deflated byte size of the text (native codegen kernel). */
+  def deflateSize(text: Column): Column = {
+    import graft.functions.{exprs, DeflateSize}
+    exprs.toColumn(DeflateSize(exprs.toExpr(text)))
+  }
+
+  /** Compression-ratio quality signal (H13): deflated / raw UTF-8
+    * bytes. Low-entropy text (boilerplate, template spam, repetition)
+    * lands far below natural prose — the CCNet/Gopher-style screen
+    * that needs no tokenizer, no vocabulary, and one codegen'd pass
+    * over the scan. Deterministic (fixed deflate level, raw stream),
+    * so it composes with the hash-keyed sampling/split family.
+    */
+  def compressionRatio(text: Column): Column =
+    deflateSize(text).cast(org.apache.spark.sql.types.DoubleType) /
+      octet_length(text).cast(org.apache.spark.sql.types.DoubleType)
+
   /** PII redaction: emails, North-American phone numbers and IPv4
     * addresses replaced with typed placeholder tags. Patterns are
     * deliberately RE2-compatible (no lookarounds, no backrefs) so the

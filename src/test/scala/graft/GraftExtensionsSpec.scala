@@ -36,6 +36,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!row.isNullAt(1))
   }
 
+  test("deflate_size is callable from SQL and matches the kernel") {
+    val got = extSpark.sql("SELECT deflate_size(repeat('ab', 50))")
+      .head().getLong(0)
+    assert(got == graft.functions.CompressRuntime.deflateSize(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ab" * 50)))
+  }
+
   test("sample_key and z_value are callable from SQL and match the operators") {
     val row = extSpark.sql(
       """SELECT sample_key(42) AS k,

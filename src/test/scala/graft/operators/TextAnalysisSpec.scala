@@ -231,4 +231,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert((qid, nid, rank) == ((1L, 2L, 1L)))
     assert(math.abs(s - bm25Term(1, 2, 2, 3, 9)) < 1e-5)
   }
+
+  test("deflateSize/compressionRatio: repetition compresses, values match jdk") {
+    val rep = "spam ham " * 200              // degenerate repetition
+    val prose = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val df = Seq((1L, rep), (2L, prose)).toDF("id", "t")
+    val out = df.select($"id", TextAnalysis.deflateSize($"t").as("z"),
+        TextAnalysis.compressionRatio($"t").as("r"))
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    // kernel equals a direct jdk deflate of the same bytes
+    assert(out(1L)._1 == graft.functions.CompressRuntime.deflateSize(
+      org.apache.spark.unsafe.types.UTF8String.fromString(rep)))
+    // boilerplate sits far below diverse text
+    assert(out(1L)._2 < 0.05, s"repetition ratio ${out(1L)._2}")
+    assert(out(2L)._2 > 3 * out(1L)._2, s"${out(2L)._2} vs ${out(1L)._2}")
+    // deterministic across evaluation (codegen) and re-runs
+    val again = df.select($"id", TextAnalysis.deflateSize($"t").as("z"))
+      .as[(Long, Long)].collect().toMap
+    assert(again(1L) == out(1L)._1 && again(2L) == out(2L)._1)
+    // null-safe (SQL registration is covered in GraftExtensionsSpec)
+    assert(df.select(TextAnalysis.deflateSize(org.apache.spark.sql.functions.lit(null)
+      .cast("string"))).head().isNullAt(0))
+  }
 }
