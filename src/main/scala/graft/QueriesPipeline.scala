@@ -1026,6 +1026,32 @@ object QueriesPipeline {
           CAST(rk AS BIGINT) AS rk
         FROM r WHERE rk <= 3 AND cnt_w1 >= 20 ORDER BY w1, rk""")),
 
+    // -------------------------------------------- H14 bigram perplexity
+    // the corpus-as-LM doc scorer composing H11: add-½-smoothed bigram
+    // probabilities, per-doc mean −ln — counts exact, contributions
+    // 6dp-decimal-summed, mean one exact division (the H7 contract).
+    QueryDef("q_bigram_perplexity",
+      (s, d) => TextAnalysis.bigramDocScore(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+          FROM documents
+        ), pairs AS (
+          SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2
+          FROM toks, unnest(list_zip(l, l[2:])) AS u(z)
+          WHERE u.z[2] IS NOT NULL
+        ), c AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+        h AS (SELECT w1, SUM(c12) AS c1 FROM c GROUP BY 1),
+        v AS (SELECT COUNT(*) AS v FROM h),
+        sc AS (SELECT p.doc_id,
+            CAST(round(-ln((c.c12 + 0.5) / (h.c1 + 0.5 * v.v)), 6)
+              AS DECIMAL(28,6)) AS nll
+          FROM pairs p JOIN c USING (w1, w2) JOIN h USING (w1) CROSS JOIN v)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
     // ------------------------------------------------- H12 BM25 rank
     // Okapi BM25 over a fixed term bag mixing a rare term ('dup',
     // df≈5% of docs — high idf) with two common ones, so idf contrast

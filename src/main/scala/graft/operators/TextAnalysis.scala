@@ -244,6 +244,53 @@ object TextAnalysis {
         col("rk").cast(LongType).as("rk"))
   }
 
+  /** Doc-level bigram LM score (H14): mean −ln of the add-k-smoothed
+    * corpus bigram probability over a document's own bigrams — the
+    * CCNet-style "LM perplexity" quality filter, with the corpus
+    * itself as the LM (no external model in this container). Typical
+    * prose scores low; token salad and out-of-distribution boilerplate
+    * score high. Composes H11's count table into a per-document
+    * screen.
+    *
+    * p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V), V = #distinct heads.
+    * Counts are exact integers, k exact in binary (default 0.5), each
+    * −ln contribution is rounded 6 dp and decimal-summed, and the mean
+    * is one exact division rounded 6 dp — the H7 surprisal contract.
+    *
+    * Plan: the (doc, w1, w2) relation is built once per branch by a
+    * narrow zip_with (no self-join); stats are map-side-combined
+    * groupBys (count tables are vocab²-bounded), reattached by
+    * (w1,w2)- and w1-keyed joins — hash joins AQE can skew-split,
+    * deliberately NOT hot-head windows (the K15 lesson: a window
+    * partition on 'the' cannot be split).
+    */
+  def bigramDocScore(docs: DataFrame, idCol: String, textCol: String,
+                     k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive: $k")
+    val t = tokens(col(textCol))
+    val pairs = docs
+      .select(col(idCol).as("doc_id"),
+        zip_with(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2"))).as("ps"))
+      .select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cPair = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cHead = cPair.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = cHead.agg(count(lit(1)).as("v"))
+    pairs
+      .join(cPair, Seq("w1", "w2")).join(cHead, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        round(-log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))), 6)
+          .cast(DecimalType(28, 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast(DoubleType) / count(lit(1)), 6)
+          .as("avg_nll"))
+  }
+
   /** Content fingerprint: md5 of lowercased text (hex). Identical
     * builtin exists in DuckDB, so exact-dedup results are
     * oracle-checkable end to end.

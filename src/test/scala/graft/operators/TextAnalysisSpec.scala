@@ -232,6 +232,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(s - bm25Term(1, 2, 2, 3, 9)) < 1e-5)
   }
 
+  test("bigramDocScore: typical text scores below token salad; hand case exact") {
+    // corpus: three docs repeating "a b", one doc of unseen-pair salad
+    val docs = Seq(
+      (1L, "a b a b a b"), (2L, "a b a b"), (3L, "a b"),
+      (4L, "q z x w")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramDocScore(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // heads: a(c1=6 via 'a b'), b(c1=3 via 'b a'), q,z,x (1 each) → V=5
+    // doc 3 = one 'a b' bigram: p = (6+0.5)/(6+0.5*5) = 6.5/8.5
+    val expect3 = BigDecimal(-math.log(6.5 / 8.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(3L)._3 - expect3) < 1e-9, s"${out(3L)._3} vs $expect3")
+    // common-pair docs all score far below the all-unseen-pairs doc
+    assert(Seq(1L, 2L, 3L).forall(i => out(i)._3 < out(4L)._3))
+    // a doc with <2 tokens contributes no row
+    val tiny = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramDocScore(docs.unionAll(tiny), "doc_id", "text")
+      .where($"doc_id" === 9).count() == 0)
+  }
+
   test("deflateSize/compressionRatio: repetition compresses, values match jdk") {
     val rep = "spam ham " * 200              // degenerate repetition
     val prose = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
