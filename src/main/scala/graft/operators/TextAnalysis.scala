@@ -264,11 +264,10 @@ object TextAnalysis {
     * deliberately NOT hot-head windows (the K15 lesson: a window
     * partition on 'the' cannot be split).
     */
-  def bigramDocScore(docs: DataFrame, idCol: String, textCol: String,
-                     k: Double = 0.5): DataFrame = {
-    require(k > 0, s"smoothing k must be positive: $k")
+  private def bigramPairs(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
     val t = tokens(col(textCol))
-    val pairs = docs
+    docs
       .select(col(idCol).as("doc_id"),
         zip_with(
           slice(t, lit(1), greatest(size(t) - 1, lit(0))),
@@ -276,12 +275,29 @@ object TextAnalysis {
           (a, b) => struct(a.as("w1"), b.as("w2"))).as("ps"))
       .select(col("doc_id"), explode(col("ps")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val cPair = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val cHead = cPair.groupBy("w1").agg(sum("c12").as("c1"))
-    val vocab = cHead.agg(count(lit(1)).as("v"))
-    pairs
-      .join(cPair, Seq("w1", "w2")).join(cHead, Seq("w1"))
-      .crossJoin(broadcast(vocab))
+  }
+
+  /** The trained LM half of [[bigramDocScore]]: one (w1, w2, c12, c1,
+    * v) relation — vocab²-bounded, so the per-head window runs over
+    * distinct pairs (no hot-head corpus window). Train once per corpus
+    * version and persist/memoize; every scoring pass then pays one
+    * probe scan, the IVF train/search split applied to the LM.
+    */
+  def bigramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cPair = bigramPairs(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    cPair
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+      .crossJoin(broadcast(cPair.agg(countDistinct(col("w1")).as("v"))))
+  }
+
+  def bigramDocScore(docs: DataFrame, idCol: String, textCol: String,
+                     k: Double = 0.5,
+                     stats: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"smoothing k must be positive: $k")
+    val st = stats.getOrElse(bigramStats(docs, idCol, textCol))
+    bigramPairs(docs, idCol, textCol)
+      .join(st, Seq("w1", "w2"))
       .withColumn("nll",
         round(-log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))), 6)
           .cast(DecimalType(28, 6)))

@@ -54,8 +54,11 @@ class PlanBudgetSpec extends SparkSpec {
     // the partsupp agg itself is computed once
     "q_table_profile" -> (5, 1, 5), // 5 per-column branches, each one
     // column-pruned scan + one distinct-valued shuffle; no Expand (below)
-    "q_ann_index" -> (3, 1, 2) // serving path: probe window + rank window;
+    "q_ann_index" -> (3, 1, 2), // serving path: probe window + rank window;
     // queries scan + the PRUNED cells scan; probes broadcast, never the corpus
+    "q_compress_ratio" -> (0, 1, 1), // pure codegen map: NO shuffle
+    "q_bigram_perplexity" -> (4, 1, 3) // static view: stats train (2 scans,
+    // SessionMemo-persisted at runtime) + ONE probe scan
   )
 
   budgets.foreach { case (q, (maxHash, maxRange, maxScans)) =>
