@@ -73,9 +73,21 @@ object ScaleSmoke {
         Curation.sourceDrift(docs, "source", "text").count())
       val (tShard, nShard) = time(
         Curation.shardPlan(docs, "doc_id", 64, length(col("text"))).count())
+      // round-7 additions: the deflate kernel (pure map — must scale
+      // exactly with bytes), the corpus-LM scorer (train+score), and
+      // the skew-capped gram stats path
+      val (tCompress, nCompress) = time(
+        docs.select(graft.operators.TextAnalysis.compressionRatio(col("text"))
+            .as("r"))
+          .where(col("r").isNotNull).count())
+      val (tPerplex, nPerplex) = time(
+        graft.operators.TextAnalysis.bigramDocScore(docs, "doc_id", "text")
+          .count())
+      val (tNovelty, nNovelty) = time(
+        Curation.noveltyShare(docs, "doc_id", "text", hotCap = 1000).count())
       docs.unpersist()
       println(
-        f"""{"mult":$m,"n_docs":$nDocs,"exact_dedup_s":$tExact%.2f,"lsh_pairs_s":$tLsh%.2f,"contamination_s":$tContam%.2f,"hash_sample_s":$tSample%.2f,"source_overlap_s":$tOverlap%.2f,"source_drift_s":$tDrift%.2f,"shard_plan_s":$tShard%.2f,"rows":{"exact":$nExact,"lsh":$nLsh,"contam":$nContam,"sample":$nSample,"overlap":$nOverlap,"drift":$nDrift,"shard":$nShard}}""")
+        f"""{"mult":$m,"n_docs":$nDocs,"exact_dedup_s":$tExact%.2f,"lsh_pairs_s":$tLsh%.2f,"contamination_s":$tContam%.2f,"hash_sample_s":$tSample%.2f,"source_overlap_s":$tOverlap%.2f,"source_drift_s":$tDrift%.2f,"shard_plan_s":$tShard%.2f,"compress_ratio_s":$tCompress%.2f,"bigram_nll_s":$tPerplex%.2f,"novelty_capped_s":$tNovelty%.2f,"rows":{"exact":$nExact,"lsh":$nLsh,"contam":$nContam,"sample":$nSample,"overlap":$nOverlap,"drift":$nDrift,"shard":$nShard,"compress":$nCompress,"perplex":$nPerplex,"novelty":$nNovelty}}""")
     }
     spark.stop()
   }
