@@ -96,6 +96,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("unicode_normalize(str[, form])")
       }))
     ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks",
+        "cdc_chunks(str[, target, min, max]) - content-defined chunks (rolling-hash boundaries)"),
+      (args: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Int =
+          if (e.foldable) e.eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"cdc_chunks $what must be an integer literal, got $other")
+          } else throw new IllegalArgumentException(
+            s"cdc_chunks $what must be a literal")
+        args match {
+          case Seq(a) => graft.functions.CdcChunks(a)
+          case Seq(a, t, mn, mx) => graft.functions.CdcChunks(a,
+            lit(t, "target"), lit(mn, "min"), lit(mx, "max"))
+          case _ => throw new IllegalArgumentException(
+            "cdc_chunks(str[, target, min, max])")
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("deflate_size"),
       info("deflate_size",
         "deflate_size(str) - deflated byte size of the UTF-8 text (compression-ratio quality signal)"),

@@ -1026,6 +1026,26 @@ object QueriesPipeline {
           CAST(rk AS BIGINT) AS rk
         FROM r WHERE rk <= 3 AND cnt_w1 >= 20 ORDER BY w1, rk""")),
 
+    // ------------------------------------------------ H15 CDC chunking
+    // content-defined boundaries have no SQL mirror, so the oracle is
+    // the contract pattern: the chunks must partition the text exactly
+    // (ordered reassembly == original, byte-for-byte — a lossy or
+    // overlapping chunker hash-mismatches immediately) and every chunk
+    // must respect the max-size bound. Shift-robustness — the property
+    // CDC exists for — is spec-tested against the fixed-window chunker.
+    QueryDef("q_chunk_cdc",
+      (s, d) => TextAnalysis.chunkDocsCdc(Tables.documents(s, d),
+          "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            x => x.getField("chunk")), "").as("rebuilt"),
+          (max(col("n_chunk_chars")) <= 256).as("sizes_ok"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, text AS rebuilt, TRUE AS sizes_ok
+        FROM documents ORDER BY doc_id""")),
+
     // -------------------------------------------- H14 bigram perplexity
     // the corpus-as-LM doc scorer composing H11: add-½-smoothed bigram
     // probabilities, per-doc mean −ln — counts exact, contributions

@@ -307,6 +307,31 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** Content-defined chunks of the text (native CdcChunks kernel). */
+  def cdcChunks(text: Column, targetSize: Int = 64, minSize: Int = 16,
+                maxSize: Int = 256): Column = {
+    import graft.functions.{exprs, CdcChunks}
+    exprs.toColumn(CdcChunks(exprs.toExpr(text), targetSize, minSize, maxSize))
+  }
+
+  /** Content-defined chunking (H15): one row per chunk, boundaries
+    * chosen by a rolling hash of the text itself — so an insertion or
+    * deletion shifts only the chunks around the edit and every chunk
+    * after it stays byte-identical. The chunker to put in front of F9
+    * chunk-hash dedup when documents are re-crawled/re-encoded with
+    * small edits: fixed windows (H6) would mis-align every chunk after
+    * the edit and recognize nothing. Narrow map + posexplode, no
+    * shuffle.
+    */
+  def chunkDocsCdc(docs: DataFrame, idCol: String, textCol: String,
+                   targetSize: Int = 64, minSize: Int = 16,
+                   maxSize: Int = 256): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(cdcChunks(col(textCol), targetSize, minSize, maxSize))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("chunk"), length(col("chunk")).cast(LongType).as("n_chunk_chars"))
+
   /** Content fingerprint: md5 of lowercased text (hex). Identical
     * builtin exists in DuckDB, so exact-dedup results are
     * oracle-checkable end to end.

@@ -36,6 +36,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!row.isNullAt(1))
   }
 
+  test("cdc_chunks is callable from SQL and partitions the input") {
+    val row = extSpark.sql(
+      "SELECT array_join(cdc_chunks(repeat('lorem ipsum ', 40), 32, 8, 128), '') AS re," +
+        " size(cdc_chunks(repeat('lorem ipsum ', 40), 32, 8, 128)) AS n").head()
+    assert(row.getString(0) == "lorem ipsum " * 40)
+    assert(row.getInt(1) > 1)
+  }
+
   test("deflate_size is callable from SQL and matches the kernel") {
     val got = extSpark.sql("SELECT deflate_size(repeat('ab', 50))")
       .head().getLong(0)

@@ -253,6 +253,37 @@ class TextAnalysisSpec extends SparkSpec {
       .where($"doc_id" === 9).count() == 0)
   }
 
+  test("chunkDocsCdc: exact partition, size bounds, and shift robustness") {
+    val rnd = new scala.util.Random(0xcdc)
+    val text = (1 to 400).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
+    val shifted = "inserted prefix edit " + text
+    val docs = Seq((1L, text), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocsCdc(docs, "doc_id", "text")
+      .select("doc_id", "chunk_idx", "chunk")
+      .as[(Long, Long, String)].collect()
+    // 1. chunks partition the text exactly, in order
+    val re1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3).mkString
+    assert(re1 == text)
+    // 2. every chunk respects the max bound
+    assert(chunks.forall(_._3.length <= 256))
+    // 3. CDC property: after a prefix edit, most chunks are UNCHANGED
+    //    (boundaries resync); fixed windows share nothing after a shift
+    val c1 = chunks.filter(_._1 == 1L).map(_._3).toSet
+    val c2 = chunks.filter(_._1 == 2L).map(_._3).toSet
+    val sharedBytes = (c1 & c2).toSeq.map(_.length).sum
+    assert(sharedBytes > text.length / 2,
+      s"CDC must resync: shared $sharedBytes of ${text.length}")
+    val f1 = text.grouped(64).toSet
+    val f2 = shifted.grouped(64).toSet
+    assert((f1 & f2).isEmpty, "fixed windows should share nothing here")
+    // 4. deterministic
+    val again = TextAnalysis.chunkDocsCdc(docs, "doc_id", "text")
+      .select("doc_id", "chunk_idx", "chunk")
+      .as[(Long, Long, String)].collect()
+    assert(again.sortBy(x => (x._1, x._2)).toSeq ==
+      chunks.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
   test("deflateSize/compressionRatio: repetition compresses, values match jdk") {
     val rep = "spam ham " * 200              // degenerate repetition
     val prose = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
