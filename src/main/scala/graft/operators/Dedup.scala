@@ -473,6 +473,35 @@ object Dedup {
           s => s.getField("chunk"))).as("clean_text"))
   }
 
+  /** [[dedupChunks]] over content-defined boundaries (F9 ∘ H15): the
+    * same first-occurrence-keeps + rebuild pass, but chunk edges come
+    * from the text's own rolling hash, so boilerplate repeated at
+    * DIFFERENT positions in different documents still lands in
+    * byte-identical chunks and dedups — fixed token windows only
+    * catch repeats that happen to share alignment. Rebuild joins with
+    * "" because CDC chunks partition the raw text exactly.
+    */
+  def dedupChunksCdc(docs: DataFrame, idCol: String, textCol: String,
+                     targetSize: Int = 64, minSize: Int = 16,
+                     maxSize: Int = 256): DataFrame = {
+    val ch = TextAnalysis.chunkDocsCdc(docs, idCol, textCol,
+      targetSize, minSize, maxSize)
+    val wDoc = Window.partitionBy("doc_id")
+    val wFirst = Window.partitionBy("h")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    ch
+      .withColumn("n_chunks", count(lit(1)).over(wDoc))
+      .withColumn("h", md5(col("chunk")))
+      .withColumn("rn", row_number().over(wFirst))
+      .where(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(max(col("n_chunks")).as("n_chunks"),
+        count(lit(1)).as("n_kept"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk"))).as("clean_text"))
+  }
+
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         lenCol: String, maxDist: Int,
                         blockWidth: Int = 10): DataFrame = {

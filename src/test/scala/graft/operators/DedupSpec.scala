@@ -256,4 +256,33 @@ class DedupSpec extends SparkSpec {
       .where($"doc_id" === 2).select("clean_text").as[String].head()
     assert(out == "p q r s", s"got $out")
   }
+
+  test("dedupChunksCdc strips boilerplate that fixed windows mis-align") {
+    // the same 600-char boilerplate block at DIFFERENT offsets in two
+    // docs: CDC boundaries derive from content, so the block chunks
+    // identically in both and the second occurrence is stripped;
+    // token-window chunking at different alignments keeps both copies
+    val rnd = new scala.util.Random(0xb01)
+    def words(n: Int, tag: String) =
+      (1 to n).map(_ => s"$tag${rnd.nextInt(100000)}").mkString(" ")
+    val boiler = words(100, "boiler")
+    val d1 = boiler + " " + words(150, "one")
+    val d2 = words(137, "two") + " " + boiler + " " + words(50, "tail")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val cdc = Dedup.dedupChunksCdc(docs, "doc_id", "text")
+      .select("doc_id", "n_chunks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1 (earlier id) keeps everything; doc 2 loses most boiler bytes
+    assert(cdc(1L)._4 == d1)
+    val removed = d2.length - cdc(2L)._4.length
+    assert(removed > boiler.length / 2,
+      s"CDC should strip most of the ${boiler.length}-char block, removed $removed")
+    assert(!cdc(2L)._4.contains(boiler.substring(100, 400)),
+      "interior of the boilerplate block must be gone")
+    // fixed token windows at these offsets share no chunk → nothing removed
+    val fixed = Dedup.dedupChunks(docs, "doc_id", "text", chunkSize = 32)
+      .where($"doc_id" === 2).select("n_chunks", "n_kept")
+      .as[(Long, Long)].head()
+    assert(fixed._1 == fixed._2, s"fixed windows should keep all: $fixed")
+  }
 }
