@@ -785,6 +785,46 @@ object QueriesPipeline {
         MIN(doc_id) AS canonical_id
         FROM documents GROUP BY 1 ORDER BY canonical_id""")),
 
+    // ----------------------------------------------- E6 media near-dup
+    // decode-free byte-similarity: truncated and tail-appended copies
+    // of each doc<8's blob are planted (alignment-preserving edits,
+    // the operator's documented contract), and the detector must find
+    // every planted (source, variant) pair — the no-false-negative
+    // contract oracle (B10 pattern). False-positive behavior is
+    // spec-covered on a controlled fixture (MultimodalSpec).
+    QueryDef("q_media_neardup",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        // only blobs with enough windows for the contract: a ~64-byte
+        // blob has ONE window and truncation rewrites it entirely
+        val src = base.where(col("doc_id") < 20 &&
+          expr("octet_length(blob)") >= 512)
+        val trunc = src.select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substring(blob, 1, octet_length(blob) - 16)").as("blob"))
+        val appended = src.select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("blob"), encode(lit(" tail padding bytes"), "UTF-8"))
+            .as("blob"))
+        val pairs = Multimodal.mediaNearDups(
+          base.unionAll(trunc).unionAll(appended), "doc_id", "blob",
+          threshold = 0.5)
+        src.select(col("doc_id")).as("s")
+          .join(pairs.as("p1"),
+            col("p1.id_a") === col("s.doc_id") &&
+              col("p1.id_b") === col("s.doc_id") + 1000000, "left")
+          .join(pairs.as("p2"),
+            col("p2.id_a") === col("s.doc_id") &&
+              col("p2.id_b") === col("s.doc_id") + 2000000, "left")
+          .select(col("s.doc_id").as("doc_id"),
+            col("p1.id_b").isNotNull.as("trunc_found"),
+            col("p2.id_b").isNotNull.as("append_found"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, TRUE AS trunc_found, TRUE AS append_found
+        FROM documents WHERE doc_id < 20 AND octet_length(encode(text)) >= 512
+        ORDER BY doc_id""")),
+
     // ------------------------------------------------------ E3 media meta
     QueryDef("q_media_meta",
       (s, d) => Tables.documents(s, d)

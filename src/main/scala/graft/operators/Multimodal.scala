@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -129,4 +129,60 @@ object Multimodal {
     Dedup.exactGroups(df, idCol, blobCol)
       .select(col("h").as("media_hash"), col("n_dups").as("n_copies"),
         col("keep_id").as("canonical_id"))
+
+  /** Byte-window hash array of a blob (native kernel, no decode). */
+  def byteWindowHashes(blob: Column, window: Int = 64,
+                       stride: Int = 32): Column = {
+    import graft.functions.{exprs, ByteWindowHashes}
+    exprs.toColumn(ByteWindowHashes(exprs.toExpr(blob), window, stride))
+  }
+
+  /** Decode-free media NEAR-dup pairs (E6): blobs sharing ≥ threshold
+    * byte-window-hash Jaccard — catches truncated / tail-appended
+    * re-uploads of the same asset that [[dedupMediaExact]]'s whole-
+    * content hash misses. Candidates collide on any of each blob's
+    * `k` smallest window hashes (a bottom-k sketch: near-dups share
+    * their minima with high probability), so the join is hash-keyed
+    * and bucket-local — never all-pairs — and only (hash, id) +
+    * bounded signatures shuffle, never payload bytes. `maxBucket`
+    * drops degenerate windows shared by more than that many blobs
+    * (runs of zeros etc.), the J4 mega-bucket discipline.
+    *
+    * Alignment caveat (documented contract): fixed-stride windows
+    * detect alignment-preserving edits (truncation, append,
+    * same-offset patches). A PREFIX edit shifts every window; the
+    * shift-robust variant is CDC boundaries over bytes — the H15
+    * chunker generalizes, at ~window× the hashing cost.
+    */
+  def mediaNearDups(df: DataFrame, idCol: String, blobCol: String,
+                    threshold: Double = 0.5, window: Int = 64,
+                    stride: Int = 32, k: Int = 12,
+                    maxBucket: Int = 64): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val sigs = df.select(col(idCol).as("media_id"),
+        array_distinct(byteWindowHashes(col(blobCol), window, stride))
+          .as("hs"))
+      .where(size(col("hs")) > 0)
+      .withColumn("bk", slice(array_sort(col("hs")), 1, k))
+    val probes = sigs.select(col("media_id"), col("hs"),
+      explode(col("bk")).as("h"))
+    // J4 mega-bucket cap: a window hash shared by > maxBucket blobs
+    // (constant padding, zero runs) would fan out quadratically and
+    // carries no discriminative signal
+    val rare = probes.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") <= maxBucket).select("h")
+    val cand = probes.join(rare, "h").as("a")
+      .join(probes.join(rare, "h").as("x"),
+        col("a.h") === col("x.h") && col("a.media_id") < col("x.media_id"))
+      .select(col("a.media_id").as("id_a"), col("x.media_id").as("id_b"),
+        col("a.hs").as("hs_a"), col("x.hs").as("hs_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("byte_jaccard",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
+      .where(col("byte_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("byte_jaccard"), 6).as("byte_jaccard"))
+  }
 }

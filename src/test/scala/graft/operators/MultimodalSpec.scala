@@ -71,4 +71,35 @@ class MultimodalSpec extends SparkSpec {
       .select("canonical_id", "n_copies").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("mediaNearDups finds truncated/appended copies, not strangers") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(0xe6)
+    def blob(seed: Int, n: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed); val b = new Array[Byte](n)
+      r.nextBytes(b); b
+    }
+    val a = blob(1, 2000)
+    val fixtures = Seq(
+      (1L, a),
+      (2L, a.dropRight(300)),          // truncated copy of 1
+      (3L, a ++ blob(99, 256)),        // appended copy of 1
+      (4L, blob(2, 2000)),             // unrelated
+      (5L, blob(3, 1900))              // unrelated
+    ).toDF("doc_id", "blob")
+    val pairs = Multimodal.mediaNearDups(fixtures, "doc_id", "blob",
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"truncated copy missed: $pairs")
+    assert(pairs.contains((1L, 3L)), s"appended copy missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"FP on 4: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"FP on 5: $pairs")
+    // variants of the same asset also pair with each other
+    assert(pairs.contains((2L, 3L)), s"variant pair missed: $pairs")
+    // degenerate constant blobs are capped out by maxBucket, not joined
+    val zeros = (10L to 90L).map(i => (i, new Array[Byte](512))).toDF("doc_id", "blob")
+    val capped = Multimodal.mediaNearDups(zeros, "doc_id", "blob",
+      threshold = 0.5, maxBucket = 16).count()
+    assert(capped == 0, "mega-bucket constant blobs must be capped")
+  }
 }
