@@ -44,7 +44,14 @@ object CdcRuntime {
         if (len0 < window) h * 31 + s.charAt(i)
         else (h - s.charAt(i - window) * pw) * 31 + s.charAt(i)
       val len = len0 + 1
-      if ((len >= minSize && (h & mask) == mask) || len >= maxSize) {
+      // never cut between the halves of a surrogate pair: the split
+      // substrings would hold unpaired surrogates and corrupt on the
+      // UTF-8 round-trip (found by TextFuzzSpec). Deferring one char
+      // is deterministic — both copies of a shared region defer alike.
+      val splitsSurrogate =
+        Character.isHighSurrogate(s.charAt(i)) && i + 1 < s.length
+      if (!splitsSurrogate &&
+          ((len >= minSize && (h & mask) == mask) || len >= maxSize)) {
         out += UTF8String.fromString(s.substring(start, i + 1))
         start = i + 1
         h = 0L

@@ -128,6 +128,25 @@ class TextFuzzSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------------- H15
+
+  test(s"H15 cdcChunks partition exactly on $N fuzzed unicode strings") {
+    // chunk boundaries may fall inside multi-char graphemes or next to
+    // surrogates — the partition property must hold for arbitrary
+    // content, not just word-ish text
+    val cases = sample(Gen.listOfN(N, genUnicode), 0xf00d4L)
+    val df = cases.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+    val got = df.select($"i",
+        array_join(TextAnalysis.cdcChunks($"s", 16, 4, 64), "").as("re"),
+        size(TextAnalysis.cdcChunks($"s", 16, 4, 64)).as("n"))
+      .as[(Int, String, Int)].collect().map(r => r._1 -> r).toMap
+    cases.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i)._2 == s,
+        s"reassembly broke on ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+      assert(got(i)._3 >= 1)
+    }
+  }
+
   // --------------------------------------------------------------- H10
 
   /** URL soup: scheme case, userinfo, www/ports, tracking params at
