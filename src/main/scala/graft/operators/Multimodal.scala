@@ -137,6 +137,14 @@ object Multimodal {
     exprs.toColumn(ByteWindowHashes(exprs.toExpr(blob), window, stride))
   }
 
+  /** Content-defined byte-chunk hashes (shift-robust variant). */
+  def byteCdcHashes(blob: Column, targetSize: Int = 128, minSize: Int = 32,
+                    maxSize: Int = 512): Column = {
+    import graft.functions.{exprs, ByteCdcHashes}
+    exprs.toColumn(ByteCdcHashes(exprs.toExpr(blob), targetSize, minSize,
+      maxSize))
+  }
+
   /** Decode-free media NEAR-dup pairs (E6): blobs sharing ≥ threshold
     * byte-window-hash Jaccard — catches truncated / tail-appended
     * re-uploads of the same asset that [[dedupMediaExact]]'s whole-
@@ -148,20 +156,24 @@ object Multimodal {
     * drops degenerate windows shared by more than that many blobs
     * (runs of zeros etc.), the J4 mega-bucket discipline.
     *
-    * Alignment caveat (documented contract): fixed-stride windows
-    * detect alignment-preserving edits (truncation, append,
-    * same-offset patches). A PREFIX edit shifts every window; the
-    * shift-robust variant is CDC boundaries over bytes — the H15
-    * chunker generalizes, at ~window× the hashing cost.
+    * Alignment: fixed-stride windows (cdc = false) detect
+    * alignment-preserving edits (truncation, append, same-offset
+    * patches) at minimal hashing cost; `cdc = true` switches to
+    * content-defined byte chunks (the H15 boundary rule over bytes),
+    * which also survive PREFIX insertions/deletions — boundaries
+    * derive from content, so chunks after the edit hash identically.
     */
   def mediaNearDups(df: DataFrame, idCol: String, blobCol: String,
                     threshold: Double = 0.5, window: Int = 64,
                     stride: Int = 32, k: Int = 12,
-                    maxBucket: Int = 64): DataFrame = {
+                    maxBucket: Int = 64, cdc: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val sig =
+      if (cdc) byteCdcHashes(col(blobCol), targetSize = window * 2,
+        minSize = window / 2, maxSize = window * 8)
+      else byteWindowHashes(col(blobCol), window, stride)
     val sigs = df.select(col(idCol).as("media_id"),
-        array_distinct(byteWindowHashes(col(blobCol), window, stride))
-          .as("hs"))
+        array_distinct(sig).as("hs"))
       .where(size(col("hs")) > 0)
       .withColumn("bk", slice(array_sort(col("hs")), 1, k))
     val probes = sigs.select(col("media_id"), col("hs"),

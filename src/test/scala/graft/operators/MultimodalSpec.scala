@@ -102,4 +102,25 @@ class MultimodalSpec extends SparkSpec {
       threshold = 0.5, maxBucket = 16).count()
     assert(capped == 0, "mega-bucket constant blobs must be capped")
   }
+
+  test("mediaNearDups cdc mode survives a prefix edit; aligned mode does not") {
+    import org.apache.spark.sql.functions._
+    def blob(seed: Int, n: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed); val b = new Array[Byte](n)
+      r.nextBytes(b); b
+    }
+    val a = blob(7, 4000)
+    val prefixed = blob(8, 13) ++ a // 13-byte prefix: misaligns every window
+    val docs = Seq((1L, a), (2L, prefixed), (3L, blob(9, 4000)))
+      .toDF("doc_id", "blob")
+    val aligned = Multimodal.mediaNearDups(docs, "doc_id", "blob",
+      threshold = 0.3).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!aligned.contains((1L, 2L)),
+      s"fixed windows cannot see through a prefix shift: $aligned")
+    val viaCdc = Multimodal.mediaNearDups(docs, "doc_id", "blob",
+        threshold = 0.3, cdc = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaCdc.contains((1L, 2L)), s"CDC mode must resync: $viaCdc")
+    assert(!viaCdc.exists(p => p._1 == 3L || p._2 == 3L), s"FP on 3: $viaCdc")
+  }
 }
