@@ -64,6 +64,24 @@ class BroadcastSafetySpec extends SparkSpec {
       s"forced broadcast of sf-scaling tables:\n${offenders.mkString("\n")}")
   }
 
+  test("round-7 pipeline operators never force-broadcast the corpus") {
+    // documents/embeddings grow with sf: the only hinted broadcasts
+    // allowed in these plans are scalar aggregates (vocab size, corpus
+    // stats — the existing carve-out) — never a corpus scan subtree
+    // that isn't reduced by a grouping-free aggregate
+    val corpus = Seq("documents.parquet", "embeddings.parquet")
+    val offenders = for {
+      q <- Seq("q_compress_ratio", "q_bigram_perplexity", "q_chunk_cdc",
+        "q_media_neardup")
+      (name, leaves) <- broadcastLeaves(q)
+      leaf <- leaves
+      table <- corpus
+      if leaf.contains(table)
+    } yield s"$name broadcasts a scan of $table"
+    assert(offenders.isEmpty,
+      s"forced corpus broadcast:\n${offenders.mkString("\n")}")
+  }
+
   test("dimension hints survive: nation/region still broadcast when auto-broadcast is off") {
     // Queries that join nation keep their (safe, fixed-25-row) hint.
     Seq("q_tpch7", "q_tpch8", "q_tpch9", "q_tpch10").foreach { q =>
