@@ -54,8 +54,10 @@ object ByteWindowRuntime {
                 maxSize: Int, window: Int): ArrayData = {
     val n = bin.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // bits capped at 30: Int shifts wrap mod 32, so an unguarded loop
+    // would cycle forever for targetSize >= 2^30
     var bits = 1
-    while ((1 << (bits + 1)) <= targetSize) bits += 1
+    while (bits < 30 && (1 << (bits + 1)) <= targetSize) bits += 1
     val mask = (1 << bits) - 1
     val pw = { var p = 1L; var j = 0; while (j < window - 1) { p *= 31; j += 1 }; p }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]

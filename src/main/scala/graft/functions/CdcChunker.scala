@@ -28,8 +28,10 @@ object CdcRuntime {
              maxSize: Int, window: Int): ArrayData = {
     val s = text.toString
     if (s.isEmpty) return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    // bits capped at 30: Int shifts wrap mod 32, so an unguarded loop
+    // would cycle forever for targetSize >= 2^30
     var bits = 1
-    while ((1 << (bits + 1)) <= targetSize) bits += 1
+    while (bits < 30 && (1 << (bits + 1)) <= targetSize) bits += 1
     val mask = (1 << bits) - 1
     // 31^(window-1) mod 2^64: the out-going char's weight in the
     // rolling update h' = (h − c_out·pw)·31 + c_in
@@ -48,6 +50,9 @@ object CdcRuntime {
       // substrings would hold unpaired surrogates and corrupt on the
       // UTF-8 round-trip (found by TextFuzzSpec). Deferring one char
       // is deterministic — both copies of a shared region defer alike.
+      // Consequence: when an astral char straddles the FORCED cut, a
+      // chunk may reach maxSize+1 UTF-16 units (still <= maxSize code
+      // points — the pair is one code point).
       val splitsSurrogate =
         Character.isHighSurrogate(s.charAt(i)) && i + 1 < s.length
       if (!splitsSurrogate &&

@@ -20,18 +20,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * filter/split key.
   */
 object CompressRuntime {
+  // a Deflater holds native memory and costs JNI setup per
+  // construction — on a kernel that runs over 100% of corpus bytes,
+  // per-row construction dominates short documents. One instance per
+  // task thread, reset() between rows (tasks are single-threaded).
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+  }
+
   def deflateSize(s: UTF8String): Long = {
     val bytes = s.getBytes
-    val d = new java.util.zip.Deflater(
-      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }
 

@@ -198,13 +198,16 @@ object AnnIndex {
       exprs.toColumn(PqLut(exprs.toExpr(col("embedding")), index.codebooks))
         .as("lut"),
       Similarity.norm(col("embedding")).as("qnrm"))
-    val probesLut = probes.join(qLut, "qid")
+    val probesLut = probes.drop("qe").join(qLut, "qid")
     val pruned = prunedCells(index, probes)
+    // the scored projection carries ONLY (qid, nid, acos): the query
+    // embedding must not ride every scanned corpus row through the
+    // rank-window shuffle — it re-joins onto the bounded refine·k
+    // candidate set below, keeping the ADC scan at m ints per row
     val scored = pruned.as("c")
       .join(broadcast(probesLut.as("p")),
         col("p.cent_id") === col("c.cent_id") && col("p.qid") =!= col("c.vec_id"))
       .select(col("p.qid").as("qid"), col("c.vec_id").as("nid"),
-        col("p.qe").as("qe"), col("p.qnrm").as("qnrm"),
         (exprs.toColumn(PqAdc(exprs.toExpr(col("c.codes")),
           exprs.toExpr(col("p.lut"))))
           / (col("p.qnrm") * col("c.anrm"))).as("acos"))
@@ -213,9 +216,12 @@ object AnnIndex {
       return scored.withColumn("rank", row_number().over(wa).cast(LongType))
         .where(col("rank") <= k)
         .select(col("qid"), col("nid"), col("rank"))
+    val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      Similarity.norm(col("embedding")).as("qnrm"))
     val cand = scored.withColumn("r", row_number().over(wa))
       .where(col("r") <= refine * k)
-      .select("qid", "nid", "qe", "qnrm")
+      .select("qid", "nid")
+      .join(qe, "qid")
     val rer = pruned.select(col("vec_id").as("nid"), col("embedding"))
       .join(broadcast(cand), "nid")
       .select(col("qid"), col("nid"),

@@ -120,7 +120,8 @@ object Compute {
     * pattern the ANN and dedup operators use.
     */
   def tableProfile(df: DataFrame, cols: Seq[String],
-                   exact: Boolean = false): DataFrame =
+                   exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "tableProfile needs at least one column")
     cols.map { c =>
       df.agg(
           count(when(col(c).isNull, 1)).as("n_nulls"),
@@ -128,4 +129,5 @@ object Compute {
            else approx_count_distinct(col(c))).as("n_distinct"))
         .select(lit(c).as("column"), col("n_nulls"), col("n_distinct"))
     }.reduce(_ unionAll _)
+  }
 }

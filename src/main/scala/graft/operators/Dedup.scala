@@ -453,10 +453,12 @@ object Dedup {
     * one doc-keyed aggregation. Never all-pairs, cost linear in
     * corpus size.
     */
-  def dedupChunks(docs: DataFrame, idCol: String, textCol: String,
-                  chunkSize: Int = 32): DataFrame = {
-    val ch = TextAnalysis.chunkDocs(docs, idCol, textCol, chunkSize,
-      overlap = 0)
+  /** Shared first-occurrence-keeps + rebuild pass over any chunked
+    * (doc_id, chunk_idx, chunk) relation; `sep` is what the chunker
+    * removed between chunks ("" for CDC's exact partition, " " for
+    * token windows).
+    */
+  private def dedupChunked(ch: DataFrame, sep: String): DataFrame = {
     val wDoc = Window.partitionBy("doc_id")
     val wFirst = Window.partitionBy("h")
       .orderBy(col("doc_id"), col("chunk_idx"))
@@ -468,10 +470,16 @@ object Dedup {
       .groupBy("doc_id")
       .agg(max(col("n_chunks")).as("n_chunks"),
         count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
+        concat_ws(sep, transform(
           array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
           s => s.getField("chunk"))).as("clean_text"))
   }
+
+  def dedupChunks(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 32): DataFrame =
+    dedupChunked(
+      TextAnalysis.chunkDocs(docs, idCol, textCol, chunkSize, overlap = 0),
+      sep = " ")
 
   /** [[dedupChunks]] over content-defined boundaries (F9 ∘ H15): the
     * same first-occurrence-keeps + rebuild pass, but chunk edges come
@@ -483,24 +491,11 @@ object Dedup {
     */
   def dedupChunksCdc(docs: DataFrame, idCol: String, textCol: String,
                      targetSize: Int = 64, minSize: Int = 16,
-                     maxSize: Int = 256): DataFrame = {
-    val ch = TextAnalysis.chunkDocsCdc(docs, idCol, textCol,
-      targetSize, minSize, maxSize)
-    val wDoc = Window.partitionBy("doc_id")
-    val wFirst = Window.partitionBy("h")
-      .orderBy(col("doc_id"), col("chunk_idx"))
-    ch
-      .withColumn("n_chunks", count(lit(1)).over(wDoc))
-      .withColumn("h", md5(col("chunk")))
-      .withColumn("rn", row_number().over(wFirst))
-      .where(col("rn") === 1)
-      .groupBy("doc_id")
-      .agg(max(col("n_chunks")).as("n_chunks"),
-        count(lit(1)).as("n_kept"),
-        concat_ws("", transform(
-          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
-          s => s.getField("chunk"))).as("clean_text"))
-  }
+                     maxSize: Int = 256): DataFrame =
+    dedupChunked(
+      TextAnalysis.chunkDocsCdc(docs, idCol, textCol,
+        targetSize, minSize, maxSize),
+      sep = "")
 
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         lenCol: String, maxDist: Int,

@@ -175,9 +175,12 @@ object Multimodal {
     val sigs = df.select(col(idCol).as("media_id"),
         array_distinct(sig).as("hs"))
       .where(size(col("hs")) > 0)
-      .withColumn("bk", slice(array_sort(col("hs")), 1, k))
-    val probes = sigs.select(col("media_id"), col("hs"),
-      explode(col("bk")).as("h"))
+    // the bucket join moves ONLY (media_id, h): the hs signature
+    // arrays (≈ payload/stride longs — unbounded) re-attach by id on
+    // the deduplicated candidate PAIR set, never riding the k-way
+    // explode or the self-join fan-out
+    val probes = sigs.select(col("media_id"),
+      explode(slice(array_sort(col("hs")), 1, k)).as("h"))
     // J4 mega-bucket cap: a window hash shared by > maxBucket blobs
     // (constant padding, zero runs) would fan out quadratically and
     // carries no discriminative signal
@@ -186,10 +189,11 @@ object Multimodal {
     val cand = probes.join(rare, "h").as("a")
       .join(probes.join(rare, "h").as("x"),
         col("a.h") === col("x.h") && col("a.media_id") < col("x.media_id"))
-      .select(col("a.media_id").as("id_a"), col("x.media_id").as("id_b"),
-        col("a.hs").as("hs_a"), col("x.hs").as("hs_b"))
+      .select(col("a.media_id").as("id_a"), col("x.media_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
+      .join(sigs.select(col("media_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sigs.select(col("media_id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("byte_jaccard",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
           size(array_union(col("hs_a"), col("hs_b"))).cast("double"))

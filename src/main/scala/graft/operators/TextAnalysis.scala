@@ -296,8 +296,17 @@ object TextAnalysis {
                      stats: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"smoothing k must be positive: $k")
     val st = stats.getOrElse(bigramStats(docs, idCol, textCol))
+    // v rides every stats row; lift it to a broadcast scalar so UNSEEN
+    // bigrams — the whole point of scoring NEW docs against pretrained
+    // stats — still receive their smoothed probability k/(c1+k·V)
+    // instead of silently dropping out of an inner join (c1 likewise
+    // coalesces to 0 for unseen heads → p = 1/V)
+    val vScalar = broadcast(st.agg(max(col("v")).as("v")))
     bigramPairs(docs, idCol, textCol)
-      .join(st, Seq("w1", "w2"))
+      .join(st.drop("v"), Seq("w1", "w2"), "left")
+      .crossJoin(vScalar)
+      .withColumn("c12", coalesce(col("c12"), lit(0L)))
+      .withColumn("c1", coalesce(col("c1"), lit(0L)))
       .withColumn("nll",
         round(-log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))), 6)
           .cast(DecimalType(28, 6)))

@@ -57,8 +57,11 @@ class PlanBudgetSpec extends SparkSpec {
     "q_ann_index" -> (3, 1, 2), // serving path: probe window + rank window;
     // queries scan + the PRUNED cells scan; probes broadcast, never the corpus
     "q_compress_ratio" -> (0, 1, 1), // pure codegen map: NO shuffle
-    "q_bigram_perplexity" -> (4, 1, 3) // static view: stats train (2 scans,
-    // SessionMemo-persisted at runtime) + ONE probe scan
+    "q_bigram_perplexity" -> (7, 1, 5) // static view: the stats lineage
+    // appears in the left-join branch AND the vocab-scalar branch (both
+    // collapse onto the ONE SessionMemo-persisted stats relation at
+    // runtime) + ONE probe scan; the left join + scalar keep unseen
+    // bigrams smoothed instead of dropped
   )
 
   budgets.foreach { case (q, (maxHash, maxRange, maxScans)) =>

@@ -284,6 +284,25 @@ class TextAnalysisSpec extends SparkSpec {
       chunks.sortBy(x => (x._1, x._2)).toSeq)
   }
 
+  test("bigramDocScore with pretrained stats smooths unseen bigrams") {
+    // the train-once/score-many path: a new doc whose bigrams the LM
+    // never saw must be scored (p = k/(0 + k·V) per pair), not dropped
+    val corpusA = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val st = TextAnalysis.bigramStats(corpusA, "doc_id", "text")
+    val fresh = Seq((10L, "z q z q z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramDocScore(fresh, "doc_id", "text",
+        stats = Some(st))
+      .select("doc_id", "n_bigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1, s"unseen-bigram doc vanished: ${out.toSeq}")
+    val (_, n, nll) = out.head
+    assert(n == 4)
+    // heads {a, b} → V=2; unseen pair p = 0.5/(0 + 0.5·2) = 0.5
+    val expect = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(nll - expect) < 1e-9, s"$nll vs $expect")
+  }
+
   test("deflateSize/compressionRatio: repetition compresses, values match jdk") {
     val rep = "spam ham " * 200              // degenerate repetition
     val prose = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
