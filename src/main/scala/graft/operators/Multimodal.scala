@@ -178,7 +178,9 @@ object Multimodal {
     // the bucket join moves ONLY (media_id, h): the hs signature
     // arrays (≈ payload/stride longs — unbounded) re-attach by id on
     // the deduplicated candidate PAIR set, never riding the k-way
-    // explode or the self-join fan-out
+    // explode or the self-join fan-out. sigs feeds three consumers —
+    // at 100 TB materialize it once (persist/checkpoint) so the blob
+    // hashing pass runs once, not per consumer branch
     val probes = sigs.select(col("media_id"),
       explode(slice(array_sort(col("hs")), 1, k)).as("h"))
     // J4 mega-bucket cap: a window hash shared by > maxBucket blobs
