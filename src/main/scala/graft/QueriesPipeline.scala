@@ -787,20 +787,26 @@ object QueriesPipeline {
 
     // ----------------------------------------------- E6 media near-dup
     // decode-free byte-similarity: truncated and tail-appended copies
-    // of each doc<8's blob are planted (alignment-preserving edits,
-    // the operator's documented contract), and the detector must find
+    // of planted source blobs (alignment-preserving edits, the
+    // operator's documented contract), and the detector must find
     // every planted (source, variant) pair — the no-false-negative
-    // contract oracle (B10 pattern). False-positive behavior is
+    // contract oracle (B10 pattern). Sources are the 20 LONGEST blobs
+    // (size, not id: the r7 gate's `doc_id < 20 AND >= 512B` filter
+    // matched ZERO docs at sf0.01 — a vacuous pass), so the quantified
+    // set is non-empty at every scale, and every output row carries
+    // n_sources, which the oracle independently pins to 20 — the gate
+    // cannot pass on an empty support set again. verifyB = 0 keeps the
+    // gate on exact Jaccard (the bounded sketch estimator is
+    // spec-covered in MultimodalSpec). False-positive behavior is
     // spec-covered on a controlled fixture (MultimodalSpec).
     QueryDef("q_media_neardup",
       (s, d) => {
         import graft.operators.Multimodal
         val base = Tables.documents(s, d)
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-        // only blobs with enough windows for the contract: a ~64-byte
-        // blob has ONE window and truncation rewrites it entirely
-        val src = base.where(col("doc_id") < 20 &&
-          expr("octet_length(blob)") >= 512)
+        val src = base
+          .orderBy(expr("octet_length(blob)").desc, col("doc_id"))
+          .limit(20)
         val trunc = src.select((col("doc_id") + 1000000).as("doc_id"),
           expr("substring(blob, 1, octet_length(blob) - 16)").as("blob"))
         val appended = src.select((col("doc_id") + 2000000).as("doc_id"),
@@ -808,7 +814,7 @@ object QueriesPipeline {
             .as("blob"))
         val pairs = Multimodal.mediaNearDups(
           base.unionAll(trunc).unionAll(appended), "doc_id", "blob",
-          threshold = 0.5)
+          threshold = 0.5, verifyB = 0)
         src.select(col("doc_id")).as("s")
           .join(pairs.as("p1"),
             col("p1.id_a") === col("s.doc_id") &&
@@ -819,11 +825,15 @@ object QueriesPipeline {
           .select(col("s.doc_id").as("doc_id"),
             col("p1.id_b").isNotNull.as("trunc_found"),
             col("p2.id_b").isNotNull.as("append_found"))
+          .crossJoin(broadcast(src.agg(count(lit(1)).as("n_sources"))))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, TRUE AS trunc_found, TRUE AS append_found
-        FROM documents WHERE doc_id < 20 AND octet_length(encode(text)) >= 512
-        ORDER BY doc_id""")),
+      Some("""WITH src AS (
+          SELECT doc_id FROM documents
+          ORDER BY octet_length(encode(text)) DESC, doc_id LIMIT 20)
+        SELECT doc_id, TRUE AS trunc_found, TRUE AS append_found,
+          (SELECT COUNT(*) FROM src) AS n_sources
+        FROM src ORDER BY doc_id""")),
 
     // ------------------------------------------------------ E3 media meta
     QueryDef("q_media_meta",

@@ -5,6 +5,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Multimodal columns (SURVEY §2.E3/E4): media as opaque `binary`
   * columns with typed metadata, and batched feature extraction.
@@ -162,27 +163,54 @@ object Multimodal {
     * content-defined byte chunks (the H15 boundary rule over bytes),
     * which also survive PREFIX insertions/deletions — boundaries
     * derive from content, so chunks after the edit hash identically.
+    * NOTE: in cdc mode `stride` is unused and `window` is reinterpreted
+    * as the chunk-size SCALE (target = 2·window, min = window/2,
+    * max = 8·window), so it must be >= 2.
+    *
+    * Verification is BOUNDED: only each blob's bottom-`verifyB` hashes
+    * (a sorted bottom-k sketch) ever leave the hashing pass, and pair
+    * similarity is the standard bottom-k Jaccard estimator — take the
+    * bottom-B of the sketch union X, estimate J = |X ∩ A ∩ B| / |X|.
+    * When a pair's true union has <= B hashes the estimator IS exact
+    * Jaccard, so small blobs lose nothing; large blobs shuffle B longs
+    * instead of payload/stride (the r7 Θ(payload/stride) verify leak).
+    * `verifyB <= 0` restores exact full-signature Jaccard (the gate
+    * config). The signature relation is persisted at `sigStorage`
+    * (pass StorageLevel.NONE to opt out), so the per-blob hashing pass
+    * runs once, not once per consumer branch.
     */
   def mediaNearDups(df: DataFrame, idCol: String, blobCol: String,
                     threshold: Double = 0.5, window: Int = 64,
                     stride: Int = 32, k: Int = 12,
-                    maxBucket: Int = 64, cdc: Boolean = false): DataFrame = {
+                    maxBucket: Int = 64, cdc: Boolean = false,
+                    verifyB: Int = 256,
+                    sigStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    require(!cdc || window >= 2,
+      s"cdc = true reuses window as the chunk-size scale (target 2w, min " +
+        s"w/2, max 8w; stride is ignored): need window >= 2, got $window")
+    require(verifyB <= 0 || verifyB >= k,
+      s"verifyB ($verifyB) must be >= k ($k): probes come from the sketch")
     val sig =
       if (cdc) byteCdcHashes(col(blobCol), targetSize = window * 2,
         minSize = window / 2, maxSize = window * 8)
       else byteWindowHashes(col(blobCol), window, stride)
-    val sigs = df.select(col(idCol).as("media_id"),
-        array_distinct(sig).as("hs"))
+    val full = df.select(col(idCol).as("media_id"),
+        array_sort(array_distinct(sig)).as("hs"))
       .where(size(col("hs")) > 0)
-    // the bucket join moves ONLY (media_id, h): the hs signature
-    // arrays (≈ payload/stride longs — unbounded) re-attach by id on
-    // the deduplicated candidate PAIR set, never riding the k-way
-    // explode or the self-join fan-out. sigs feeds three consumers —
-    // at 100 TB materialize it once (persist/checkpoint) so the blob
-    // hashing pass runs once, not per consumer branch
+    // the bucket join moves ONLY (media_id, h); signatures re-attach by
+    // id on the deduplicated candidate PAIR set, never riding the k-way
+    // explode or the self-join fan-out — and with verifyB > 0 each
+    // signature is a bounded bottom-B sketch, never the full array
+    val bounded =
+      if (verifyB > 0) full.select(col("media_id"),
+        slice(col("hs"), 1, verifyB).as("hs"))
+      else full
+    val sigs =
+      if (sigStorage == StorageLevel.NONE) bounded else bounded.persist(sigStorage)
     val probes = sigs.select(col("media_id"),
-      explode(slice(array_sort(col("hs")), 1, k)).as("h"))
+      explode(slice(col("hs"), 1, k)).as("h"))
     // J4 mega-bucket cap: a window hash shared by > maxBucket blobs
     // (constant padding, zero runs) would fan out quadratically and
     // carries no discriminative signal
@@ -193,12 +221,25 @@ object Multimodal {
         col("a.h") === col("x.h") && col("a.media_id") < col("x.media_id"))
       .select(col("a.media_id").as("id_a"), col("x.media_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    val attached = cand
       .join(sigs.select(col("media_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sigs.select(col("media_id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .withColumn("byte_jaccard",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
+    val scored =
+      if (verifyB > 0)
+        // bottom-B estimator: X = bottom-B of the union (valid because
+        // any of the B smallest of A∪B is among the B smallest of the
+        // set containing it, so X is computable from the two sketches)
+        attached.withColumn("u",
+            slice(array_sort(array_union(col("hs_a"), col("hs_b"))), 1, verifyB))
+          .withColumn("byte_jaccard",
+            size(array_intersect(col("u"),
+              array_intersect(col("hs_a"), col("hs_b")))).cast("double") /
+              size(col("u")).cast("double"))
+      else
+        attached.withColumn("byte_jaccard",
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+            size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
+    scored
       .where(col("byte_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("byte_jaccard"), 6).as("byte_jaccard"))

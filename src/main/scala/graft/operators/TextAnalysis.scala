@@ -299,13 +299,25 @@ object TextAnalysis {
     // v rides every stats row; lift it to a broadcast scalar so UNSEEN
     // bigrams — the whole point of scoring NEW docs against pretrained
     // stats — still receive their smoothed probability k/(c1+k·V)
-    // instead of silently dropping out of an inner join (c1 likewise
-    // coalesces to 0 for unseen heads → p = 1/V)
+    // instead of silently dropping out of an inner join
     val vScalar = broadcast(st.agg(max(col("v")).as("v")))
-    bigramPairs(docs, idCol, textCol)
-      .join(st.drop("v"), Seq("w1", "w2"), "left")
+    // a bigram with a SEEN head but novel continuation must take c1
+    // from a HEAD table (p = k/(c1+k·V)), not coalesce c1 to 0 — the
+    // (w1,w2)-only join understated nll for docs mixing seen heads
+    // with new continuations. Only the pairs that MISS the (w1,w2)
+    // join re-shuffle on w1 (in-distribution docs send a small
+    // fraction through the head join, not the whole relation).
+    val heads = st.groupBy("w1").agg(max(col("c1")).as("c1"))
+    val scored0 = bigramPairs(docs, idCol, textCol)
+      .join(st.select("w1", "w2", "c12", "c1"), Seq("w1", "w2"), "left")
+    val seenCols = Seq("doc_id", "w1", "w2", "c12", "c1").map(col)
+    val seen = scored0.where(col("c12").isNotNull).select(seenCols: _*)
+    val unseen = scored0.where(col("c12").isNull).drop("c1")
+      .join(heads, Seq("w1"), "left")
+      .withColumn("c12", lit(0L))
+      .select(seenCols: _*)
+    seen.unionByName(unseen)
       .crossJoin(vScalar)
-      .withColumn("c12", coalesce(col("c12"), lit(0L)))
       .withColumn("c1", coalesce(col("c1"), lit(0L)))
       .withColumn("nll",
         round(-log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))), 6)

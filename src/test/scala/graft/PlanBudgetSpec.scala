@@ -57,11 +57,14 @@ class PlanBudgetSpec extends SparkSpec {
     "q_ann_index" -> (3, 1, 2), // serving path: probe window + rank window;
     // queries scan + the PRUNED cells scan; probes broadcast, never the corpus
     "q_compress_ratio" -> (0, 1, 1), // pure codegen map: NO shuffle
-    "q_bigram_perplexity" -> (7, 1, 5) // static view: the stats lineage
-    // appears in the left-join branch AND the vocab-scalar branch (both
+    "q_bigram_perplexity" -> (13, 1, 10) // static view: the stats lineage
+    // appears in the pair-join branch, the HEAD-table branch (r8: seen
+    // heads with novel continuations take c1 from a w1-keyed head
+    // join, not coalesce-to-0), and the vocab-scalar branch — all
     // collapse onto the ONE SessionMemo-persisted stats relation at
-    // runtime) + ONE probe scan; the left join + scalar keep unseen
-    // bigrams smoothed instead of dropped
+    // runtime + ONE probe scan. Only pairs MISSING the (w1,w2) join
+    // re-shuffle on w1 (the seen/unseen split), so the runtime corpus
+    // cost stays one full shuffle + the unseen fraction
   )
 
   budgets.foreach { case (q, (maxHash, maxRange, maxScans)) =>

@@ -103,6 +103,71 @@ class MultimodalSpec extends SparkSpec {
     assert(capped == 0, "mega-bucket constant blobs must be capped")
   }
 
+  test("mediaNearDups bottom-B sketch verify: exact when union <= B, " +
+      "finds planted pairs when union >> B, one hashing pass") {
+    import org.apache.spark.sql.functions._
+    def blob(seed: Int, n: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed); val b = new Array[Byte](n)
+      r.nextBytes(b); b
+    }
+    // small blobs: every pair union fits in B → estimator IS exact
+    val small = Seq(
+      (1L, blob(1, 2000)), (2L, blob(1, 2000).dropRight(300)),
+      (3L, blob(2, 2000))).toDF("doc_id", "blob")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "byte_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = pairSet(Multimodal.mediaNearDups(small, "doc_id", "blob",
+      threshold = 0.3, verifyB = 0))
+    val sketch = pairSet(Multimodal.mediaNearDups(small, "doc_id", "blob",
+      threshold = 0.3, verifyB = 256))
+    assert(exact == sketch,
+      s"union <= B must reduce to exact Jaccard: $exact vs $sketch")
+    // big blobs: ~1250 window hashes >> B=256 — the estimator path is
+    // genuinely exercised and must still find the planted variants
+    val a = blob(7, 40000)
+    // repartition breaks ConvertToLocalRelation so the plan keeps the
+    // hashing projection visible (as any real source would)
+    val big = Seq(
+      (1L, a), (2L, a.dropRight(4000)),      // truncated copy
+      (3L, a ++ blob(8, 2000)),              // appended copy
+      (4L, blob(9, 40000))).toDF("doc_id", "blob").repartition(2)
+    // evaluate the opt-out plan BEFORE any persisted twin exists: the
+    // session CacheManager substitutes cached subtrees into IDENTICAL
+    // later plans, which would mask the opt-out
+    def imtScans(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.queryExecution.executedPlan.toString
+      s.linesIterator.count(_.contains("InMemoryTableScan"))
+    }
+    val none = Multimodal.mediaNearDups(big, "doc_id", "blob",
+      threshold = 0.5, verifyB = 256,
+      sigStorage = org.apache.spark.storage.StorageLevel.NONE)
+    assert(imtScans(none) == 0,
+      "StorageLevel.NONE must opt out of persistence")
+    val est = Multimodal.mediaNearDups(big, "doc_id", "blob",
+      threshold = 0.5, verifyB = 256)
+    val estPairs = est.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(estPairs.contains((1L, 2L)), s"trunc missed by sketch: $estPairs")
+    assert(estPairs.contains((1L, 3L)), s"append missed by sketch: $estPairs")
+    assert(!estPairs.exists(p => p._1 == 4L || p._2 == 4L), s"FP: $estPairs")
+    // the persisted signature relation makes the blob-hashing pass run
+    // ONCE: every consumer branch reads the cache through an
+    // InMemoryTableScan (first materialization computes the hashes,
+    // the rest replay it)
+    assert(imtScans(est) >= 2,
+      s"default sigStorage must persist the signature relation so all " +
+        s"consumer branches read the cache: ${imtScans(est)} cache scans")
+  }
+
+  test("mediaNearDups cdc mode rejects window < 2 with a clear message") {
+    val df = Seq((1L, new Array[Byte](64))).toDF("doc_id", "blob")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.mediaNearDups(df, "doc_id", "blob", window = 1, cdc = true)
+    }
+    assert(e.getMessage.contains("chunk-size scale"), e.getMessage)
+  }
+
   test("mediaNearDups cdc mode survives a prefix edit; aligned mode does not") {
     import org.apache.spark.sql.functions._
     def blob(seed: Int, n: Int): Array[Byte] = {

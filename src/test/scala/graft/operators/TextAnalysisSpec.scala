@@ -303,6 +303,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(nll - expect) < 1e-9, s"$nll vs $expect")
   }
 
+  test("bigramDocScore pretrained: seen head + novel continuation " +
+      "takes c1 from the head table") {
+    // the r7 ADVICE bug: a (w1,w2)-only stats join coalesced c1 to 0
+    // for any unseen PAIR, even when the HEAD was seen — scoring
+    // p = k/(k·V) instead of the documented k/(c1+k·V)
+    val corpusA = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val st = TextAnalysis.bigramStats(corpusA, "doc_id", "text")
+    // 'a z': head 'a' is seen (c1=2 via 'a b' twice), pair (a,z) is not
+    val fresh = Seq((11L, "a z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramDocScore(fresh, "doc_id", "text",
+        stats = Some(st))
+      .select("doc_id", "n_bigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1, s"doc vanished: ${out.toSeq}")
+    val (_, n, nll) = out.head
+    assert(n == 1)
+    // V=2 (heads a, b) → p = 0.5/(2 + 0.5·2) = 1/6, nll = ln 6
+    val expect = BigDecimal(math.log(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(nll - expect) < 1e-9, s"$nll vs $expect")
+    // a doc MIXING a seen pair with a seen-head/novel-continuation
+    // pair blends both branches: 'a b' (p=2.5/3) and 'a z' (p=1/6)
+    val mixed = Seq((12L, "a b a z")).toDF("doc_id", "text")
+    val m = TextAnalysis.bigramDocScore(mixed, "doc_id", "text",
+        stats = Some(st))
+      .select("n_bigrams", "avg_nll").as[(Long, Double)].collect().head
+    assert(m._1 == 3)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pairs: (a,b) seen c12=2 c1=2 → -ln(2.5/3); (b,a) seen c12=2
+    // c1=2 → -ln(2.5/3); (a,z) head-only → -ln(1/6)
+    val want = r6((r6(-math.log(2.5 / 3)) * 2 + r6(math.log(6.0))) / 3)
+    assert(math.abs(m._2 - want) < 1e-9, s"${m._2} vs $want")
+  }
+
   test("deflateSize/compressionRatio: repetition compresses, values match jdk") {
     val rep = "spam ham " * 200              // degenerate repetition
     val prose = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
