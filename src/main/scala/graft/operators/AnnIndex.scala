@@ -79,13 +79,22 @@ object AnnIndex {
     * search path (searchAdc with refine <= 0). Exact-within-cell
     * search and exact re-rank need the stored vectors and reject a
     * codes-only index explicitly.
+    *
+    * `filesPerCell` is the pruned-read PARALLELISM knob: a probe of
+    * `p` cells scans at most p·filesPerCell file splits, and below the
+    * 128 MB split size one-file cells starve the scan (4 probed cells
+    * = 4 tasks on a 32-core executor). Cells larger than the split
+    * size parallelize regardless, so 1 (the default) is right at
+    * 100 TB; raise it when cells are small relative to the cluster.
     */
   def write(corpus: DataFrame, dir: String, dim: Int,
             nCells: Int = 16, stride: Long = 7, kmeansIters: Int = 1,
             m: Int = 8, ncodes: Int = 16, pqIters: Int = 2,
             centroids: Option[DataFrame] = None,
             codebooks: Option[Seq[Seq[Seq[Double]]]] = None,
-            storeEmbeddings: Boolean = true): IvfPqIndex = {
+            storeEmbeddings: Boolean = true,
+            filesPerCell: Int = 1): IvfPqIndex = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1: $filesPerCell")
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = centroids.getOrElse(
@@ -93,8 +102,8 @@ object AnnIndex {
     val books = codebooks.getOrElse(
       Similarity.trainPqCodebooks(corpus, dim, m, ncodes, stride, pqIters))
     val enc = encode(corpus, cents, books)
-    (if (storeEmbeddings) enc else enc.drop("embedding"))
-      .repartition(col("cent_id"))
+    cellPartitioned(if (storeEmbeddings) enc else enc.drop("embedding"),
+      nCells, filesPerCell)
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/cells")
     cents.select(col("cent_id").cast(LongType), col("cent"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -103,11 +112,87 @@ object AnnIndex {
         sub.zipWithIndex.map { case (c, ci) => (mi, ci, c) } }
       .toDF("m", "code", "cent")
       .write.mode("overwrite").parquet(s"$dir/codebooks")
-    // build-time cell histogram: the drift baseline (bounded: nCells rows)
-    spark.read.parquet(s"$dir/cells")
-      .groupBy("cent_id").agg(count(lit(1)).as("n"))
+    // build-time cell histogram: the drift baseline (bounded: nCells
+    // rows). Row counts come from the just-written parquet FOOTERS —
+    // a distributed metadata-only pass over O(files) (the D14
+    // surface), not the r7 second scan of the encoded corpus
+    cellStatsFromFooters(spark, dir)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/cellstats")
     IvfPqIndex(spark, dir, cents, books)
+  }
+
+  /** One writer task per (cell, salt): filesPerCell files per cell
+    * directory, one task's worth of rows each — never tasks × cells
+    * small files (the D7 discipline with a parallelism dial).
+    */
+  private def cellPartitioned(enc: DataFrame, nCells: Int,
+                              filesPerCell: Int): DataFrame =
+    if (filesPerCell <= 1) enc.repartition(col("cent_id"))
+    else enc.repartition(nCells * filesPerCell, col("cent_id"),
+      pmod(col("vec_id"), lit(filesPerCell)))
+
+  /** (cent_id, n) from the cells directory's parquet footers: the
+    * partition-directory listing is bounded (nCells entries), and each
+    * task opens only its own files' footers — no corpus rows are read.
+    */
+  private def cellStatsFromFooters(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import graft.sources.arrow.{HadoopFiles, SerializableHadoopConf}
+    import spark.implicits._
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val cellsPath = new Path(s"$dir/cells")
+    val fs = cellsPath.getFileSystem(hconf.value)
+    val files = fs.listStatus(cellsPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cent_id="))
+      .flatMap { st =>
+        val cid = st.getPath.getName.stripPrefix("cent_id=").toLong
+        HadoopFiles.dataFiles(st.getPath.toString, hconf.value).map(cid -> _)
+      }
+    val parts = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism * 2))
+    spark.createDataset(files).repartition(parts)
+      .map { case (cid, f) =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f), hconf.value))
+        try (cid, reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        finally reader.close()
+      }
+      .toDF("cent_id", "n")
+      .groupBy("cent_id").agg(sum(col("n")).as("n"))
+  }
+
+  /** Cell-partition compaction for a streaming-maintained index:
+    * repeated [[append]]/[[streamingAppend]] batches accrete one file
+    * per touched cell per batch until partition discovery and scan
+    * degrade — the classic streaming-ingest failure at scale. This
+    * rewrites every cell into ONE file (same rows, same layout: the
+    * repartition-by-partition-column write discipline gives one writer
+    * task per cell), refreshes cellstats from the rewritten footers,
+    * and swaps directories. The swap (delete + rename) is not atomic:
+    * run compaction in the same maintenance window as a re-train
+    * would, never concurrently with a search or append — the
+    * IncrementalDedup.retainBatches trade, where maintenance work is
+    * delayed rather than interleaved.
+    */
+  def compactCells(index: IvfPqIndex, filesPerCell: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1: $filesPerCell")
+    val spark = index.spark
+    val dir = index.dir
+    val tmp = new Path(s"$dir/cells.compacting")
+    val live = new Path(s"$dir/cells")
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmp, true)
+    val nCells = index.centroids.count().toInt
+    cellPartitioned(spark.read.parquet(s"$dir/cells"), nCells, filesPerCell)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"compaction swap failed: $tmp -> $live")
+    cellStatsFromFooters(spark, dir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cellstats")
   }
 
   /** Open a persisted index. Loads only the bounded artifacts

@@ -113,6 +113,52 @@ class AnnIndexSpec extends SparkSpec {
       asTuples(AnnIndex.searchExact(wholeIdx, q, 5, 8)))
   }
 
+  test("compactCells: file count drops, search is identical, " +
+      "append-after-compact works, cellstats refresh from footers") {
+    val dir = Files.createTempDirectory("graft-annidx-compact").toString
+    val base = emb.where($"vec_id" % 3 =!= 0)
+    val idx = AnnIndex.write(base, dir, dim = 64, nCells = 8, stride = 7)
+    // accrete small files the way daily streamingAppend batches do
+    AnnIndex.append(idx, emb.where($"vec_id" % 3 === 0 && $"vec_id" % 2 === 0))
+    AnnIndex.append(idx, emb.where($"vec_id" % 3 === 0 && $"vec_id" % 2 =!= 0))
+    def files() = idx.cells.select(input_file_name()).distinct().count()
+    def cellstats() = spark.read.parquet(s"$dir/cellstats")
+      .collect().map(r => r.getAs[Number](0).longValue() ->
+        r.getAs[Number](1).longValue()).toMap
+    val before = asTuples(AnnIndex.searchExact(idx, queries, 5, 8))
+    val filesBefore = files()
+    // cellstats BEFORE compaction describe only the build-time base
+    // (the drift baseline deliberately excludes appends)
+    assert(cellstats().values.sum == base.count())
+    AnnIndex.compactCells(idx)
+    val filesAfter = files()
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count: $filesBefore -> $filesAfter")
+    // one file per cell: the repartition-by-cell write discipline
+    val nCellDirs = idx.cells.select("cent_id").distinct().count()
+    assert(filesAfter == nCellDirs,
+      s"expected one file per cell: $filesAfter files, $nCellDirs cells")
+    // the data is byte-identical in content: same search results
+    assert(asTuples(AnnIndex.searchExact(idx, queries, 5, 8)) == before)
+    // cellstats refreshed from the rewritten footers now cover ALL rows
+    assert(cellstats().values.sum == emb.count())
+    // and per-cell counts agree with the data itself
+    val fromData = idx.cells.groupBy("cent_id").count().collect()
+      .map(r => r.getAs[Number](0).longValue() ->
+        r.getAs[Number](1).longValue()).toMap
+    assert(cellstats() == fromData)
+    // append after compaction lands and is searchable
+    val extra = emb.where($"vec_id" < 2)
+      .select(($"vec_id" + 500000).as("vec_id"), $"embedding")
+    AnnIndex.append(idx, extra)
+    assert(idx.cells.count() == emb.count() + 2)
+    val q0 = emb.where($"vec_id" === 0)
+    val hits = AnnIndex.searchExact(idx, q0, k = 1, nprobe = 8)
+      .select("nid").as[Long].collect()
+    // vec 500000 is a duplicate of vec 0 → its cosine is 1.0, rank 1
+    assert(hits.sameElements(Array(500000L)), hits.toSeq.toString)
+  }
+
   test("streamingAppend: streamed batches converge to the batch index") {
     val dir = Files.createTempDirectory("graft-annidx-stream").toString
     val base = emb.where($"vec_id" % 3 =!= 0)
