@@ -12,6 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * of an occasional rebuild.
   */
 private[graft] object SessionMemo {
+  // bench telemetry: memoized-pipeline cost charges to whichever
+  // consumer query runs its build first, so cross-round per-query
+  // comparisons trip on attribution noise (the r7 q_semantic_dedup
+  // "regression"). Bench diffs these monotonic counters around each
+  // run to stamp every query with whether it BUILT a shared relation
+  // (paid the pipeline) or HIT one (measured a cache read).
+  private val hitCounter = new java.util.concurrent.atomic.AtomicLong
+  private val buildCounter = new java.util.concurrent.atomic.AtomicLong
+  def counters: (Long, Long) = (hitCounter.get, buildCounter.get)
+
   private val store = new java.util.WeakHashMap[
     SparkSession,
     scala.collection.concurrent.TrieMap[Any, java.lang.ref.SoftReference[DataFrame]]]()
@@ -27,9 +37,10 @@ private[graft] object SessionMemo {
       t
     }
     perSession.get(key).flatMap(r => Option(r.get())) match {
-      case Some(df) => df
+      case Some(df) => hitCounter.incrementAndGet(); df
       case None =>
         val df = build
+        buildCounter.incrementAndGet()
         perSession.put(key, new java.lang.ref.SoftReference(df))
         df
     }
@@ -55,9 +66,10 @@ private[graft] object SessionMemo {
       t
     }
     perSession.get(key).flatMap(r => Option(r.get())) match {
-      case Some(v) => v.asInstanceOf[T]
+      case Some(v) => hitCounter.incrementAndGet(); v.asInstanceOf[T]
       case None =>
         val v = build
+        buildCounter.incrementAndGet()
         perSession.put(key, new java.lang.ref.SoftReference[AnyRef](v))
         v
     }

@@ -16,23 +16,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * Native expression: runs over 100% of corpus bytes, so it must stay
   * inside whole-stage codegen like the normalization kernel. raw
   * deflate (nowrap), fixed default level — deterministic for a given
-  * input everywhere, which is what makes the ratio usable as a
-  * filter/split key.
+  * input WITHIN a JVM/zlib version (deflate output is not pinned by
+  * the format spec across zlib releases), so a homogeneous cluster
+  * filters/splits reproducibly, but persisted ratios should not be
+  * compared bit-exactly across JDK upgrades. The gate oracle is
+  * therefore a contract (bounds + orderings), not an exact value.
   */
 object CompressRuntime {
   // a Deflater holds native memory and costs JNI setup per
   // construction — on a kernel that runs over 100% of corpus bytes,
   // per-row construction dominates short documents. One instance per
   // task thread, reset() between rows (tasks are single-threaded).
-  private val local = new ThreadLocal[java.util.zip.Deflater] {
-    override def initialValue(): java.util.zip.Deflater =
-      new java.util.zip.Deflater(
-        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+  // The holder indirection exists so dying threads release their
+  // native window buffers: when a task thread exits, its ThreadLocal
+  // map entry is collected, the holder becomes unreachable, and the
+  // cleaner end()s the deflater instead of pinning zlib memory for
+  // the JVM lifetime. The cleanup action captures the deflater, never
+  // the holder (a self-reference would defeat the cleaner).
+  private val cleaner = java.lang.ref.Cleaner.create()
+  private final class Holder {
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+  }
+  private val local = new ThreadLocal[Holder] {
+    override def initialValue(): Holder = {
+      val h = new Holder
+      val d = h.deflater
+      cleaner.register(h, () => d.end())
+      h
+    }
   }
 
   def deflateSize(s: UTF8String): Long = {
     val bytes = s.getBytes
-    val d = local.get()
+    val d = local.get().deflater
     d.reset()
     d.setInput(bytes)
     d.finish()

@@ -20,10 +20,14 @@ import org.apache.spark.sql.types._
   *
   * On-disk layout under `dir`:
   *   cells/cent_id=N/ — parquet of (vec_id, codes: array<int>,
-  *                      anrm: double, embedding: array<float>)
+  *                      anrm: double, embedding: array<float>,
+  *                      gen: long — the write generation, see deletes)
   *   centroids/       — parquet of (cent_id: long, cent: array<float>)
   *   codebooks/       — parquet of (m: int, code: int, cent: array<double>)
   *   cellstats/       — parquet of (cent_id: long, n: long) at build time
+  *   meta/            — parquet of (next_gen: long)
+  *   tombstones/      — parquet of (vec_id, gen: long); present only
+  *                      between a delete/upsert and the next compaction
   *
   * `codes`/`anrm` serve the ADC scan (each scanned row is m ints, not
   * dim floats); `embedding` serves exact re-rank and exact-within-cell
@@ -55,7 +59,7 @@ object AnnIndex {
     * shuffle — the shape both the initial build and every append use.
     */
   private def encode(rows: DataFrame, cents: DataFrame,
-                     books: Seq[Seq[Seq[Double]]]): DataFrame = {
+                     books: Seq[Seq[Seq[Double]]], gen: Long): DataFrame = {
     import graft.functions.{exprs, PqAdc, PqEncode}
     Similarity.assignToCentroids(rows, cents)
       .select(col("vec_id"), col("cent_id"),
@@ -65,6 +69,7 @@ object AnnIndex {
       .withColumn("anrm", sqrt(exprs.toColumn(PqAdc(
         exprs.toExpr(col("codes")),
         exprs.toExpr(typedlit(normLut(books)))))))
+      .withColumn("gen", lit(gen))
   }
 
   /** Build and persist the index: train both halves (or reuse
@@ -101,7 +106,7 @@ object AnnIndex {
       Similarity.trainIvfCentroids(corpus, nCells, stride, kmeansIters))
     val books = codebooks.getOrElse(
       Similarity.trainPqCodebooks(corpus, dim, m, ncodes, stride, pqIters))
-    val enc = encode(corpus, cents, books)
+    val enc = encode(corpus, cents, books, gen = 0L)
     cellPartitioned(if (storeEmbeddings) enc else enc.drop("embedding"),
       nCells, filesPerCell)
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/cells")
@@ -118,7 +123,83 @@ object AnnIndex {
     // surface), not the r7 second scan of the encoded corpus
     cellStatsFromFooters(spark, dir)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/cellstats")
+    writeNextGen(spark, dir, 1L)
     IvfPqIndex(spark, dir, cents, books)
+  }
+
+  // ------------------------------------------------------ G13: deletes
+  //
+  // Tombstone deletes, the LSM discipline: a delete never touches the
+  // cell files (a targeted rewrite of a 100 TB partitioned corpus per
+  // delete batch is the operation that cannot exist); it appends
+  // (vec_id, gen) rows to a bounded tombstones/ relation, and every
+  // search anti-joins the broadcast tombstone set against the PRUNED
+  // cell slice — a row is dead iff a tombstone with a LATER generation
+  // names its id, so an upsert's re-encoded row (written at the
+  // tombstone's own generation) survives while every older version
+  // dies. compactCells() makes deletes physical and clears the set.
+  // Generations come from a tiny meta/ file bumped once per
+  // maintenance batch; like compaction, maintenance is single-writer
+  // by contract (searches are unaffected readers). The tombstone set
+  // grows only until the next compaction — the broadcast stays
+  // bounded by the same maintenance cadence that bounds small files.
+
+  private def nextGen(spark: SparkSession, dir: String): Long =
+    scala.util.Try(spark.read.parquet(s"$dir/meta")
+      .head().getLong(0)).getOrElse(1L)
+
+  private def writeNextGen(spark: SparkSession, dir: String, g: Long): Unit = {
+    import spark.implicits._
+    Seq(g).toDF("next_gen").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def tombstones(index: IvfPqIndex): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"${index.dir}/tombstones")
+    val fs = p.getFileSystem(index.spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(index.spark.read.parquet(p.toString)) else None
+  }
+
+  /** Rows of `cells` still alive under the tombstone set. */
+  private def alive(index: IvfPqIndex, cells: DataFrame): DataFrame =
+    tombstones(index) match {
+      case Some(t) => cells.as("c").join(broadcast(t.as("t")),
+        col("c.vec_id") === col("t.vec_id") && col("t.gen") > col("c.gen"),
+        "left_anti")
+      case None => cells
+    }
+
+  /** Logically delete `ids` (a vec_id column): every currently-stored
+    * version of those vectors disappears from all searches at once.
+    * O(|ids|) writes, zero corpus IO.
+    */
+  def delete(index: IvfPqIndex, ids: DataFrame): Unit = {
+    val spark = index.spark
+    val g = nextGen(spark, index.dir)
+    ids.select(col("vec_id"), lit(g).as("gen"))
+      .coalesce(1)
+      .write.mode("append").parquet(s"${index.dir}/tombstones")
+    writeNextGen(spark, index.dir, g + 1)
+  }
+
+  /** Replace-or-insert: tombstones the ids at generation g and appends
+    * their re-encoded rows AT g — strictly-later tombstones kill every
+    * older version while the fresh rows survive, so a search sees
+    * exactly the new vectors. One encode pass + one bounded tombstone
+    * write.
+    */
+  def upsert(index: IvfPqIndex, rows: DataFrame): Unit = {
+    val spark = index.spark
+    val g = nextGen(spark, index.dir)
+    rows.select(col("vec_id"), lit(g).as("gen"))
+      .coalesce(1)
+      .write.mode("append").parquet(s"${index.dir}/tombstones")
+    val enc = encode(rows, index.centroids, index.codebooks, gen = g)
+    (if (hasEmbeddings(index)) enc else enc.drop("embedding"))
+      .repartition(col("cent_id"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"${index.dir}/cells")
+    writeNextGen(spark, index.dir, g + 1)
   }
 
   /** One writer task per (cell, salt): filesPerCell files per cell
@@ -187,10 +268,14 @@ object AnnIndex {
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(tmp, true)
     val nCells = index.centroids.count().toInt
-    cellPartitioned(spark.read.parquet(s"$dir/cells"), nCells, filesPerCell)
+    // deletes become physical here: only rows alive under the tombstone
+    // set are rewritten, then the set (now fully applied) is dropped
+    cellPartitioned(alive(index, spark.read.parquet(s"$dir/cells")),
+      nCells, filesPerCell)
       .write.mode("overwrite").partitionBy("cent_id").parquet(tmp.toString)
     fs.delete(live, true)
     require(fs.rename(tmp, live), s"compaction swap failed: $tmp -> $live")
+    fs.delete(new Path(s"$dir/tombstones"), true)
     cellStatsFromFooters(spark, dir)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/cellstats")
   }
@@ -236,7 +321,8 @@ object AnnIndex {
   private def prunedCells(index: IvfPqIndex, probes: DataFrame): DataFrame = {
     val cellIds = probes.select("cent_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    index.cells.where(col("cent_id").isin(cellIds.map(_.asInstanceOf[Any]): _*))
+    alive(index,
+      index.cells.where(col("cent_id").isin(cellIds.map(_.asInstanceOf[Any]): _*)))
   }
 
   /** Exact search over the probed cells: full-precision cosine against
@@ -327,10 +413,15 @@ object AnnIndex {
     * for when a full re-train/re-write is due.
     */
   def append(index: IvfPqIndex, rows: DataFrame): Unit = {
-    val enc = encode(rows, index.centroids, index.codebooks)
+    val spark = index.spark
+    // appended rows take a fresh generation so an id deleted earlier
+    // and re-added here is alive (its row gen outranks the tombstone)
+    val g = nextGen(spark, index.dir)
+    val enc = encode(rows, index.centroids, index.codebooks, gen = g)
     (if (hasEmbeddings(index)) enc else enc.drop("embedding"))
       .repartition(col("cent_id"))
       .write.mode("append").partitionBy("cent_id").parquet(s"${index.dir}/cells")
+    writeNextGen(spark, index.dir, g + 1)
   }
 
   /** Continuous ingestion: every micro-batch runs the same bounded

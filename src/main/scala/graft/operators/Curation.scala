@@ -254,14 +254,20 @@ object Curation {
     *
     * hotCap > 0: skew-resistant. Per-gram stats come from a hash
     * aggregate (map-side partial combine: a hot gram contributes one
-    * row per map task to the shuffle, never its row count). Grams at
-    * df >= hotCap are by construction few (≤ rows/hotCap) — they
-    * broadcast, and their rows get stats map-side with no shuffle at
-    * all. The remaining cold join has every key bounded below hotCap,
-    * so no reducer can be hot. At 100 TB run hotCap ≈ 10⁴: web-corpus
-    * gram frequencies are heavy-tailed, and the head IS the skew.
+    * row per map task to the shuffle, never its row count). The
+    * broadcast hot set is the top `maxHot` grams by df among those at
+    * df >= hotCap — the ≤ rows/hotCap bound alone does not guarantee
+    * broadcastability at 100 TB (hotCap ≈ 10⁴ admits ~10⁸ grams), so
+    * the absolute cap bounds driver/broadcast memory regardless of
+    * corpus size. Broadcast rows get stats map-side with no shuffle;
+    * everything else (cold grams plus any hot overflow past maxHot)
+    * takes the shuffle join, where the hottest key's df is at most the
+    * maxHot-th largest — on a heavy-tailed web corpus the head IS the
+    * skew, so with maxHot ≈ 10⁶ the residual join is effectively
+    * skew-free while the broadcast stays tens of MB.
     */
-  private def withGramStats(grams: DataFrame, hotCap: Int): DataFrame = {
+  private def withGramStats(grams: DataFrame, hotCap: Int,
+                            maxHot: Int = 1 << 20): DataFrame = {
     if (hotCap <= 0)
       return grams
         .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
@@ -269,20 +275,24 @@ object Curation {
     val stats = grams.groupBy("gram")
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_id"))
     val hot = stats.where(col("df") >= hotCap)
+      .orderBy(col("df").desc, col("gram")).limit(maxHot)
     val marked = grams.join(broadcast(hot), Seq("gram"), "left")
     marked.where(col("df").isNotNull)
       .unionByName(marked.where(col("df").isNull).drop("df", "first_id")
-        .join(stats.where(col("df") < hotCap), "gram"))
+        .join(stats.join(broadcast(hot.select("gram")), Seq("gram"), "left_anti"),
+          "gram"))
   }
 
   def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, minDf: Int = 2, hotCap: Int = 0): DataFrame = {
+                       n: Int = 3, minDf: Int = 2, hotCap: Int = 0,
+                       maxHot: Int = 1 << 20): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    require(maxHot >= 1, s"maxHot must be >= 1: $maxHot")
     val grams = docs.select(col(idCol).as("doc_id"),
       explode(Dedup.shingles(col(textCol), n)).as("gram"))
     // shingles are pre-distinct per doc, so the per-gram row count IS
     // the document frequency
-    withGramStats(grams, hotCap)
+    withGramStats(grams, hotCap, maxHot)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_grams"))
@@ -636,10 +646,12 @@ object Curation {
     * aggregation. Never all-pairs.
     */
   def noveltyShare(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, hotCap: Int = 0): DataFrame = {
+                   n: Int = 3, hotCap: Int = 0,
+                   maxHot: Int = 1 << 20): DataFrame = {
+    require(maxHot >= 1, s"maxHot must be >= 1: $maxHot")
     val grams = docs.select(col(idCol).as("doc_id"),
       explode(Dedup.shingles(col(textCol), n)).as("gram"))
-    withGramStats(grams, hotCap)
+    withGramStats(grams, hotCap, maxHot)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum((col("doc_id") === col("first_id")).cast(LongType)).as("n_novel"))

@@ -37,6 +37,21 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("no oracle-checked query is vacuous at the gate scale (sf0.01)") {
+    // q_media_neardup passed its round-7 gate on an EMPTY result set —
+    // both engines returned 0 rows, so the no-false-negative contract
+    // was exercised on nothing and would have stayed green had the
+    // operator broken. This pins the lesson as a registry-wide
+    // property: at the scale the driver gate actually runs, every
+    // oracle-checked query must produce at least one row, so a
+    // contract oracle can never again pass on empty support.
+    val gateDir = "/root/testdata/sf0.01"
+    val empty = SparkEntry.registry.filter(_.oracle.isDefined).flatMap { q =>
+      if (q.fn(spark, gateDir).limit(1).count() == 0) Some(q.name) else None
+    }
+    assert(empty.isEmpty, s"vacuous at sf0.01 (gate proves nothing): $empty")
+  }
+
   test("every oracle-checked query is deterministic across two executions") {
     // the driver's gate hashes ordered rows — any run-to-run
     // nondeterminism (missing tiebreak, unordered result, RNG where a

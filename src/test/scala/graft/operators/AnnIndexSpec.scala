@@ -246,6 +246,73 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.searchAdc(index, none, 5, 4).count() == 0)
   }
 
+  test("delete: ids vanish from every search path; compaction makes it " +
+      "physical; deleted ids can be re-added") {
+    val dir = Files.createTempDirectory("graft-annidx-del").toString
+    val idx = AnnIndex.write(emb, dir, dim = 64, nCells = 8, stride = 7)
+    val del = emb.where($"vec_id" % 5 === 0).select("vec_id")
+    AnnIndex.delete(idx, del)
+    val remaining = emb.where($"vec_id" % 5 =!= 0)
+    // exhaustive search over the tombstoned index IS brute force over
+    // the remaining corpus — deletes are invisible to ranking logic
+    val got = asTuples(AnnIndex.searchExact(idx, queries, 5, 8))
+    val want = asTuples(Similarity.bruteForceTopK(remaining, queries, 5)
+      .select("qid", "nid", "rank"))
+    assert(got == want)
+    // the ADC path reads the same alive() relation
+    val adcHits = AnnIndex.searchAdc(idx, queries, 5, 8, refine = 0)
+      .select("nid").as[Long].collect()
+    assert(!adcHits.exists(_ % 5 == 0), s"ADC returned deleted ids: " +
+      adcHits.filter(_ % 5 == 0).mkString(","))
+    // logical until compaction: the cell files still hold every row
+    assert(idx.cells.count() == emb.count())
+    AnnIndex.compactCells(idx)
+    assert(idx.cells.count() == remaining.count(),
+      "compaction must drop tombstoned rows physically")
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "compaction must clear the applied tombstone set")
+    assert(asTuples(AnnIndex.searchExact(idx, queries, 5, 8)) == got)
+    // delete-after-compact opens a fresh tombstone set
+    AnnIndex.delete(idx, emb.where($"vec_id" === 1).select("vec_id"))
+    assert(!AnnIndex.searchExact(idx, queries, 5, 8)
+      .select("nid").as[Long].collect().contains(1L))
+    // re-adding a deleted id makes it alive again: its appended row
+    // carries a generation later than the tombstone's
+    AnnIndex.append(idx, emb.where($"vec_id" === 1))
+    val q1 = emb.where($"vec_id" === 2)
+    val back = AnnIndex.searchExact(idx, q1, k = remaining.count().toInt, nprobe = 8)
+      .select("nid").as[Long].collect()
+    assert(back.contains(1L), "re-added id must be searchable again")
+  }
+
+  test("upsert: replaced vectors serve the new embedding, inserts land") {
+    val dir = Files.createTempDirectory("graft-annidx-upsert").toString
+    val idx = AnnIndex.write(emb, dir, dim = 64, nCells = 8, stride = 7)
+    val v0 = emb.where($"vec_id" === 0).select("embedding")
+      .as[Array[Float]].head()
+    // replace vec 3's embedding with vec 0's, and insert a brand-new id
+    val up = Seq((3L, v0), (900001L, v0)).toDF("vec_id", "embedding")
+    AnnIndex.upsert(idx, up)
+    val q0 = emb.where($"vec_id" === 0)
+    val top = AnnIndex.searchExact(idx, q0, k = 3, nprobe = 8)
+      .select("nid").as[Long].collect().toSet
+    // both upserted rows are exact copies of vec 0 → cosine 1.0, the
+    // top ranks (old vec 3 must NOT shadow the replacement)
+    assert(top.contains(3L) && top.contains(900001L), top.toString)
+    // the old version is dead, not merely outranked: an exhaustive
+    // search returns nid 3 exactly once (two live versions would rank
+    // as two distinct rows)
+    val all0 = AnnIndex.searchExact(idx, q0, k = (emb.count() + 2).toInt,
+      nprobe = 8).select("nid").as[Long].collect()
+    assert(all0.count(_ == 3L) == 1,
+      s"vec 3 served ${all0.count(_ == 3L)} versions")
+    // compaction collapses versions to exactly one row per live id
+    AnnIndex.compactCells(idx)
+    assert(idx.cells.count() == emb.count() + 1)
+    assert(idx.cells.groupBy("vec_id").count()
+      .where($"count" > 1).count() == 0, "duplicate versions survived")
+  }
+
   test("assignmentDrift: shifted batch scores far above in-distribution") {
     val inDist = emb.where($"vec_id" % 7 === 0)
     val shifted = inDist.select($"vec_id",

@@ -106,4 +106,31 @@ class SkewSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"hot grams must resolve via broadcast:\n$plan")
   }
+
+  test("maxHot bounds the broadcast; overflow hot grams route cold, correctly") {
+    // TWO viral grams above hotCap but maxHot = 1: only the hotter one
+    // may broadcast; the other must flow through the cold join instead
+    // of being silently dropped. Results must still match the window
+    // path exactly — the absolute cap is a memory bound, not a
+    // semantics change.
+    val docs = (0L until 200L).map { i =>
+      val b1 = if (i % 2 == 0) "click here subscribe " else ""
+      val b2 = if (i % 3 == 0) "terms of service " else ""
+      (i, s"$b1$b2 doc $i body token${i % 17} tail${i % 5}")
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_grams", "n_dup_grams", "dup_fraction")
+        .collect().map(_.toSeq).toSet
+    val dupW = rows(Curation.dupNgramFraction(docs, "doc_id", "text", n = 3))
+    val dupC = rows(Curation.dupNgramFraction(docs, "doc_id", "text", n = 3,
+      hotCap = 30, maxHot = 1))
+    assert(dupC == dupW)
+    def nov(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_grams", "n_novel", "novelty")
+        .collect().map(_.toSeq).toSet
+    val novW = nov(Curation.noveltyShare(docs, "doc_id", "text", n = 3))
+    val novC = nov(Curation.noveltyShare(docs, "doc_id", "text", n = 3,
+      hotCap = 30, maxHot = 1))
+    assert(novC == novW)
+  }
 }
