@@ -611,5 +611,29 @@ object QueriesCuration {
           CAST(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS DOUBLE)
             / CAST(COUNT(*) AS DOUBLE) AS novelty
         FROM ex JOIN fs USING (gram)
-        GROUP BY doc_id ORDER BY doc_id""")))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // --------------------------------------- K29 soft-dedup weights
+    // repeat-aware sampling correction: weight = 1/n_cluster over the
+    // LSH near-dup clusters (memoized F6 relation), so a duplicate
+    // family counts once in expectation instead of being hard-dropped.
+    // Oracle recomputes the clusters from first principles (recursive
+    // CTE over the exact-Jaccard graph) and the same weight tree.
+    QueryDef("q_soft_dedup",
+      (s, d) => Curation.softDedupWeights(Tables.documents(s, d),
+          QueriesPipeline.lshClusters(s, d, threshold = 0.5), "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""${QueriesPipeline.clusterGraphCte(0.5)},
+        cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+               FROM reach GROUP BY u),
+        asg AS (SELECT d.doc_id,
+                  COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN cl USING (doc_id)),
+        sz AS (SELECT cluster_id, COUNT(*) AS n_cluster
+               FROM asg GROUP BY cluster_id)
+        SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+          CAST(a.cluster_id AS BIGINT) AS cluster_id,
+          CAST(n_cluster AS BIGINT) AS n_cluster,
+          round(1.0 / n_cluster, 6) AS weight
+        FROM asg a JOIN sz USING (cluster_id) ORDER BY doc_id""")))
 }

@@ -165,6 +165,61 @@ object QueriesPipeline {
     s"""SELECT doc_id, round($sqlQualityExpr, 6) AS quality
        FROM documents ORDER BY doc_id"""
 
+  /** Full SQL mirror of TextAnalysis.gopherRules: the same split /
+    * filter / rounding tree in DuckDB list-lambda form. The '...'
+    * count divides an always-multiple-of-3 length delta, so the
+    * division is exact in both engines (no trunc-vs-round hazard).
+    */
+  private val gopherOracle: String = {
+    val stopSum = TextAnalysis.gopherStopwords
+      .map(s => s"CASE WHEN ${sqlPaddedCount("text", s)} > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH g AS (
+         SELECT doc_id, text,
+           list_filter(string_split(text, ' '), x -> x <> '') AS words,
+           list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+         FROM documents),
+       s AS (
+         SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CASE WHEN len(words) > 0 THEN round(
+             CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+               AS DOUBLE) / len(words), 6) ELSE 0.0 END AS mean_word_len,
+           CASE WHEN len(words) > 0 THEN round(
+             ((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               + (length(text) - length(replace(text, '…', ''))))
+             / CAST(len(words) AS DOUBLE), 6) ELSE 0.0 END AS symbol_ratio,
+           CASE WHEN len(words) > 0 THEN round(
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / len(words), 6) ELSE 0.0 END AS alpha_frac,
+           CASE WHEN len(lines) > 0 THEN round(
+             CAST(len(list_filter(lines,
+               l -> substring(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+             / len(lines), 6) ELSE 0.0 END AS bullet_frac,
+           CASE WHEN len(lines) > 0 THEN round(
+             CAST(len(list_filter(lines,
+               l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+               AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS ellipsis_frac,
+           CAST($stopSum AS BIGINT) AS n_stop
+         FROM g)
+       SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+         bullet_frac, ellipsis_frac, n_stop,
+         (n_words >= 50 AND n_words <= 100000) AS r_words,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_word_len,
+         (symbol_ratio <= 0.1) AS r_symbol,
+         (bullet_frac <= 0.9) AS r_bullet,
+         (ellipsis_frac <= 0.3) AS r_ellipsis,
+         (alpha_frac >= 0.8) AS r_alpha,
+         (n_stop >= 2) AS r_stop,
+         ((n_words >= 50 AND n_words <= 100000)
+           AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+           AND (symbol_ratio <= 0.1) AND (bullet_frac <= 0.9)
+           AND (ellipsis_frac <= 0.3) AND (alpha_frac >= 0.8)
+           AND (n_stop >= 2)) AS pass
+       FROM s ORDER BY doc_id"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------ F1 exact
@@ -526,6 +581,15 @@ object QueriesPipeline {
           round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id"),
       Some(qualityOracle)),
+
+    // ------------------------------------------------ H16 gopher rules
+    // the named rule battery behind rule-based corpus filters: every
+    // statistic and flag mirrored expression-for-expression in the
+    // oracle, so the gate checks the full decision tree, not a scalar
+    QueryDef("q_gopher_rules",
+      (s, d) => TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(gopherOracle)),
 
     // --------------------------------------------- H13 compression ratio
     // deflate-based information-density screen (CCNet/Gopher lineage):

@@ -645,6 +645,43 @@ object Curation {
     * window min (one shuffle, no self-join), then one doc-keyed
     * aggregation. Never all-pairs.
     */
+  /** Repeat-aware soft-dedup sampling weights (K29): instead of hard
+    * near-dup removal, every document is weighted n^(−alpha) by its
+    * near-dup cluster size n — the "count a family once" sampling
+    * correction (UniMax-style repeat-aware mixing). alpha = 1 makes a
+    * 10-copy family weigh exactly one document in expectation; hard
+    * dedup is the alpha→∞ limit, keep-everything is alpha = 0. Weights
+    * compose directly with [[weightedSample]] to draw the corrected
+    * corpus.
+    *
+    * `clusters` is the (id, cluster_id) relation from
+    * [[Dedup.connectedComponents]] over any pair generator (LSH,
+    * SemDeDup, media near-dup); unpaired documents fall back to their
+    * own id, i.e. singleton weight 1. Scale shape: one id-keyed left
+    * join against the (small) paired-docs relation, one cluster-keyed
+    * map-side-combined count, one join back — no window over cluster
+    * members, so a viral million-copy family costs its row count in
+    * shuffle, never one reducer (AQE splits the join's hot key; the
+    * aggregate is already partial-combined).
+    */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame, idCol: String,
+                       alpha: Double = 1.0): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0: $alpha")
+    val withC = docs.select(col(idCol).as("doc_id"))
+      .join(clusters.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val sizes = withC.groupBy("cluster_id").agg(count(lit(1)).as("n_cluster"))
+    val n = col("n_cluster").cast(DoubleType)
+    // alpha = 1 is exact division (not pow) so the rounded weight is
+    // bit-identical to the oracle's 1.0/n — pow can differ in the last
+    // ulp across libm implementations
+    val w = if (alpha == 1.0) lit(1.0) / n else pow(n, -alpha)
+    withC.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_cluster"),
+        round(w, 6).as("weight"))
+  }
+
   def noveltyShare(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, hotCap: Int = 0,
                    maxHot: Int = 1 << 20): DataFrame = {

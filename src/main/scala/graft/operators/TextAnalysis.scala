@@ -82,6 +82,78 @@ object TextAnalysis {
     lenScore * 0.4 + tokScore * 0.3 + stopScore * 0.3
   }
 
+  /** Stopwords for the H16 rule battery (the classic
+    * "contains at least 2 of" presence screen).
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule battery (H16): the named per-document screens
+    * of the classic rule-based quality filter — word-count band, mean
+    * word length band, symbol-to-word ratio (# and ellipses), bullet /
+    * ellipsis line fractions, alphabetic-word fraction, stopword
+    * presence — each emitted as its measured statistic AND its boolean
+    * flag, plus the conjunction `pass`. Unlike [[qualityScore]]'s
+    * blended scalar, per-rule flags are what a curation pipeline
+    * actually routes on (drop vs review vs keep) and what makes filter
+    * decisions auditable.
+    *
+    * Pure column expressions over one scan — split/filter/aggregate
+    * higher-order functions, no explode, no shuffle, codegen end to
+    * end — so the battery runs at scan speed on 100 TB like the rest
+    * of this file. Ratios are rounded to 6 dp BEFORE flag comparison
+    * so the flags are bit-deterministic cross-engine.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, " "), w => w =!= lit(""))
+    val lines = filter(split(t, "\n"), l => l =!= lit(""))
+    val nWords = size(words).cast(LongType)
+    val nLines = size(lines).cast(LongType)
+    val meanWordLen = when(nWords > 0,
+      round(aggregate(words, lit(0L), (a, w) => a + length(w)).cast(DoubleType)
+        / nWords.cast(DoubleType), 6)).otherwise(lit(0.0))
+    val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast(LongType)
+    val nDots = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+      .cast(LongType)
+    val nUell = (length(t) - length(replace(t, lit("…"), lit("")))).cast(LongType)
+    val symbolRatio = when(nWords > 0,
+      round((nHash + nDots + nUell).cast(DoubleType) / nWords.cast(DoubleType), 6))
+      .otherwise(lit(0.0))
+    val alphaFrac = when(nWords > 0,
+      round(size(filter(words, w => w.rlike("[A-Za-z]"))).cast(DoubleType)
+        / nWords.cast(DoubleType), 6)).otherwise(lit(0.0))
+    val bulletFrac = when(nLines > 0,
+      round(size(filter(lines,
+        l => substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast(DoubleType)
+        / nLines.cast(DoubleType), 6)).otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0,
+      round(size(filter(lines,
+        l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+        .cast(DoubleType) / nLines.cast(DoubleType), 6)).otherwise(lit(0.0))
+    val nStop = gopherStopwords
+      .map(s => when(paddedCount(t, s) > 0, 1L).otherwise(0L))
+      .reduce(_ + _).cast(LongType)
+    df.select(col(idCol).as("doc_id"),
+        nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+        bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
+        nStop.as("n_stop"))
+      .withColumn("r_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("r_bullet", col("bullet_frac") <= 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_frac") <= 0.3)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("pass",
+        col("r_words") && col("r_word_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
   /** Per-document mean unigram surprisal −mean(ln p(token)), with
     * p estimated from the corpus itself — the cheap stand-in for the
     * KenLM-perplexity quality filter (CCNet-style): documents made of

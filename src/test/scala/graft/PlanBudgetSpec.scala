@@ -57,6 +57,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q_ann_index" -> (3, 1, 2), // serving path: probe window + rank window;
     // queries scan + the PRUNED cells scan; probes broadcast, never the corpus
     "q_compress_ratio" -> (0, 1, 1), // pure codegen map: NO shuffle
+    "q_gopher_rules" -> (0, 1, 1), // rule battery: pure codegen map, NO shuffle
+    "q_soft_dedup" -> (4, 1, 2), // clusters come back lineage-cut (the CC
+    // loop materializes internally), so the static plan is ONE corpus
+    // scan + the id join / size agg / weight joins
     "q_bigram_perplexity" -> (13, 1, 10) // static view: the stats lineage
     // appears in the pair-join branch, the HEAD-table branch (r8: seen
     // heads with novel continuations take c1 from a w1-keyed head

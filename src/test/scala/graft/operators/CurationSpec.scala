@@ -484,4 +484,32 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "novelty").as[(Long, Double)].collect().toSet
     assert(out == Set((1L, 1.0), (2L, 0.0)), s"got $out")
   }
+
+  test("softDedupWeights: families weigh 1/n, singletons weigh 1, " +
+      "alpha dials the correction") {
+    val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1,2} labeled 1; {4,5,6} labeled 4; 3 and 7 unpaired
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "cluster_id")
+    val out = Curation.softDedupWeights(docs, clusters, "doc_id")
+      .select("doc_id", "cluster_id", "n_cluster", "weight")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 2L, 0.5), (2L, 1L, 2L, 0.5),
+      (3L, 3L, 1L, 1.0),
+      (4L, 4L, 3L, 0.333333), (5L, 4L, 3L, 0.333333), (6L, 4L, 3L, 0.333333),
+      (7L, 7L, 1L, 1.0)), s"got $out")
+    // expected total mass: each family counts ~once
+    val mass = out.toSeq.map(_._4).sum
+    assert(math.abs(mass - 4.0) < 1e-5, s"total weight $mass != 4 families")
+    // alpha = 0 keeps everything at weight 1 (no correction)
+    val flat = Curation.softDedupWeights(docs, clusters, "doc_id", alpha = 0.0)
+      .select("weight").as[Double].collect()
+    assert(flat.forall(_ == 1.0))
+    // alpha = 0.5 is the halfway de-emphasis: n^-0.5
+    val half = Curation.softDedupWeights(docs, clusters, "doc_id", alpha = 0.5)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(half(4L) == BigDecimal(1.0 / math.sqrt(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

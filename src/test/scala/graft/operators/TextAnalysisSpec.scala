@@ -359,4 +359,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.select(TextAnalysis.deflateSize(org.apache.spark.sql.functions.lit(null)
       .cast("string"))).head().isNullAt(0))
   }
+
+  test("gopherRules: each rule fires on its planted violation, clean text passes") {
+    val clean = (("the quick brown fox jumps over lazy dogs near rivers " * 6)
+      + "be to of and that have with done").trim          // 68 words, stopword-rich
+    val docs = Seq(
+      1L -> clean,
+      2L -> "too short to pass",                          // r_words (4 < 50)
+      3L -> (clean + " " + Seq.fill(30)("###").mkString(" ")), // symbols
+      4L -> ((1 to 60).map(_.toString).mkString(" ")),    // digits: r_alpha, r_stop
+      5L -> (1 to 10).map(i => s"- bullet item $i").mkString("\n"), // all bullets
+      6L -> (1 to 10).map(i => s"line $i trails off...").mkString("\n"), // ellipses
+      7L -> "").toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def flag(id: Long, c: String) = out(id).getAs[Boolean](c)
+    assert(flag(1L, "pass"), s"clean doc failed: ${out(1L)}")
+    assert(!flag(2L, "r_words") && !flag(2L, "pass"))
+    assert(!flag(3L, "r_symbol"), s"symbol_ratio=${out(3L).getAs[Double]("symbol_ratio")}")
+    assert(!flag(4L, "r_alpha") && !flag(4L, "r_stop"))
+    assert(!flag(5L, "r_bullet"),
+      s"bullet_frac=${out(5L).getAs[Double]("bullet_frac")}")
+    assert(!flag(6L, "r_ellipsis"),
+      s"ellipsis_frac=${out(6L).getAs[Double]("ellipsis_frac")}")
+    // empty text: zero counts, ratio guards hold, nothing passes
+    assert(out(7L).getAs[Long]("n_words") == 0L && !flag(7L, "pass"))
+    // hand-checked statistics on the planted docs
+    assert(out(2L).getAs[Long]("n_words") == 4L)
+    assert(out(5L).getAs[Double]("bullet_frac") == 1.0)
+    assert(out(6L).getAs[Double]("ellipsis_frac") == 1.0)
+    assert(out(4L).getAs[Double]("alpha_frac") == 0.0)
+    // mean word length of "too short to pass" = (3+5+2+4)/4 = 3.5
+    assert(out(2L).getAs[Double]("mean_word_len") == 3.5)
+  }
 }
