@@ -32,7 +32,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q_tpch3" -> (1, 0, 3), // dims broadcast; one agg shuffle
     "q_tpch5" -> (1, 1, 6), // 6-table join, one agg shuffle
     "q_tpch17" -> (1, 0, 2), // window reuses the agg partitioning
-    "q_tpch21" -> (3, 0, 2), // SINGLE lineitem scan + supplier
+    "q_tpch21" -> (2, 0, 2), // SINGLE lineitem scan + ONE fact shuffle
+    // (repartition reused by both aggs — r8 two-agg form) + supplier
     "q_dedup_exact" -> (1, 1, 1), // one md5-keyed shuffle
     "q_dedup_minhash" -> (2, 1, 3), // band shuffle + verify, no explode join
     "q_sample_hash" -> (0, 1, 1), // pure filter: NO shuffle at all
