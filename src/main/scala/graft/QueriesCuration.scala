@@ -635,5 +635,76 @@ object QueriesCuration {
           CAST(a.cluster_id AS BIGINT) AS cluster_id,
           CAST(n_cluster AS BIGINT) AS n_cluster,
           round(1.0 / n_cluster, 6) AS weight
-        FROM asg a JOIN sz USING (cluster_id) ORDER BY doc_id""")))
+        FROM asg a JOIN sz USING (cluster_id) ORDER BY doc_id""")),
+
+    // ------------------------------------------ K30 DSIR importance
+    // hashed-bigram importance resampling toward a target domain
+    // (here: English docs). The full pipeline — feature hashing,
+    // smoothed per-side bucket distributions, decimal-summed per-doc
+    // log ratios — is mirrored expression-for-expression; per-bucket
+    // log-ratios round to 6 dp before the order-independent DECIMAL
+    // sum, the H14 discipline.
+    QueryDef("q_dsir_weights",
+      (s, d) => Curation.dsirWeights(Tables.documents(s, d),
+          "doc_id", "text", col("lang") === "en", buckets = 4096)
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, (lang = 'en') AS is_target,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, is_target, u.z[1] || ' ' || u.z[2] AS gram
+          FROM toks, unnest(list_zip(t, t[2:])) AS u(z)
+          WHERE len(t) >= 2 AND u.z[2] IS NOT NULL
+        ), cdb AS (
+          SELECT doc_id, is_target,
+                 ${sqlHex16("gram")} % 4096 AS bucket,
+                 COUNT(*) AS c
+          FROM grams GROUP BY 1, 2, 3
+        ), statd AS (
+          SELECT doc_id, c,
+            SUM(CASE WHEN is_target THEN c ELSE 0 END)
+              OVER (PARTITION BY bucket) AS ct,
+            SUM(CASE WHEN NOT is_target THEN c ELSE 0 END)
+              OVER (PARTITION BY bucket) AS cr
+          FROM cdb
+        ), totals AS (
+          SELECT
+            SUM(CASE WHEN is_target AND len(t) >= 2
+                THEN len(t) - 1 ELSE 0 END) AS tt,
+            SUM(CASE WHEN NOT is_target AND len(t) >= 2
+                THEN len(t) - 1 ELSE 0 END) AS tr
+          FROM toks
+        ), scored AS (
+          SELECT doc_id, c,
+            CAST(round(ln((ct + 1.0) / (tt + 4096.0))
+                     - ln((cr + 1.0) / (tr + 4096.0)), 6)
+              AS DECIMAL(28,6)) AS lr
+          FROM statd CROSS JOIN totals)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+          round(CAST(SUM(CAST(c AS DECIMAL(10,0)) * lr) AS DOUBLE), 6)
+            AS log_weight
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------ K31 semantic decontamination
+    // the embedding-space twin of q_decontaminate: corpus vectors
+    // cosine-close to ANY benchmark vector are dropped. Gate config is
+    // the exact broadcast anti-join (the production plan when the eval
+    // suite is MBs); cell-pruned mode is spec-covered on planted
+    // leaks. Eval set: the first 30 vectors, standing in for a pinned
+    // benchmark suite.
+    QueryDef("q_semantic_decontam",
+      (s, d) => {
+        val em = Tables.embeddings(s, d)
+        Curation.semanticDecontam(em, em.where(col("vec_id") < 30),
+            threshold = 0.4)
+          .select(col("vec_id").cast(LongType).as("vec_id"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT CAST(c.vec_id AS BIGINT) AS vec_id
+        FROM embeddings c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM embeddings q WHERE q.vec_id < 30
+            AND list_cosine_similarity(c.embedding, q.embedding) >= 0.4)
+        ORDER BY vec_id""")))
 }

@@ -552,11 +552,19 @@ object QueriesPipeline {
         val ivfpq = Similarity.ivfPqTopK(corpus, queries, k, dim = 64,
           nCells = 16, stride = 7, nprobe = 4, m = 8, ncodes = 16, refine = 4,
           centroids = Some(cents), codebooks = Some(books))
+        // SQ8 at the production shape (per-dim byte quantization, 4k
+        // exact re-rank); planted copies land within quantization
+        // error of their base, so measured recall is ~1.0
+        val sqBounds = SessionMemo.any(s, ("annRecallSqBounds", d))(
+          Similarity.trainSqBounds(corpus, dim = 64))
+        val sq = Similarity.sqTopK(corpus, queries, k, dim = 64,
+          refine = 4, bounds = Some(sqBounds))
         val nq = queries.agg(count(lit(1)).as("n_queries"))
         recallRow("ivf", ivf, 0.8)
           .unionAll(recallRow("lsh_radius", lsh, 0.9))
           .unionAll(recallRow("pq", pq, 0.9))
           .unionAll(recallRow("ivfpq", ivfpq, 0.8))
+          .unionAll(recallRow("sq", sq, 0.9))
           .crossJoin(broadcast(nq))
           .select("method", "k", "n_queries", "recall_ok")
           .orderBy("method")
@@ -564,7 +572,8 @@ object QueriesPipeline {
       Some("""SELECT m.method, CAST(3 AS BIGINT) AS k,
           (SELECT COUNT(*) FROM embeddings WHERE vec_id % 37 = 0) AS n_queries,
           TRUE AS recall_ok
-        FROM (VALUES ('ivf'), ('ivfpq'), ('lsh_radius'), ('pq')) AS m(method)
+        FROM (VALUES ('ivf'), ('ivfpq'), ('lsh_radius'), ('pq'), ('sq'))
+          AS m(method)
         ORDER BY method""")),
 
     // ---------------------------------------------------------- H1 lang id
@@ -624,6 +633,40 @@ object QueriesPipeline {
       Some("""SELECT doc_id,
         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
         CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_tokens_bpe
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------ H17 BPE tokenizer
+    // train-once merges (capped-vocab corpus scan + driver merge loop,
+    // memoized per session like the IVF centroids), map-only encode.
+    // No DuckDB BPE exists, so the oracle is the contract pattern:
+    // n_words is mirrored exactly; tokens_cover pins lossless-ness
+    // (subwords concatenate back to the pre-tokenized words, byte for
+    // byte); count_bounded pins compression sanity (every word ≥ 1
+    // token, never more tokens than characters). Per-token outputs and
+    // the merge sequence itself are spec-tested against an independent
+    // reference implementation (TextAnalysisSpec).
+    QueryDef("q_bpe_tokenize",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = SessionMemo.any(s, ("bpeMerges", d))(
+          TextAnalysis.bpeTrain(docs, "text", numMerges = 200))
+        val words = filter(TextAnalysis.tokens(col("text")), w => w =!= "")
+        docs.select(col("doc_id"),
+            words.as("w"),
+            TextAnalysis.bpeEncode(col("text"), merges).as("bpe"))
+          .select(col("doc_id"),
+            size(col("w")).cast(LongType).as("n_words"),
+            (concat_ws("", col("bpe")) === concat_ws("", col("w")))
+              .as("tokens_cover"),
+            (size(col("w")) <= size(col("bpe")) &&
+              size(col("bpe")) <= length(concat_ws("", col("w"))))
+              .as("count_bounded"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            w -> w <> '')) AS BIGINT) AS n_words,
+          TRUE AS tokens_cover, TRUE AS count_bounded
         FROM documents ORDER BY doc_id""")),
 
     // ----------------------------------------------------- H4 fingerprint

@@ -695,4 +695,123 @@ object Curation {
       .withColumn("novelty",
         col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
   }
+
+  /** DSIR importance weights (K30): hashed-n-gram importance
+    * resampling — the published recipe for pulling raw-corpus
+    * documents toward a target domain (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023).
+    * Word bigrams hash into `buckets` feature buckets; the target and
+    * raw sides each induce an add-`smoothing` distribution over
+    * buckets; every document scores
+    * `log w(d) = Σ_b c_db · (ln p̂_target(b) − ln p̂_raw(b))` and the
+    * weights feed [[weightedSample]] / rank selection to draw the
+    * shifted corpus.
+    *
+    * Determinism: per-bucket log-ratios round to 6 dp and the per-doc
+    * sum runs in exact DECIMAL (order-independent) — the H14
+    * discipline — so scores are bit-identical cross-engine.
+    *
+    * Scale shape: ONE heavy tokenize+explode scan collapses to
+    * per-(doc, bucket) counts (map-side combined); per-bucket totals
+    * attach via a bucket-keyed WINDOW over that compressed relation
+    * (hash-uniform bounded key space — never all-pairs, input is ≤
+    * min(doc grams, buckets) rows per doc, not the token stream);
+    * corpus gram totals come from a NARROW no-explode second pass,
+    * broadcast. No collect, no UDFs; `buckets` dials feature-hash
+    * resolution, not a memory commitment.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 4096,
+                  smoothing: Double = 1.0): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets out of range [2, 65536]: $buckets")
+    require(smoothing > 0.0, s"smoothing must be > 0: $smoothing")
+    val t = TextAnalysis.tokens(col(textCol))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), targetPred.as("is_target"), t.as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("is_target"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))).as("gram"))
+    val cdb = grams
+      .select(col("doc_id"), col("is_target"),
+        (conv(substring(md5(col("gram")), 1, 4), 16, 10).cast(LongType)
+          % buckets).as("bucket"))
+      .groupBy("doc_id", "is_target", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val byBucket = Window.partitionBy("bucket")
+    val statd = cdb
+      .withColumn("ct", sum(when(col("is_target"), col("c"))
+        .otherwise(lit(0L))).over(byBucket))
+      .withColumn("cr", sum(when(!col("is_target"), col("c"))
+        .otherwise(lit(0L))).over(byBucket))
+    // corpus gram totals per side: narrow pass, no explode
+    val totals = docs
+      .select(targetPred.as("is_target"),
+        when(size(t) >= 2, (size(t) - 1).cast(LongType))
+          .otherwise(lit(0L)).as("n"))
+      .agg(sum(when(col("is_target"), col("n")).otherwise(lit(0L))).as("tt"),
+        sum(when(!col("is_target"), col("n")).otherwise(lit(0L))).as("tr"))
+    val a = lit(smoothing)
+    val ab = lit(smoothing * buckets)
+    val lr = round(
+      log((col("ct") + a) / (col("tt") + ab)) -
+        log((col("cr") + a) / (col("tr") + ab)), 6)
+      .cast(DecimalType(28, 6))
+    statd.join(broadcast(totals))
+      .select(col("doc_id"), col("c"), lr.as("lr"))
+      .groupBy("doc_id")
+      .agg(sum(col("c").cast(DecimalType(10, 0)) * col("lr")).as("sw"),
+        sum("c").as("n_grams"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("sw").cast(DoubleType), 6).as("log_weight"))
+  }
+
+  /** Semantic eval-set decontamination (K31): drop from the corpus
+    * every vector whose embedding cosine against ANY eval/benchmark
+    * vector reaches `threshold` — the embedding-space twin of the
+    * 5-gram decontamination (K7/K12). Paraphrased or re-formatted
+    * eval leakage that shares no exact n-grams still co-locates in
+    * embedding space, so a production pipeline runs both screens.
+    *
+    * `nCells <= 1` is the exact mode: the (benchmark-sized) eval set
+    * broadcasts and ONE BroadcastNestedLoopJoin LEFT ANTI pass keeps
+    * exactly the corpus rows with no eval hit — also the plan you
+    * want at 100 TB when the eval suite is MBs: no corpus shuffle, no
+    * pair materialization, embarrassingly parallel over corpus
+    * partitions. `nCells > 1` prunes compute by IVF co-assignment:
+    * the corpus assigns to cells once (map-only NearestCentroid),
+    * each eval vector probes its `nprobe` nearest cells, and the
+    * cosine check runs only inside probed cells; recall is governed
+    * by nprobe/nCells as in every IVF search (spec-planted dupes;
+    * the exact mode is the oracle gate).
+    */
+  def semanticDecontam(corpus: DataFrame, evalSet: DataFrame,
+                       threshold: Double, nCells: Int = 0, nprobe: Int = 4,
+                       stride: Long = 7, iters: Int = 1): DataFrame = {
+    import Similarity.cosine
+    if (nCells <= 1) {
+      val ev = evalSet.select(col("embedding").as("e_q"))
+      corpus.join(broadcast(ev),
+        cosine(col("embedding"), col("e_q")) >= threshold, "left_anti")
+    } else {
+      val cents = Similarity.trainIvfCentroids(corpus, nCells, stride, iters)
+      val assigned = Similarity.assignToCentroids(corpus, cents)
+      val qCells = evalSet.as("q").join(broadcast(cents.as("k")))
+        .select(col("q.vec_id").as("qid"), col("q.embedding").as("e_q"),
+          col("k.cent_id").as("cent_id"),
+          cosine(col("q.embedding"), col("k.cent")).as("ccos"))
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val probes = qCells.withColumn("r", row_number().over(wq))
+        .where(col("r") <= nprobe).select(col("e_q"), col("cent_id"))
+      val hits = assigned.as("c").join(broadcast(probes.as("p")),
+          col("p.cent_id") === col("c.cent_id") &&
+            cosine(col("c.embedding"), col("p.e_q")) >= threshold,
+          "left_semi")
+        .select(col("vec_id"))
+      corpus.join(hits, Seq("vec_id"), "left_anti")
+    }
+  }
 }

@@ -404,6 +404,82 @@ object Similarity {
     exactReRank(corpus, queries, cand, k)
   }
 
+  /** Scalar-quantization bounds (G13): per-dimension corpus min/max —
+    * ONE posexplode aggregate collapsing to `dim` (lo, hi) pairs, the
+    * bounded driver-side artifact (same sanction as the centroid
+    * matrix). Train once per corpus version, encode/search many.
+    */
+  def trainSqBounds(corpus: DataFrame, dim: Int): (Seq[Double], Seq[Double]) = {
+    val rows = fanOut(corpus)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast(DoubleType)).as("lo"),
+        max(col("v").cast(DoubleType)).as("hi"))
+      .orderBy("pos").collect()
+    require(rows.length == dim,
+      s"corpus dimensionality ${rows.length} != declared dim $dim")
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** SQ8 scalar-quantized ANN (G13): every dimension uniformly
+    * quantized to one byte between the corpus per-dimension min/max —
+    * 4× compression with NO codebook training, the standard middle
+    * point between raw floats and PQ on the recall/compression curve.
+    * The asymmetric score  q·deq(c) = Σᵢ qᵢ·loᵢ + Σᵢ (qᵢΔᵢ)·cᵢ  splits
+    * into a per-query bias plus a weighted byte dot-product, so the
+    * scan multiplies dim bytes per row against a broadcast per-query
+    * weight vector (all codegen'd higher-order array functions — no
+    * UDFs); the top refine·k candidates re-rank exactly like PQ.
+    * Degenerate dimensions (hi == lo) encode to 0 and dequantize to
+    * lo exactly.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             refine: Int = 4,
+             bounds: Option[(Seq[Double], Seq[Double])] = None): DataFrame = {
+    val (lo, hi) = bounds.getOrElse(trainSqBounds(corpus, dim))
+    require(lo.length == dim && hi.length == dim,
+      s"bounds length ${lo.length}/${hi.length} != dim $dim")
+    val delta = lo.zip(hi).map { case (l, h) =>
+      if (h > l) (h - l) / 255.0 else 0.0
+    }
+    val loL = typedlit(lo)
+    val dL = typedlit(delta)
+    def encode(e: Column): Column =
+      zip_with(zip_with(e, loL, (x, l) => x.cast(DoubleType) - l), dL,
+        (d, dl) => when(dl > lit(0d),
+          least(greatest(round(d / dl, 0), lit(0d)), lit(255d)))
+          .otherwise(lit(0d)).cast(IntegerType))
+    def dequant(codes: Column): Column =
+      zip_with(zip_with(codes, dL, (c, dl) => c.cast(DoubleType) * dl), loL,
+        (v, l) => v + l)
+    def arraySum(a: Column): Column =
+      aggregate(a, lit(0d), (acc, x) => acc + x)
+    val enc = fanOut(corpus)
+      .select(col("vec_id"), encode(col("embedding")).as("codes"))
+      .withColumn("anrm",
+        sqrt(arraySum(transform(dequant(col("codes")), v => v * v))))
+    val q = queries.select(col("vec_id").as("qid"),
+      zip_with(col("embedding"), dL,
+        (qe, dl) => qe.cast(DoubleType) * dl).as("w"),
+      arraySum(zip_with(col("embedding"), loL,
+        (qe, l) => qe.cast(DoubleType) * l)).as("bias"),
+      norm(col("embedding")).as("qnrm"))
+    val scored = enc.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        ((col("bias") + arraySum(zip_with(col("w"), col("codes"),
+          (wi, ci) => wi * ci.cast(DoubleType))))
+          / (col("qnrm") * col("anrm"))).as("acos"))
+    val wa = Window.partitionBy("qid").orderBy(col("acos").desc, col("nid"))
+    if (refine <= 0)
+      return scored.withColumn("rank", row_number().over(wa).cast(LongType))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("nid"), col("rank"))
+    val cand = scored.withColumn("r", row_number().over(wa))
+      .where(col("r") <= refine * k)
+      .select("qid", "nid")
+    exactReRank(corpus, queries, cand, k)
+  }
+
   /** Exact-cosine re-rank of an approximate candidate set: (qid, nid)
     * pairs joined back to the full-precision corpus (id-keyed, the
     * small candidate set broadcast), scored exactly, top-k per query.

@@ -464,6 +464,50 @@ object TextAnalysis {
         least(size(col("t")) - col("s0"), lit(chunkSize)).cast(LongType).as("n_chunk_tokens"))
   }
 
+  /** BPE tokenizer training (H17): learn `numMerges` byte-pair merges
+    * from the corpus (Sennrich et al., ACL 2016) — the tokenizer-
+    * construction pass every LM data pipeline runs before token
+    * budgeting. The Spark half is ONE tokenize+count scan collapsed
+    * to the (word, freq) vocabulary, capped at the `maxWords` most
+    * frequent words (deterministic count-desc/word tiebreak) — the
+    * head of the Zipf curve carries virtually all pair mass, which is
+    * why capped-vocab training is the standard practice. The capped
+    * table collects to the driver (bounded, the centroid-matrix
+    * sanction) and the merge loop itself is pure JVM arithmetic —
+    * no per-iteration Spark jobs, so `numMerges` is free of cluster
+    * round-trips. Returns merges in rank order.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int = 200,
+               maxWords: Int = 65536): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    require(maxWords >= 1, s"maxWords must be >= 1: $maxWords")
+    val vocab = termFrequencies(df, textCol)
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.BpeRuntime.train(vocab, numMerges)
+  }
+
+  /** Apply learned BPE merges to one pre-tokenized word → its subword
+    * array (map-only; the bounded merge table rides the serialized
+    * expression like the PQ codebooks).
+    */
+  def bpeEncodeWord(word: Column, merges: Seq[(String, String)]): Column = {
+    import graft.functions.{exprs, BpeEncode}
+    exprs.toColumn(BpeEncode(exprs.toExpr(word), merges))
+  }
+
+  /** Apply learned BPE merges to a whole text column → the document's
+    * subword token array. Pre-tokenization is [[tokens]] (trim, lower,
+    * whitespace split) — the same normalization every other text
+    * operator keys on — then per-word kernel encoding, flattened.
+    * Word boundaries are hard: tokens never span words.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(filter(tokens(text), w => w =!= ""),
+      w => bpeEncodeWord(w, merges)))
+
   /** Term frequencies: explode + count. Map-side combine makes this a
     * single shuffle keyed by term; vocabulary is much smaller than the
     * corpus at any scale.

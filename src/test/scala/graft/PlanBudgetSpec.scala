@@ -62,6 +62,14 @@ class PlanBudgetSpec extends SparkSpec {
     "q_soft_dedup" -> (4, 1, 2), // clusters come back lineage-cut (the CC
     // loop materializes internally), so the static plan is ONE corpus
     // scan + the id join / size agg / weight joins
+    "q_dsir_weights" -> (3, 1, 2), // ONE tokenize+explode pass collapsed
+    // to (doc,bucket) counts + bucket window + doc agg; 2nd scan is the
+    // narrow no-explode gram-total pass (broadcast)
+    "q_semantic_decontam" -> (0, 1, 2), // broadcast-NL ANTI join: the
+    // eval suite broadcasts, the corpus never shuffles
+    "q_bpe_tokenize" -> (0, 1, 1), // encode is a pure codegen map (the
+    // train pass runs once at build and memoizes; scoring plans NO
+    // shuffle at all)
     "q_bigram_perplexity" -> (13, 1, 10) // static view: the stats lineage
     // appears in the pair-join branch, the HEAD-table branch (r8: seen
     // heads with novel continuations take c1 from a w1-keyed head

@@ -109,11 +109,24 @@ class PushdownSpec extends SparkSpec {
   }
 
   test("q_tpch21 scans lineitem once") {
+    // The two branches (per-supplier max, per-order max-of-maxes) share
+    // one repartition(l_orderkey) exchange. Under AQE that reuse is a
+    // RUNTIME property — the initial plan prints both subtrees and
+    // stage materialization dedups them — so execute first, then pin
+    // the FINAL adaptive plan: one lineitem FileScan, and the second
+    // branch reading it through a ReusedExchange.
     val df = SparkEntry.queries("q_tpch21")(spark, sfDir)
-    val plan = executedPlanString(df)
-    val lineitemScans = "lineitem\\.parquet".r.findAllIn(plan).size
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("isFinalPlan=true"),
+      s"expected an executed adaptive plan in:\n$plan")
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(finalPlan).size
     assert(lineitemScans == 1,
-      s"expected exactly one lineitem scan, got $lineitemScans in:\n$plan")
+      s"expected exactly one lineitem scan, got $lineitemScans in:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"expected the second aggregate branch to reuse the fact " +
+        s"exchange in:\n$finalPlan")
   }
 
   test("q_range_join buckets to an equi-join, no nested loop") {

@@ -512,4 +512,79 @@ class CurationSpec extends SparkSpec {
     assert(half(4L) == BigDecimal(1.0 / math.sqrt(3.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("dsirWeights: target-like raw docs outscore off-domain ones; " +
+      "n_grams counts word bigrams; deterministic") {
+    val docs = Seq(
+      // target domain: cooking text
+      (1L, "stir the sauce and simmer the sauce gently", "t"),
+      (2L, "chop the onions and stir the pan", "t"),
+      // raw pool: one cooking-like, one off-domain
+      (10L, "stir the sauce and chop the onions", "r"),
+      (11L, "quantum flux entangles qubit lattices rapidly", "r")
+    ).toDF("doc_id", "text", "side")
+    val out = Curation.dsirWeights(docs, "doc_id", "text",
+        col("side") === "t", buckets = 256)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // n_grams = token count - 1 per doc
+    assert(out(1L)._2 == 7L && out(10L)._2 == 6L && out(11L)._2 == 5L)
+    // the cooking-like raw doc must score strictly higher than the
+    // off-domain one: its hashed bigrams appear in the target side
+    assert(out(10L)._3 > out(11L)._3,
+      s"in-domain ${out(10L)._3} !> off-domain ${out(11L)._3}")
+    // off-domain weight must be negative (its grams only ever hit the
+    // raw side, so ln p_t < ln p_r bucket-wise up to hash collisions)
+    assert(out(11L)._3 < 0, s"off-domain weight ${out(11L)._3}")
+    // deterministic across runs
+    val again = Curation.dsirWeights(docs, "doc_id", "text",
+        col("side") === "t", buckets = 256)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out == again)
+  }
+
+  test("semanticDecontam: exact mode drops eval rows and their " +
+      "near-dups, keeps the rest; cell mode finds planted leaks") {
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(8)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val evalVec = unit(1)
+    val rows = Seq(
+      (0L, evalVec),            // the benchmark row itself
+      (10L, jitter(evalVec, 0.01f)), // paraphrase-leak: cos ≈ 1
+      (11L, unit(42)), (12L, unit(43)), (13L, unit(44))) // clean
+    val corpus = rows.toDF("vec_id", "embedding")
+    val evalSet = corpus.where(col("vec_id") === 0L)
+    val out = Curation.semanticDecontam(corpus, evalSet, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!out.contains(0L), "eval row must be dropped (self-cos = 1)")
+    assert(!out.contains(10L), "the planted leak must be dropped")
+    assert(Set(11L, 12L, 13L).subsetOf(out),
+      s"clean rows must survive, got $out")
+    // cell mode with full probing finds the same leak
+    val cellOut = Curation.semanticDecontam(corpus, evalSet,
+        threshold = 0.95, nCells = 2, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(cellOut == out, s"cell mode $cellOut != exact $out")
+  }
+
+  test("dsirWeights: docs under two tokens drop out; params validate") {
+    val docs = Seq((1L, "single", "t"), (2L, "two words", "r"))
+      .toDF("doc_id", "text", "side")
+    val out = Curation.dsirWeights(docs, "doc_id", "text",
+      col("side") === "t", buckets = 64)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    intercept[IllegalArgumentException] {
+      Curation.dsirWeights(docs, "doc_id", "text", col("side") === "t",
+        buckets = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.dsirWeights(docs, "doc_id", "text", col("side") === "t",
+        smoothing = 0.0)
+    }
+  }
 }

@@ -250,6 +250,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sq with full-corpus refine is exactly brute force; bounds " +
+      "have corpus width; encode handles degenerate dimensions") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = emb.where($"vec_id" < 3)
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(emb, q, k = 3))
+    val (lo, hi) = Similarity.trainSqBounds(emb, dim = 64)
+    assert(lo.length == 64 && hi.length == 64 &&
+      lo.zip(hi).forall { case (l, h) => l <= h })
+    val sq = rows(Similarity.sqTopK(emb, q, k = 3, dim = 64,
+      refine = n, bounds = Some((lo, hi))))
+    assert(sq == brute && sq.nonEmpty, s"sq $sq vs brute $brute")
+    // a constant dimension must encode to 0 and dequantize exactly:
+    // planting dim 0 as constant shifts no ranking among these vectors
+    import spark.implicits._
+    val const = emb.select($"vec_id",
+      transform($"embedding", (x, i) =>
+        org.apache.spark.sql.functions.when(i === 0, lit(0.25f))
+          .otherwise(x)).as("embedding"))
+    val cq = const.where($"vec_id" < 3)
+    val sqc = rows(Similarity.sqTopK(const, cq, k = 3, dim = 64, refine = n))
+    val bc = rows(Similarity.bruteForceTopK(const, cq, k = 3))
+    assert(sqc == bc, "degenerate dimension must not corrupt ranking")
+  }
+
+  test("sq recall: planted near-duplicates surface at production " +
+      "refine depth") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = emb.where($"vec_id" < 5)
+    val planted = q.select(($"vec_id" + 1000000).as("vec_id"),
+      transform($"embedding",
+        (x, i) => (x + sin($"vec_id" * 131 + i * 17) * lit(0.01d))
+          .cast("float")).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionAll(planted)
+    val top1 = Similarity.sqTopK(corpus, q, k = 1, dim = 64, refine = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { id =>
+      assert(top1.get(id).contains(id + 1000000),
+        s"query $id: expected planted copy, got ${top1.get(id)}")
+    }
+  }
+
   test("ivf-pq with exhaustive probes and full refine is exactly brute force") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val q = emb.where($"vec_id" < 3)

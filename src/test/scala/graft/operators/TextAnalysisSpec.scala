@@ -392,4 +392,101 @@ class TextAnalysisSpec extends SparkSpec {
     // mean word length of "too short to pass" = (3+5+2+4)/4 = 3.5
     assert(out(2L).getAs[Double]("mean_word_len") == 3.5)
   }
+
+  // Independent BPE reference for the kernel cross-check: a direct,
+  // naive transcription of Sennrich et al.'s pseudocode operating on
+  // space-joined symbol strings (a different representation from the
+  // kernel's array walk).
+  private object NaiveBpe {
+    def train(freqs: Map[String, Long], n: Int): Seq[(String, String)] = {
+      var vocab = freqs.map { case (w, f) => (w.mkString(" "), f) }
+      (1 to n).flatMap { _ =>
+        val pairs = vocab.toSeq.flatMap { case (w, f) =>
+          val syms = w.split(" ")
+          syms.dropRight(1).zip(syms.drop(1)).map(p => (p, f))
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (pairs.isEmpty) None
+        else {
+          val best = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          vocab = vocab.map { case (w, f) =>
+            (w.replace(best._1 + " " + best._2, best._1 + best._2), f)
+          }
+          Some(best)
+        }
+      }
+    }
+    def encode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      val rank = merges.zipWithIndex.toMap
+      var syms = word.map(_.toString).toList
+      var go = true
+      while (go && syms.length > 1) {
+        val cands = syms.dropRight(1).zip(syms.drop(1))
+          .filter(rank.contains).sortBy(rank)
+        cands.headOption match {
+          case None => go = false
+          case Some(best) =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            var rest = syms
+            while (rest.nonEmpty) rest match {
+              case a :: b :: tl if (a, b) == best =>
+                out += a + b; rest = tl
+              case h :: tl => out += h; rest = tl
+              case Nil =>
+            }
+            syms = out.toList
+        }
+      }
+      syms
+    }
+  }
+
+  test("bpeTrain learns the classic merge sequence and bpeEncode " +
+      "matches an independent reference") {
+    // the canonical Sennrich toy corpus
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = corpus.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 6)
+    val freqs = corpus.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val expect = NaiveBpe.train(freqs, 6)
+    assert(merges == expect, s"kernel $merges vs reference $expect")
+    // first merges on this corpus: ("e","s") 9, then ("es","t") 9
+    assert(merges.take(2) == Seq(("e", "s"), ("es", "t")), s"$merges")
+    // every corpus word encodes identically under kernel and reference
+    val enc = docs.select(col("text"),
+        TextAnalysis.bpeEncodeWord(col("text"), merges).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    corpus.distinct.foreach { w =>
+      assert(enc(w) == NaiveBpe.encode(w, merges),
+        s"$w: ${enc(w)} vs ${NaiveBpe.encode(w, merges)}")
+    }
+    // unseen word with seen subparts still merges what it can
+    val novel = Seq((0L, "lowest")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeEncodeWord(col("text"), merges))
+      .collect().head.getSeq[String](0).toSeq
+    assert(novel == NaiveBpe.encode("lowest", merges), s"novel: $novel")
+    assert(novel.contains("est") || novel.contains("lo"),
+      s"expected learned subwords in $novel")
+  }
+
+  test("bpeEncode document level: lossless, word-bounded, and stable " +
+      "on unicode/multi-space text") {
+    val docs = Seq(
+      (1L, "the cat  sat\n on\tthe mat"),
+      (2L, "  Déjà vu — naïve café  "),
+      (3L, ""),
+      (4L, "日本語 テスト")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 10)
+    val out = docs.select(col("doc_id"),
+        concat_ws("", TextAnalysis.bpeEncode(col("text"), merges)).as("j"),
+        concat_ws("",
+          filter(TextAnalysis.tokens(col("text")), w => w =!= "")).as("wj"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    out.foreach { case (id, j, wj) =>
+      assert(j == wj, s"doc $id: '$j' != '$wj'")
+    }
+  }
 }
