@@ -706,5 +706,44 @@ object QueriesCuration {
         WHERE NOT EXISTS (
           SELECT 1 FROM embeddings q WHERE q.vec_id < 30
             AND list_cosine_similarity(c.embedding, q.embedding) >= 0.4)
-        ORDER BY vec_id""")))
+        ORDER BY vec_id""")),
+
+    // ------------------------------------- K32 quality classifier
+    // the CCNet/GPT-3 fastText-style hashed-bigram linear quality
+    // filter: train on an 80% slice, score the held-out 20%. Training
+    // reduces float gradients in partition order, so the gate pins
+    // STRUCTURAL contracts (exact held-out class counts, an AUC floor
+    // the structurally-learnable median-length label clears by a wide
+    // margin — hashed counts encode length linearly) rather than raw
+    // coefficients; per-doc scores and true separability are
+    // spec-proven on planted vocabularies (QualityClassifierSpec).
+    QueryDef("q_quality_classifier",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val med = SessionMemo.any(s, ("qcMedianLen", d))(
+          java.lang.Double.valueOf(docs
+            .agg(expr("percentile(length(text), 0.5)"))
+            .collect()(0).getDouble(0)))
+        val labeled = docs.withColumn("is_long",
+          length(col("text")) > med.doubleValue())
+        val model = SessionMemo.any(s, ("qualityClf", d))(
+          operators.QualityClassifier.train(
+            labeled.where(col("doc_id") % 5 =!= 0), "text", col("is_long"),
+            buckets = 2048, maxIter = 50))
+        val test = labeled.where(col("doc_id") % 5 === 0)
+        val scored = operators.QualityClassifier
+          .score(test, model, "doc_id", "text")
+          .join(test.select("doc_id", "is_long"), "doc_id")
+        operators.QualityClassifier.auc(scored, "is_long")
+          .select(col("np").as("n_test_pos"), col("nn").as("n_test_neg"),
+            (col("auc") >= 0.9).as("auc_ok"))
+      },
+      Some("""WITH med AS (SELECT median(length(text)) AS m FROM documents)
+        SELECT
+          CAST(COUNT(CASE WHEN length(text) > m THEN 1 END) AS BIGINT)
+            AS n_test_pos,
+          CAST(COUNT(CASE WHEN length(text) <= m THEN 1 END) AS BIGINT)
+            AS n_test_neg,
+          TRUE AS auc_ok
+        FROM documents, med WHERE doc_id % 5 = 0""")))
 }
