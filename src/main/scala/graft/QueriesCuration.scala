@@ -646,7 +646,8 @@ object QueriesCuration {
     // sum, the H14 discipline.
     QueryDef("q_dsir_weights",
       (s, d) => Curation.dsirWeights(Tables.documents(s, d),
-          "doc_id", "text", col("lang") === "en", buckets = 4096)
+          "doc_id", "text", col("lang") === "en", buckets = 4096,
+          exactHash = true)
         .orderBy("doc_id"),
       Some(s"""WITH toks AS (
           SELECT doc_id, (lang = 'en') AS is_target,

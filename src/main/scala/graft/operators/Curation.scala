@@ -460,6 +460,43 @@ object Curation {
     withSplit.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** The round-8 production composition (pipeline v2): the full
+    * modern curation stack as ONE declarative plan —
+    * Gopher rule battery (H16, map-only predicate) → heuristic
+    * quality gate (H2) → exact dedup → split assignment →
+    * eval-overlap decontamination (all from [[curationPipeline]]) →
+    * DSIR domain weight (K30, joined back id-keyed) → trained quality
+    * classifier score (K32, map-only with the model broadcast) →
+    * real BPE token count (H17, map-only kernel). The classifier
+    * model and BPE merges are TRAINED ONCE upfront (on a bounded
+    * sample — the production discipline: training artifacts are
+    * versioned inputs, not per-run work) and ride in as parameters.
+    *
+    * Scale shape: everything map-only except the four key-local
+    * shuffles the semantics require (content-hash dedup, gram-keyed
+    * decontamination, DSIR's bucket stats, and the id-keyed
+    * weight/score joins). Output columns: the doc row + split,
+    * log_weight (null→0 for sub-bigram docs), quality_prob,
+    * n_bpe_tokens — exactly what a training-data writer shards.
+    */
+  def curationPipelineV2(docs: DataFrame, idCol: String, textCol: String,
+      model: org.apache.spark.ml.classification.LogisticRegressionModel,
+      merges: Seq[(String, String)], dsirTargetPred: Column,
+      minQuality: Double = 0.5, ngram: Int = 5, dsirBuckets: Int = 4096,
+      gopherMinWords: Long = 50L, gopherMinStop: Long = 2L): DataFrame = {
+    val g = docs.where(TextAnalysis.gopherPass(col(textCol), gopherMinWords,
+      minStop = gopherMinStop))
+    val clean = curationPipeline(g, idCol, textCol, minQuality, ngram)
+    val weights = dsirWeights(docs, idCol, textCol, dsirTargetPred,
+        dsirBuckets)
+      .select(col("doc_id").as(idCol), col("log_weight"))
+    val scored = QualityClassifier.scoreAll(clean, model, textCol)
+    scored.join(weights, Seq(idCol), "left")
+      .withColumn("log_weight", coalesce(col("log_weight"), lit(0.0)))
+      .withColumn("n_bpe_tokens",
+        size(TextAnalysis.bpeEncode(col(textCol), merges)).cast(LongType))
+  }
+
   /** Curriculum quartile/decile buckets (K24): rank documents by a
     * quality-style score and cut them into `nBuckets` equal-count
     * tiers (ntile) — the assignment step of curriculum training
@@ -722,30 +759,46 @@ object Curation {
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, buckets: Int = 4096,
-                  smoothing: Double = 1.0): DataFrame = {
+                  smoothing: Double = 1.0,
+                  exactHash: Boolean = false): DataFrame = {
     require(buckets >= 2 && buckets <= 65536,
       s"buckets out of range [2, 65536]: $buckets")
     require(smoothing > 0.0, s"smoothing must be > 0: $smoothing")
     val t = TextAnalysis.tokens(col(textCol))
-    val grams = docs
+    val base = docs
       .select(col(idCol).as("doc_id"), targetPred.as("is_target"), t.as("t"))
       .where(size(col("t")) >= 2)
-      .select(col("doc_id"), col("is_target"),
+    // Feature hashing, two interchangeable kernels (the A10
+    // approx-default / exact-oracle pattern): the default buckets each
+    // bigram with codegen'd murmur3 over the token PAIR, computed
+    // inside the transform so only an int array ever explodes — no
+    // 8-M-row string materialization, no md5. `exactHash` switches to
+    // md5 over the concatenated gram, which the DuckDB oracle mirrors
+    // digit-for-digit; both are deterministic everywhere, they just
+    // draw different (equally uniform) bucket assignments.
+    val bucketed =
+      if (exactHash) base.select(col("doc_id"), col("is_target"),
+          explode(transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2)))).as("gram"))
+        .select(col("doc_id"), col("is_target"),
+          (conv(substring(md5(col("gram")), 1, 4), 16, 10).cast(LongType)
+            % buckets).as("bucket"))
+      else base.select(col("doc_id"), col("is_target"),
         explode(transform(sequence(lit(0), size(col("t")) - 2),
-          i => concat_ws(" ", element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)))).as("gram"))
-    val cdb = grams
-      .select(col("doc_id"), col("is_target"),
-        (conv(substring(md5(col("gram")), 1, 4), 16, 10).cast(LongType)
-          % buckets).as("bucket"))
-      .groupBy("doc_id", "is_target", "bucket")
-      .agg(count(lit(1)).as("c"))
-    val byBucket = Window.partitionBy("bucket")
-    val statd = cdb
-      .withColumn("ct", sum(when(col("is_target"), col("c"))
-        .otherwise(lit(0L))).over(byBucket))
-      .withColumn("cr", sum(when(!col("is_target"), col("c"))
-        .otherwise(lit(0L))).over(byBucket))
+          i => pmod(hash(element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)), lit(buckets)).cast(LongType)))
+          .as("bucket"))
+    // Per-bucket side counts as a BOUNDED aggregate: map-side combine
+    // collapses each task to ≤ `buckets` rows before the shuffle, so
+    // the exchange carries O(buckets·tasks), never the gram stream.
+    // (A per-(doc,bucket) intermediate — the naive shape — barely
+    // compresses the stream, since a doc's grams mostly land in
+    // distinct buckets; shuffling it costs more than the second
+    // corpus scan below at every scale.)
+    val bstats = bucketed.groupBy("bucket").agg(
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct"),
+      sum(when(!col("is_target"), lit(1L)).otherwise(lit(0L))).as("cr"))
     // corpus gram totals per side: narrow pass, no explode
     val totals = docs
       .select(targetPred.as("is_target"),
@@ -759,11 +812,17 @@ object Curation {
       log((col("ct") + a) / (col("tt") + ab)) -
         log((col("cr") + a) / (col("tr") + ab)), 6)
       .cast(DecimalType(28, 6))
-    statd.join(broadcast(totals))
-      .select(col("doc_id"), col("c"), lr.as("lr"))
+    // Bounded (bucket, lr) table broadcasts into a SECOND pass over
+    // the gram stream, which aggregates straight to per-doc rows —
+    // map-side combine emits ~1 row per doc per task, so the only
+    // doc-keyed shuffle is corpus-cardinality. Each gram instance
+    // contributes lr(bucket) once, so the exact-DECIMAL sum equals
+    // the Σ c_db·lr_b formulation bit-for-bit.
+    val lrTab = bstats.join(broadcast(totals)).select(col("bucket"),
+      lr.as("lr"))
+    bucketed.join(broadcast(lrTab), "bucket")
       .groupBy("doc_id")
-      .agg(sum(col("c").cast(DecimalType(10, 0)) * col("lr")).as("sw"),
-        sum("c").as("n_grams"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("sw"))
       .select(col("doc_id"), col("n_grams"),
         round(col("sw").cast(DoubleType), 6).as("log_weight"))
   }

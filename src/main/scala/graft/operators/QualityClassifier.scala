@@ -51,15 +51,16 @@ object QualityClassifier {
     * whitespace normalization; empty tokens drop so blank text yields
     * the zero vector instead of phantom grams.
     */
-  private def featurize(docs: DataFrame, textCol: String, buckets: Int,
-                        keep: Seq[Column]): DataFrame = {
-    val toks = docs.select(
-      keep :+ filter(TextAnalysis.tokens(col(textCol)), w => w =!= "")
-        .as("words"): _*)
-    val ng = new NGram().setN(2).setInputCol("words").setOutputCol("grams")
-    val tf = new HashingTF().setInputCol("grams").setOutputCol("features")
+  private def featurize(docs: DataFrame, textCol: String,
+                        buckets: Int): DataFrame = {
+    val toks = docs.withColumn("__qc_words",
+      filter(TextAnalysis.tokens(col(textCol)), w => w =!= ""))
+    val ng = new NGram().setN(2)
+      .setInputCol("__qc_words").setOutputCol("__qc_grams")
+    val tf = new HashingTF()
+      .setInputCol("__qc_grams").setOutputCol("features")
       .setNumFeatures(buckets)
-    tf.transform(ng.transform(toks)).drop("words", "grams")
+    tf.transform(ng.transform(toks)).drop("__qc_words", "__qc_grams")
   }
 
   /** Fit the quality model on `docs` where `labelCol` marks the
@@ -73,8 +74,10 @@ object QualityClassifier {
       s"buckets out of range [2, 2^20]: $buckets")
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
     require(regParam >= 0.0, s"regParam must be >= 0: $regParam")
-    val feat = featurize(docs, textCol,
-      buckets, Seq(labelExpr.cast(BooleanType).cast(DoubleType).as("label")))
+    val feat = featurize(
+      docs.select(labelExpr.cast(BooleanType).cast(DoubleType).as("label"),
+        col(textCol)),
+      textCol, buckets)
       .where(col("label").isNotNull)
     new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
@@ -88,12 +91,20 @@ object QualityClassifier {
     */
   def score(docs: DataFrame, model: LogisticRegressionModel,
             idCol: String, textCol: String): DataFrame =
-    featurize(docs, textCol, model.numFeatures,
-      Seq(col(idCol).as("doc_id")))
+    scoreAll(docs.select(col(idCol).as("doc_id"), col(textCol)),
+      model, textCol).select("doc_id", "quality_prob")
+
+  /** [[score]] preserving every input column — the composable form for
+    * pipelines that thread split/weight columns through the scoring
+    * pass. Still map-only.
+    */
+  def scoreAll(docs: DataFrame, model: LogisticRegressionModel,
+               textCol: String): DataFrame =
+    featurize(docs, textCol, model.numFeatures)
       .transform(model.transform(_))
-      .select(col("doc_id"),
-        round(element_at(vector_to_array(col("probability")), 2), 6)
-          .as("quality_prob"))
+      .withColumn("quality_prob",
+        round(element_at(vector_to_array(col("probability")), 2), 6))
+      .drop("features", "rawPrediction", "probability", "prediction")
 
   /** Held-out AUC of `model` on `docs`: exact Mann–Whitney rank-sum
     * over the scored set — one sort-by-score window plus one

@@ -104,9 +104,14 @@ object TextAnalysis {
     * of this file. Ratios are rounded to 6 dp BEFORE flag comparison
     * so the flags are bit-deterministic cross-engine.
     */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String,
-                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
-    val t = col(textCol)
+  /** The H16 statistics as raw column expressions (shared by the
+    * audit-table form and the pipeline filter form).
+    */
+  private case class GopherStats(nWords: Column, meanWordLen: Column,
+      symbolRatio: Column, alphaFrac: Column, bulletFrac: Column,
+      ellipsisFrac: Column, nStop: Column)
+
+  private def gopherStatCols(t: Column): GopherStats = {
     val words = filter(split(t, " "), w => w =!= lit(""))
     val lines = filter(split(t, "\n"), l => l =!= lit(""))
     val nWords = size(words).cast(LongType)
@@ -135,11 +140,18 @@ object TextAnalysis {
     val nStop = gopherStopwords
       .map(s => when(paddedCount(t, s) > 0, 1L).otherwise(0L))
       .reduce(_ + _).cast(LongType)
+    GopherStats(nWords, meanWordLen, symbolRatio, alphaFrac, bulletFrac,
+      ellipsisFrac, nStop)
+  }
+
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val s = gopherStatCols(col(textCol))
     df.select(col(idCol).as("doc_id"),
-        nWords.as("n_words"), meanWordLen.as("mean_word_len"),
-        symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
-        bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
-        nStop.as("n_stop"))
+        s.nWords.as("n_words"), s.meanWordLen.as("mean_word_len"),
+        s.symbolRatio.as("symbol_ratio"), s.alphaFrac.as("alpha_frac"),
+        s.bulletFrac.as("bullet_frac"), s.ellipsisFrac.as("ellipsis_frac"),
+        s.nStop.as("n_stop"))
       .withColumn("r_words",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("r_word_len",
@@ -152,6 +164,23 @@ object TextAnalysis {
       .withColumn("pass",
         col("r_words") && col("r_word_len") && col("r_symbol") &&
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
+  /** The H16 conjunction as ONE reusable map-only predicate — the form
+    * a composed pipeline filters on when it doesn't need the per-rule
+    * audit columns. Backed by the single-pass native kernel
+    * (functions.GopherPass): the column battery re-splits the document
+    * once per statistic because higher-order functions sit outside
+    * codegen subexpression elimination; the kernel computes every
+    * statistic in one scan with no intermediate arrays (~25× at sf3).
+    * TextAnalysisSpec pins kernel == [[gopherRules]].`pass` row-for-row
+    * on the corpus and on adversarial planted edge cases.
+    */
+  def gopherPass(text: Column, minWords: Long = 50L,
+                 maxWords: Long = 100000L, minStop: Long = 2L): Column = {
+    import graft.functions.{exprs, GopherPass}
+    exprs.toColumn(GopherPass(exprs.toExpr(text), minWords, maxWords,
+      minStop))
   }
 
   /** Per-document mean unigram surprisal −mean(ln p(token)), with

@@ -79,6 +79,57 @@ object PipelineBench {
       s""""n_shards":$nShardsWritten,"splits":{$bySplit},""" +
       s""""cpus":$cpus,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",""" +
       s""""utc":"$ts"}""")
+
+    // ---- pipeline v2 (round 8): + H16 gopher gate, K30 DSIR weight,
+    // K32 classifier score, H17 BPE token count. Train-once artifacts
+    // come from a bounded 10% hash sample (the production discipline:
+    // the model/merges are versioned inputs), timed separately.
+    import org.apache.spark.sql.functions._
+    import graft.operators.{QualityClassifier, TextAnalysis}
+    val tTrain0 = System.nanoTime()
+    val sample = Curation.hashSample(docs, "doc_id", 26)
+    val medLen = sample.agg(expr("percentile(length(text), 0.5)"))
+      .collect()(0).getDouble(0)
+    val model = QualityClassifier.train(sample, "text",
+      length(col("text")) > medLen, buckets = 4096, maxIter = 30)
+    val merges = TextAnalysis.bpeTrain(sample, "text", numMerges = 200)
+    val trainWall = (System.nanoTime() - tTrain0) / 1e9
+
+    def v2(s: SparkSession) = Curation.curationPipelineV2(
+      Tables.documents(s, sfDir), "doc_id", "text", model, merges,
+      dsirTargetPred = col("lang") === "en", gopherMinStop = 0L)
+
+    locally {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      val static = v2(s2).queryExecution.executedPlan.toString
+      val lines = static.linesIterator
+        .filterNot(_.contains("ReusedExchange")).toSeq
+      val hash = lines.count(_.contains("Exchange hashpartitioning"))
+      val scans = lines.count(_.contains("Scan parquet"))
+      require(hash <= 13, s"pipeline v2 grew a hash exchange: $hash > 13\n$static")
+      require(scans <= 8, s"pipeline v2 re-scans the corpus: $scans > 8\n$static")
+      require(!static.contains("CartesianProduct"),
+        s"pipeline v2 must not pair-join:\n$static")
+      // the ONE sanctioned nested-loop is DSIR's single-row corpus
+      // totals broadcast (a 1×N attach, not a pair join)
+      val bnl = lines.count(_.contains("BroadcastNestedLoopJoin"))
+      require(bnl <= 1,
+        s"pipeline v2 grew an unbounded nested-loop join: $bnl > 1\n$static")
+    }
+
+    val load2 = loadavg
+    val t2 = System.nanoTime()
+    Curation.writeSharded(v2(spark), "doc_id", nShards, s"$outDir/shards_v2")
+    val wall2 = (System.nanoTime() - t2) / 1e9
+    val out2 = spark.read.parquet(s"$outDir/shards_v2")
+    val nOut2 = out2.count()
+    val ts2 = java.time.Instant.now().toString
+    println(s"""{"metric":"pipeline_v2_sf_wall","value":$wall2,"unit":"sec",""" +
+      s""""train_wall":$trainWall,"sf_dir":"$sfDir",""" +
+      s""""n_docs_in":$nDocs,"n_docs_out":$nOut2,""" +
+      s""""cpus":$cpus,"loadavg_start":"$load2","loadavg_end":"$loadavg",""" +
+      s""""utc":"$ts2"}""")
     spark.stop()
   }
 }

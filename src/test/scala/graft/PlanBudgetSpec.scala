@@ -62,9 +62,13 @@ class PlanBudgetSpec extends SparkSpec {
     "q_soft_dedup" -> (4, 1, 2), // clusters come back lineage-cut (the CC
     // loop materializes internally), so the static plan is ONE corpus
     // scan + the id join / size agg / weight joins
-    "q_dsir_weights" -> (3, 1, 2), // ONE tokenize+explode pass collapsed
-    // to (doc,bucket) counts + bucket window + doc agg; 2nd scan is the
-    // narrow no-explode gram-total pass (broadcast)
+    "q_dsir_weights" -> (2, 1, 3), // r8 reshape: bucket stats from a
+    // map-side-combined bounded agg (shuffle ≤ buckets·tasks) and the
+    // per-doc score aggregated straight off the gram stream with the
+    // 4096-row (bucket, lr) table broadcast — no gram-cardinality
+    // shuffle anywhere. Cost moved to scans: two explode passes + the
+    // narrow no-explode totals pass, the right trade at every scale
+    // (scans pipeline at scan speed; gram shuffles do not)
     "q_semantic_decontam" -> (0, 1, 2), // broadcast-NL ANTI join: the
     // eval suite broadcasts, the corpus never shuffles
     "q_bpe_tokenize" -> (0, 1, 1), // encode is a pure codegen map (the

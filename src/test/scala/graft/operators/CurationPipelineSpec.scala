@@ -51,6 +51,48 @@ class CurationPipelineSpec extends SparkSpec {
     assert(out.where($"split" === "test").count() == expectedTest)
   }
 
+  test("pipeline v2 composes the round-8 stack with bounded plan shape") {
+    val model = QualityClassifier.train(docs, "text",
+      length($"text") > 250, buckets = 512, maxIter = 10)
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 50)
+    def v2 = Curation.curationPipelineV2(docs, "doc_id", "text", model,
+      merges, dsirTargetPred = $"lang" === "en", gopherMinWords = 5L,
+      gopherMinStop = 0L)
+
+    // static plan gate, the PipelineBench discipline: no cartesian,
+    // at most the ONE sanctioned nested-loop (DSIR's 1-row totals)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val static = Curation.curationPipelineV2(Tables.documents(s2, sfDir),
+      "doc_id", "text", model, merges, dsirTargetPred = col("lang") === "en",
+      gopherMinWords = 5L, gopherMinStop = 0L)
+      .queryExecution.executedPlan.toString
+    val lines = static.linesIterator
+      .filterNot(_.contains("ReusedExchange")).toSeq
+    assert(!static.contains("CartesianProduct"))
+    assert(lines.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"only DSIR's 1-row totals may nested-loop:\n$static")
+    assert(lines.count(_.contains("Exchange hashpartitioning")) <= 13,
+      s"v2 grew a shuffle:\n$static")
+
+    val rows = v2.persist()
+    try {
+      // v2 output is a subset of v1 (extra gopher gate only removes)
+      val v1Ids = out.select("doc_id")
+      assert(rows.join(v1Ids, Seq("doc_id"), "left_anti").count() == 0)
+      // every enrichment column is present and well-formed
+      val bad = rows.where($"quality_prob".isNull ||
+        $"quality_prob" < 0 || $"quality_prob" > 1 ||
+        $"log_weight".isNull ||
+        $"n_bpe_tokens".isNull || $"n_bpe_tokens" < 1).count()
+      assert(bad == 0, "quality_prob/log_weight/n_bpe_tokens malformed")
+      // BPE token count is bounded below by the word count
+      val w = filter(TextAnalysis.tokens($"text"), t => t =!= "")
+      assert(rows.where($"n_bpe_tokens" < size(w)).count() == 0)
+      assert(rows.count() > 0, "v2 must keep documents at gate scale")
+    } finally rows.unpersist()
+  }
+
   test("sharded write is complete, disjoint, and deterministic") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe-shards").toString
     Curation.writeSharded(out, "doc_id", 16, dir)

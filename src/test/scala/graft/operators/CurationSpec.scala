@@ -572,6 +572,27 @@ class CurationSpec extends SparkSpec {
     assert(cellOut == out, s"cell mode $cellOut != exact $out")
   }
 
+  test("dsirWeights: exactHash (md5 oracle) mode preserves invariants " +
+      "and gram counts match the fast kernel") {
+    val docs = Seq(
+      (1L, "stir the sauce and simmer the sauce gently", "t"),
+      (2L, "chop the onions and stir the pan", "t"),
+      (10L, "stir the sauce and chop the onions", "r"),
+      (11L, "quantum flux entangles qubit lattices rapidly", "r")
+    ).toDF("doc_id", "text", "side")
+    val fast = Curation.dsirWeights(docs, "doc_id", "text",
+        col("side") === "t", buckets = 256)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val exact = Curation.dsirWeights(docs, "doc_id", "text",
+        col("side") === "t", buckets = 256, exactHash = true)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(fast.keySet == exact.keySet)
+    fast.keySet.foreach(k => assert(fast(k)._2 == exact(k)._2,
+      s"gram count differs for doc $k"))
+    assert(exact(10L)._3 > exact(11L)._3)
+    assert(exact(11L)._3 < 0)
+  }
+
   test("dsirWeights: docs under two tokens drop out; params validate") {
     val docs = Seq((1L, "single", "t"), (2L, "two words", "r"))
       .toDF("doc_id", "text", "side")

@@ -393,6 +393,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("mean_word_len") == 3.5)
   }
 
+  test("gopherPass kernel == column battery on corpus and edge cases") {
+    // two independent implementations of the H16 conjunction: the
+    // column-expression battery (oracle-mirrored) and the single-pass
+    // native kernel the pipeline filters on. They must agree row for
+    // row — on the real corpus and on adversarial boundary inputs.
+    val edge = Seq(
+      1000008L -> "   ", 1000009L -> "a", 1000010L -> "word\n\n\nword",
+      1000011L -> "the quick…brown # fox", 1000012L -> ("x " * 49).trim,
+      1000013L -> ("the be to of and that have with " * 7).trim,
+      1000014L -> "line one...\n  - two\n…\nthree ...  ",
+      1000015L -> (("𝄞" + "maths ") * 55).trim, // astral code points
+      1000016L -> (("dot" + "." * 7 + " ") * 60).trim,
+      1000017L -> ("tab\tseparated " * 50).trim)
+      .toDF("doc_id", "text")
+    val corpus = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").unionAll(edge)
+    for ((mw, ms) <- Seq((50L, 2L), (5L, 0L), (1L, 1L))) {
+      val colPass = TextAnalysis.gopherRules(corpus, "doc_id", "text",
+          minWords = mw)
+        .select($"doc_id",
+          ($"r_words" && $"r_word_len" && $"r_symbol" && $"r_bullet" &&
+            $"r_ellipsis" && $"r_alpha" && $"n_stop" >= ms).as("p"))
+      val kernel = corpus.select($"doc_id",
+        TextAnalysis.gopherPass($"text", minWords = mw, minStop = ms).as("k"))
+      val diffRows = colPass.join(kernel, "doc_id")
+        .where($"p" =!= $"k" ||
+          ($"p".isNull && $"k".isNotNull) || ($"p".isNotNull && $"k".isNull))
+        .collect()
+      assert(diffRows.isEmpty,
+        s"kernel disagrees with column battery at minWords=$mw minStop=$ms: " +
+          diffRows.take(5).mkString("; "))
+    }
+  }
+
   // Independent BPE reference for the kernel cross-check: a direct,
   // naive transcription of Sennrich et al.'s pseudocode operating on
   // space-joined symbol strings (a different representation from the
