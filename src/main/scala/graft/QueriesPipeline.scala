@@ -1342,6 +1342,81 @@ object QueriesPipeline {
             CAST(row_number() OVER (PARTITION BY qid
               ORDER BY rrf DESC, nid) AS BIGINT) AS rank
           FROM f)
-        WHERE rank <= 10 ORDER BY qid, rank"""))
+        WHERE rank <= 10 ORDER BY qid, rank""")),
+
+    // ------------------------------------------------ G15 MMR re-rank
+    // maximal marginal relevance over the exact top-8 candidates:
+    // greedy λ·rel − (1−λ)·maxSim selection, k=3, λ=0.5 (exact in
+    // binary). The oracle unrolls the three greedy argmax stages in
+    // SQL over the same 6-dp-rounded cosine matrix with identical
+    // (score desc, nid asc) tie-breaks, so the SELECTION SEQUENCE
+    // itself is verified, not just membership.
+    QueryDef("q_mmr_rerank",
+      (s, d) => {
+        val em = Tables.embeddings(s, d)
+        Similarity.mmrRerank(em, em.where(col("vec_id") % 37 === 0),
+            k = 3, n = 8, lambda = 0.5)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id % 37 = 0
+        ), cand AS (
+          SELECT qid, nid, rel FROM (
+            SELECT q.qid, c.vec_id AS nid,
+              round(list_cosine_similarity(q.qe, c.embedding), 6) AS rel,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY round(list_cosine_similarity(q.qe, c.embedding), 6)
+                  DESC, c.vec_id) AS rn
+            FROM q, embeddings c WHERE c.vec_id <> q.qid)
+          WHERE rn <= 8
+        ), pair AS (
+          SELECT a.qid, a.nid AS a_nid, b.nid AS b_nid,
+            round(list_cosine_similarity(ae.embedding, be.embedding), 6)
+              AS sim
+          FROM cand a
+          JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid
+          JOIN embeddings ae ON ae.vec_id = a.nid
+          JOIN embeddings be ON be.vec_id = b.nid
+        ), s1 AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (PARTITION BY qid
+              ORDER BY round(0.5 * rel, 6) DESC, nid) AS rn FROM cand)
+          WHERE rn = 1
+        ), r2 AS (
+          SELECT c.qid, c.nid, c.rel, p.sim AS maxsim
+          FROM cand c
+          JOIN s1 ON c.qid = s1.qid AND c.nid <> s1.nid
+          JOIN pair p ON p.qid = c.qid AND p.a_nid = c.nid
+            AND p.b_nid = s1.nid
+        ), s2 AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (PARTITION BY qid
+              ORDER BY round(0.5 * rel - 0.5 * maxsim, 6) DESC, nid) AS rn
+            FROM r2)
+          WHERE rn = 1
+        ), r3 AS (
+          SELECT c.qid, c.nid, c.rel,
+            greatest(p1.sim, p2.sim) AS maxsim
+          FROM cand c
+          JOIN s1 ON c.qid = s1.qid AND c.nid <> s1.nid
+          JOIN s2 ON c.qid = s2.qid AND c.nid <> s2.nid
+          JOIN pair p1 ON p1.qid = c.qid AND p1.a_nid = c.nid
+            AND p1.b_nid = s1.nid
+          JOIN pair p2 ON p2.qid = c.qid AND p2.a_nid = c.nid
+            AND p2.b_nid = s2.nid
+        ), s3 AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (PARTITION BY qid
+              ORDER BY round(0.5 * rel - 0.5 * maxsim, 6) DESC, nid) AS rn
+            FROM r3)
+          WHERE rn = 1)
+        SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+          CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT qid, nid, 1 AS rank FROM s1
+          UNION ALL SELECT qid, nid, 2 FROM s2
+          UNION ALL SELECT qid, nid, 3 FROM s3)
+        ORDER BY qid, rank"""))
   )
 }

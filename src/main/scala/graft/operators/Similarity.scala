@@ -480,6 +480,119 @@ object Similarity {
     exactReRank(corpus, queries, cand, k)
   }
 
+  /** MMR diversified re-rank (G15): maximal marginal relevance
+    * (Carbonell & Goldstein, SIGIR 1998) — the standard fix for
+    * near-duplicate-saturated retrieval results: greedily select
+    * argmax over remaining candidates of
+    * `λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)`, so each pick
+    * trades relevance against redundancy with what's already chosen.
+    * λ=1 degenerates to plain top-k; λ=0 is pure diversification.
+    *
+    * Scale shape: candidate generation is any ANN/top-n pass (here the
+    * brute-force-exact top-n, 6-dp-rounded — swap in the index for
+    * production); the greedy loop itself is inherently sequential PER
+    * QUERY over a BOUNDED n-candidate set, so it runs as a typed
+    * flatMapGroups keyed by query — thousands of queries parallelize
+    * across the cluster, each group doing O(n²·dim) local float math.
+    * Pairwise sims replicate the DotProduct kernel's accumulation
+    * order bit-for-bit and round 6 dp before the argmax, with
+    * (score desc, nid asc) tie-breaks, so the selection sequence is
+    * engine-exact and the gate oracle mirrors it as k unrolled
+    * argmax stages in SQL.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int, n: Int,
+                lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && n >= k, s"need n >= k >= 1: k=$k n=$n")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val cand = bruteForceTopK(corpus, queries, n, roundCosTo = 6)
+      .select(col("qid"), col("nid"), col("cos").as("rel"))
+    // re-attach candidate vectors: bounded candidate set broadcast,
+    // one id-keyed corpus join (the exactReRank discipline)
+    val cv = corpus.select(col("vec_id").as("nid"), col("embedding").as("e"))
+      .join(broadcast(cand), "nid")
+      .select(col("qid"), col("nid"), col("rel"), col("e"))
+    val spark = cv.sparkSession
+    import spark.implicits._
+    cv.as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val cs = it.map(t => (t._2, t._3, t._4)).toArray
+        mmrGreedy(cs, k, lambda).iterator.zipWithIndex
+          .map { case (nid, i) => (qid, nid, (i + 1).toLong) }
+      }
+      .toDF("qid", "nid", "rank")
+  }
+
+  private def round6(v: Double): Double =
+    new java.math.BigDecimal(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** JVM cosine replicating the DotProduct kernel's sequential
+    * float→double accumulation, so group-local pairwise sims are
+    * bit-identical to the expression layer (and the DuckDB mirror).
+    */
+  private def cosJvm(a: Array[Float], b: Array[Float]): Double = {
+    var num = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      num += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    num / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Greedy MMR over one query's candidates: returns nids in selection
+    * order. maxSim(∅) = 0, every score rounds 6 dp before comparison,
+    * ties break on nid — the exact contract the SQL oracle unrolls.
+    */
+  private def mmrGreedy(cs: Array[(Long, Double, Array[Float])], k: Int,
+                        lambda: Double): Seq[Long] = {
+    val m = cs.length
+    val sims = Array.ofDim[Double](m, m)
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val s = round6(cosJvm(cs(i)._3, cs(j)._3))
+        sims(i)(j) = s; sims(j)(i) = s
+        j += 1
+      }
+      i += 1
+    }
+    val taken = new Array[Boolean](m)
+    // true max over selected — a candidate anti-correlated with every
+    // pick keeps its NEGATIVE redundancy term (textbook MMR, and what
+    // the unrolled oracle computes); only the empty set scores as 0
+    val maxSim = Array.fill(m)(Double.NegativeInfinity)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (out.length < math.min(k, m)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var bestNid = Long.MaxValue
+      var c = 0
+      while (c < m) {
+        if (!taken(c)) {
+          val red = if (out.isEmpty) 0.0 else maxSim(c)
+          val score = round6(lambda * cs(c)._2 - (1 - lambda) * red)
+          if (score > bestScore ||
+              (score == bestScore && cs(c)._1 < bestNid)) {
+            best = c; bestScore = score; bestNid = cs(c)._1
+          }
+        }
+        c += 1
+      }
+      taken(best) = true
+      out += cs(best)._1
+      var u = 0
+      while (u < m) {
+        if (!taken(u) && sims(u)(best) > maxSim(u)) maxSim(u) = sims(u)(best)
+        u += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Exact-cosine re-rank of an approximate candidate set: (qid, nid)
     * pairs joined back to the full-precision corpus (id-keyed, the
     * small candidate set broadcast), scored exactly, top-k per query.

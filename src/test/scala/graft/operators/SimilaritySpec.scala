@@ -449,4 +449,55 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 10L, 1L), (2L, 20L, 1L)), s"got $out")
   }
+
+  test("mmrRerank diversifies: the near-dup of the top pick is displaced") {
+    // query 100 points at cluster A; a1/a2 are near-dups of each other,
+    // b is less relevant but orthogonal to A. Plain top-2 = {a1, a2};
+    // MMR at λ=0.5 must keep a1 and swap the redundant a2 for b.
+    val corpus = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.98f, 0.05f, 0f, 0f)),   // a1: most relevant
+      (2L, Array(0.97f, 0.06f, 0f, 0f)),   // a2: near-dup of a1
+      (3L, Array(0.5f, 0f, 0.86f, 0f))     // b: relevant, diverse
+    ).toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" === 100)
+    val plain = Similarity.bruteForceTopK(corpus, q, k = 2, roundCosTo = 6)
+      .select("nid").as[Long].collect().toSet
+    assert(plain == Set(1L, 2L), s"plain top-2 must be the near-dup pair: $plain")
+    val mmr = Similarity.mmrRerank(corpus, q, k = 2, n = 3, lambda = 0.5)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(mmr == Seq(1L, 3L), s"MMR must displace the near-dup: $mmr")
+    // λ=1 degenerates to plain relevance ranking
+    val rel = Similarity.mmrRerank(corpus, q, k = 2, n = 3, lambda = 1.0)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(rel == Seq(1L, 2L), s"λ=1 must equal plain ranking: $rel")
+  }
+
+  test("mmrRerank: negative redundancy is kept, short candidate sets, determinism") {
+    // the anti-parallel candidate's NEGATIVE sim to the first pick must
+    // boost (not clamp to 0) its second-round score: with λ=0.5 the
+    // anti-parallel vector 3 outranks the orthogonal 2 at rank 2
+    val q0 = vecs.where($"vec_id" === 0)
+    val mmr = Similarity.mmrRerank(vecs, q0, k = 3, n = 4, lambda = 0.5)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(mmr.head == 1L, s"rank 1 is the most relevant: $mmr")
+    val i3 = mmr.indexOf(3L)
+    val i2 = mmr.indexOf(2L)
+    assert(i3 >= 0 && (i2 < 0 || i3 < i2),
+      s"anti-parallel (sim<0) must outrank orthogonal under MMR: $mmr")
+    // k beyond the candidate pool returns the whole pool, ordered
+    val all = Similarity.mmrRerank(vecs, q0, k = 10, n = 10, lambda = 0.5)
+      .select("nid").as[Long].collect()
+    assert(all.length == 4 && all.toSet == Set(1L, 2L, 3L, 4L))
+    // deterministic across runs
+    val again = Similarity.mmrRerank(vecs, q0, k = 3, n = 4, lambda = 0.5)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(again == mmr)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(vecs, q0, k = 3, n = 2, lambda = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(vecs, q0, k = 1, n = 2, lambda = 1.5)
+    }
+  }
 }
