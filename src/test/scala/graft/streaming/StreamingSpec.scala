@@ -104,4 +104,49 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((11L, 10L)), s"got $pairs")
   }
+
+  test("I14: streaming quality gate == batch gate, stateless plan") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{QualityClassifier, TextAnalysis}
+    // train-once artifacts on a tiny static corpus (the versioned-input
+    // discipline the batch pipeline uses)
+    val prose = "the catalog lists every survey with careful notes and "
+    val train = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, (prose * 3) + s"entry $i")
+      else (i.toLong, s"zxq wvv qq$i kpk zzz xjx")
+    }.toDF("doc_id", "text")
+    val model = QualityClassifier.train(train, "text",
+      org.apache.spark.sql.functions.length($"text") > 100,
+      buckets = 256, maxIter = 10)
+    val merges = TextAnalysis.bpeTrain(train, "text", numMerges = 30)
+
+    val rows = Seq(
+      (100L, (prose * 3) + "entry hundred"), // passes everything
+      (101L, "too short"),                   // fails the word band
+      (102L, prose * 3 + "qq"))              // passes gopher; prob decides
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows: _*)
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      Streams.qualityGate(df.toDF("doc_id", "text"), "text", model, merges,
+        minWords = 5L, minStop = 0L, minProb = 0.5)
+    runToMemory(gate(input.toDF()), "t_qgate")
+    val streamed = spark.table("t_qgate")
+      .select("doc_id", "quality_prob", "n_bpe_tokens")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val batch = gate(rows.toDF("a", "b"))
+      .select("doc_id", "quality_prob", "n_bpe_tokens")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch,
+      s"stream and batch gates must agree: $streamed vs $batch")
+    assert(streamed.exists(_._1 == 100L), "the clean doc must survive")
+    assert(!streamed.exists(_._1 == 101L), "the short doc must be gated")
+    // the streaming plan carries NO stateful operator: pure map/filter
+    val q = gate(input.toDF()).writeStream.format("memory")
+      .queryName("t_qgate_plan").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val explained = q.lastProgress.toString
+    assert(!explained.contains("stateOperators\" : [ {"),
+      s"gate must be stateless:\n$explained")
+  }
 }
