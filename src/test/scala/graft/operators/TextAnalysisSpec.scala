@@ -511,7 +511,8 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "the cat  sat\n on\tthe mat"),
       (2L, "  Déjà vu — naïve café  "),
       (3L, ""),
-      (4L, "日本語 テスト")
+      (4L, "日本語 テスト"),
+      (5L, "astral 𝄞clef 𝄞𝄞 emoji😀mix") // surrogate-pair code points
     ).toDF("doc_id", "text")
     val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 10)
     val out = docs.select(col("doc_id"),
