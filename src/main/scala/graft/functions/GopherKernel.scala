@@ -20,8 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * a hot corpus filter.
   *
   * Exactness contract (spec-pinned equal to gopherRules.`pass` in
-  * TextAnalysisSpec): words are maximal runs of non-space (' ') chars
-  * measured in code points; "..." counts non-overlapping
+  * TextAnalysisSpec, and 1000-case fuzzed in TextFuzzSpec): words are
+  * maximal runs of non-space (' ') chars — a newline is a word
+  * character, exactly like split(t, " ") — measured in code points;
+  * "..." counts non-overlapping
   * left-to-right like the replace-length trick; lines split on '\n'
   * dropping empties; bullet/ellipsis checks trim spaces only;
   * stopword presence is the padded " w " containment on the
@@ -91,13 +93,16 @@ object GopherRuntime {
     }
     while (i < n) {
       val c = s.charAt(i)
+      // words split on ' ' ONLY — a newline is a word character, like
+      // the column battery's split(t, " ") (fuzz-caught: treating \n
+      // as a word boundary diverged on "a \n b"-shaped docs)
       if (c == ' ') closeWord(i)
-      else if (c == '\n') { closeWord(i); closeLine(i); lineStart = i + 1 }
       else {
         if (!inWord) { inWord = true; wordStart = i }
         if (c == '#') nHash += 1
         else if (c == '…') nUell += 1
       }
+      if (c == '\n') { closeLine(i); lineStart = i + 1 }
       i += 1
     }
     closeWord(n)

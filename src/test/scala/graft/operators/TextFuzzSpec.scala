@@ -196,4 +196,44 @@ class TextFuzzSpec extends SparkSpec {
       .as[(Int, String)].collect().toMap
     assert(twice == got, "canonicalizeUrl is not idempotent")
   }
+
+  // --------------------------------------------------------------- H16
+
+  /** Adversarial rule-battery input: stopwords, symbol runs, every
+    * bullet/ellipsis marker, space and newline runs, tabs inside
+    * words, digits, astral code points, boundary-length words — the
+    * atoms target each rule's edge (trim behavior, non-overlapping
+    * "..." counting, code-point word lengths, padded stopword match).
+    */
+  private val genGopherDoc: Gen[String] = {
+    val atoms = Gen.oneOf(
+      "the", "be", "to", "of", "and", "that", "have", "with",
+      "word", "xyz", "a", "ab", "supercalifragilistic", "12", "99",
+      "#", "###", "...", "....", ".......", "…", "……", "ends...",
+      "trails… ", "- item", "* item", "• item", "-dash", "no",
+      " ", "  ", "\n", "\n\n", " \n ", "\t", "tab\tword",
+      "𝄞", "😀", "𝄞clef", "é", "THE", "The", "")
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, atoms).map(_.mkString(" ")))
+  }
+
+  test(s"H16 GopherPass kernel == column battery on $N fuzzed docs") {
+    val cases = sample(Gen.listOfN(N, genGopherDoc), 0x60f3aL)
+    val docs = cases.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    for ((mw, ms) <- Seq((3L, 1L), (50L, 2L), (1L, 0L))) {
+      val colPass = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = mw)
+        .select($"doc_id",
+          ($"r_words" && $"r_word_len" && $"r_symbol" && $"r_bullet" &&
+            $"r_ellipsis" && $"r_alpha" && $"n_stop" >= ms).as("p"))
+      val kernel = docs.select($"doc_id",
+        TextAnalysis.gopherPass($"text", minWords = mw, minStop = ms)
+          .as("k"))
+      val diff = colPass.join(kernel, "doc_id")
+        .where($"p" =!= $"k").collect()
+      assert(diff.isEmpty,
+        s"kernel != battery at minWords=$mw minStop=$ms on " +
+          diff.take(3).map(r => cases(r.getLong(0).toInt)).mkString(" | "))
+    }
+  }
 }
