@@ -412,6 +412,38 @@ object QueriesCuration {
               < printf('%04x', CAST(floor(least(mix_weight, 1.0) * 65536) AS INT))
         ORDER BY doc_id""")),
 
+    // ------------------------------------ K33 temperature source mix
+    // p_i ∝ n_i^0.5 realized as per-source keep fraction
+    // (n_i/n_min)^(−0.5), rounded 6 dp before the 16-bit threshold so
+    // the kept subset survives libm pow differences; smallest source
+    // keeps everything by construction.
+    // the gate's sf0.01 `source` groups are exactly equal (all weights
+    // 1.0 — vacuous), so mix on a SKEWED derived band (~1/7 vs ~6/7 of
+    // docs) to force the downsample branch to fire on both engines
+    QueryDef("q_temperature_mix",
+      (s, d) => Curation.temperatureMix(
+          Tables.documents(s, d).withColumn("band",
+            when(col("doc_id") % 7 === 0, "rare").otherwise("common")),
+          "doc_id", "band", alpha = 0.5)
+        .select(col("doc_id"), col("band"), col("mix_weight"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN 'rare' ELSE 'common' END AS band
+          FROM documents),
+          c AS (SELECT band, COUNT(*) AS n_src FROM d GROUP BY 1),
+          m AS (SELECT MIN(n_src) AS n_min FROM c),
+          w AS (SELECT band,
+                  round(pow(CAST(n_src AS DOUBLE) / n_min, -0.5), 6)
+                    AS mix_weight
+                FROM c CROSS JOIN m)
+        SELECT doc_id, band, mix_weight
+        FROM d JOIN w USING (band)
+        WHERE floor(least(mix_weight, 1.0) * 65536) >= 65536
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < printf('%04x', CAST(floor(least(mix_weight, 1.0) * 65536) AS INT))
+        ORDER BY doc_id""")),
+
     // --------------------------------------- K21 exact-size sample
     // Exact-k uniform-without-replacement via smallest md5 keys.
     // Plans as TakeOrderedAndProject (per-partition top-k + driver

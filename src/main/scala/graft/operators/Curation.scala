@@ -78,6 +78,39 @@ object Curation {
       .drop("n_src", "n_total", "n_sources")
   }
 
+  /** Temperature-based source mixing (K33): resample the corpus so
+    * source i's expected share follows the exponentiated distribution
+    * p_i ∝ n_i^alpha — the multilingual-LM sampling recipe (Lample &
+    * Conneau, 2019): alpha=1 keeps natural proportions (no-op),
+    * alpha=0 flattens to the K20 uniform target, values between trade
+    * low-resource coverage against fidelity to the natural mix.
+    * Realized without replacement by per-source keep fraction
+    * f_i = (n_i/n_min)^(alpha−1): the smallest source keeps
+    * everything, larger sources downsample with exponent alpha−1 ≤ 0.
+    *
+    * The fraction rounds to 6 dp BEFORE the 16-bit threshold so the
+    * kept subset is engine-exact even across libm pow
+    * implementations. Composes [[weightedSample]]: a pure
+    * deterministic filter — no RNG, no shuffle beyond two bounded
+    * broadcast aggregates — so the subset is identical at any cluster
+    * size, and monotone in alpha per source (raising alpha only adds
+    * rows back).
+    */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n_src"))
+    val mn = counts.agg(min("n_src").as("n_min"))
+    val weighted = df
+      .join(broadcast(counts), sourceCol)
+      .join(broadcast(mn))
+      .withColumn("mix_weight",
+        round(pow(col("n_src").cast(DoubleType) / col("n_min").cast(DoubleType),
+          alpha - 1.0), 6))
+    weightedSample(weighted, idCol, col("mix_weight"))
+      .drop("n_src", "n_min")
+  }
+
   /** Exact-size deterministic sample (K21): the k rows with the
     * smallest md5 key — "uniform without replacement" with a hash in
     * place of the RNG. Plans as TakeOrderedAndProject: per-partition

@@ -572,6 +572,40 @@ class CurationSpec extends SparkSpec {
     assert(cellOut == out, s"cell mode $cellOut != exact $out")
   }
 
+  test("temperatureMix: alpha dials between natural and uniform; " +
+      "monotone; smallest source keeps all") {
+    val rows = (0 until 300).map(i =>
+      (i.toLong, if (i < 200) "big" else if (i < 280) "mid" else "small"))
+      .toDF("doc_id", "source")
+    val a1 = Curation.temperatureMix(rows, "doc_id", "source", 1.0)
+    assert(a1.count() == 300, "alpha=1 is the identity mix")
+    val a05 = Curation.temperatureMix(rows, "doc_id", "source", 0.5)
+    val by05 = a05.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by05("small") == 20, "smallest source keeps everything")
+    // keep fractions order with size: big keeps a smaller share
+    assert(by05("big").toDouble / 200 < by05("mid").toDouble / 80)
+    // monotone in alpha: every row kept at 0.5 is kept at 0.8
+    val a08 = Curation.temperatureMix(rows, "doc_id", "source", 0.8)
+    val k05 = a05.select("doc_id").collect().map(_.getLong(0)).toSet
+    val k08 = a08.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k05.subsetOf(k08), "raising alpha must only add rows back")
+    // deterministic
+    val again = Curation.temperatureMix(rows, "doc_id", "source", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == k05)
+    // alpha=0 targets the uniform mix: expected n_min per source
+    val a0 = Curation.temperatureMix(rows, "doc_id", "source", 0.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a0("small") == 20)
+    assert(math.abs(a0("big") - 20) <= 12 && math.abs(a0("mid") - 20) <= 12,
+      s"alpha=0 should land near n_min per source: $a0")
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMix(rows, "doc_id", "source", 1.5)
+    }
+  }
+
   test("dsirWeights: exactHash (md5 oracle) mode preserves invariants " +
       "and gram counts match the fast kernel") {
     val docs = Seq(
