@@ -1344,6 +1344,52 @@ object QueriesPipeline {
           FROM f)
         WHERE rank <= 10 ORDER BY qid, rank""")),
 
+    // --------------------------------------------- H18 BM25 index
+    // the persisted inverted index must reproduce the recompute-path
+    // BM25 (q_bm25's oracle family) from a partition-pruned postings
+    // read; the index builds once per session (temp dir, memoized)
+    // exactly like q_ann_index.
+    QueryDef("q_bm25_index",
+      (s, d) => {
+        val idx = SessionMemo.any(s, ("bm25Index", d)) {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-bm25-index").toString
+          operators.Bm25Index.write(Tables.documents(s, d),
+            "doc_id", "text", dir, nBuckets = 16)
+        }
+        operators.Bm25Index.search(idx,
+            Tables.documents(s, d).where(col("doc_id") < 3),
+            "doc_id", "text", topK = 10)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents
+        ), tkf AS (SELECT * FROM tk WHERE term <> ''),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tkf GROUP BY 1),
+        st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        qt AS (SELECT DISTINCT doc_id AS qid, term FROM tkf WHERE doc_id < 3),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tkf
+               WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT qt.qid, tf.doc_id AS nid,
+            CAST(round(
+              ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                * CAST(tf AS DOUBLE) * 2.2
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                     * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))),
+              6) AS DECIMAL(18,6)) AS s
+          FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+          WHERE tf.doc_id <> qt.qid
+        ), agg AS (SELECT qid, nid, CAST(SUM(s) AS DOUBLE) AS bm25
+                   FROM sc GROUP BY 1, 2)
+        SELECT qid, nid, bm25, rank FROM (
+          SELECT qid, nid, bm25, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY bm25 DESC, nid) AS BIGINT) AS rank FROM agg)
+        WHERE rank <= 10 ORDER BY qid, rank""")),
+
     // ------------------------------------------------ G15 MMR re-rank
     // maximal marginal relevance over the exact top-8 candidates:
     // greedy λ·rel − (1−λ)·maxSim selection, k=3, λ=0.5 (exact in

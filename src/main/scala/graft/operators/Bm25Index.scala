@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted BM25 inverted index (SURVEY H18) — the LEXICAL twin of
+  * the G11 ANN index, completing the serving story: [[TextAnalysis
+  * .bm25Retrieve]] re-tokenizes the corpus on every query batch, which
+  * is the one-job shape; this operator writes the posting lists ONCE
+  * and serves every later query batch from a partition-pruned read,
+  * the same on-disk mechanism AnnIndex uses for cells (reference
+  * analog: the partition-pruned ParquetDataset read,
+  * python/pyarrow/parquet.py `ParquetDataset(filters=...)`).
+  *
+  * On-disk layout under `dir`:
+  *   postings/term_bucket=N/ — parquet of (term, doc_id, tf, dl, df):
+  *       the inverted index, hash-bucketed by term so a query's terms
+  *       prune to their buckets on disk. df and dl are DENORMALIZED
+  *       into the posting rows at build time, so scoring needs no
+  *       joins beyond the bounded query-term broadcast.
+  *   meta/ — one row (n_docs, sum_dl, n_buckets): the corpus scalars
+  *       BM25 needs, loaded bounded at open. Opening runs no corpus
+  *       job.
+  *
+  * Search cost model at 100 TB: a query batch with T distinct terms
+  * reads at most T of `nBuckets` partitions — posting lists for the
+  * queried vocabulary slice, never the corpus — and the only shuffle
+  * is the (qid, nid)-keyed score aggregation over matched postings
+  * (the posting-list fan-out, exactly bm25Retrieve's join bound).
+  * Scoring mirrors [[TextAnalysis.bm25TermScore]]'s expression tree
+  * term for term, so index search equals the recompute path
+  * bit-for-bit (spec-pinned) and inherits q_bm25's oracle.
+  */
+object Bm25Index {
+
+  /** An opened index: bounded scalars + the lazy bucketed postings. */
+  final case class Index(spark: SparkSession, dir: String,
+                         nBuckets: Int, nDocs: Long, sumDl: Long) {
+    def postings: DataFrame = spark.read.parquet(s"$dir/postings")
+  }
+
+  private def bucketOf(term: Column, nBuckets: Int): Column =
+    pmod(hash(term), lit(nBuckets)).cast(LongType)
+
+  /** Build and persist: ONE tokenize pass over the corpus collapses to
+    * (doc_id, term, tf); dl and df attach as window aggregates over
+    * that relation (the H12 single-pass discipline — separate
+    * aggregate branches would re-tokenize); the narrow no-explode
+    * stats pass writes the meta scalars. The repartition by the
+    * partition column before the write is the D7 discipline: one
+    * writer task per bucket, not tasks × buckets small files.
+    */
+  def write(corpus: DataFrame, idCol: String, textCol: String,
+            dir: String, nBuckets: Int = 64): Index = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val spark = corpus.sparkSession
+    val dt = TextAnalysis.tokenStream(corpus, idCol, textCol)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val full = dt
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+      .withColumn("df", count(col("tf")).over(Window.partitionBy("term")))
+      .withColumn("term_bucket", bucketOf(col("term"), nBuckets))
+    full.repartition(nBuckets, col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
+    TextAnalysis.corpusStats(corpus, textCol)
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    open(spark, dir)
+  }
+
+  def open(spark: SparkSession, dir: String): Index = {
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    Index(spark, dir, m.getAs[Int]("n_buckets"),
+      m.getAs[Long]("n_docs"), m.getAs[Long]("sum_dl"))
+  }
+
+  /** Query-by-example retrieval from the persisted postings: each
+    * query row's distinct tokens form its term bag (bounded,
+    * broadcast); their distinct buckets (≤ distinct query terms,
+    * collected — the AnnIndex probe sanction) become a LITERAL
+    * `term_bucket IN (...)` predicate that Catalyst satisfies by
+    * partition pruning, so unqueried vocabulary directories are never
+    * listed into the scan. Scoring and ranking replicate
+    * bm25Retrieve exactly: same rounded-decimal term scores, same
+    * (bm25 desc, nid) tie-break.
+    */
+  def search(index: Index, queries: DataFrame, idCol: String,
+             textCol: String, topK: Int = 20,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = TextAnalysis.tokenStream(queries, idCol, textCol)
+      .select(col("doc_id").as("qid"), col("term")).distinct()
+      .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
+    val buckets = qt.select("term_bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pruned = index.postings
+      .where(col("term_bucket").isin(buckets.map(_.asInstanceOf[Any]): _*))
+    val scored = pruned
+      .join(broadcast(qt.select("qid", "term")), "term")
+      .where(col("doc_id") =!= col("qid"))
+      .withColumn("n_docs", lit(index.nDocs))
+      .withColumn("sum_dl", lit(index.sumDl))
+      .withColumn("s", TextAnalysis.bm25TermScore(k1, b))
+      .groupBy(col("qid"), col("doc_id").as("nid"))
+      .agg(sum(col("s")).cast(DoubleType).as("bm25"))
+    val w = Window.partitionBy("qid").orderBy(col("bm25").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= topK)
+  }
+}

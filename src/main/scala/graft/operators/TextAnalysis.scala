@@ -549,7 +549,7 @@ object TextAnalysis {
   /** Non-empty (doc_id, term) token stream — the shared upstream of
     * the BM25 family.
     */
-  private def tokenStream(df: DataFrame, idCol: String,
+  private[operators] def tokenStream(df: DataFrame, idCol: String,
                           textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
@@ -561,7 +561,7 @@ object TextAnalysis {
     * rounded to 6 dp and cast to decimal so the per-document sum is
     * order-independent and exact.
     */
-  private def bm25TermScore(k1: Double, b: Double): Column = {
+  private[operators] def bm25TermScore(k1: Double, b: Double): Column = {
     val nd = col("n_docs").cast(DoubleType)
     val idf = log(lit(1.0) +
       (nd - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -577,7 +577,7 @@ object TextAnalysis {
     * from a narrow map over the table: the token array is sized and
     * discarded per row — no explode, no shuffle, one cheap pass.
     */
-  private def corpusStats(df: DataFrame, textCol: String): DataFrame =
+  private[operators] def corpusStats(df: DataFrame, textCol: String): DataFrame =
     df.select(size(filter(tokens(col(textCol)), t => t =!= ""))
         .cast(LongType).as("dl"))
       .where(col("dl") > 0)
