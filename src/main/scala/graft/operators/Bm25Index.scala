@@ -32,6 +32,15 @@ import org.apache.spark.sql.types._
   * Scoring mirrors [[TextAnalysis.bm25TermScore]]'s expression tree
   * term for term, so index search equals the recompute path
   * bit-for-bit (spec-pinned) and inherits q_bm25's oracle.
+  *
+  * Maintenance discipline: df is denormalized onto posting rows, so
+  * appending documents would silently stale every existing term's
+  * idf — this index REBUILDS per corpus version (cheap: one tokenize
+  * pass), unlike the ANN index whose per-row payload is
+  * version-independent and therefore appends (G12). The alternative —
+  * a separate (term, df) relation — keeps appends cheap but puts a
+  * vocabulary-sized join on every query batch; for a serving index
+  * the per-version rebuild is the right trade.
   */
 object Bm25Index {
 

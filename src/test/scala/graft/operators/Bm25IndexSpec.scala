@@ -71,6 +71,38 @@ class Bm25IndexSpec extends SparkSpec {
       s"read outside probed buckets: $readFiles vs $probed")
   }
 
+  test("full serving stack: RRF fusion of the two persisted indexes " +
+      "equals fusion of the recompute legs") {
+    // the round-8 serving story end-to-end: dense leg from the
+    // persisted ANN index, lexical leg from the persisted BM25 index,
+    // fused with RRF — must equal the same fusion over the one-job
+    // recompute paths (both legs are spec-pinned equal individually;
+    // this pins the COMPOSITION, ranks flowing through fusion intact)
+    val emb = Tables.embeddings(spark, sfDir)
+    val eq = emb.where($"vec_id" < 3)
+    val annDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-rrf").toString
+    val ann = AnnIndex.write(emb, annDir, dim = 64, nCells = 8,
+      stride = 7, kmeansIters = 1, m = 8, ncodes = 16)
+    val denseIdx = AnnIndex.searchExact(ann, eq, k = 20, nprobe = 8)
+      .select("qid", "nid", "rank")
+    val lexIdx = Bm25Index.search(index, queries, "doc_id", "text",
+        topK = 20).select("qid", "nid", "rank")
+    val fusedIdx = Similarity.rrfFuse(Seq(denseIdx, lexIdx), topK = 10)
+      .select("qid", "nid", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._3)).toSeq
+
+    val denseRe = Similarity.bruteForceTopK(emb, eq, k = 20)
+      .select("qid", "nid", "rank")
+    val lexRe = TextAnalysis.bm25Retrieve(docs, queries, "doc_id", "text",
+        topK = 20).select("qid", "nid", "rank")
+    val fusedRe = Similarity.rrfFuse(Seq(denseRe, lexRe), topK = 10)
+      .select("qid", "nid", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(fusedIdx.nonEmpty && fusedIdx == fusedRe,
+      s"idx=${fusedIdx.take(5)} re=${fusedRe.take(5)}")
+  }
+
   test("postings are denormalized: df/dl on rows match corpus stats") {
     // hand-check one term: its df must equal the number of distinct
     // docs containing it, dl the containing doc's token count
