@@ -74,6 +74,12 @@ class PlanBudgetSpec extends SparkSpec {
     "q_bpe_tokenize" -> (0, 1, 1), // encode is a pure codegen map (the
     // train pass runs once at build and memoizes; scoring plans NO
     // shuffle at all)
+    "q_bm25_index" -> (3, 1, 2), // SEARCH plan only (build memoized):
+    // pruned postings scan + query tokenize scan; qt distinct + score
+    // agg + rank window
+    "q_mmr_rerank" -> (3, 1, 3), // brute-force candidate window +
+    // vector re-attach + per-query greedy groupByKey; 3 bounded
+    // embedding scans
     "q_bigram_perplexity" -> (13, 1, 10) // static view: the stats lineage
     // appears in the pair-join branch, the HEAD-table branch (r8: seen
     // heads with novel continuations take c1 from a w1-keyed head
