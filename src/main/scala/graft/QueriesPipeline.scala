@@ -176,7 +176,7 @@ object QueriesPipeline {
       .mkString(" + ")
     s"""WITH g AS (
          SELECT doc_id, text,
-           list_filter(string_split(text, ' '), x -> x <> '') AS words,
+           list_filter(string_split_regex(text, '[ \t\n\u000B\f\r]+'), x -> x <> '') AS words,
            list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
          FROM documents),
        s AS (
@@ -911,7 +911,13 @@ object QueriesPipeline {
         import graft.operators.Multimodal
         val base = Tables.documents(s, d)
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        // size floor BEFORE the top-20 cut: a source shorter than a few
+        // byte-windows would have its only window rewritten by the
+        // 16-byte truncation (Jaccard 0 — a false red on correct code
+        // at small scales); both engines apply the identical floor so
+        // n_sources stays mirrored at every sf
         val src = base
+          .where(expr("octet_length(blob)") >= 512)
           .orderBy(expr("octet_length(blob)").desc, col("doc_id"))
           .limit(20)
         val trunc = src.select((col("doc_id") + 1000000).as("doc_id"),
@@ -937,6 +943,7 @@ object QueriesPipeline {
       },
       Some("""WITH src AS (
           SELECT doc_id FROM documents
+          WHERE octet_length(encode(text)) >= 512
           ORDER BY octet_length(encode(text)) DESC, doc_id LIMIT 20)
         SELECT doc_id, TRUE AS trunc_found, TRUE AS append_found,
           (SELECT COUNT(*) FROM src) AS n_sources

@@ -21,9 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Exactness contract (spec-pinned equal to gopherRules.`pass` in
   * TextAnalysisSpec, and 1000-case fuzzed in TextFuzzSpec): words are
-  * maximal runs of non-space (' ') chars — a newline is a word
-  * character, exactly like split(t, " ") — measured in code points;
-  * "..." counts non-overlapping
+  * maximal runs of non-WHITESPACE chars (the Java \s class: space,
+  * tab, newline, VT, FF, CR — exactly the battery's explicit-class
+  * split regex), measured in code points; "..." counts non-overlapping
   * left-to-right like the replace-length trick; lines split on '\n'
   * dropping empties; bullet/ellipsis checks trim spaces only;
   * stopword presence is the padded " w " containment on the
@@ -91,12 +91,15 @@ object GopherRuntime {
           nEllipsisLines += 1
       }
     }
+    // the whitespace CLASS that splits words — must equal the column
+    // battery's [ \t\n\x0B\f\r]+ regex (Java \s) character for
+    // character; line boundaries remain '\n' only
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
     while (i < n) {
       val c = s.charAt(i)
-      // words split on ' ' ONLY — a newline is a word character, like
-      // the column battery's split(t, " ") (fuzz-caught: treating \n
-      // as a word boundary diverged on "a \n b"-shaped docs)
-      if (c == ' ') closeWord(i)
+      if (isWs(c)) closeWord(i)
       else {
         if (!inWord) { inWord = true; wordStart = i }
         if (c == '#') nHash += 1

@@ -178,6 +178,15 @@ object Multimodal {
     * config). The signature relation is persisted at `sigStorage`
     * (pass StorageLevel.NONE to opt out), so the per-blob hashing pass
     * runs once, not once per consumer branch.
+    *
+    * CACHE LIFECYCLE: the operator returns a lazy plan, so it cannot
+    * unpersist behind its own result — the cached signature relation
+    * lives until the session drops it. One-shot jobs (the gate shape)
+    * don't care; a long-lived session looping over many DISTINCT
+    * inputs should pass `sigStorage = StorageLevel.NONE` (recompute,
+    * zero footprint) or sweep with `spark.catalog.clearCache()`
+    * between batches — otherwise each distinct input pins one
+    * InMemoryRelation for the session lifetime.
     */
   def mediaNearDups(df: DataFrame, idCol: String, blobCol: String,
                     threshold: Double = 0.5, window: Int = 64,

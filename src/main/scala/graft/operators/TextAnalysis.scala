@@ -112,7 +112,11 @@ object TextAnalysis {
       ellipsisFrac: Column, nStop: Column)
 
   private def gopherStatCols(t: Column): GopherStats = {
-    val words = filter(split(t, " "), w => w =!= lit(""))
+    // whitespace-CLASS split (space, tab, newline, VT, FF, CR — the
+    // Java regex \s set, mirrored as an explicit class so the RE2
+    // oracle matches byte-for-byte): newline-wrapped prose must not
+    // merge tokens across line breaks (r8 review finding)
+    val words = filter(split(t, "[ \\t\\n\\x0B\\f\\r]+"), w => w =!= lit(""))
     val lines = filter(split(t, "\n"), l => l =!= lit(""))
     val nWords = size(words).cast(LongType)
     val nLines = size(lines).cast(LongType)
