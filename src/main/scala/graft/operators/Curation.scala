@@ -812,11 +812,9 @@ object Curation {
     val bucketed =
       if (exactHash) base.select(col("doc_id"), col("is_target"),
           explode(transform(sequence(lit(0), size(col("t")) - 2),
-            i => concat_ws(" ", element_at(col("t"), i + 1),
-              element_at(col("t"), i + 2)))).as("gram"))
-        .select(col("doc_id"), col("is_target"),
-          (conv(substring(md5(col("gram")), 1, 4), 16, 10).cast(LongType)
-            % buckets).as("bucket"))
+            i => (conv(substring(md5(concat_ws(" ",
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2))),
+              1, 4), 16, 10).cast(LongType) % buckets))).as("bucket"))
       else base.select(col("doc_id"), col("is_target"),
         explode(transform(sequence(lit(0), size(col("t")) - 2),
           i => pmod(hash(element_at(col("t"), i + 1),
