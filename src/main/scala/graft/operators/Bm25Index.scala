@@ -53,30 +53,64 @@ object Bm25Index {
   private def bucketOf(term: Column, nBuckets: Int): Column =
     pmod(hash(term), lit(nBuckets)).cast(LongType)
 
-  /** Build and persist: ONE tokenize pass over the corpus collapses to
-    * (doc_id, term, tf); dl and df attach as window aggregates over
-    * that relation (the H12 single-pass discipline — separate
-    * aggregate branches would re-tokenize); the narrow no-explode
-    * stats pass writes the meta scalars. The repartition by the
-    * partition column before the write is the D7 discipline: one
-    * writer task per bucket, not tasks × buckets small files.
+  /** The (doc_id, dl, term, tf) relation: dl attaches map-side BEFORE
+    * the explode (the token-array size — no doc-keyed window), tf by a
+    * composite-keyed aggregate whose key CONTAINS doc_id, so no term,
+    * however common, concentrates a partition.
+    */
+  private[operators] def tfRelation(corpus: DataFrame, idCol: String,
+                                    textCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.filteredTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+  /** Denormalize df onto the posting rows via a map-side-combined
+    * `groupBy(term)` joined back — NOT a `Window.partitionBy(term)`:
+    * a Zipf-head term ("the") appears in essentially every document,
+    * so its window partition would be corpus-sized on one reducer and
+    * AQE cannot split window partitions, where it CAN skew-split this
+    * join (the r9 H12/H18 fix — the same shape H14 uses, the K15
+    * lesson).
+    */
+  private[operators] def withDf(rel: DataFrame, nBuckets: Int): DataFrame =
+    rel.join(rel.groupBy("term").agg(count(lit(1)).as("df")), "term")
+      .withColumn("term_bucket", bucketOf(col("term"), nBuckets))
+      .select("term", "doc_id", "tf", "dl", "df", "term_bucket")
+
+  /** Build and persist. The tf relation is materialized once
+    * (DISK_ONLY) because both the df aggregate and the join consume
+    * it — without the persist each branch would re-tokenize the
+    * corpus; with it the build pays exactly one tokenize pass plus one
+    * read of the compact post-aggregate relation.
+    *
+    * The salted repartition before the write is the AnnIndex
+    * `filesPerCell` pattern: `filesPerBucket` writer tasks per bucket,
+    * so the bucket holding the hottest vocabulary slice doesn't
+    * serialize one giant writer (with the D7 bound still in force —
+    * nBuckets × filesPerBucket files total, never tasks × buckets).
     */
   def write(corpus: DataFrame, idCol: String, textCol: String,
-            dir: String, nBuckets: Int = 64): Index = {
+            dir: String, nBuckets: Int = 64,
+            filesPerBucket: Int = 4): Index = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    require(filesPerBucket >= 1,
+      s"filesPerBucket must be >= 1: $filesPerBucket")
     val spark = corpus.sparkSession
-    val dt = TextAnalysis.tokenStream(corpus, idCol, textCol)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val full = dt
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
-      .withColumn("df", count(col("tf")).over(Window.partitionBy("term")))
-      .withColumn("term_bucket", bucketOf(col("term"), nBuckets))
-    full.repartition(nBuckets, col("term_bucket"))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$dir/postings")
-    TextAnalysis.corpusStats(corpus, textCol)
-      .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    val rel = tfRelation(corpus, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      withDf(rel, nBuckets)
+        .repartition(nBuckets * filesPerBucket, col("term_bucket"),
+          pmod(hash(col("doc_id")), lit(filesPerBucket)))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$dir/postings")
+      TextAnalysis.corpusStats(corpus, textCol)
+        .withColumn("n_buckets", lit(nBuckets))
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    } finally rel.unpersist()
     open(spark, dir)
   }
 

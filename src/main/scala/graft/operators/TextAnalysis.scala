@@ -559,6 +559,65 @@ object TextAnalysis {
       explode(tokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
 
+  /** The corpus-wide token array with empties dropped. */
+  private[operators] def filteredTokens(text: Column): Column =
+    filter(tokens(text), t => t =!= "")
+
+  /** Corpus scalars AND per-term document frequencies for a bounded
+    * term bag, in ONE narrow pass: each document contributes its token
+    * count under a `""` sentinel key plus one row per DISTINCT matched
+    * bag term, and a single map-side-combined aggregate over those
+    * ≤ |bag|+1 keys yields (n_docs, sum_dl) and every df. The bounded
+    * result is collected (the AnnIndex probe-set sanction).
+    *
+    * This replaces the r7 `count().over(Window.partitionBy("term"))`
+    * df: a Zipf-head term ("the") appears in essentially every
+    * document, so its window partition was corpus-sized and
+    * unsplittable — one multi-hundred-GB reducer at 10^10 docs that
+    * AQE cannot split. A grouped aggregate map-side-combines the hot
+    * key down to one partial row per task before any shuffle.
+    */
+  private def statsAndDf(corpus: DataFrame, textCol: String,
+                         bag: Seq[String]): (Long, Long, Map[String, Long]) = {
+    val toks = filteredTokens(col(textCol))
+    val rows = corpus
+      .select(size(toks).cast(LongType).as("dl"),
+        array_intersect(toks, typedlit(bag)).as("hits"))
+      .where(col("dl") > 0)
+      .select(col("dl"),
+        explode(concat(array(lit("")), col("hits"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"), sum(col("dl")).as("sdl"))
+      .collect()
+    val sentinel = rows.find(_.getString(0).isEmpty)
+    (sentinel.map(_.getLong(1)).getOrElse(0L),
+      sentinel.map(_.getLong(2)).getOrElse(0L),
+      rows.filter(_.getString(0).nonEmpty)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  /** Map-only (doc_id, term, tf, dl) relation over a bounded term bag:
+    * dl attaches per row BEFORE any explode (it is just the token-array
+    * size — the doc-keyed window this replaces cost a shuffle), the
+    * explode is over the ≤ |bag| matched DISTINCT terms, and tf is a
+    * per-term count within the row's own token array. NO shuffle, NO
+    * window — per-doc work is O(len·|bag ∩ doc|), the right trade for
+    * the handful of terms a user types.
+    */
+  private def queryTermTf(corpus: DataFrame, idCol: String,
+                          textCol: String, bag: Seq[String]): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        filteredTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+        transform(array_intersect(col("toks"), typedlit(bag)),
+          h => struct(h.as("term"),
+            size(filter(col("toks"), x => x === h)).cast(LongType).as("tf")))
+          .as("hits"))
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("h"))
+      .select(col("doc_id"), col("h.term").as("term"),
+        col("h.tf").as("tf"), col("dl"))
+
   /** Per-term Okapi BM25 contribution. All inputs are exact integers
     * (tf, df, dl, n_docs, sum_dl), the arithmetic is a fixed expression
     * tree mirrored verbatim by the SQL oracle, and the result is
@@ -592,28 +651,30 @@ object TextAnalysis {
     * tf-idf-family relevance the reference's users run via
     * `pyarrow`-backed search engines).
     *
-    * Scale shape: ONE tokenize-explode pass builds the (doc, term)
-    * counts; doc length and document frequency come from doc-/term-
-    * keyed WINDOW aggregates over that relation (a separate aggregate
-    * branch would re-tokenize the corpus: the optimizer prunes each
-    * branch differently so their exchanges never unify); the two
-    * corpus scalars come from a narrow no-explode map pass, broadcast.
-    * The final ranking is a TakeOrderedAndProject (per-partition
-    * top-k + driver merge), never a full sort.
+    * Scale shape (r9): the bounded [[statsAndDf]] pass computes df and
+    * the corpus scalars in one narrow map-side-combined aggregate — no
+    * term-keyed window, so a query containing a Zipf-head term no
+    * longer concentrates a corpus-sized window partition on one
+    * reducer — and the scoring relation is the MAP-ONLY
+    * [[queryTermTf]] (dl/tf computed inside each row's token array,
+    * df/scalars folded in as literals). The whole plan is one corpus
+    * scan, one aggregate shuffle, and a TakeOrderedAndProject
+    * (per-partition top-k + driver merge), never a full sort.
     */
   def bm25Scores(df: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                  topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val dt = tokenStream(df, idCol, textCol)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val tf = dt
-      .withColumn("dl", sum(col("tf"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      .where(col("term").isin(queryTerms: _*))
-      .withColumn("df", count(col("tf"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
-    tf.join(broadcast(corpusStats(df, textCol)))
+    val bag = queryTerms.distinct
+    val (nDocs, sumDl, dfs) = statsAndDf(df, textCol, bag)
+    // df as a literal CASE over the bounded bag: no join at all
+    val dfCol = bag.foldRight(lit(0L): Column) { (t, e) =>
+      when(col("term") === t, lit(dfs.getOrElse(t, 0L))).otherwise(e)
+    }
+    queryTermTf(df, idCol, textCol, bag)
+      .withColumn("df", dfCol)
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("sum_dl", lit(sumDl))
       .withColumn("s", bm25TermScore(k1, b))
       .groupBy("doc_id")
       .agg(sum(col("s")).cast(DoubleType).as("bm25"),
@@ -627,31 +688,46 @@ object TextAnalysis {
     * sharing at least one term, scored per (query, candidate) and
     * ranked within the query. The query set is bounded (it is the thing
     * a user types or the handful of eval documents), so it broadcasts;
-    * the corpus-side work is the same single tokenize pass + one
-    * (doc, term)-keyed aggregation as [[bm25Scores]], and the per-term
-    * join fan-out is the inverted-index posting-list size — never
-    * all-pairs over documents. Self-matches are excluded.
+    * the corpus-side work is one tokenize pass into a (doc_id, dl,
+    * term)-keyed aggregation (doc_id in the key — skew-proof) plus the
+    * bounded [[statsAndDf]] pass for df, and the per-term join fan-out
+    * is the inverted-index posting-list size — never all-pairs over
+    * documents. Self-matches are excluded.
     */
   def bm25Retrieve(corpus: DataFrame, queries: DataFrame,
                    idCol: String, textCol: String,
                    k1: Double = 1.2, b: Double = 0.75,
                    topK: Int = 20): DataFrame = {
-    // same single-tokenize-pass shape as bm25Scores: dl/df as window
-    // aggregates over the one (doc, term) relation, scalars from the
-    // narrow stats pass, the bounded query term set broadcast
-    val dt = tokenStream(corpus, idCol, textCol)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val qt = tokenStream(queries, idCol, textCol)
       .select(col("doc_id").as("qid"), col("term")).distinct()
-    val tf = dt
-      .withColumn("dl", sum(col("tf"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      .join(broadcast(qt.select("term").distinct()), "term")
-      .withColumn("df", count(col("tf"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
-    val scored = qt.join(tf, "term")
+    // the query term bag is bounded by contract (what a user types /
+    // the handful of example docs): collect it once so df comes from
+    // the bounded-key statsAndDf aggregate, never a term-partitioned
+    // window (r9 hot-head fix — one common query term used to put the
+    // whole corpus in a single window partition)
+    val bag = qt.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val (nDocs, sumDl, dfs) = statsAndDf(corpus, textCol, bag)
+    val dfTab = bag.map(t => (t, dfs.getOrElse(t, 0L))).toDF("term", "df")
+    // example-doc bags can hold hundreds of terms, so tf comes from the
+    // exploded stream rather than per-row array counting: dl attaches
+    // map-side BEFORE the explode, the broadcast df join doubles as the
+    // bag filter, and the aggregation key CONTAINS doc_id — no term,
+    // however common, can concentrate a partition
+    val rel = corpus
+      .select(col(idCol).as("doc_id"),
+        filteredTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(dfTab), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = rel.join(broadcast(qt), "term")
       .where(col("doc_id") =!= col("qid"))
-      .join(broadcast(corpusStats(corpus, textCol)))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("sum_dl", lit(sumDl))
       .withColumn("s", bm25TermScore(k1, b))
       .groupBy(col("qid"), col("doc_id").as("nid"))
       .agg(sum(col("s")).cast(DoubleType).as("bm25"))

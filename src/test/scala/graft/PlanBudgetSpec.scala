@@ -41,7 +41,9 @@ class PlanBudgetSpec extends SparkSpec {
     "q_asof_join" -> (2, 1, 2), // union+window single-shuffle shape
     "q_tfidf_top" -> (3, 1, 2), // tokenize once + window df; 2nd scan is the zero-column doc count
     "q_surprisal" -> (3, 1, 1), // ONE tokenize pass, stats re-aggregated from it
-    "q_bm25" -> (4, 1, 2), // one tokenize pass + narrow no-explode stats scan
+    "q_bm25" -> (1, 0, 1), // r9 de-skew: map-only queryTermTf relation
+    // (dl/tf inside each row's token array, df/scalars as literals from
+    // the eager bounded statsAndDf pass) + ONE agg shuffle + TakeOrdered
     "q_dup_ngrams" -> (2, 1, 1), // window-over-gram: ONE corpus scan
     "q_source_overlap" -> (3, 1, 1), // ONE shingle pass, reused exchange
     "q_shard_plan" -> (1, 1, 1), // pure map + one agg

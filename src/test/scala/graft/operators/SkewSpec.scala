@@ -107,6 +107,69 @@ class SkewSpec extends SparkSpec {
       s"hot grams must resolve via broadcast:\n$plan")
   }
 
+  test("BM25 df never windows over term: planted stopword, values match the window path") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    // 'the' planted in EVERY document — the r8 shape computed df with
+    // count().over(Window.partitionBy("term")), putting the whole
+    // corpus into one unsplittable window partition for a Zipf-head
+    // term. The r9 shapes (bounded-key statsAndDf aggregate for the
+    // query paths; map-side-combined groupBy+join for the index build)
+    // must produce byte-identical values with NO term-keyed window.
+    val docs = (0L until 120L).map { i =>
+      (i, s"the doc $i body token${i % 7} the extra${i % 3}")
+    }.toDF("doc_id", "text")
+    val bag = Seq("the", "token3")
+
+    // window-shaped reference: the r8 implementation, inlined
+    val dt = TextAnalysis.tokenStream(docs, "doc_id", "text")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val refScores = dt
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+      .where(col("term").isin(bag: _*))
+      .withColumn("df", count(col("tf")).over(Window.partitionBy("term")))
+      .join(broadcast(TextAnalysis.corpusStats(docs, "text")))
+      .withColumn("s", TextAnalysis.bm25TermScore(1.2, 0.75))
+      .groupBy("doc_id")
+      .agg(sum(col("s")).cast(DoubleType).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(120)
+      .collect().map(_.toSeq).toSet
+
+    val scores = TextAnalysis.bm25Scores(docs, "doc_id", "text", bag,
+      topK = 120)
+    assert(scores.collect().map(_.toSeq).toSet == refScores)
+    val scoresPlan = scores.queryExecution.executedPlan.toString()
+    assert(!scoresPlan.contains("Window"),
+      s"bm25Scores must not window at all:\n$scoresPlan")
+
+    // index build: (term, doc_id, tf, dl, df) identical to the window
+    // reference, no Window operator in the plan
+    val refPost = dt
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+      .withColumn("df", count(col("tf")).over(Window.partitionBy("term")))
+      .select("term", "doc_id", "tf", "dl", "df")
+      .collect().map(_.toSeq).toSet
+    val post = Bm25Index.withDf(
+      Bm25Index.tfRelation(docs, "doc_id", "text"), nBuckets = 8)
+    assert(post.drop("term_bucket").collect().map(_.toSeq).toSet == refPost)
+    val postPlan = post.queryExecution.executedPlan.toString()
+    assert(!postPlan.contains("Window"),
+      s"index build must not window over term:\n$postPlan")
+
+    // retrieve: the ONLY window left is the bounded per-query rank
+    // (partitioned by qid — never by term)
+    val queries = docs.where(col("doc_id") < 2)
+    val ret = TextAnalysis.bm25Retrieve(docs, queries, "doc_id", "text",
+      topK = 5)
+    val retPlan = ret.queryExecution.executedPlan.toString()
+    val winLines = retPlan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(l =>
+        l.contains("qid#") && !l.contains("term#")),
+      s"bm25Retrieve may only window by qid:\n$retPlan")
+  }
+
   test("maxHot bounds the broadcast; overflow hot grams route cold, correctly") {
     // TWO viral grams above hotCap but maxHot = 1: only the hotter one
     // may broadcast; the other must flow through the cold join instead
