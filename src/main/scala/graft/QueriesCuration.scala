@@ -767,9 +767,16 @@ object QueriesCuration {
         val scored = operators.QualityClassifier
           .score(test, model, "doc_id", "text")
           .join(test.select("doc_id", "is_long"), "doc_id")
+        // The AUC floor is 0.75, NOT the ~0.97 the model actually
+        // measures: L-BFGS coefficients vary with partition-order
+        // float reduction, so a tight floor on a nondeterministic
+        // training run is latent flakiness (r8 ADVICE). 0.75 still
+        // fails hard on a broken model (random scoring gives ~0.5),
+        // while the tight separability claims live in
+        // QualityClassifierSpec's deterministic planted-vocab cases.
         operators.QualityClassifier.auc(scored, "is_long")
           .select(col("np").as("n_test_pos"), col("nn").as("n_test_neg"),
-            (col("auc") >= 0.9).as("auc_ok"))
+            (col("auc") >= 0.75).as("auc_ok"))
       },
       Some("""WITH med AS (SELECT median(length(text)) AS m FROM documents)
         SELECT

@@ -152,20 +152,34 @@ object BpeRuntime {
 
   /** Interned per-merges rank maps: BpeEncode instances (one per
     * task deserialization) share one map per distinct merge table.
+    * BOUNDED access-order LRU (r8 ADVICE): a long-lived session
+    * training many distinct tokenizers must not pin every rank map
+    * for the JVM lifetime — past `MaxCachedTables` the least-recently
+    * used map is dropped and simply rebuilt on next use.
     */
+  private[graft] val MaxCachedTables = 64
   private val rankCache =
-    new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)],
-      java.util.HashMap[String, Integer]]()
+    new java.util.LinkedHashMap[Seq[(String, String)],
+        java.util.HashMap[String, Integer]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[(String, String)],
+            java.util.HashMap[String, Integer]]): Boolean =
+        size() > MaxCachedTables
+    }
 
   def rankMap(merges: Seq[(String, String)])
-      : java.util.HashMap[String, Integer] =
-    rankCache.computeIfAbsent(merges, { ms =>
-      val m = new java.util.HashMap[String, Integer](ms.length * 2)
-      ms.zipWithIndex.foreach { case ((a, b), i) =>
+      : java.util.HashMap[String, Integer] = rankCache.synchronized {
+    val got = rankCache.get(merges)
+    if (got != null) got
+    else {
+      val m = new java.util.HashMap[String, Integer](merges.length * 2)
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
         m.putIfAbsent(pairKey(a, b), Int.box(i))
       }
+      rankCache.put(merges, m)
       m
-    })
+    }
+  }
 }
 
 /** bpe_encode(word) → array<string> with a bound merge table. */

@@ -37,7 +37,10 @@ object GopherRuntime {
       .map(w => s" $w ")
 
   private def round6(v: Double): Double =
-    new JBigDecimal(v).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    // valueOf matches Spark Round's Double.toString form (r8 ADVICE);
+    // Gopher's bounded-denominator ratios can't reach the divergent
+    // cases, but the kernel must mirror the column battery exactly
+    JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
   /** The full rule battery in one pass; returns the conjunction. */
   def pass(text: UTF8String, minWords: Long, maxWords: Long,

@@ -213,22 +213,31 @@ object Curation {
     * N/df (no log) so the score — tf·N/df in IEEE doubles — is
     * bit-identical across engines; ranking ties break on the term.
     *
-    * Tokenize-once: the corpus is scanned and exploded exactly once
-    * into (doc, term) counts; df comes from a term-keyed WINDOW count
-    * over that relation rather than a separate aggregate + join (a
-    * branch aggregate re-tokenizes the corpus — the optimizer prunes
-    * each branch differently, so their exchange subtrees never unify
-    * and every branch pays its own scan). The doc-count scalar is a
-    * zero-column parquet count (footer metadata, no text IO),
-    * broadcast. Plan: one heavy scan, three key-local shuffles.
+    * Tokenize-once (hotCap = 0, the gate config): the corpus is
+    * scanned and exploded exactly once into (doc, term) counts; df
+    * comes from a term-keyed WINDOW count over that relation rather
+    * than a separate aggregate + join (a branch aggregate re-tokenizes
+    * the corpus — the optimizer prunes each branch differently, so
+    * their exchange subtrees never unify and every branch pays its own
+    * scan). The doc-count scalar is a zero-column parquet count
+    * (footer metadata, no text IO), broadcast. Plan: one heavy scan,
+    * three key-local shuffles.
+    *
+    * hotCap > 0 is the 100 TB config — the K15 lesson applied to the
+    * term key (the r9 BM25 df fix, in option form): a Zipf-head term's
+    * window partition is corpus-sized and unsplittable, so per-term
+    * stats come from a map-side-combined aggregate with the top
+    * `maxHot` hot terms broadcast and the cold remainder joined
+    * (AQE-skew-splittable); SkewSpec proves capped == window.
     */
-  def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String,
+                   hotCap: Int = 0, maxHot: Int = 1 << 20): DataFrame = {
     val ex = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf
-      .withColumn("df", count(col("tf")).over(Window.partitionBy("term")))
+    val scored = withKeyStats(tf, "term", hotCap, maxHot)
+      .drop("first_id")
       .join(broadcast(nDocs))
       .withColumn("tfidf",
         (col("tf") * col("n_docs")).cast(DoubleType) / col("df").cast(DoubleType))
@@ -300,20 +309,27 @@ object Curation {
     * skew-free while the broadcast stays tens of MB.
     */
   private def withGramStats(grams: DataFrame, hotCap: Int,
-                            maxHot: Int = 1 << 20): DataFrame = {
+                            maxHot: Int = 1 << 20): DataFrame =
+    withKeyStats(grams, "gram", hotCap, maxHot)
+
+  /** The generalized form: key-frequency stats attached to every row,
+    * for any key column (grams for K15/K28, terms for K6 TF-IDF).
+    */
+  private def withKeyStats(rows: DataFrame, keyCol: String, hotCap: Int,
+                           maxHot: Int): DataFrame = {
     if (hotCap <= 0)
-      return grams
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
-        .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy("gram")))
-    val stats = grams.groupBy("gram")
+      return rows
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(keyCol)))
+        .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(keyCol)))
+    val stats = rows.groupBy(keyCol)
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_id"))
     val hot = stats.where(col("df") >= hotCap)
-      .orderBy(col("df").desc, col("gram")).limit(maxHot)
-    val marked = grams.join(broadcast(hot), Seq("gram"), "left")
+      .orderBy(col("df").desc, col(keyCol)).limit(maxHot)
+    val marked = rows.join(broadcast(hot), Seq(keyCol), "left")
     marked.where(col("df").isNotNull)
       .unionByName(marked.where(col("df").isNull).drop("df", "first_id")
-        .join(stats.join(broadcast(hot.select("gram")), Seq("gram"), "left_anti"),
-          "gram"))
+        .join(stats.join(broadcast(hot.select(keyCol)), Seq(keyCol), "left_anti"),
+          keyCol))
   }
 
   def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,

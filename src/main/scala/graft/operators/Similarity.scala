@@ -524,7 +524,12 @@ object Similarity {
   }
 
   private def round6(v: Double): Double =
-    new java.math.BigDecimal(v)
+    // valueOf (the Double.toString shortest-decimal form), NOT
+    // new BigDecimal (exact binary expansion): Spark's Round uses the
+    // former, and on doubles whose shortest decimal ends in ...5 at
+    // the 7th digit the two round differently — this helper must match
+    // the expression layer bit-for-bit (r8 ADVICE)
+    java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** JVM cosine replicating the DotProduct kernel's sequential

@@ -33,7 +33,9 @@ object V2Probe {
       .where(TextAnalysis.gopherPass(col("text"), minStop = 0L)).count())
     // per-rule attribution
     val tc = col("text")
-    val words = filter(split(tc, " "), w => w =!= lit(""))
+    // whitespace CLASS, matching gopherStatCols' H16 split (r8 ADVICE:
+    // a single-space split no longer reflects the shipped filter)
+    val words = filter(split(tc, "[ \\t\\n\\x0B\\f\\r]+"), w => w =!= lit(""))
     time("g_words_band")(docs.where(size(words) >= 50).count())
     time("g_mean_len")(docs.where(
       aggregate(words, lit(0L), (a2, w) => a2 + length(w)).cast("double")

@@ -170,6 +170,29 @@ class SkewSpec extends SparkSpec {
       s"bm25Retrieve may only window by qid:\n$retPlan")
   }
 
+  test("tfidfTopTerm hotCap: capped path matches the window path, no term window") {
+    // same disease as BM25 df (a Zipf-head term's window partition is
+    // corpus-sized): the capped config must be byte-identical to the
+    // window config with no Window over term in its plan
+    val docs = (0L until 200L).map { i =>
+      (i, s"the common filler the doc $i body token${i % 17} tail${i % 5}")
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val win = rows(Curation.tfidfTopTerm(docs, "doc_id", "text"))
+    val capped = Curation.tfidfTopTerm(docs, "doc_id", "text", hotCap = 50)
+    assert(rows(capped) == win)
+    // Window prints as `Window [exprs], [partitionSpec], [orderSpec]` —
+    // the PARTITION spec (second bracket group) must be doc_id, never
+    // term (term legitimately appears in the rank window's ORDER BY)
+    val plan = capped.queryExecution.executedPlan.toString()
+    val winLines = plan.linesIterator
+      .filter(_.trim.stripPrefix("+- ").startsWith("Window ")).toSeq
+    assert(winLines.forall(
+        _.matches(""".*\], \[doc_id#\d+L?\], \[.*""")),
+      s"capped tfidf may only window by doc_id (top-term rank):\n$plan")
+  }
+
   test("maxHot bounds the broadcast; overflow hot grams route cold, correctly") {
     // TWO viral grams above hotCap but maxHot = 1: only the hotter one
     // may broadcast; the other must flow through the cold join instead

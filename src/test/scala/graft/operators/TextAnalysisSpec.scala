@@ -505,6 +505,27 @@ class TextAnalysisSpec extends SparkSpec {
       s"expected learned subwords in $novel")
   }
 
+  test("BPE rank cache: two distinct tables coexist; eviction past the " +
+      "cap keeps encodings correct") {
+    import graft.functions.BpeRuntime
+    val t1 = Seq(("a", "b"), ("ab", "c"))
+    val t2 = Seq(("x", "y"))
+    assert(BpeRuntime.encodeWord("abc", BpeRuntime.rankMap(t1)).toSeq
+      == Seq("abc"))
+    assert(BpeRuntime.encodeWord("xyz", BpeRuntime.rankMap(t2)).toSeq
+      == Seq("xy", "z"))
+    // flood the bounded LRU far past its cap (the r8 ADVICE scenario:
+    // a session training many tokenizers), then the evicted table must
+    // still encode correctly — rebuilt transparently, never stale
+    (0 until BpeRuntime.MaxCachedTables + 8).foreach { i =>
+      BpeRuntime.rankMap(Seq((s"q$i", s"r$i")))
+    }
+    assert(BpeRuntime.encodeWord("abc", BpeRuntime.rankMap(t1)).toSeq
+      == Seq("abc"))
+    assert(BpeRuntime.encodeWord("xyz", BpeRuntime.rankMap(t2)).toSeq
+      == Seq("xy", "z"))
+  }
+
   test("bpeEncode document level: lossless, word-bounded, and stable " +
       "on unicode/multi-space text") {
     val docs = Seq(
