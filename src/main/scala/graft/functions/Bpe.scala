@@ -45,14 +45,109 @@ object BpeRuntime {
     out.toArray
   }
 
+  /** Left-to-right non-overlapping application of one merge to a
+    * symbol sequence (the classic rule both trainers and the encoder's
+    * per-rank step share).
+    */
+  private def applyMerge(syms: Array[String], a: String, b: String,
+                         joined: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += joined; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
   /** Classic BPE training on a (word, freq) table: `numMerges`
     * iterations of count-pairs → merge-argmax. Ties break on the pair
     * itself (lexicographic) so training is deterministic. Pure JVM,
     * driver-side: the caller bounds the vocabulary (capped word table
     * collect, the sanctioned centroid-matrix pattern).
+    *
+    * INCREMENTAL (r9): the r8 loop re-tokenized the entire vocabulary
+    * per merge — O(numMerges · vocab · len), hours of driver time at a
+    * production 32k-merge count. This is the standard incremental
+    * update (what Sennrich's own learn_bpe ships): pair counts build
+    * once, each merge subtracts the OLD pair contributions of only the
+    * words that contain the merged pair (tracked by an occurrence
+    * index), applies the merge to those words, and adds their new
+    * contributions back. Per merge the work is the affected words, not
+    * the vocabulary; the argmax stays a scan of the live pair map
+    * (bounded by distinct adjacent pairs, shrinking as counts hit 0).
+    * [[trainRescan]] keeps the naive form; the spec proves both emit
+    * the IDENTICAL merge sequence.
     */
   def train(wordFreqs: Seq[(String, Long)],
             numMerges: Int): Seq[(String, String)] = {
+    val words: Array[Array[String]] =
+      wordFreqs.map { case (w, _) => symbols(w) }.toArray
+    val freqs: Array[Long] = wordFreqs.map(_._2).toArray
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // pair -> word indices that contained it when last counted; may
+    // hold stale members (cheap), filtered by a contains check on use
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def contribute(wi: Int, sign: Long): Unit = {
+      val syms = words(wi)
+      val f = freqs(wi) * sign
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = counts.getOrElse(p, 0L) + f
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(contribute(_, 1L))
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var it = 0
+    while (it < numMerges && counts.nonEmpty) {
+      // allocation-free argmax (count desc, then pair lexicographic):
+      // this scan runs once per merge over the live pair map, so at a
+      // production 32k-merge count it must not box a tuple per entry
+      var best: (String, String) = null
+      var bestC = Long.MinValue
+      val iter = counts.iterator
+      while (iter.hasNext) {
+        val (p, c) = iter.next()
+        if (c > bestC || (c == bestC &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      }
+      merges += best
+      val joined = best._1 + best._2
+      where.getOrElse(best, mutable.BitSet.empty).foreach { wi =>
+        val syms = words(wi)
+        var hit = false
+        var i = 0
+        while (!hit && i < syms.length - 1) {
+          hit = syms(i) == best._1 && syms(i + 1) == best._2
+          i += 1
+        }
+        if (hit) {
+          contribute(wi, -1L)
+          words(wi) = applyMerge(syms, best._1, best._2, joined)
+          contribute(wi, 1L)
+        }
+      }
+      where.remove(best)
+      counts.remove(best)
+      it += 1
+    }
+    merges.toSeq
+  }
+
+  /** The r8 rescan trainer, kept as the equivalence reference: the
+    * spec asserts [[train]] emits the identical merge sequence on the
+    * canonical and fuzz corpora, and the ≥10× speedup is measured
+    * against this form.
+    */
+  private[graft] def trainRescan(wordFreqs: Seq[(String, Long)],
+                                 numMerges: Int): Seq[(String, String)] = {
     var words: Seq[(Array[String], Long)] =
       wordFreqs.map { case (w, f) => (symbols(w), f) }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
@@ -75,15 +170,7 @@ object BpeRuntime {
         merges += best
         val joined = best._1 + best._2
         words = words.map { case (syms, f) =>
-          val out = mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 &&
-                syms(i) == best._1 && syms(i + 1) == best._2) {
-              out += joined; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (out.toArray, f)
+          (applyMerge(syms, best._1, best._2, joined), f)
         }
       }
       it += 1

@@ -42,10 +42,13 @@ object GopherRuntime {
     // cases, but the kernel must mirror the column battery exactly
     JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
-  /** The full rule battery in one pass; returns the conjunction. */
-  def pass(text: UTF8String, minWords: Long, maxWords: Long,
-           minStop: Long): Boolean = {
-    val s = text.toString
+  /** Raw counters from ONE scan over the string:
+    * [nWords, sumWordLen, nAlphaWords, nHash, nUell, nLines,
+    *  nBulletLines, nEllipsisLines, nDots] — shared by the boolean
+    * [[pass]] kernel and the struct-returning [[statsRow]] audit
+    * kernel (r9).
+    */
+  private def rawCounts(s: String): Array[Long] = {
     val n = s.length
 
     var nWords = 0L
@@ -119,6 +122,18 @@ object GopherRuntime {
     var d = s.indexOf("...")
     while (d >= 0) { nDots += 1; d = s.indexOf("...", d + 3) }
 
+    Array(nWords, sumWordLen, nAlphaWords, nHash, nUell, nLines,
+      nBulletLines, nEllipsisLines, nDots)
+  }
+
+  /** The full rule battery in one pass; returns the conjunction. */
+  def pass(text: UTF8String, minWords: Long, maxWords: Long,
+           minStop: Long): Boolean = {
+    val c = rawCounts(text.toString)
+    val nWords = c(0); val sumWordLen = c(1); val nAlphaWords = c(2)
+    val nHash = c(3); val nUell = c(4); val nLines = c(5)
+    val nBulletLines = c(6); val nEllipsisLines = c(7); val nDots = c(8)
+
     if (nWords < minWords || nWords > maxWords) return false
     if (nWords == 0L) return false // mean/symbol/alpha all 0.0 → fail
     val meanWordLen = round6(sumWordLen.toDouble / nWords)
@@ -142,6 +157,105 @@ object GopherRuntime {
     }
     true
   }
+
+  /** Struct-returning audit kernel (r9): every statistic, flag, and
+    * the conjunction from the SAME single scan — gopherRules'
+    * column-battery output at kernel speed. Field semantics mirror the
+    * battery exactly: zero-denominator ratios are 0.0, every ratio
+    * rounds 6 dp BEFORE its flag comparison, n_stop counts ALL
+    * distinct stopword hits (no early exit — this is the audit path),
+    * and r_stop uses the battery's fixed >= 2 threshold.
+    */
+  def statsRow(text: UTF8String, minWords: Long,
+               maxWords: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val c = rawCounts(text.toString)
+    val nWords = c(0); val sumWordLen = c(1); val nAlphaWords = c(2)
+    val nHash = c(3); val nUell = c(4); val nLines = c(5)
+    val nBulletLines = c(6); val nEllipsisLines = c(7); val nDots = c(8)
+
+    val meanWordLen =
+      if (nWords > 0) round6(sumWordLen.toDouble / nWords) else 0.0
+    val symbolRatio =
+      if (nWords > 0) round6((nHash + nDots + nUell).toDouble / nWords)
+      else 0.0
+    val alphaFrac =
+      if (nWords > 0) round6(nAlphaWords.toDouble / nWords) else 0.0
+    val bulletFrac =
+      if (nLines > 0) round6(nBulletLines.toDouble / nLines) else 0.0
+    val ellipsisFrac =
+      if (nLines > 0) round6(nEllipsisLines.toDouble / nLines) else 0.0
+    val padded = " " + text.toLowerCase.toString + " "
+    var nStop = 0L
+    var k = 0
+    while (k < stopwords.length) {
+      if (padded.contains(stopwords(k))) nStop += 1
+      k += 1
+    }
+
+    val rWords = nWords >= minWords && nWords <= maxWords
+    val rWordLen = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val rSymbol = symbolRatio <= 0.1
+    val rBullet = bulletFrac <= 0.9
+    val rEllipsis = ellipsisFrac <= 0.3
+    val rAlpha = alphaFrac >= 0.8
+    val rStop = nStop >= 2L
+    val allPass = rWords && rWordLen && rSymbol && rBullet &&
+      rEllipsis && rAlpha && rStop
+    org.apache.spark.sql.catalyst.InternalRow(
+      nWords, meanWordLen, symbolRatio, alphaFrac, bulletFrac,
+      ellipsisFrac, nStop, rWords, rWordLen, rSymbol, rBullet,
+      rEllipsis, rAlpha, rStop, allPass)
+  }
+}
+
+/** gopher_stats(text) → struct of every H16 statistic, flag, and the
+  * conjunction, computed by the single-scan kernel (r9): the audit
+  * path at kernel speed. Field order matches gopherRules' column
+  * battery so `struct.*` expands to the identical relation.
+  */
+case class GopherStatsExpr(child: Expression, minWords: Long,
+                           maxWords: Long) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got $other")
+  }
+  override def dataType: DataType = GopherStatsExpr.schema
+  override def prettyName: String = "gopher_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GopherRuntime.statsRow(input.asInstanceOf[UTF8String], minWords,
+      maxWords)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GopherRuntime.statsRow($c, ${minWords}L, ${maxWords}L)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GopherStatsExpr = copy(child = newChild)
+}
+
+object GopherStatsExpr {
+  import org.apache.spark.sql.types._
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("symbol_ratio", DoubleType, nullable = false),
+    StructField("alpha_frac", DoubleType, nullable = false),
+    StructField("bullet_frac", DoubleType, nullable = false),
+    StructField("ellipsis_frac", DoubleType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("r_words", BooleanType, nullable = false),
+    StructField("r_word_len", BooleanType, nullable = false),
+    StructField("r_symbol", BooleanType, nullable = false),
+    StructField("r_bullet", BooleanType, nullable = false),
+    StructField("r_ellipsis", BooleanType, nullable = false),
+    StructField("r_alpha", BooleanType, nullable = false),
+    StructField("r_stop", BooleanType, nullable = false),
+    StructField("pass", BooleanType, nullable = false)))
 }
 
 /** gopher_pass(text) → boolean with bound thresholds. */

@@ -18,16 +18,21 @@ import org.apache.spark.sql.types._
   * partition-pruned ParquetDataset read,
   * python/pyarrow/parquet.py `ParquetDataset(filters=...)`).
   *
-  * On-disk layout under `dir`:
-  *   cells/cent_id=N/ — parquet of (vec_id, codes: array<int>,
+  * On-disk layout under `dir` (r9: versioned publication, see
+  * [[IndexVersions]] — `CURRENT` names the live version V, rebuilds
+  * and compactions write V+1 and flip the pointer atomically):
+  *   CURRENT            — text file holding the published version
+  *   cells.vV/cent_id=N/ — parquet of (vec_id, codes: array<int>,
   *                      anrm: double, embedding: array<float>,
   *                      gen: long — the write generation, see deletes)
   *   centroids/       — parquet of (cent_id: long, cent: array<float>)
   *   codebooks/       — parquet of (m: int, code: int, cent: array<double>)
   *   cellstats/       — parquet of (cent_id: long, n: long) at build time
   *   meta/            — parquet of (next_gen: long)
-  *   tombstones/      — parquet of (vec_id, gen: long); present only
+  *   tombstones.vV/   — parquet of (vec_id, gen: long); present only
   *                      between a delete/upsert and the next compaction
+  * (pre-r9 indexes with unversioned `cells/` resolve as version 0 and
+  * keep opening.)
   *
   * `codes`/`anrm` serve the ADC scan (each scanned row is m ints, not
   * dim floats); `embedding` serves exact re-rank and exact-within-cell
@@ -41,15 +46,27 @@ object AnnIndex {
   /** An opened index: bounded driver-side artifacts plus the lazy
     * cell-partitioned corpus relation. `centroids` is a LOCAL relation
     * (k·dim floats), so probe selection never scans the corpus.
+    *
+    * `cellsDir`/`tombDir` are PINNED at open/build through the CURRENT
+    * pointer (r9, [[IndexVersions]]): this index object serves its
+    * version snapshot consistently even while a compaction publishes a
+    * newer one — re-open (or use compactCells' return) to move
+    * forward.
     */
   final case class IvfPqIndex(
       spark: SparkSession,
       dir: String,
       centroids: DataFrame,
-      codebooks: Seq[Seq[Seq[Double]]]) {
+      codebooks: Seq[Seq[Seq[Double]]],
+      cellsDir: String,
+      tombDir: String,
+      version: Long) {
     /** Cell-partitioned encoded corpus; cent_id is a partition column. */
-    def cells: DataFrame = spark.read.parquet(s"$dir/cells")
+    def cells: DataFrame = spark.read.parquet(cellsDir)
   }
+
+  private def tombDirFor(dir: String, v: Long): String =
+    if (v == 0L) s"$dir/tombstones" else s"$dir/tombstones.v$v"
 
   private def normLut(books: Seq[Seq[Seq[Double]]]): Seq[Double] =
     books.flatMap(_.map(_.map(x => x * x).sum))
@@ -107,9 +124,15 @@ object AnnIndex {
     val books = codebooks.getOrElse(
       Similarity.trainPqCodebooks(corpus, dim, m, ncodes, stride, pqIters))
     val enc = encode(corpus, cents, books, gen = 0L)
+    // versioned publication (r9): the corpus lands in a NEW cells.vN
+    // directory and becomes visible only at the CURRENT flip below —
+    // a rebuild over a live index never races its readers, and a
+    // crashed build leaves the old version published
+    val v = IndexVersions.current(spark, dir).getOrElse(0L) + 1L
+    val cellsDir = s"$dir/cells.v$v"
     cellPartitioned(if (storeEmbeddings) enc else enc.drop("embedding"),
       nCells, filesPerCell)
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/cells")
+      .write.mode("overwrite").partitionBy("cent_id").parquet(cellsDir)
     cents.select(col("cent_id").cast(LongType), col("cent"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
     books.zipWithIndex
@@ -121,10 +144,11 @@ object AnnIndex {
     // rows). Row counts come from the just-written parquet FOOTERS —
     // a distributed metadata-only pass over O(files) (the D14
     // surface), not the r7 second scan of the encoded corpus
-    cellStatsFromFooters(spark, dir)
+    cellStatsFromFooters(spark, cellsDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/cellstats")
     writeNextGen(spark, dir, 1L)
-    IvfPqIndex(spark, dir, cents, books)
+    IndexVersions.publish(spark, dir, v)
+    IvfPqIndex(spark, dir, cents, books, cellsDir, tombDirFor(dir, v), v)
   }
 
   // ------------------------------------------------------ G13: deletes
@@ -156,7 +180,7 @@ object AnnIndex {
 
   private def tombstones(index: IvfPqIndex): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(s"${index.dir}/tombstones")
+    val p = new Path(index.tombDir)
     val fs = p.getFileSystem(index.spark.sessionState.newHadoopConf())
     if (fs.exists(p)) Some(index.spark.read.parquet(p.toString)) else None
   }
@@ -179,7 +203,7 @@ object AnnIndex {
     val g = nextGen(spark, index.dir)
     ids.select(col("vec_id"), lit(g).as("gen"))
       .coalesce(1)
-      .write.mode("append").parquet(s"${index.dir}/tombstones")
+      .write.mode("append").parquet(index.tombDir)
     writeNextGen(spark, index.dir, g + 1)
   }
 
@@ -194,11 +218,11 @@ object AnnIndex {
     val g = nextGen(spark, index.dir)
     rows.select(col("vec_id"), lit(g).as("gen"))
       .coalesce(1)
-      .write.mode("append").parquet(s"${index.dir}/tombstones")
+      .write.mode("append").parquet(index.tombDir)
     val enc = encode(rows, index.centroids, index.codebooks, gen = g)
     (if (hasEmbeddings(index)) enc else enc.drop("embedding"))
       .repartition(col("cent_id"))
-      .write.mode("append").partitionBy("cent_id").parquet(s"${index.dir}/cells")
+      .write.mode("append").partitionBy("cent_id").parquet(index.cellsDir)
     writeNextGen(spark, index.dir, g + 1)
   }
 
@@ -216,7 +240,8 @@ object AnnIndex {
     * partition-directory listing is bounded (nCells entries), and each
     * task opens only its own files' footers — no corpus rows are read.
     */
-  private def cellStatsFromFooters(spark: SparkSession, dir: String): DataFrame = {
+  private def cellStatsFromFooters(spark: SparkSession,
+                                   cellsDir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -224,7 +249,7 @@ object AnnIndex {
     import graft.sources.arrow.{HadoopFiles, SerializableHadoopConf}
     import spark.implicits._
     val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val cellsPath = new Path(s"$dir/cells")
+    val cellsPath = new Path(cellsDir)
     val fs = cellsPath.getFileSystem(hconf.value)
     val files = fs.listStatus(cellsPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cent_id="))
@@ -252,33 +277,45 @@ object AnnIndex {
     * rewrites every cell into ONE file (same rows, same layout: the
     * repartition-by-partition-column write discipline gives one writer
     * task per cell), refreshes cellstats from the rewritten footers,
-    * and swaps directories. The swap (delete + rename) is not atomic:
-    * run compaction in the same maintenance window as a re-train
-    * would, never concurrently with a search or append — the
-    * IncrementalDedup.retainBatches trade, where maintenance work is
-    * delayed rather than interleaved.
+    * and PUBLISHES the result as a new version (r9): the compacted
+    * corpus lands in cells.v(N+1) while every reader keeps serving
+    * cells.vN, then one atomic CURRENT flip moves new opens forward —
+    * a search never races the compaction, and a crash anywhere before
+    * the flip leaves the old version live. Deletes become physical in
+    * the new version (only rows alive under the tombstone set are
+    * rewritten), whose tombstone set starts empty; the old version and
+    * its tombstones stay on disk for pinned readers until [[vacuum]].
+    * Returns the index pinned at the NEW version (the passed index
+    * keeps serving the old one). Writer-side, maintenance remains
+    * single-writer by contract.
     */
-  def compactCells(index: IvfPqIndex, filesPerCell: Int = 1): Unit = {
+  def compactCells(index: IvfPqIndex, filesPerCell: Int = 1): IvfPqIndex = {
     import org.apache.hadoop.fs.Path
     require(filesPerCell >= 1, s"filesPerCell must be >= 1: $filesPerCell")
     val spark = index.spark
     val dir = index.dir
-    val tmp = new Path(s"$dir/cells.compacting")
-    val live = new Path(s"$dir/cells")
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(tmp, true)
+    val newV = index.version + 1L
+    val dst = s"$dir/cells.v$newV"
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dst), true) // crashed-attempt residue
     val nCells = index.centroids.count().toInt
-    // deletes become physical here: only rows alive under the tombstone
-    // set are rewritten, then the set (now fully applied) is dropped
-    cellPartitioned(alive(index, spark.read.parquet(s"$dir/cells")),
-      nCells, filesPerCell)
-      .write.mode("overwrite").partitionBy("cent_id").parquet(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live), s"compaction swap failed: $tmp -> $live")
-    fs.delete(new Path(s"$dir/tombstones"), true)
-    cellStatsFromFooters(spark, dir)
+    cellPartitioned(alive(index, index.cells), nCells, filesPerCell)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(dst)
+    cellStatsFromFooters(spark, dst)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/cellstats")
+    IndexVersions.publish(spark, dir, newV)
+    index.copy(cellsDir = dst, tombDir = tombDirFor(dir, newV),
+      version = newV)
   }
+
+  /** Reclaim superseded versions (old versioned cells/tombstone dirs
+    * and the legacy unversioned ones) in a maintenance window — readers
+    * pinned to older versions lose their files, exactly like vacuuming
+    * any MVCC store.
+    */
+  def vacuum(index: IvfPqIndex): Unit =
+    IndexVersions.vacuum(index.spark, index.dir, index.version,
+      Seq("cells", "tombstones"))
 
   /** Open a persisted index. Loads only the bounded artifacts
     * (centroids pinned as a local relation, codebooks to the driver);
@@ -293,7 +330,10 @@ object AnnIndex {
       .as[(Int, Int, Array[Double])].collect()
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
-    IvfPqIndex(spark, dir, cents, books)
+    // resolve the published version ONCE and pin it: this object keeps
+    // serving its snapshot even if a compaction publishes a newer one
+    val (cellsDir, v) = IndexVersions.resolve(spark, dir, "cells")
+    IvfPqIndex(spark, dir, cents, books, cellsDir, tombDirFor(dir, v), v)
   }
 
   /** Per-query probe cells: broadcast join against the LOCAL centroid
@@ -420,7 +460,7 @@ object AnnIndex {
     val enc = encode(rows, index.centroids, index.codebooks, gen = g)
     (if (hasEmbeddings(index)) enc else enc.drop("embedding"))
       .repartition(col("cent_id"))
-      .write.mode("append").partitionBy("cent_id").parquet(s"${index.dir}/cells")
+      .write.mode("append").partitionBy("cent_id").parquet(index.cellsDir)
     writeNextGen(spark, index.dir, g + 1)
   }
 

@@ -44,10 +44,15 @@ import org.apache.spark.sql.types._
   */
 object Bm25Index {
 
-  /** An opened index: bounded scalars + the lazy bucketed postings. */
+  /** An opened index: bounded scalars + the lazy bucketed postings.
+    * `postingsDir` is pinned through the CURRENT pointer at open (r9,
+    * [[IndexVersions]]): a rebuild publishing a newer version never
+    * changes what this object serves.
+    */
   final case class Index(spark: SparkSession, dir: String,
-                         nBuckets: Int, nDocs: Long, sumDl: Long) {
-    def postings: DataFrame = spark.read.parquet(s"$dir/postings")
+                         nBuckets: Int, nDocs: Long, sumDl: Long,
+                         postingsDir: String, version: Long) {
+    def postings: DataFrame = spark.read.parquet(postingsDir)
   }
 
   private def bucketOf(term: Column, nBuckets: Int): Column =
@@ -99,6 +104,13 @@ object Bm25Index {
     require(filesPerBucket >= 1,
       s"filesPerBucket must be >= 1: $filesPerBucket")
     val spark = corpus.sparkSession
+    // versioned publication (r9): this index REBUILDS per corpus
+    // version (df is denormalized — see the maintenance note above),
+    // which is exactly the racy in-place overwrite the CURRENT-pointer
+    // flip removes: the new postings+meta land in fresh .v(N+1)
+    // directories, readers stay on .vN, and the atomic flip below
+    // publishes; a crashed rebuild leaves the old version live
+    val v = IndexVersions.current(spark, dir).getOrElse(0L) + 1L
     val rel = tfRelation(corpus, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
@@ -106,18 +118,66 @@ object Bm25Index {
         .repartition(nBuckets * filesPerBucket, col("term_bucket"),
           pmod(hash(col("doc_id")), lit(filesPerBucket)))
         .write.mode("overwrite").partitionBy("term_bucket")
-        .parquet(s"$dir/postings")
+        .parquet(s"$dir/postings.v$v")
       TextAnalysis.corpusStats(corpus, textCol)
         .withColumn("n_buckets", lit(nBuckets))
-        .write.mode("overwrite").parquet(s"$dir/meta")
+        .write.mode("overwrite").parquet(s"$dir/meta.v$v")
     } finally rel.unpersist()
+    IndexVersions.publish(spark, dir, v)
     open(spark, dir)
   }
 
   def open(spark: SparkSession, dir: String): Index = {
-    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    // resolve the published version once and pin it (legacy
+    // unversioned layouts resolve as version 0)
+    val (postingsDir, v) = IndexVersions.resolve(spark, dir, "postings")
+    val metaDir = if (v == 0L) s"$dir/meta" else s"$dir/meta.v$v"
+    val m = spark.read.parquet(metaDir).collect()(0)
     Index(spark, dir, m.getAs[Int]("n_buckets"),
-      m.getAs[Long]("n_docs"), m.getAs[Long]("sum_dl"))
+      m.getAs[Long]("n_docs"), m.getAs[Long]("sum_dl"), postingsDir, v)
+  }
+
+  /** Reclaim superseded versions in a maintenance window. */
+  def vacuum(index: Index): Unit =
+    IndexVersions.vacuum(index.spark, index.dir, index.version,
+      Seq("postings", "meta", "doc_tombstones"))
+
+  // ------------------------------------------------- r9: doc deletes
+  //
+  // The G13 tombstone mechanism composed onto the lexical index: the
+  // takedown / right-to-be-forgotten operation between rebuilds. A
+  // delete appends (doc_id) rows to a bounded per-version tombstone
+  // relation — zero postings IO — and every search anti-joins the
+  // broadcast set against ONLY the pruned postings slice, so deleted
+  // documents vanish from all searches immediately. df staleness from
+  // deletes is bounded and conservative: the denormalized df still
+  // counts deleted docs, so idf — and therefore every affected score —
+  // only UNDERSTATES until the next rebuild, which starts a fresh
+  // version with no tombstones.
+
+  private def tombDir(index: Index): String =
+    if (index.version == 0L) s"${index.dir}/doc_tombstones"
+    else s"${index.dir}/doc_tombstones.v${index.version}"
+
+  /** Logically delete documents (a `doc_id` column): O(|ids|) writes,
+    * zero postings IO; they disappear from every subsequent search on
+    * this version.
+    */
+  def deleteDocs(index: Index, ids: DataFrame,
+                 idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).as("doc_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(tombDir(index))
+
+  /** The pruned postings slice with tombstoned documents removed. */
+  private def aliveDocs(index: Index, postings: DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(tombDir(index))
+    val fs = p.getFileSystem(index.spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) postings
+    else postings.join(
+      broadcast(index.spark.read.parquet(p.toString).select("doc_id")),
+      Seq("doc_id"), "left_anti")
   }
 
   /** Query-by-example retrieval from the persisted postings: each
@@ -138,8 +198,8 @@ object Bm25Index {
       .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
     val buckets = qt.select("term_bucket").distinct()
       .collect().map(_.getLong(0)).sorted
-    val pruned = index.postings
-      .where(col("term_bucket").isin(buckets.map(_.asInstanceOf[Any]): _*))
+    val pruned = aliveDocs(index, index.postings
+      .where(col("term_bucket").isin(buckets.map(_.asInstanceOf[Any]): _*)))
     val scored = pruned
       .join(broadcast(qt.select("qid", "term")), "term")
       .where(col("doc_id") =!= col("qid"))

@@ -893,16 +893,24 @@ object Curation {
     * by nprobe/nCells as in every IVF search (spec-planted dupes;
     * the exact mode is the oracle gate).
     */
+  /** `centroids`: pre-trained IVF centroids for the `nCells > 1` path
+    * (the G3 trainIvfCentroids discipline, r9) — repeated decontam
+    * passes against a fixed corpus reuse one trained set instead of
+    * paying a centroid-training corpus pass per call. Ignored in exact
+    * mode.
+    */
   def semanticDecontam(corpus: DataFrame, evalSet: DataFrame,
                        threshold: Double, nCells: Int = 0, nprobe: Int = 4,
-                       stride: Long = 7, iters: Int = 1): DataFrame = {
+                       stride: Long = 7, iters: Int = 1,
+                       centroids: Option[DataFrame] = None): DataFrame = {
     import Similarity.cosine
     if (nCells <= 1) {
       val ev = evalSet.select(col("embedding").as("e_q"))
       corpus.join(broadcast(ev),
         cosine(col("embedding"), col("e_q")) >= threshold, "left_anti")
     } else {
-      val cents = Similarity.trainIvfCentroids(corpus, nCells, stride, iters)
+      val cents = centroids.getOrElse(
+        Similarity.trainIvfCentroids(corpus, nCells, stride, iters))
       val assigned = Similarity.assignToCentroids(corpus, cents)
       val qCells = evalSet.as("q").join(broadcast(cents.as("k")))
         .select(col("q.vec_id").as("qid"), col("q.embedding").as("e_q"),

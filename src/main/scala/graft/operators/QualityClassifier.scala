@@ -106,6 +106,19 @@ object QualityClassifier {
         round(element_at(vector_to_array(col("probability")), 2), 6))
       .drop("features", "rawPrediction", "probability", "prediction")
 
+  /** Persist the fitted model via spark.ml persistence — the
+    * production discipline the determinism note above prescribes:
+    * train once, persist the bounded artifact, and every scoring job
+    * (today's or next month's) loads it instead of re-deriving
+    * partition-order-dependent coefficients. [[load]] round-trips it;
+    * the spec pins scores identical after reload.
+    */
+  def save(model: LogisticRegressionModel, dir: String): Unit =
+    model.write.overwrite().save(dir)
+
+  def load(dir: String): LogisticRegressionModel =
+    LogisticRegressionModel.load(dir)
+
   /** Held-out AUC of `model` on `docs`: exact Mann–Whitney rank-sum
     * over the scored set — one sort-by-score window plus one
     * aggregate, no pairwise comparison. The global rank is a

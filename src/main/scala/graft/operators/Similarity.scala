@@ -502,12 +502,30 @@ object Similarity {
     */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int, n: Int,
                 lambda: Double = 0.5): DataFrame = {
-    require(k >= 1 && n >= k, s"need n >= k >= 1: k=$k n=$n")
+    require(n >= k, s"need n >= k: k=$k n=$n")
+    mmrRerankCandidates(corpus,
+      bruteForceTopK(corpus, queries, n, roundCosTo = 6)
+        .select(col("qid"), col("nid"), col("cos").as("rel")),
+      k, lambda)
+  }
+
+  /** MMR over a CALLER-SUPPLIED candidate relation `(qid, nid, rel)` —
+    * the production serving chain: `AnnIndex.searchAdc` +
+    * `Bm25Index.search` → [[rrfFuse]] (its `rrf` column as `rel`) →
+    * this re-rank, composing entirely over the persisted indexes with
+    * no brute-force corpus pass anywhere (the r8 form hardcoded
+    * [[bruteForceTopK]] for candidates, which re-scored the whole
+    * corpus even when an index had already produced the candidates).
+    * Candidate vectors re-attach by one id-keyed corpus join with the
+    * bounded candidate set broadcast (the exactReRank discipline);
+    * when the corpus relation is a partition-pruned index read, that
+    * join never touches unprobed cells.
+    */
+  def mmrRerankCandidates(corpus: DataFrame, candidates: DataFrame, k: Int,
+                          lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"need k >= 1: k=$k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
-    val cand = bruteForceTopK(corpus, queries, n, roundCosTo = 6)
-      .select(col("qid"), col("nid"), col("cos").as("rel"))
-    // re-attach candidate vectors: bounded candidate set broadcast,
-    // one id-keyed corpus join (the exactReRank discipline)
+    val cand = candidates.select(col("qid"), col("nid"), col("rel"))
     val cv = corpus.select(col("vec_id").as("nid"), col("embedding").as("e"))
       .join(broadcast(cand), "nid")
       .select(col("qid"), col("nid"), col("rel"), col("e"))

@@ -148,8 +148,24 @@ object TextAnalysis {
       ellipsisFrac, nStop)
   }
 
+  /** `useKernel = true` (r9): the same audit relation from the
+    * single-scan native kernel (functions.GopherStatsExpr) — the
+    * column battery re-splits the document once per statistic
+    * (higher-order functions sit outside codegen subexpression
+    * elimination), so audits over big corpora pay ~7× scan cost for
+    * identical output. Spec-pinned equal row-for-row; the gate keeps
+    * the column form (its full SQL mirror IS the oracle).
+    */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
-                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  useKernel: Boolean = false): DataFrame = {
+    if (useKernel) {
+      import graft.functions.{exprs, GopherStatsExpr}
+      return df.select(col(idCol).as("doc_id"),
+          exprs.toColumn(GopherStatsExpr(exprs.toExpr(col(textCol)),
+            minWords, maxWords)).as("__g"))
+        .select(col("doc_id"), col("__g.*"))
+    }
     val s = gopherStatCols(col(textCol))
     df.select(col(idCol).as("doc_id"),
         s.nWords.as("n_words"), s.meanWordLen.as("mean_word_len"),

@@ -121,39 +121,46 @@ class AnnIndexSpec extends SparkSpec {
     // accrete small files the way daily streamingAppend batches do
     AnnIndex.append(idx, emb.where($"vec_id" % 3 === 0 && $"vec_id" % 2 === 0))
     AnnIndex.append(idx, emb.where($"vec_id" % 3 === 0 && $"vec_id" % 2 =!= 0))
-    def files() = idx.cells.select(input_file_name()).distinct().count()
+    def files(i: AnnIndex.IvfPqIndex) =
+      i.cells.select(input_file_name()).distinct().count()
     def cellstats() = spark.read.parquet(s"$dir/cellstats")
       .collect().map(r => r.getAs[Number](0).longValue() ->
         r.getAs[Number](1).longValue()).toMap
     val before = asTuples(AnnIndex.searchExact(idx, queries, 5, 8))
-    val filesBefore = files()
+    val filesBefore = files(idx)
     // cellstats BEFORE compaction describe only the build-time base
     // (the drift baseline deliberately excludes appends)
     assert(cellstats().values.sum == base.count())
-    AnnIndex.compactCells(idx)
-    val filesAfter = files()
+    // r9: compaction PUBLISHES a new version and returns the index
+    // pinned to it; the passed index keeps serving the old snapshot
+    val idx2 = AnnIndex.compactCells(idx)
+    val filesAfter = files(idx2)
     assert(filesAfter < filesBefore,
       s"compaction must shrink the file count: $filesBefore -> $filesAfter")
     // one file per cell: the repartition-by-cell write discipline
-    val nCellDirs = idx.cells.select("cent_id").distinct().count()
+    val nCellDirs = idx2.cells.select("cent_id").distinct().count()
     assert(filesAfter == nCellDirs,
       s"expected one file per cell: $filesAfter files, $nCellDirs cells")
     // the data is byte-identical in content: same search results
+    assert(asTuples(AnnIndex.searchExact(idx2, queries, 5, 8)) == before)
+    // the pre-compaction object is untouched (open-during-compaction
+    // consistency): same files, same results
+    assert(files(idx) == filesBefore)
     assert(asTuples(AnnIndex.searchExact(idx, queries, 5, 8)) == before)
     // cellstats refreshed from the rewritten footers now cover ALL rows
     assert(cellstats().values.sum == emb.count())
     // and per-cell counts agree with the data itself
-    val fromData = idx.cells.groupBy("cent_id").count().collect()
+    val fromData = idx2.cells.groupBy("cent_id").count().collect()
       .map(r => r.getAs[Number](0).longValue() ->
         r.getAs[Number](1).longValue()).toMap
     assert(cellstats() == fromData)
     // append after compaction lands and is searchable
     val extra = emb.where($"vec_id" < 2)
       .select(($"vec_id" + 500000).as("vec_id"), $"embedding")
-    AnnIndex.append(idx, extra)
-    assert(idx.cells.count() == emb.count() + 2)
+    AnnIndex.append(idx2, extra)
+    assert(idx2.cells.count() == emb.count() + 2)
     val q0 = emb.where($"vec_id" === 0)
-    val hits = AnnIndex.searchExact(idx, q0, k = 1, nprobe = 8)
+    val hits = AnnIndex.searchExact(idx2, q0, k = 1, nprobe = 8)
       .select("nid").as[Long].collect()
     // vec 500000 is a duplicate of vec 0 → its cosine is 1.0, rank 1
     assert(hits.sameElements(Array(500000L)), hits.toSeq.toString)
@@ -220,14 +227,14 @@ class AnnIndexSpec extends SparkSpec {
     val b = asTuples(AnnIndex.searchAdc(index, queries, 5, 16, refine = 0))
     assert(a == b)
     // the serving-format size cut is real: codes-only cells are smaller
-    def bytes(d: String) = {
-      val root = new java.io.File(s"$d/cells")
+    def bytes(i: AnnIndex.IvfPqIndex) = {
+      val root = new java.io.File(i.cellsDir)
       def walk(f: java.io.File): Long =
         if (f.isFile) f.length else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
       walk(root)
     }
-    assert(bytes(dir) < bytes(index.dir) / 2,
-      s"codes-only ${bytes(dir)} vs full ${bytes(index.dir)}")
+    assert(bytes(codesIdx) < bytes(index) / 2,
+      s"codes-only ${bytes(codesIdx)} vs full ${bytes(index)}")
     // exact paths state the contract instead of failing downstream
     intercept[IllegalArgumentException] {
       AnnIndex.searchExact(codesIdx, queries, 5, 16)
@@ -266,21 +273,21 @@ class AnnIndexSpec extends SparkSpec {
       adcHits.filter(_ % 5 == 0).mkString(","))
     // logical until compaction: the cell files still hold every row
     assert(idx.cells.count() == emb.count())
-    AnnIndex.compactCells(idx)
-    assert(idx.cells.count() == remaining.count(),
+    val idx2 = AnnIndex.compactCells(idx)
+    assert(idx2.cells.count() == remaining.count(),
       "compaction must drop tombstoned rows physically")
-    assert(!new java.io.File(s"$dir/tombstones").exists(),
-      "compaction must clear the applied tombstone set")
-    assert(asTuples(AnnIndex.searchExact(idx, queries, 5, 8)) == got)
+    assert(!new java.io.File(idx2.tombDir).exists(),
+      "the new version must start with no tombstones")
+    assert(asTuples(AnnIndex.searchExact(idx2, queries, 5, 8)) == got)
     // delete-after-compact opens a fresh tombstone set
-    AnnIndex.delete(idx, emb.where($"vec_id" === 1).select("vec_id"))
-    assert(!AnnIndex.searchExact(idx, queries, 5, 8)
+    AnnIndex.delete(idx2, emb.where($"vec_id" === 1).select("vec_id"))
+    assert(!AnnIndex.searchExact(idx2, queries, 5, 8)
       .select("nid").as[Long].collect().contains(1L))
     // re-adding a deleted id makes it alive again: its appended row
     // carries a generation later than the tombstone's
-    AnnIndex.append(idx, emb.where($"vec_id" === 1))
+    AnnIndex.append(idx2, emb.where($"vec_id" === 1))
     val q1 = emb.where($"vec_id" === 2)
-    val back = AnnIndex.searchExact(idx, q1, k = remaining.count().toInt, nprobe = 8)
+    val back = AnnIndex.searchExact(idx2, q1, k = remaining.count().toInt, nprobe = 8)
       .select("nid").as[Long].collect()
     assert(back.contains(1L), "re-added id must be searchable again")
   }
@@ -307,10 +314,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(all0.count(_ == 3L) == 1,
       s"vec 3 served ${all0.count(_ == 3L)} versions")
     // compaction collapses versions to exactly one row per live id
-    AnnIndex.compactCells(idx)
-    assert(idx.cells.count() == emb.count() + 1)
-    assert(idx.cells.groupBy("vec_id").count()
+    val idx2 = AnnIndex.compactCells(idx)
+    assert(idx2.cells.count() == emb.count() + 1)
+    assert(idx2.cells.groupBy("vec_id").count()
       .where($"count" > 1).count() == 0, "duplicate versions survived")
+  }
+
+  test("versioned publication: pinned readers survive compaction, a " +
+      "crashed attempt leaves the old version live, vacuum reclaims") {
+    val dir = Files.createTempDirectory("graft-annidx-pub").toString
+    val idx = AnnIndex.write(emb, dir, dim = 64, nCells = 8, stride = 7)
+    assert(idx.version == 1L, s"fresh build publishes v1: ${idx.version}")
+    val before = asTuples(AnnIndex.searchExact(idx, queries, 5, 8))
+    // a reader opened BEFORE any maintenance — pins v1
+    val reader = AnnIndex.open(spark, dir)
+    assert(reader.version == 1L && reader.cellsDir == idx.cellsDir)
+    // crash-mid-compaction: a partial cells.v2 exists but CURRENT was
+    // never flipped — open() must keep resolving v1 and serving it
+    new java.io.File(s"$dir/cells.v2/cent_id=0").mkdirs()
+    val afterCrash = AnnIndex.open(spark, dir)
+    assert(afterCrash.version == 1L,
+      s"unpublished residue must be invisible: v${afterCrash.version}")
+    assert(asTuples(AnnIndex.searchExact(afterCrash, queries, 5, 8)) == before)
+    // a real compaction overwrites the residue and flips CURRENT
+    val idx2 = AnnIndex.compactCells(idx)
+    assert(idx2.version == 2L)
+    assert(asTuples(AnnIndex.searchExact(idx2, queries, 5, 8)) == before)
+    // the pre-compaction reader keeps serving its pinned snapshot
+    assert(asTuples(AnnIndex.searchExact(reader, queries, 5, 8)) == before)
+    assert(new java.io.File(reader.cellsDir).exists(),
+      "publication must not delete the version a reader is pinned to")
+    // fresh opens resolve the new version
+    val fresh = AnnIndex.open(spark, dir)
+    assert(fresh.version == 2L && fresh.cellsDir == idx2.cellsDir)
+    // vacuum (maintenance window) reclaims v1; v2 still serves
+    AnnIndex.vacuum(idx2)
+    assert(!new java.io.File(s"$dir/cells.v1").exists(), "v1 must be gone")
+    assert(asTuples(AnnIndex.searchExact(fresh, queries, 5, 8)) == before)
   }
 
   test("assignmentDrift: shifted batch scores far above in-distribution") {

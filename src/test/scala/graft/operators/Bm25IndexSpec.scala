@@ -101,6 +101,93 @@ class Bm25IndexSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._3)).toSeq
     assert(fusedIdx.nonEmpty && fusedIdx == fusedRe,
       s"idx=${fusedIdx.take(5)} re=${fusedRe.take(5)}")
+
+    // r9: one stage further — MMR over the fused candidates. The disk
+    // chain (ANN index + BM25 index → RRF → MMR with vectors
+    // re-attached from the index's own cells) must equal the same
+    // chain over the recompute legs: the COMPLETE serving stack
+    // round-trips disk with no brute-force corpus pass anywhere.
+    def mmrOver(corpus: org.apache.spark.sql.DataFrame,
+                legs: Seq[org.apache.spark.sql.DataFrame]) =
+      Similarity.mmrRerankCandidates(corpus,
+          Similarity.rrfFuse(legs, topK = 10)
+            .select($"qid", $"nid", $"rrf".as("rel")), k = 5)
+        .select("qid", "nid", "rank")
+        .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._3)).toSeq
+    val mmrIdx = mmrOver(ann.cells.select("vec_id", "embedding"),
+      Seq(denseIdx, lexIdx))
+    val mmrRe = mmrOver(emb, Seq(denseRe, lexRe))
+    assert(mmrIdx.nonEmpty && mmrIdx == mmrRe,
+      s"mmr idx=${mmrIdx.take(5)} re=${mmrRe.take(5)}")
+  }
+
+  test("versioned rebuild: a pinned reader serves the old corpus " +
+      "version; a crashed rebuild leaves the old live; vacuum reclaims") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-pub").toString
+    val half = docs.where($"doc_id" % 2 === 0)
+    val v1 = Bm25Index.write(half, "doc_id", "text", dir, nBuckets = 8)
+    assert(v1.version == 1L)
+    val before = asTuples(
+      Bm25Index.search(v1, queries, "doc_id", "text", topK = 10))
+    val reader = Bm25Index.open(spark, dir)
+    // crashed rebuild: partial postings.v2 with no CURRENT flip
+    new java.io.File(s"$dir/postings.v2/term_bucket=0").mkdirs()
+    assert(Bm25Index.open(spark, dir).version == 1L,
+      "unpublished residue must be invisible")
+    // real rebuild over the FULL corpus publishes v2 atomically
+    val v2 = Bm25Index.write(docs, "doc_id", "text", dir, nBuckets = 8)
+    assert(v2.version == 2L && v2.nDocs > v1.nDocs)
+    // the pinned reader still serves the old corpus version (its meta
+    // scalars AND its postings — a torn mix would corrupt scores)
+    assert(asTuples(
+      Bm25Index.search(reader, queries, "doc_id", "text", topK = 10))
+      == before)
+    // fresh opens see v2 == the recompute path over the full corpus
+    val fresh = Bm25Index.open(spark, dir)
+    assert(fresh.version == 2L)
+    val full = asTuples(
+      Bm25Index.search(fresh, queries, "doc_id", "text", topK = 10))
+    assert(full == asTuples(TextAnalysis.bm25Retrieve(
+      docs, queries, "doc_id", "text", topK = 10)))
+    // vacuum reclaims v1; v2 unaffected
+    Bm25Index.vacuum(fresh)
+    assert(!new java.io.File(s"$dir/postings.v1").exists())
+    assert(asTuples(
+      Bm25Index.search(fresh, queries, "doc_id", "text", topK = 10))
+      == full)
+  }
+
+  test("deleteDocs: tombstoned documents vanish from every search; " +
+      "a rebuild starts clean") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-del").toString
+    val idx = Bm25Index.write(docs, "doc_id", "text", dir, nBuckets = 8)
+    val full = Bm25Index.search(idx, queries, "doc_id", "text", topK = 20)
+      .select("nid").as[Long].collect().toSet
+    assert(full.nonEmpty)
+    // tombstone every doc_id divisible by 4 (includes former hits)
+    val dels = docs.where($"doc_id" % 4 === 0).select("doc_id")
+    Bm25Index.deleteDocs(idx, dels)
+    val after = Bm25Index.search(idx, queries, "doc_id", "text", topK = 20)
+      .select("nid").as[Long].collect().toSet
+    assert(after.nonEmpty && !after.exists(_ % 4 == 0),
+      s"deleted ids served: ${after.filter(_ % 4 == 0)}")
+    // conservative df staleness: the SURVIVORS' scores match a search
+    // whose candidates exclude deleted docs but whose df is unchanged —
+    // i.e. the anti-join filters candidates, never rescales scores
+    val scored = asTuples(
+      Bm25Index.search(idx, queries, "doc_id", "text", topK = 1000))
+    val refAll = asTuples(
+      TextAnalysis.bm25Retrieve(docs, queries, "doc_id", "text", topK = 1000))
+    val refScores = refAll.map(t => (t._1, t._2) -> t._3).toMap
+    assert(scored.forall { case (q, n, s, _) => refScores((q, n)) == s },
+      "delete must not change surviving documents' scores before rebuild")
+    // rebuild: fresh version, no tombstones — everything serves again
+    val re = Bm25Index.write(docs, "doc_id", "text", dir, nBuckets = 8)
+    val back = Bm25Index.search(re, queries, "doc_id", "text", topK = 20)
+      .select("nid").as[Long].collect().toSet
+    assert(back == full, "rebuild must clear tombstones")
   }
 
   test("postings are denormalized: df/dl on rows match corpus stats") {

@@ -570,6 +570,15 @@ class CurationSpec extends SparkSpec {
         threshold = 0.95, nCells = 2, nprobe = 2)
       .select("vec_id").as[Long].collect().toSet
     assert(cellOut == out, s"cell mode $cellOut != exact $out")
+    // r9: pre-trained centroids (the G3 discipline) — identical result,
+    // and the plan loses the centroid-training corpus pass: the only
+    // corpus lineage left is the assign + anti-join
+    val cents = Similarity.trainIvfCentroids(corpus, 2, stride = 7,
+      kmeansIters = 1)
+    val pre = Curation.semanticDecontam(corpus, evalSet,
+      threshold = 0.95, nCells = 2, nprobe = 2, centroids = Some(cents))
+    assert(pre.select("vec_id").as[Long].collect().toSet == cellOut,
+      "pre-trained centroids must not change the result")
   }
 
   test("temperatureMix: alpha dials between natural and uniform; " +

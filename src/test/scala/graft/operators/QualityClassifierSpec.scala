@@ -47,6 +47,26 @@ class QualityClassifierSpec extends SparkSpec {
       s"every good doc must outscore every spam doc ($worstGood vs $bestSpam)")
   }
 
+  test("model persistence: save/load round-trips, scores identical " +
+      "after reload") {
+    // the production discipline the K32 determinism note prescribes:
+    // train once, persist the bounded artifact, score from the loaded
+    // model — reload must change nothing, to the full 6 dp the score
+    // column carries
+    val model = QualityClassifier.train(corpus, "text", col("is_good"),
+      buckets = 512, maxIter = 30)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-qc-model").toString
+    QualityClassifier.save(model, dir)
+    val loaded = QualityClassifier.load(dir)
+    assert(loaded.numFeatures == model.numFeatures)
+    def scores(m: org.apache.spark.ml.classification.LogisticRegressionModel) =
+      QualityClassifier.score(corpus, m, "doc_id", "text")
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(scores(loaded) == scores(model),
+      "reloaded model must score identically")
+  }
+
   test("model generalizes to unseen documents from each distribution") {
     val model = QualityClassifier.train(corpus, "text", col("is_good"),
       buckets = 512, maxIter = 30)

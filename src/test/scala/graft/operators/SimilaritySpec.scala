@@ -473,6 +473,47 @@ class SimilaritySpec extends SparkSpec {
     assert(rel == Seq(1L, 2L), s"λ=1 must equal plain ranking: $rel")
   }
 
+  test("mmrRerankCandidates: MMR over exhaustive-probe index candidates " +
+      "equals MMR over brute-force candidates") {
+    // the r9 composability fix: mmrRerank used to hardcode
+    // bruteForceTopK for candidates, so MMR could never run over an
+    // index retrieval without a redundant corpus pass. Candidates from
+    // the PERSISTED index (exhaustive probe — spec-equal to brute
+    // force) through the same rel transform must produce the identical
+    // selection sequence.
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = emb.where($"vec_id" < 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-mmr").toString
+    val idx = AnnIndex.write(emb, dir, dim = 64, nCells = 8,
+      stride = 7, kmeansIters = 1, m = 8, ncodes = 16)
+    val idxCand = AnnIndex.searchExact(idx, q, k = 12, nprobe = 8)
+    val bfCand = Similarity.bruteForceTopK(emb, q, k = 12)
+      .select("qid", "nid", "rank")
+    def toRel(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rel",
+          round(lit(1.0) / (col("rank") + lit(60.0)), 6))
+        .select("qid", "nid", "rel")
+    def run(corpus: org.apache.spark.sql.DataFrame,
+            cand: org.apache.spark.sql.DataFrame) =
+      Similarity.mmrRerankCandidates(corpus, cand, k = 5)
+        .select("qid", "nid", "rank").as[(Long, Long, Long)]
+        .collect().sortBy(t => (t._1, t._3)).toSeq
+    // disk chain re-attaches vectors from the index's own cells —
+    // no pass over the original embeddings table anywhere
+    val viaIdx = run(idx.cells.select("vec_id", "embedding"), toRel(idxCand))
+    val viaBf = run(emb, toRel(bfCand))
+    assert(viaIdx.nonEmpty && viaIdx.size == 15, s"got ${viaIdx.size}")
+    assert(viaIdx == viaBf, s"idx=${viaIdx.take(6)} bf=${viaBf.take(6)}")
+    // and the self-contained form is exactly the delegation
+    val d1 = Similarity.mmrRerank(emb, q, k = 5, n = 12)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)]
+      .collect().sortBy(t => (t._1, t._3)).toSeq
+    val d2 = run(emb, Similarity.bruteForceTopK(emb, q, 12, roundCosTo = 6)
+      .select($"qid", $"nid", $"cos".as("rel")))
+    assert(d1 == d2)
+  }
+
   test("mmrRerank: negative redundancy is kept, short candidate sets, determinism") {
     // the anti-parallel candidate's NEGATIVE sim to the first pick must
     // boost (not clamp to 0) its second-round score: with λ=0.5 the

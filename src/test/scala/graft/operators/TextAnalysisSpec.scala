@@ -427,6 +427,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("gopherRules(useKernel) == column battery: every statistic, " +
+      "flag, and the conjunction, row for row") {
+    // r9: the struct-returning audit kernel must reproduce the ENTIRE
+    // column-battery relation (not just the pass boolean) on the real
+    // corpus plus the adversarial boundary inputs
+    val edge = Seq(
+      1000008L -> "   ", 1000009L -> "a", 1000010L -> "word\n\n\nword",
+      1000011L -> "the quick…brown # fox", 1000012L -> ("x " * 49).trim,
+      1000013L -> ("the be to of and that have with " * 7).trim,
+      1000014L -> "line one...\n  - two\n…\nthree ...  ",
+      1000015L -> (("𝄞" + "maths ") * 55).trim,
+      1000016L -> (("dot" + "." * 7 + " ") * 60).trim,
+      1000017L -> ("tab\tseparated " * 50).trim)
+      .toDF("doc_id", "text")
+    val corpus = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").unionAll(edge)
+    for (mw <- Seq(50L, 5L)) {
+      val battery = TextAnalysis.gopherRules(corpus, "doc_id", "text",
+        minWords = mw)
+      val kernel = TextAnalysis.gopherRules(corpus, "doc_id", "text",
+        minWords = mw, useKernel = true)
+      assert(kernel.columns.toSeq == battery.columns.toSeq,
+        s"schemas differ: ${kernel.columns.toSeq} vs ${battery.columns.toSeq}")
+      val b = battery.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      val k = kernel.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      val bad = k.keys.filter(id => b(id) != k(id)).take(5)
+      assert(bad.isEmpty, s"minWords=$mw rows differ: " +
+        bad.map(id => s"$id: kernel=${k(id)} battery=${b(id)}").mkString("; "))
+    }
+  }
+
   // Independent BPE reference for the kernel cross-check: a direct,
   // naive transcription of Sennrich et al.'s pseudocode operating on
   // space-joined symbol strings (a different representation from the
@@ -503,6 +534,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(novel == NaiveBpe.encode("lowest", merges), s"novel: $novel")
     assert(novel.contains("est") || novel.contains("lo"),
       s"expected learned subwords in $novel")
+  }
+
+  test("incremental BPE trainer: identical merge sequence to the rescan " +
+      "form on canonical, fuzz, and astral corpora") {
+    import graft.functions.BpeRuntime
+    // canonical Sennrich corpus, run past exhaustion (50 > possible merges)
+    val canon = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    assert(BpeRuntime.train(canon, 50) == BpeRuntime.trainRescan(canon, 50))
+    // 300-word deterministic fuzz corpus over a 5-letter alphabet:
+    // dense tie-breaks and overlapping pairs (aaa...) exercise the
+    // occurrence-index bookkeeping hard
+    val rnd = new scala.util.Random(12345)
+    val words = (0 until 300).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      (0 until len).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    }
+    val wf = words.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val inc = BpeRuntime.train(wf, 200)
+    val res = BpeRuntime.trainRescan(wf, 200)
+    assert(inc == res, s"diverged at ${inc.zip(res).indexWhere(p => p._1 != p._2)}")
+    // surrogate-pair symbols flow through the incremental path too
+    val astral = Seq(("𝄞a𝄞a", 3L), ("a𝄞", 2L),
+      ("aa𝄞𝄞", 1L))
+    assert(BpeRuntime.train(astral, 20) == BpeRuntime.trainRescan(astral, 20))
   }
 
   test("BPE rank cache: two distinct tables coexist; eviction past the " +
