@@ -313,7 +313,7 @@ object Curation {
     withKeyStats(grams, "gram", hotCap, maxHot)
 
   /** The generalized form: key-frequency stats attached to every row,
-    * for any key column (grams for K15/K28, terms for K6 TF-IDF).
+    * for any key column (grams for K15/K28, terms for K7 TF-IDF).
     */
   private def withKeyStats(rows: DataFrame, keyCol: String, hotCap: Int,
                            maxHot: Int): DataFrame = {
