@@ -212,6 +212,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         agg.toAggregateExpression()
       }))
+    // H16 kernels (r9): the boolean gate and the struct audit form
+    ext.injectFunction((
+      FunctionIdentifier("gopher_pass"),
+      info("gopher_pass",
+        "gopher_pass(text[, minWords, maxWords, minStop]) - single-pass Gopher rule-battery conjunction"),
+      (args: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Long =
+          if (e.foldable) e.eval() match {
+            case n: java.lang.Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"gopher_pass: $what must be an integer literal, got $other")
+          } else throw new IllegalArgumentException(
+            s"gopher_pass: $what must be a literal")
+        args match {
+          case Seq(t) => graft.functions.GopherPass(t, 50L, 100000L, 2L)
+          case Seq(t, mw) =>
+            graft.functions.GopherPass(t, lit(mw, "minWords"), 100000L, 2L)
+          case Seq(t, mw, xw) => graft.functions.GopherPass(t,
+            lit(mw, "minWords"), lit(xw, "maxWords"), 2L)
+          case Seq(t, mw, xw, ms) => graft.functions.GopherPass(t,
+            lit(mw, "minWords"), lit(xw, "maxWords"), lit(ms, "minStop"))
+          case _ => throw new IllegalArgumentException(
+            "gopher_pass(text[, minWords, maxWords, minStop])")
+        }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gopher_stats"),
+      info("gopher_stats",
+        "gopher_stats(text[, minWords, maxWords]) - struct of every Gopher-rule statistic, flag, and the conjunction"),
+      (args: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Long =
+          if (e.foldable) e.eval() match {
+            case n: java.lang.Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"gopher_stats: $what must be an integer literal, got $other")
+          } else throw new IllegalArgumentException(
+            s"gopher_stats: $what must be a literal")
+        args match {
+          case Seq(t) => graft.functions.GopherStatsExpr(t, 50L, 100000L)
+          case Seq(t, mw) =>
+            graft.functions.GopherStatsExpr(t, lit(mw, "minWords"), 100000L)
+          case Seq(t, mw, xw) => graft.functions.GopherStatsExpr(t,
+            lit(mw, "minWords"), lit(xw, "maxWords"))
+          case _ => throw new IllegalArgumentException(
+            "gopher_stats(text[, minWords, maxWords])")
+        }
+      }))
     // curation/layout primitives, built as raw catalyst trees (the
     // Column bridge yields unresolved nodes a function builder can't
     // return) with the same semantics as Curation.sampleKey /

@@ -44,6 +44,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getInt(1) > 1)
   }
 
+  test("gopher_pass and gopher_stats are callable from SQL and agree") {
+    val row = extSpark.sql(
+      """SELECT gopher_pass(t, 5) AS p,
+                gopher_stats(t, 5).pass AS sp,
+                gopher_stats(t, 5).n_words AS nw,
+                gopher_stats(t, 5).r_stop AS rs
+         FROM VALUES ('the books have arrived and that is all we need to know') v(t)"""
+    ).head()
+    assert(row.getBoolean(0) && row.getBoolean(1),
+      "clean 12-word sentence with stopwords must pass both forms")
+    assert(row.getLong(2) == 12L)
+    assert(row.getBoolean(3))
+    // a violation flips both forms together
+    val bad = extSpark.sql(
+      "SELECT gopher_pass(t, 50), gopher_stats(t, 50).r_words " +
+        "FROM VALUES ('too short') v(t)").head()
+    assert(!bad.getBoolean(0) && !bad.getBoolean(1))
+  }
+
   test("deflate_size is callable from SQL and matches the kernel") {
     val got = extSpark.sql("SELECT deflate_size(repeat('ab', 50))")
       .head().getLong(0)

@@ -121,6 +121,38 @@ class Bm25IndexSpec extends SparkSpec {
       s"mmr idx=${mmrIdx.take(5)} re=${mmrRe.take(5)}")
   }
 
+  test("streaming query serving through the persisted BM25 index " +
+      "matches batch") {
+    // the lexical twin of AnnIndexSpec's G4∘G11 serving loop: query
+    // micro-batches answered by Bm25Index.search against the on-disk
+    // postings inside foreachBatch — open once, serve many
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val served =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val opened = Bm25Index.open(spark, index.dir)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        served ++= Bm25Index.search(opened, batch, "doc_id", "text",
+            topK = 10)
+          .select("qid", "nid", "bm25", "rank")
+          .as[(Long, Long, Double, Long)].collect()
+        ()
+      }.start()
+    try {
+      val rows = queries.select($"doc_id", $"text")
+        .as[(Long, String)].collect().toSeq
+      val (h, t) = rows.splitAt(1)
+      mem.addData(h: _*); q.processAllAvailable()
+      mem.addData(t: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(served.nonEmpty)
+    assert(served.sortBy(x => (x._1, x._4)).toSeq ==
+      asTuples(Bm25Index.search(index, queries, "doc_id", "text",
+        topK = 10)))
+  }
+
   test("versioned rebuild: a pinned reader serves the old corpus " +
       "version; a crashed rebuild leaves the old live; vacuum reclaims") {
     val dir = java.nio.file.Files
