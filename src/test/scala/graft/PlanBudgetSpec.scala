@@ -30,7 +30,11 @@ class PlanBudgetSpec extends SparkSpec {
   private val budgets: Seq[(String, (Int, Int, Int))] = Seq(
     "q1_agg" -> (1, 1, 1), // one agg shuffle + output sort
     "q_tpch3" -> (1, 0, 3), // dims broadcast; one agg shuffle
-    "q_tpch5" -> (1, 1, 6), // 6-table join, one agg shuffle
+    "q_tpch5" -> (1, 1, 7), // 6-table join, one agg shuffle; the 7th
+    // scan is the FIXED-25-row nation table appearing on both dim legs
+    // (r9 early-ASIA restriction) — column pruning projects the two
+    // legs differently, so ReuseExchange can't collapse them; a
+    // bounded-dim rescan, free at any sf
     "q_tpch17" -> (1, 0, 2), // window reuses the agg partitioning
     "q_tpch21" -> (2, 0, 2), // SINGLE lineitem scan + ONE fact shuffle
     // (repartition reused by both aggs — r8 two-agg form) + supplier
