@@ -985,8 +985,9 @@ object QueriesPipeline {
     // intra-corpus boilerplate removal: fixed-size token chunks, keep
     // the corpus-wide first occurrence of each, rebuild the cleaned
     // doc in order. Edits documents instead of dropping them — the
-    // pass doc-level dedup can't express. One chunk explode, one
-    // md5-keyed window, one doc-keyed agg; never all-pairs.
+    // pass doc-level dedup can't express. One chunk explode, a
+    // min-per-hash agg + unique-key semi join (r9: no chunk-hash
+    // window), one doc-keyed agg; never all-pairs.
     QueryDef("q_dedup_chunks",
       (s, d) => Dedup.dedupChunks(Tables.documents(s, d),
           "doc_id", "text", chunkSize = 32)

@@ -46,13 +46,22 @@ object Dedup {
       .agg(min(col(idCol)).cast(LongType).as("keep_id"),
            count(lit(1)).as("n_dups"))
 
-  /** Keep one representative per exact-duplicate group. */
-  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
-  }
+  /** Keep one representative per exact-duplicate group.
+    *
+    * r9 de-skew (the H12/K15 lesson applied here): the old form
+    * ranked rows inside `Window.partitionBy(md5(text))`, so a
+    * boilerplate document with 10^9 copies became ONE corpus-scale
+    * window partition no engine can split. Now the representative
+    * set comes from [[exactGroups]] — a map-side-combined aggregate
+    * where the hottest family collapses to one row per map partition
+    * before it ever shuffles — and survivors are a semi join on the
+    * UNIQUE id key, which cannot skew (each id appears once per
+    * side). Costs a second corpus scan; at 100 TB two scans beat one
+    * unsplittable reducer (the DSIR trade, SURVEY K30).
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.join(exactGroups(docs, idCol, textCol).select(col("keep_id")),
+      col(idCol).cast(LongType) === col("keep_id"), "left_semi")
 
   // -------------------------------------------------------------- minhash
 
@@ -448,10 +457,11 @@ object Dedup {
     * earlier vanishes entirely (it contributed nothing new).
     *
     * Scale shape: one chunk explode; first-occurrence is a
-    * row_number over the chunk-hash window (one md5-keyed shuffle —
-    * only (hash, id, idx) move for the dedup decision); rebuild is
-    * one doc-keyed aggregation. Never all-pairs, cost linear in
-    * corpus size.
+    * map-side-combined min-per-hash aggregate reattached by a semi
+    * join on the unique (doc, idx) key (r9 — never a chunk-hash
+    * window, whose hottest boilerplate chunk would be one
+    * unsplittable partition); rebuild is one doc-keyed aggregation.
+    * Never all-pairs, cost linear in corpus size.
     */
   /** Shared first-occurrence-keeps + rebuild pass over any chunked
     * (doc_id, chunk_idx, chunk) relation; `sep` is what the chunker
@@ -459,14 +469,25 @@ object Dedup {
     * token windows).
     */
   private def dedupChunked(ch: DataFrame, sep: String): DataFrame = {
+    // r9 de-skew: first-occurrence-per-hash used to be a row_number
+    // over Window.partitionBy("h") — a navigation chunk repeated in
+    // every document put the whole corpus's copies into one
+    // unsplittable window partition (the H12/K15 hot-head shape).
+    // Now the winner per hash is a map-side-combined
+    // min(struct(doc_id, chunk_idx)) aggregate (same total order as
+    // the old orderBy), and survivors are a semi join on the UNIQUE
+    // (doc_id, chunk_idx) key — skew-impossible. The only remaining
+    // window partitions by doc_id, bounded by chunks-per-document.
     val wDoc = Window.partitionBy("doc_id")
-    val wFirst = Window.partitionBy("h")
-      .orderBy(col("doc_id"), col("chunk_idx"))
-    ch
+    val hashed = ch
       .withColumn("n_chunks", count(lit(1)).over(wDoc))
       .withColumn("h", md5(col("chunk")))
-      .withColumn("rn", row_number().over(wFirst))
-      .where(col("rn") === 1)
+    val first = hashed.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+      .select(col("f.doc_id").as("f_doc"), col("f.chunk_idx").as("f_idx"))
+    hashed.join(first,
+        col("doc_id") === col("f_doc") && col("chunk_idx") === col("f_idx"),
+        "left_semi")
       .groupBy("doc_id")
       .agg(max(col("n_chunks")).as("n_chunks"),
         count(lit(1)).as("n_kept"),

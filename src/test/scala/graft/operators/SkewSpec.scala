@@ -219,4 +219,63 @@ class SkewSpec extends SparkSpec {
       hotCap = 30, maxHot = 1))
     assert(novC == novW)
   }
+
+  test("exact dedup never windows over the content hash: planted " +
+      "viral family, results match the window reference") {
+    import org.apache.spark.sql.expressions.Window
+    // ONE document body shared by 100 of 130 rows — the old
+    // row_number-over-Window.partitionBy(md5(text)) form put the
+    // whole family into a single unsplittable partition; the r9 form
+    // (exactGroups min-id + unique-id semi join) must keep exactly
+    // the same representatives with NO window in the plan.
+    val docs = (0L until 130L).map { i =>
+      (i, if (i < 100) "the same viral boilerplate body" else s"unique doc $i")
+    }.toDF("doc_id", "text")
+    val wRef = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val ref = docs.withColumn("_rn", row_number().over(wRef))
+      .where(col("_rn") === 1).drop("_rn")
+      .collect().map(_.toSeq).toSet
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    assert(kept.collect().map(_.toSeq).toSet == ref)
+    assert(kept.count() == 31) // 1 family rep + 30 uniques
+    val plan = kept.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"dropExactDuplicates must not window at all:\n$plan")
+  }
+
+  test("chunk dedup never windows over the chunk hash: planted " +
+      "viral chunk, results match the window reference") {
+    import org.apache.spark.sql.expressions.Window
+    // every doc opens with the same 2-token navigation chunk; the
+    // old first-occurrence row_number over Window.partitionBy(h) made
+    // that chunk's copies one partition. The r9 min-struct agg +
+    // unique-(doc,idx) semi join must rebuild identical documents,
+    // and the only windows left may partition by doc_id.
+    val docs = (0L until 80L).map { i =>
+      (i, s"nav bar body$i text${i % 9} tail$i end${i % 4}")
+    }.toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkDocs(docs, "doc_id", "text",
+      chunkSize = 2, overlap = 0)
+    val wDoc = Window.partitionBy("doc_id")
+    val wFirst = Window.partitionBy("h")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val ref = ch.withColumn("n_chunks", count(lit(1)).over(wDoc))
+      .withColumn("h", md5(col("chunk")))
+      .withColumn("rn", row_number().over(wFirst))
+      .where(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(max(col("n_chunks")).as("n_chunks"),
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk"))).as("clean_text"))
+      .collect().map(_.toSeq).toSet
+    val out = Dedup.dedupChunks(docs, "doc_id", "text", chunkSize = 2)
+    assert(out.collect().map(_.toSeq).toSet == ref)
+    val plan = out.queryExecution.executedPlan.toString()
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(l => l.contains("doc_id#") && !l.contains(" h#")),
+      s"chunk dedup may only window by doc_id:\n$plan")
+  }
 }
