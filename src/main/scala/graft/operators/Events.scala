@@ -29,6 +29,12 @@ object Events {
     * session starts when the gap to the previous event of the same
     * user exceeds `gapMinutes`. Wholly window-function based — one
     * shuffle keyed by user_id, no state store needed in batch.
+    * The per-user window is the operator's own semantics (session
+    * boundaries are an ordered scan of one user's history — not an
+    * associative reduction that could be de-skewed into an
+    * aggregate); partition size is bounded by a single entity's
+    * event count, the same per-key contract every keyed-state
+    * streaming engine imposes.
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

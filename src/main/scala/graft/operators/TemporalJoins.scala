@@ -22,6 +22,12 @@ object TemporalJoins {
     * payload forward. Never builds per-key pairs, so a hot key costs
     * O(rows) not O(left·right) — the naive join+filter+row_number
     * form explodes exactly when as-of joins matter (dense ticks).
+    * The per-key window is inherent, not incidental: an as-of match
+    * is a running ORDERED carry, so each key's history must meet in
+    * one task under any engine that preserves per-key order (unlike
+    * the associative df/min-first decisions de-skewed elsewhere —
+    * those reduce; this scans). Partition size is one entity's
+    * history, the natural bound of the operator's own semantics.
     *
     * Right columns come back suffixed; the right timestamp as
     * `ts<suffix>`.
