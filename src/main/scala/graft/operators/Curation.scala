@@ -157,13 +157,40 @@ object Curation {
 
   /** Deterministic k-per-group subsample (reservoir-sampling analog
     * with a hash in place of the RNG): rank rows in each group by
-    * their md5 key and keep the first k. One shuffle on the group key.
+    * their md5 key and keep the first k.
+    *
+    * Default (skewSafe): the rank comes from the bounded
+    * [[graft.functions.BoundedMinK]] aggregate — every map partition
+    * contributes at most k survivors per group before the shuffle,
+    * so a group with 10^9 rows costs O(partitions·k) shuffled rows
+    * instead of one corpus-scale window partition (the H12/K15
+    * hot-head shape, pre-empted here); winners reattach by a semi
+    * join on the UNIQUE id key, which cannot skew. skewSafe = false
+    * keeps the one-scan row_number window — byte-identical output
+    * (SkewSpec), the cheaper plan when group sizes are known bounded.
     */
-  def groupSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(groupCol)
-      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
-    df.withColumn("rn", row_number().over(w).cast(LongType))
-      .where(col("rn") <= k)
+  def groupSample(df: DataFrame, groupCol: String, idCol: String, k: Int,
+                  skewSafe: Boolean = true): DataFrame = {
+    if (!skewSafe) {
+      val w = Window.partitionBy(groupCol)
+        .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+      return df.withColumn("rn", row_number().over(w).cast(LongType))
+        .where(col("rn") <= k)
+    }
+    val pick = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BoundedMinK(k))
+    // reattach by (group, id) — the unique pair key even when ids are
+    // only unique within their group
+    val kept = df
+      .select(md5(col(idCol).cast(StringType)).as("_k"),
+        col(idCol).cast(LongType).as("_sid"), col(groupCol))
+      .groupBy(groupCol).agg(pick(col("_k"), col("_sid")).as("_ids"))
+      .select(col(groupCol).as("_grp"),
+        posexplode(col("_ids")).as(Seq("_pos", "_id")))
+    df.join(kept, df(groupCol) === col("_grp") &&
+        col(idCol).cast(LongType) === col("_id"), "inner")
+      .withColumn("rn", (col("_pos") + 1).cast(LongType))
+      .drop("_grp", "_pos", "_id")
   }
 
   /** Benchmark decontamination: n-gram overlap between an eval subset

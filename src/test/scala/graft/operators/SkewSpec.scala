@@ -220,6 +220,29 @@ class SkewSpec extends SparkSpec {
     assert(novC == novW)
   }
 
+  test("groupSample skew-safe path: planted giant group, identical " +
+      "to the window form, bounded aggregate in the plan") {
+    // one group owns ~94% of the corpus — the window form sorts it in
+    // a single task; the BoundedMinK path must pick the SAME k rows
+    // with the same ranks via map-side-bounded partial aggregation,
+    // with no Window operator anywhere in the plan.
+    val docs = (0L until 170L).map { i =>
+      (i, if (i < 160) "viral" else s"src${i % 5}", s"body $i")
+    }.toDF("doc_id", "source", "text").repartition(8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "source", "text", "rn")
+        .collect().map(_.toSeq).toSet
+    val win = rows(Curation.groupSample(docs, "source", "doc_id", 4,
+      skewSafe = false))
+    val safe = Curation.groupSample(docs, "source", "doc_id", 4)
+    assert(rows(safe) == win)
+    val plan = safe.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"skew-safe groupSample must not window:\n$plan")
+    assert(plan.contains("boundedmink") || plan.contains("BoundedMinK"),
+      s"expected the bounded aggregate in the plan:\n$plan")
+  }
+
   test("exact dedup never windows over the content hash: planted " +
       "viral family, results match the window reference") {
     import org.apache.spark.sql.expressions.Window
