@@ -1013,6 +1013,48 @@ object QueriesPipeline {
         FROM mk WHERE rn = 1
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ------------------------------------- F10 line-frequency filter
+    // CCNet/RefinedWeb boilerplate screen: drop EVERY copy of a line
+    // occurring in >= 50 distinct docs, rebuild survivors in order.
+    // The corpus has no newlines, so line structure is synthesized
+    // deterministically on BOTH sides (the H7/H8 pattern): two
+    // every-doc banners (removed), a 1/8-band shared line (df ~63,
+    // removed), a 1/20-band shared line (df ~25, KEPT — exercises the
+    // threshold, not just the extremes), and the doc's own text.
+    QueryDef("q_dedup_lines",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+        val raw = concat(lit("Subscribe to our newsletter\n"), col("text"),
+          lit("\nshared line "), (col("doc_id") % 8).cast(StringType),
+          lit("\nrare shared "), (col("doc_id") % 20).cast(StringType),
+          lit("\nCopyright 2026 Example Corp"))
+        Dedup.dropFrequentLines(
+            doc.select(col("doc_id"), raw.as("text")),
+            "doc_id", "text", minDocs = 50)
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id,
+            'Subscribe to our newsletter' || chr(10) || text || chr(10) ||
+            'shared line ' || CAST(doc_id % 8 AS VARCHAR) || chr(10) ||
+            'rare shared ' || CAST(doc_id % 20 AS VARCHAR) || chr(10) ||
+            'Copyright 2026 Example Corp' AS t
+          FROM documents
+        ), ln AS (
+          SELECT doc_id, CAST(s AS BIGINT) AS line_idx, ls[s] AS line,
+            len(ls) AS n_lines
+          FROM (SELECT doc_id, string_split(t, chr(10)) AS ls,
+              unnest(range(1, len(string_split(t, chr(10))) + 1)) AS s
+            FROM raw)
+        ), freq AS (
+          SELECT md5(line) AS h FROM ln
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50)
+        SELECT doc_id, CAST(MAX(n_lines) AS BIGINT) AS n_lines,
+          COUNT(*) AS n_kept,
+          string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+        FROM ln WHERE md5(line) NOT IN (SELECT h FROM freq)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ------------------------------------------------------ G8 L2 ANN
     // Euclidean-metric twin of q_ann_bruteforce: native l2_distance
     // kernel (sequential accumulation = DuckDB list_distance), rank

@@ -518,6 +518,53 @@ object Dedup {
         targetSize, minSize, maxSize),
       sep = "")
 
+  /** Corpus-frequency line filter (F10): drop EVERY copy of any line
+    * that occurs in at least `minDocs` distinct documents, and rebuild
+    * each document from its surviving lines in original order — the
+    * CCNet/RefinedWeb-style line-level boilerplate screen (navigation
+    * bars, cookie banners, copyright footers repeat across a site's
+    * pages). The policy deliberately differs from F9's
+    * first-occurrence-keeps: boilerplate's first occurrence is still
+    * boilerplate, so corpus-frequent lines are removed everywhere,
+    * while a line repeated WITHIN one document counts one document of
+    * frequency and survives. A document whose every line is
+    * boilerplate vanishes (it carried no content).
+    *
+    * Returns (doc_id, n_lines, n_kept, clean_text).
+    *
+    * Scale shape: one posexplode; per-line document frequency is a
+    * map-side-combined distinct aggregate on md5(line) — never a
+    * line-hash window, whose hottest partition would be the most
+    * corpus-frequent line by definition (the H12/K15 hot-head shape);
+    * removal is an anti join on the hash key, which AQE can
+    * skew-split; the rebuild aggregation is keyed by doc_id and
+    * bounded by lines-per-document. Never all-pairs, cost linear in
+    * corpus size. `sep` is the split regex AND the rebuild joiner
+    * (default "\n"; use "\n\n+"-style units upstream by pre-splitting
+    * if paragraph granularity is wanted).
+    */
+  def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
+                        minDocs: Long, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be at least 2: $minDocs")
+    val ln = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), sep).as("ls"))
+      .withColumn("n_lines", size(col("ls")).cast(LongType))
+      .select(col("doc_id"), col("n_lines"),
+        posexplode(col("ls")).as(Seq("line_idx", "line")))
+      .withColumn("h", md5(col("line")))
+    val frequent = ln.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .where(col("line_df") >= minDocs)
+      .select("h")
+    ln.join(frequent, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(max(col("n_lines")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+  }
+
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         lenCol: String, maxDist: Int,
                         blockWidth: Int = 10): DataFrame = {

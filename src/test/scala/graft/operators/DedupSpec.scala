@@ -285,4 +285,32 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(fixed._1 == fixed._2, s"fixed windows should keep all: $fixed")
   }
+
+  test("dropFrequentLines removes every copy of corpus-frequent lines, " +
+      "keeps sub-threshold and in-doc repeats, vanishes empty docs") {
+    // nav appears in all 4 docs (>= 3: removed EVERYWHERE, including
+    // its first occurrence — the policy contrast with dedupChunks);
+    // 'promo' in exactly 3 (= minDocs: removed); 'duo' in 2 (kept);
+    // doc 4 repeats its own line 3 times — one document of frequency,
+    // kept all 3 times; doc 3 is boilerplate-only and vanishes.
+    val docs = Seq(
+      (1L, "nav bar\npromo text\nalpha body\nduo line"),
+      (2L, "nav bar\npromo text\nbeta body\nduo line"),
+      (3L, "nav bar\npromo text"),
+      (4L, "nav bar\nmine mine\nmine mine\nmine mine")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropFrequentLines(docs, "doc_id", "text", minDocs = 3)
+    val rows = out.select("doc_id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 4L), s"doc 3 must vanish: $rows")
+    assert(rows(1L) == ((1L, 4L, 2L, "alpha body\nduo line")))
+    assert(rows(2L) == ((2L, 4L, 2L, "beta body\nduo line")))
+    assert(rows(4L) == ((4L, 4L, 3L, "mine mine\nmine mine\nmine mine")))
+    // scale shape: frequency from an aggregate + anti join — no
+    // window anywhere (the hottest line is corpus-frequent by
+    // definition, exactly the partition a window would create)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"dropFrequentLines must not window:\n$plan")
+  }
 }
