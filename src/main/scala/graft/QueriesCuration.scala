@@ -96,6 +96,38 @@ object QueriesCuration {
           FROM documents)
         WHERE rn <= 5 ORDER BY source, rn""")),
 
+    // ------------------------------------- K34 stratified exact sample
+    // exactly 100 docs allocated across sources by largest-remainder
+    // proportional quotas (pure integer math, mirrored in SQL), each
+    // stratum filled by its quota-smallest md5(id) keys. The oracle
+    // unrolls the Hamilton allocation: base = (100*n_g)//N, the
+    // remainder ranking bumps the top (100 - sum(base)) strata.
+    QueryDef("q_sample_stratified_exact",
+      (s, d) => Curation.stratifiedExactSample(
+          Tables.documents(s, d), "source", "doc_id", n = 100)
+        .select(col("source"), col("doc_id"), col("rn"))
+        .orderBy("source", "rn"),
+      Some("""WITH c AS (
+          SELECT source, count(*) AS n_g FROM documents GROUP BY source
+        ), t AS (SELECT sum(n_g) AS N FROM c),
+        a AS (
+          SELECT source, n_g, (100 * n_g) // N AS base, (100 * n_g) % N AS rem
+          FROM c, t
+        ), r AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, n_g DESC, source) AS rr,
+            (SELECT 100 - sum(base) FROM a) AS extra
+          FROM a
+        ), q AS (
+          SELECT source, base + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS quota
+          FROM r
+        ), ranked AS (
+          SELECT source, doc_id,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+          FROM documents)
+        SELECT ranked.source, doc_id, rn FROM ranked JOIN q USING (source)
+        WHERE rn <= quota ORDER BY source, rn""")),
+
     // ------------------------------------------- K4 train/val/test split
     // deterministic split assignment; checked as per-split profile so
     // the oracle validates both membership and stratification counts.

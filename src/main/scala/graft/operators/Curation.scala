@@ -193,6 +193,78 @@ object Curation {
       .drop("_grp", "_pos", "_id")
   }
 
+  /** Stratified exact-count sample (K34): allocate a global budget of
+    * exactly `n` rows across strata in proportion to stratum size —
+    * largest-remainder (Hamilton) rounding, so the quotas sum to
+    * exactly n and no stratum deviates from its exact proportional
+    * share by a full row — then fill each stratum's quota with its
+    * quota-smallest md5(id) keys. The exact-count complement to
+    * [[applyMixWeights]]/[[temperatureMix]]'s probabilistic keep
+    * fractions: "give me exactly 1M documents, mixed like the corpus"
+    * with a deterministic, engine-independent answer.
+    *
+    * Allocation is pure integer arithmetic (base = ⌊n·n_g/N⌋ via
+    * BigInt, remainders compared as n·n_g mod N) over the bounded
+    * per-stratum count table (collected driver-side — the K33 group
+    * sanction), so an oracle can mirror it exactly; remainder ties
+    * break by stratum size desc, then the stratum key's string form.
+    * Selection reuses [[graft.functions.BoundedMinK]] sized at the
+    * LARGEST quota: map-side buffers stay O(strata · max-quota) per
+    * task and the shuffle carries O(partitions · quota) rows per
+    * stratum — no stratum, however dominant, lands one corpus-sized
+    * window partition. For budgets so large that max-quota itself
+    * strains executor memory, the fraction-based samplers above are
+    * the right tool; this operator targets the exact-count regime.
+    *
+    * Returns the sampled rows with `rn` (1-based rank within the
+    * stratum). Requires n < |corpus| — an exact "sample" of the whole
+    * corpus is the identity and is rejected rather than ranked.
+    */
+  def stratifiedExactSample(df: DataFrame, groupCol: String, idCol: String,
+                            n: Long): DataFrame = {
+    require(n > 0, s"sample size must be positive: $n")
+    val spark = df.sparkSession
+    // bounded: one row per stratum (the K20/K33 collect sanction)
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_g"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    require(n < total, s"budget $n must be under the corpus size $total " +
+      "- sampling the whole corpus is the identity")
+    val bigN = BigInt(total)
+    val alloc = counts.map { case (g, ng) =>
+      val prod = BigInt(n) * ng
+      (g, ng, (prod / bigN).toLong, prod % bigN)
+    }
+    val extra = (n - alloc.map(_._3).sum).toInt
+    val bumped = alloc
+      .sortBy { case (g, ng, _, rem) => (-rem, -ng, String.valueOf(g)) }
+      .zipWithIndex
+      .map { case ((g, _, base, _), i) =>
+        (g, base + (if (i < extra) 1L else 0L)) }
+      .filter(_._2 > 0)
+    val maxQuota = bumped.map(_._2).max.toInt
+    import scala.jdk.CollectionConverters._
+    val quotas = spark.createDataFrame(
+      bumped.map { case (g, q) => org.apache.spark.sql.Row(g, q) }
+        .toSeq.asJava,
+      StructType(Seq(df.schema(groupCol).copy(name = "_grp"),
+        StructField("_quota", LongType, nullable = false))))
+    val pick = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BoundedMinK(maxQuota))
+    val kept = df
+      .select(md5(col(idCol).cast(StringType)).as("_k"),
+        col(idCol).cast(LongType).as("_sid"), col(groupCol))
+      .groupBy(groupCol).agg(pick(col("_k"), col("_sid")).as("_ids"))
+      .join(broadcast(quotas), col(groupCol) === col("_grp"))
+      .select(col("_grp"),
+        posexplode(slice(col("_ids"), lit(1), col("_quota").cast(IntegerType)))
+          .as(Seq("_pos", "_id")))
+    df.join(kept, df(groupCol) === col("_grp") &&
+        col(idCol).cast(LongType) === col("_id"), "inner")
+      .withColumn("rn", (col("_pos") + 1).cast(LongType))
+      .drop("_grp", "_pos", "_id")
+  }
+
   /** Benchmark decontamination: n-gram overlap between an eval subset
     * (`evalPred` rows) and the rest of the corpus. Returns one row per
     * contaminated corpus doc: how many eval docs it shares an n-gram

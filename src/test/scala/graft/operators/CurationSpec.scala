@@ -49,6 +49,37 @@ class CurationSpec extends SparkSpec {
     assert(out == Map("src0" -> 2L, "src1" -> 3L))
   }
 
+  test("stratifiedExactSample: Hamilton quotas sum to n, per-stratum " +
+      "picks match groupSample at the quota, no window") {
+    // strata sized 7/5/3/1 (N=16), budget 10: bases 4/3/1/0 with
+    // remainders 6/2/14/10 — the two bumps go to s3 (rem 14) and s4
+    // (rem 10), so quotas are 4/3/2/1; s4's single row rides in on a
+    // remainder bump from base 0.
+    val rows = (0 until 7).map(i => (i.toLong, "s1")) ++
+      (0 until 5).map(i => (100L + i, "s2")) ++
+      (0 until 3).map(i => (200L + i, "s3")) ++ Seq((300L, "s4"))
+    val df = rows.toDF("doc_id", "source").repartition(5)
+    val out = Curation.stratifiedExactSample(df, "source", "doc_id", 10)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("s1" -> 4L, "s2" -> 3L, "s3" -> 2L, "s4" -> 1L))
+    // within a stratum the picks ARE the k-smallest md5 keys: compare
+    // to groupSample at the realized quota
+    val s1 = out.where($"source" === "s1")
+      .select("doc_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gs = Curation.groupSample(df.where($"source" === "s1"),
+        "source", "doc_id", 4)
+      .select("doc_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1 == gs)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"stratified sample must not window:\n$plan")
+    // a budget at or above the corpus is the identity, not a sample
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedExactSample(df, "source", "doc_id", 16)
+    }
+  }
+
   test("contamination finds shared 5-grams and nothing else") {
     // eval = doc 0; doc 3 shares the 5-gram "the cat sat on the"
     val out = Curation.contamination(docs, "doc_id", "text", col("doc_id") === 0)
