@@ -546,24 +546,54 @@ object Dedup {
   def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
                         minDocs: Long, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be at least 2: $minDocs")
-    val ln = docs
+    val ln = explodeLines(docs, idCol, textCol, sep)
+    val frequent = ln.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .where(col("line_df") >= minDocs)
+      .select("h")
+    rebuildWithout(ln, frequent, sep)
+  }
+
+  /** [[dropFrequentLines]] against a PRE-COMPUTED frequent-line set
+    * (one `h` = md5(line) column) — the ingest-time form: a corpus
+    * pass mines the boilerplate table once (`frequentLines`), then
+    * every new batch or micro-batch is screened map-side against it
+    * with no corpus aggregation in the per-batch plan. The I14
+    * train/serve split applied to F10.
+    */
+  def dropListedLines(docs: DataFrame, idCol: String, textCol: String,
+                      frequent: DataFrame, sep: String = "\n"): DataFrame =
+    rebuildWithout(explodeLines(docs, idCol, textCol, sep),
+      frequent.select("h"), sep)
+
+  /** The mining half of the split: the frequent-line table
+    * ((h, line_df) rows with line_df ≥ minDocs) for [[dropListedLines]]. */
+  def frequentLines(docs: DataFrame, idCol: String, textCol: String,
+                    minDocs: Long, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be at least 2: $minDocs")
+    explodeLines(docs, idCol, textCol, sep).groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .where(col("line_df") >= minDocs)
+  }
+
+  private def explodeLines(docs: DataFrame, idCol: String, textCol: String,
+                           sep: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), split(col(textCol), sep).as("ls"))
       .withColumn("n_lines", size(col("ls")).cast(LongType))
       .select(col("doc_id"), col("n_lines"),
         posexplode(col("ls")).as(Seq("line_idx", "line")))
       .withColumn("h", md5(col("line")))
-    val frequent = ln.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("line_df"))
-      .where(col("line_df") >= minDocs)
-      .select("h")
-    ln.join(frequent, Seq("h"), "left_anti")
+
+  private def rebuildWithout(ln: DataFrame, dropHashes: DataFrame,
+                             sep: String): DataFrame =
+    ln.join(dropHashes, Seq("h"), "left_anti")
       .groupBy("doc_id")
       .agg(max(col("n_lines")).as("n_lines"),
         count(lit(1)).as("n_kept"),
         concat_ws(sep, transform(
           array_sort(collect_list(struct(col("line_idx"), col("line")))),
           s => s.getField("line"))).as("clean_text"))
-  }
 
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         lenCol: String, maxDist: Int,

@@ -119,27 +119,37 @@ object QualityClassifier {
   def load(dir: String): LogisticRegressionModel =
     LogisticRegressionModel.load(dir)
 
-  /** Held-out AUC of `model` on `docs`: exact Mann–Whitney rank-sum
-    * over the scored set — one sort-by-score window plus one
-    * aggregate, no pairwise comparison. The global rank is a
-    * single-partition sort by construction: this is the EVALUATION
-    * metric, run on the bounded held-out slice (thousands of rows),
-    * never on the corpus-scale scoring pass. Returns null AUC when a
-    * class is absent.
+  /** Held-out AUC of `model` on `docs`: exact Mann–Whitney rank-sum,
+    * computed over per-DISTINCT-SCORE class counts (r9) rather than a
+    * row-level rank window. The algebra is exact: a tie group at
+    * score s with b rows below and c = np_s + nn_s members has
+    * average rank b + (c+1)/2, so the positives' rank-sum is
+    * Σ_s np_s · (b_s + (c_s+1)/2) — identical to ranking every row
+    * (spec-proven on tie-heavy data). The shape this buys: the first
+    * aggregate is map-side-combined and collapses the relation to
+    * one row per distinct score, so the only ordered pass (the
+    * cumulative count window) runs over score cardinality, not row
+    * count — a million-row eval slice with float probabilities still
+    * windows over just its distinct scores, and a degenerate model
+    * emitting one constant score is one window row, not one
+    * corpus-sized partition. Returns null AUC when a class is absent.
     */
   def auc(scored: DataFrame, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // average rank over score ties so AUC is order-independent
-    val byScore = Window.orderBy(col("quality_prob"))
-    val ranked = scored
-      .withColumn("r", rank().over(byScore))
-      .withColumn("n_tie", count(lit(1))
-        .over(Window.partitionBy(col("quality_prob"))))
-      .withColumn("ar", col("r") + (col("n_tie") - 1) / 2.0)
-    ranked.agg(
-      sum(when(col(labelCol), col("ar"))).as("rs"),
-      count(when(col(labelCol), lit(1))).as("np"),
-      count(when(!col(labelCol), lit(1))).as("nn"))
+    val grouped = scored.groupBy(col("quality_prob"))
+      .agg(count(when(col(labelCol), lit(1))).as("np_s"),
+        count(when(!col(labelCol), lit(1))).as("nn_s"))
+    val below = Window.orderBy(col("quality_prob"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped
+      .withColumn("b",
+        coalesce(sum(col("np_s") + col("nn_s")).over(below), lit(0L)))
+      .withColumn("ar_sum", col("np_s") *
+        (col("b") + (col("np_s") + col("nn_s") + 1) / 2.0))
+      .agg(
+        sum(col("ar_sum")).as("rs"),
+        sum(col("np_s")).as("np"),
+        sum(col("nn_s")).as("nn"))
       .select(when(col("np") > 0 && col("nn") > 0,
         (col("rs") - col("np") * (col("np") + 1) / 2.0)
           / (col("np") * col("nn")))

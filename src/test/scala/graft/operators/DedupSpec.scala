@@ -313,4 +313,42 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"dropFrequentLines must not window:\n$plan")
   }
+
+  test("dropListedLines: mined-table screen equals the one-shot op, " +
+      "batch and under foreachBatch micro-batches") {
+    // the I14 train/serve split applied to F10: mine boilerplate once,
+    // screen arriving docs statelessly against the static table
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "nav bar\nalpha body\nduo line"),
+      (2L, "nav bar\nbeta body\nduo line"),
+      (3L, "nav bar\ngamma body"),
+      (4L, "nav bar\ndelta body\nduo line"))
+    val docs = rows.toDF("doc_id", "text")
+    val mined = Dedup.frequentLines(docs, "doc_id", "text", minDocs = 3)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_lines", "n_kept", "clean_text")
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val oneShot = asMap(Dedup.dropFrequentLines(docs, "doc_id", "text", 3))
+    val listed = asMap(Dedup.dropListedLines(docs, "doc_id", "text", mined))
+    assert(listed == oneShot)
+    // stream the same docs in two micro-batches against the SAME
+    // mined table: stateless per-batch screen, union == batch result
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink ++= Dedup.dropListedLines(batch, "doc_id", "text", mined)
+          .select("doc_id", "n_lines", "n_kept", "clean_text")
+          .as[(Long, Long, Long, String)].collect()
+        ()
+      }.start()
+    try {
+      input.addData(rows.take(2): _*); q.processAllAvailable()
+      input.addData(rows.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(sink.map(r => r._1 -> r).toMap == oneShot)
+  }
 }

@@ -47,6 +47,36 @@ class QualityClassifierSpec extends SparkSpec {
       s"every good doc must outscore every spam doc ($worstGood vs $bestSpam)")
   }
 
+  test("auc: grouped tie-count form equals the row-level average-rank " +
+      "reference on tie-heavy scores, and a constant scorer gives 0.5") {
+    // 3 distinct scores over 12 rows with mixed classes inside each
+    // tie group — the case where average-rank handling matters.
+    val rows = Seq(
+      (0.2, true), (0.2, false), (0.2, false), (0.2, true),
+      (0.5, false), (0.5, true), (0.5, true),
+      (0.9, true), (0.9, false), (0.9, true), (0.9, true), (0.9, false))
+    val scored = rows.toDF("quality_prob", "is_good").repartition(4)
+    val a = QualityClassifier.auc(scored, "is_good").collect()(0)
+    // row-level Mann–Whitney reference computed locally
+    val sorted = rows.sortBy(_._1)
+    val byScore = sorted.groupBy(_._1)
+    val avgRank = sorted.map { case (s, _) =>
+      val r = sorted.indexWhere(_._1 == s) + 1
+      r + (byScore(s).size - 1) / 2.0
+    }
+    val rs = sorted.zip(avgRank).filter(_._1._2).map(_._2).sum
+    val np = rows.count(_._2); val nn = rows.size - np
+    val expect = (rs - np * (np + 1) / 2.0) / (np * nn)
+    assert(a.getLong(1) == np && a.getLong(2) == nn)
+    assert(math.abs(a.getDouble(0) - expect) < 1e-12,
+      s"grouped AUC ${a.getDouble(0)} != row-level $expect")
+    // degenerate single-score model: one tie group, AUC exactly 0.5
+    val const = QualityClassifier.auc(
+      rows.map { case (_, g) => (0.7, g) }.toDF("quality_prob", "is_good"),
+      "is_good").collect()(0)
+    assert(const.getDouble(0) == 0.5, s"constant scorer: $const")
+  }
+
   test("model persistence: save/load round-trips, scores identical " +
       "after reload") {
     // the production discipline the K32 determinism note prescribes:
