@@ -187,7 +187,10 @@ object Curation {
       .groupBy(groupCol).agg(pick(col("_k"), col("_sid")).as("_ids"))
       .select(col(groupCol).as("_grp"),
         posexplode(col("_ids")).as(Seq("_pos", "_id")))
-    df.join(kept, df(groupCol) === col("_grp") &&
+    // null-SAFE group equality: a null group is a legal stratum for
+    // groupBy (and for the window form), so the reattach join must
+    // not silently drop its winners
+    df.join(kept, df(groupCol) <=> col("_grp") &&
         col(idCol).cast(LongType) === col("_id"), "inner")
       .withColumn("rn", (col("_pos") + 1).cast(LongType))
       .drop("_grp", "_pos", "_id")
@@ -255,11 +258,12 @@ object Curation {
       .select(md5(col(idCol).cast(StringType)).as("_k"),
         col(idCol).cast(LongType).as("_sid"), col(groupCol))
       .groupBy(groupCol).agg(pick(col("_k"), col("_sid")).as("_ids"))
-      .join(broadcast(quotas), col(groupCol) === col("_grp"))
+      .join(broadcast(quotas), col(groupCol) <=> col("_grp"))
       .select(col("_grp"),
         posexplode(slice(col("_ids"), lit(1), col("_quota").cast(IntegerType)))
           .as(Seq("_pos", "_id")))
-    df.join(kept, df(groupCol) === col("_grp") &&
+    // null-safe on the group key: a null stratum keeps its quota
+    df.join(kept, df(groupCol) <=> col("_grp") &&
         col(idCol).cast(LongType) === col("_id"), "inner")
       .withColumn("rn", (col("_pos") + 1).cast(LongType))
       .drop("_grp", "_pos", "_id")
@@ -631,11 +635,25 @@ object Curation {
       model: org.apache.spark.ml.classification.LogisticRegressionModel,
       merges: Seq[(String, String)], dsirTargetPred: Column,
       minQuality: Double = 0.5, ngram: Int = 5, dsirBuckets: Int = 4096,
-      gopherMinWords: Long = 50L, gopherMinStop: Long = 2L): DataFrame = {
-    val g = docs.where(TextAnalysis.gopherPass(col(textCol), gopherMinWords,
+      gopherMinWords: Long = 50L, gopherMinStop: Long = 2L,
+      boilerplate: Option[DataFrame] = None): DataFrame = {
+    // r9 stage 0 (optional): line-level boilerplate removal against a
+    // pre-mined frequent-line table (F10's train/serve split — the
+    // table is a versioned input like the model and merges). Runs
+    // BEFORE every filter, because boilerplate distorts the very
+    // statistics the filters read (a nav-bar-padded doc can clear the
+    // word-count gate on padding alone); text downstream is the
+    // cleaned text, other doc columns re-attach by the id-keyed join,
+    // and an all-boilerplate doc drops here.
+    val base = boilerplate.fold(docs) { freq =>
+      val cleaned = Dedup.dropListedLines(docs, idCol, textCol, freq)
+        .select(col("doc_id").as(idCol), col("clean_text").as(textCol))
+      docs.drop(textCol).join(cleaned, idCol)
+    }
+    val g = base.where(TextAnalysis.gopherPass(col(textCol), gopherMinWords,
       minStop = gopherMinStop))
     val clean = curationPipeline(g, idCol, textCol, minQuality, ngram)
-    val weights = dsirWeights(docs, idCol, textCol, dsirTargetPred,
+    val weights = dsirWeights(base, idCol, textCol, dsirTargetPred,
         dsirBuckets)
       .select(col("doc_id").as(idCol), col("log_weight"))
     val scored = QualityClassifier.scoreAll(clean, model, textCol)

@@ -86,6 +86,16 @@ class PlanBudgetSpec extends SparkSpec {
     "q_mmr_rerank" -> (3, 1, 3), // brute-force candidate window +
     // vector re-attach + per-query greedy groupByKey; 3 bounded
     // embedding scans
+    "q_dedup_lines" -> (3, 1, 2), // line-df agg shuffle + anti-join
+    // distribution + the doc-keyed rebuild agg; the line lineage
+    // feeds both the frequency branch and the anti-join LHS, so the
+    // corpus scans twice — the dsir trade: two pipelined scans beat
+    // persisting an exploded relation; no window anywhere (the
+    // hottest line is corpus-frequent by definition)
+    "q_sample_stratified_exact" -> (1, 1, 2), // the BoundedMinK agg
+    // shuffle only; quota join broadcast; the pick side and the
+    // reattach side each scan the corpus once (the bounded count
+    // table is collected before this plan exists)
     "q_bigram_perplexity" -> (13, 1, 10) // static view: the stats lineage
     // appears in the pair-join branch, the HEAD-table branch (r8: seen
     // heads with novel continuations take c1 from a w1-keyed head

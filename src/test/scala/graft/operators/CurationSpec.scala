@@ -80,6 +80,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("samplers treat a null group as a legal stratum (null-safe " +
+      "reattach joins)") {
+    val df = Seq((1L, Option("a")), (2L, Option("a")), (3L, Option.empty[String]),
+      (4L, Option.empty[String]), (5L, Option.empty[String]))
+      .toDF("doc_id", "source")
+    val gs = Curation.groupSample(df, "source", "doc_id", 2)
+      .groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(gs == Map(Option("a") -> 2L, None -> 2L), s"groupSample: $gs")
+    // identical picks to the window form, null group included
+    val win = Curation.groupSample(df, "source", "doc_id", 2, skewSafe = false)
+      .select("doc_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val safe = Curation.groupSample(df, "source", "doc_id", 2)
+      .select("doc_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(safe == win)
+    // Hamilton over N=5, n=3: 'a' base 1 rem 1, null base 1 rem 4 —
+    // the bump goes to the null stratum
+    val st = Curation.stratifiedExactSample(df, "source", "doc_id", 3)
+      .groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(st == Map(Option("a") -> 1L, None -> 2L), s"stratified: $st")
+  }
+
   test("contamination finds shared 5-grams and nothing else") {
     // eval = doc 0; doc 3 shares the 5-gram "the cat sat on the"
     val out = Curation.contamination(docs, "doc_id", "text", col("doc_id") === 0)
