@@ -93,6 +93,39 @@ class CurationPipelineSpec extends SparkSpec {
     } finally rows.unpersist()
   }
 
+  test("pipeline v2 boilerplate stage runs before the filters and " +
+      "preserves doc columns") {
+    // nav line in every doc; doc 60 clears the 5-word gopher gate ONLY
+    // because of the padding (content = 3 words); doc 61 is pure
+    // boilerplate. With the mined table in, 60 and 61 must drop and
+    // survivors carry cleaned text + their other columns.
+    val nav = "home about contact subscribe login register sitemap"
+    val body = "the cat sat on the mat and then walked to the door again"
+    val planted = (0L until 60L).map(i => (i, s"$nav\n$body number $i", "en")) ++
+      Seq((60L, s"$nav\nonly three words", "en"), (61L, nav, "en"))
+    val pdocs = planted.toDF("doc_id", "text", "lang")
+    val model = QualityClassifier.train(pdocs, "text",
+      length($"text") > 40, buckets = 128, maxIter = 5)
+    val merges = TextAnalysis.bpeTrain(pdocs, "text", numMerges = 20)
+    val mined = Dedup.frequentLines(pdocs, "doc_id", "text", minDocs = 30)
+    assert(mined.count() == 1, "exactly the nav line is corpus-frequent")
+    val out = Curation.curationPipelineV2(pdocs, "doc_id", "text", model,
+      merges, dsirTargetPred = $"lang" === "en", minQuality = 0.0,
+      gopherMinWords = 5L, gopherMinStop = 1L, boilerplate = Some(mined))
+      .persist()
+    try {
+      val ids = out.select("doc_id").as[Long].collect().toSet
+      assert(!ids.contains(60L),
+        "padding-dependent doc must fail the gate once boilerplate is gone")
+      assert(!ids.contains(61L), "all-boilerplate doc must vanish")
+      assert(ids.nonEmpty)
+      // survivors: nav line gone, content intact, lang column preserved
+      val bad = out.where($"text".contains(nav) ||
+        !$"text".contains("the cat sat") || $"lang" =!= "en").count()
+      assert(bad == 0, "cleaned text and carried columns malformed")
+    } finally out.unpersist()
+  }
+
   test("sharded write is complete, disjoint, and deterministic") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe-shards").toString
     Curation.writeSharded(out, "doc_id", 16, dir)
