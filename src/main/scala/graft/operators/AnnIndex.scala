@@ -185,6 +185,20 @@ object AnnIndex {
     if (fs.exists(p)) Some(index.spark.read.parquet(p.toString)) else None
   }
 
+  /** Filtered serving (G9 over the persisted index, r9): restrict a
+    * search to an `allowed` (vec_id) relation — "top-k within
+    * label/tenant/source" served from disk. The positive twin of the
+    * G13 tombstone anti-join, applied the same way: a semi join
+    * against ONLY the pruned slice (partition pruning is untouched —
+    * the filter narrows the probed rows, it never widens the scan),
+    * keyed by vec_id so it is skew-free and AQE-splittable at any
+    * filter size. Ranks are computed within the allowed set, exactly
+    * the brute-force-within-filter contract of q_ann_filtered.
+    */
+  private def restrict(cells: DataFrame, allowed: Option[DataFrame]): DataFrame =
+    allowed.fold(cells)(a =>
+      cells.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+
   /** Rows of `cells` still alive under the tombstone set. */
   private def alive(index: IvfPqIndex, cells: DataFrame): DataFrame =
     tombstones(index) match {
@@ -375,12 +389,12 @@ object AnnIndex {
     index.cells.columns.contains("embedding")
 
   def searchExact(index: IvfPqIndex, queries: DataFrame, k: Int,
-                  nprobe: Int): DataFrame = {
+                  nprobe: Int, allowed: Option[DataFrame] = None): DataFrame = {
     require(hasEmbeddings(index),
       "searchExact needs stored embeddings; this is a codes-only index " +
         "(write(storeEmbeddings = true), or use searchAdc(refine = 0))")
     val probes = probeCells(index, queries, nprobe)
-    val joined = prunedCells(index, probes).as("c")
+    val joined = restrict(prunedCells(index, probes), allowed).as("c")
       .join(broadcast(probes.as("p")),
         col("p.cent_id") === col("c.cent_id") && col("p.qid") =!= col("c.vec_id"))
       .select(col("p.qid").as("qid"), col("c.vec_id").as("nid"),
@@ -399,7 +413,8 @@ object AnnIndex {
     * serving shape where embeddings may not even be stored).
     */
   def searchAdc(index: IvfPqIndex, queries: DataFrame, k: Int,
-                nprobe: Int, refine: Int = 4): DataFrame = {
+                nprobe: Int, refine: Int = 4,
+                allowed: Option[DataFrame] = None): DataFrame = {
     import graft.functions.{exprs, PqAdc, PqLut}
     require(refine <= 0 || hasEmbeddings(index),
       "exact re-rank needs stored embeddings; on a codes-only index " +
@@ -410,7 +425,7 @@ object AnnIndex {
         .as("lut"),
       Similarity.norm(col("embedding")).as("qnrm"))
     val probesLut = probes.drop("qe").join(qLut, "qid")
-    val pruned = prunedCells(index, probes)
+    val pruned = restrict(prunedCells(index, probes), allowed)
     // the scored projection carries ONLY (qid, nid, acos): the query
     // embedding must not ride every scanned corpus row through the
     // rank-window shuffle — it re-joins onto the bounded refine·k

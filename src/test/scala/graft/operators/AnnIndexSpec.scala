@@ -97,6 +97,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(adc == exact)
   }
 
+  test("filtered serving: allowed-set search equals brute force within " +
+      "the filter on both paths, pruning untouched") {
+    // "top-k within label" from the persisted index: the positive
+    // twin of the G13 tombstone anti-join
+    val full = Tables.embeddings(spark, sfDir)
+    val allowed = full.where($"label" === 3).select("vec_id")
+    val sub = full.where($"label" === 3).select("vec_id", "embedding")
+    val want = asTuples(Similarity.bruteForceTopK(sub, queries, k = 5)
+      .select("qid", "nid", "rank"))
+    assert(want.nonEmpty, "filter must be non-vacuous at gate scale")
+    val exact = AnnIndex.searchExact(index, queries, k = 5, nprobe = 16,
+      allowed = Some(allowed))
+    assert(asTuples(exact) == want)
+    val n = emb.count().toInt
+    val adc = asTuples(AnnIndex.searchAdc(index, queries, k = 5,
+      nprobe = 16, refine = n / 5 + 1, allowed = Some(allowed)))
+    assert(adc == want)
+    // the filter narrows probed rows; it must never widen the scan —
+    // cent_id partition pruning survives the semi join
+    val plan = AnnIndex.searchExact(index, queries, k = 5, nprobe = 2,
+      allowed = Some(allowed)).queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters:") && plan.contains("cent_id"),
+      s"expected cent_id partition filters in:\n$plan")
+  }
+
   test("append: base index + appended rows equals an index built whole") {
     val dir = Files.createTempDirectory("graft-annidx-append").toString
     val base = emb.where($"vec_id" % 3 =!= 0)

@@ -147,6 +147,25 @@ class TextFuzzSpec extends SparkSpec {
     }
   }
 
+  test(s"F10 dropFrequentLines rebuild is the identity on $N fuzzed " +
+      "strings when nothing crosses the threshold") {
+    // split → filter → ordered concat must reproduce the original
+    // text byte-for-byte whenever no line is corpus-frequent (every
+    // doc unique, minDocs above the corpus size): the property that
+    // catches separator/rebuild bugs on arbitrary unicode — including
+    // surrogates, empty lines from "\n\n" runs, and trailing "\n"
+    val cases = sample(Gen.listOfN(N, genUnicode), 0x11735L)
+      .zipWithIndex.map { case (s, i) => (i.toLong, s"u$i $s") } // unique
+    val out = Dedup.dropFrequentLines(cases.toDF("doc_id", "text"),
+        "doc_id", "text", minDocs = N + 1L)
+      .select($"doc_id", $"clean_text")
+      .as[(Long, String)].collect().toMap
+    cases.foreach { case (i, s) =>
+      assert(out(i) == s,
+        s"rebuild broke on ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   // --------------------------------------------------------------- H10
 
   /** URL soup: scheme case, userinfo, www/ports, tracking params at
