@@ -190,16 +190,28 @@ object Bm25Index {
     * bm25Retrieve exactly: same rounded-decimal term scores, same
     * (bm25 desc, nid) tie-break.
     */
+  /** `allowed` (r9): restrict results to a (doc_id) relation — the
+    * multi-tenant / per-collection serving filter, the positive twin
+    * of the [[deleteDocs]] tombstone anti-join, applied identically:
+    * a doc_id-keyed semi join against ONLY the pruned postings slice
+    * (bucket partition pruning untouched). Ranks are computed within
+    * the allowed set — brute-force-within-filter semantics, matching
+    * the AnnIndex `allowed` contract so the fused RRF/MMR serving
+    * chain composes filtered end-to-end.
+    */
   def search(index: Index, queries: DataFrame, idCol: String,
              textCol: String, topK: Int = 20,
-             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+             k1: Double = 1.2, b: Double = 0.75,
+             allowed: Option[DataFrame] = None): DataFrame = {
     val qt = TextAnalysis.tokenStream(queries, idCol, textCol)
       .select(col("doc_id").as("qid"), col("term")).distinct()
       .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
     val buckets = qt.select("term_bucket").distinct()
       .collect().map(_.getLong(0)).sorted
-    val pruned = aliveDocs(index, index.postings
+    val sliced = aliveDocs(index, index.postings
       .where(col("term_bucket").isin(buckets.map(_.asInstanceOf[Any]): _*)))
+    val pruned = allowed.fold(sliced)(a =>
+      sliced.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val scored = pruned
       .join(broadcast(qt.select("qid", "term")), "term")
       .where(col("doc_id") =!= col("qid"))

@@ -222,6 +222,29 @@ class Bm25IndexSpec extends SparkSpec {
     assert(back == full, "rebuild must clear tombstones")
   }
 
+  test("filtered serving: allowed-set search restricts candidates, " +
+      "never rescales, and re-ranks within the filter") {
+    // the positive twin of deleteDocs: multi-tenant serving from the
+    // same postings, matching the AnnIndex `allowed` contract
+    val allowed = docs.where($"doc_id" % 3 === 1).select("doc_id")
+    val out = asTuples(Bm25Index.search(index, queries, "doc_id", "text",
+      topK = 1000, allowed = Some(allowed)))
+    assert(out.nonEmpty && out.forall { case (_, n, _, _) => n % 3 == 1 },
+      s"non-allowed docs served: ${out.filter(_._2 % 3 != 1).take(3)}")
+    // the filter selects candidates; per-pair scores are untouched
+    val refScores = asTuples(Bm25Index.search(index, queries, "doc_id",
+        "text", topK = 1000))
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(out.forall { case (q, n, s, _) => refScores((q, n)) == s },
+      "allowed filter must not change scores")
+    // ranks are dense 1..m per query in (bm25 desc, nid) order over
+    // exactly the allowed candidates
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val order = rows.sortBy(r => (-r._3, r._2)).map(_._4)
+      assert(order == (1L to rows.size).toSeq, s"ranks not dense: $order")
+    }
+  }
+
   test("postings are denormalized: df/dl on rows match corpus stats") {
     // hand-check one term: its df must equal the number of distinct
     // docs containing it, dl the containing doc's token count
