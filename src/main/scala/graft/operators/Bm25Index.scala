@@ -34,13 +34,17 @@ import org.apache.spark.sql.types._
   * bit-for-bit (spec-pinned) and inherits q_bm25's oracle.
   *
   * Maintenance discipline: df is denormalized onto posting rows, so
-  * appending documents would silently stale every existing term's
-  * idf — this index REBUILDS per corpus version (cheap: one tokenize
-  * pass), unlike the ANN index whose per-row payload is
-  * version-independent and therefore appends (G12). The alternative —
-  * a separate (term, df) relation — keeps appends cheap but puts a
-  * vocabulary-sized join on every query batch; for a serving index
-  * the per-version rebuild is the right trade.
+  * a naive append would silently stale every existing term's idf.
+  * Rebuild-per-version remains the baseline (cheap: one tokenize
+  * pass). r9 adds EXACT incremental append between rebuilds
+  * ([[appendDocs]]): appended postings carry df = 0 and each batch
+  * writes an additive per-term (bucket-partitioned) df-delta table
+  * plus a one-row meta delta; search reconstructs the effective df
+  * for the QUERIED terms only — a bounded agg over the already
+  * bucket-pruned slice plus the pruned delta rows, never a
+  * vocabulary-sized join — so search-after-append equals a
+  * from-scratch rebuild bit-for-bit (spec-pinned). Indexes that were
+  * never appended to skip the whole path (one fs.exists).
   */
 object Bm25Index {
 
@@ -140,7 +144,128 @@ object Bm25Index {
   /** Reclaim superseded versions in a maintenance window. */
   def vacuum(index: Index): Unit =
     IndexVersions.vacuum(index.spark, index.dir, index.version,
-      Seq("postings", "meta", "doc_tombstones"))
+      Seq("postings", "meta", "doc_tombstones", "df_deltas",
+        "meta_deltas"))
+
+  // ---------------------------------------------- r9: exact appends
+  //
+  // The lifecycle twin of AnnIndex.append, made exact despite the
+  // denormalized df: appended posting rows carry df = 0 (the additive
+  // base), each batch appends (term, df_delta) rows — partitioned by
+  // term_bucket, so a query prunes delta IO exactly like postings —
+  // and a one-row (n_docs, sum_dl) meta delta. At search time the
+  // effective df for each QUERIED term is max(build df over the
+  // pruned slice) + sum(pruned deltas): build rows share one df value
+  // per term, appended rows contribute 0, and terms born in an append
+  // resolve to delta-only. Scalars add the meta deltas. Everything is
+  // bounded by the queried vocabulary slice; a never-appended index
+  // pays one fs.exists and keeps the row-local scoring plan.
+
+  private def deltaDir(index: Index): String =
+    s"${index.dir}/df_deltas.v${index.version}"
+  private def metaDeltaDir(index: Index): String =
+    s"${index.dir}/meta_deltas.v${index.version}"
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Append `newDocs` to the index's CURRENT version: one tokenize
+    * pass; postings land in the existing bucket partitions (df = 0),
+    * the batch's per-term document counts land in the delta table, and
+    * the corpus scalars get a delta row. Searches on this version pick
+    * the rows up on the next partition discovery; scalars and df are
+    * reconstructed per search, so results equal a full rebuild.
+    */
+  def appendDocs(index: Index, newDocs: DataFrame, idCol: String,
+                 textCol: String, filesPerBucket: Int = 1): Unit = {
+    require(filesPerBucket >= 1,
+      s"filesPerBucket must be >= 1: $filesPerBucket")
+    val rel = tfRelation(newDocs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      rel.withColumn("df", lit(0L))
+        .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
+        .select("term", "doc_id", "tf", "dl", "df", "term_bucket")
+        .repartition(index.nBuckets * filesPerBucket, col("term_bucket"),
+          pmod(hash(col("doc_id")), lit(filesPerBucket)))
+        .write.mode("append").partitionBy("term_bucket")
+        .parquet(index.postingsDir)
+      rel.groupBy("term").agg(count(lit(1)).as("df_delta"))
+        .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
+        .repartition(col("term_bucket"))
+        .write.mode("append").partitionBy("term_bucket")
+        .parquet(deltaDir(index))
+      TextAnalysis.corpusStats(newDocs, textCol)
+        .coalesce(1)
+        .write.mode("append").parquet(metaDeltaDir(index))
+    } finally rel.unpersist()
+  }
+
+  /** Fold accumulated df deltas and doc tombstones into a fresh
+    * postings version WITHOUT re-tokenizing the corpus — the lexical
+    * twin of `AnnIndex.compactCells`. Everything derives from the
+    * index's own rows: each term's effective df is the exact
+    * search-time reconstruction (max build df + delta sum, a
+    * map-side-combined groupBy joined back — the same skew-safe shape
+    * as the build), tombstoned documents drop physically, and the
+    * corpus scalars are base + meta deltas (delete-conservative,
+    * matching search semantics). The result publishes as
+    * postings.v(N+1)/meta.v(N+1) through the CURRENT flip; the new
+    * version carries no delta or tombstone dirs, so searches on it
+    * take the row-local single-relation plan again. Search results are
+    * IDENTICAL before and after compaction (spec-pinned), and open
+    * readers pinned to the old version are undisturbed until
+    * [[vacuum]].
+    */
+  def compactDeltas(index: Index, filesPerBucket: Int = 4): Index = {
+    require(filesPerBucket >= 1,
+      s"filesPerBucket must be >= 1: $filesPerBucket")
+    val spark = index.spark
+    val v = IndexVersions.current(spark, index.dir).getOrElse(0L) + 1L
+    val postings = index.postings
+    val appended = exists(spark, deltaDir(index))
+    // effective df per term from the RAW rows (deletes must not
+    // perturb df — same rule as search): build rows share one value,
+    // append rows carry 0, delta rows add batch counts
+    val baseDf = postings.groupBy("term").agg(max(col("df")).as("df_base"))
+    val dfEff =
+      if (!appended) baseDf.select(col("term"), col("df_base").as("df_eff"))
+      else baseDf.join(
+        spark.read.parquet(deltaDir(index))
+          .groupBy("term").agg(sum(col("df_delta")).as("df_add")),
+        Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df_base"), lit(0L)) +
+            coalesce(col("df_add"), lit(0L))).as("df_eff"))
+    val (nDocs, sumDl) =
+      if (!appended) (index.nDocs, index.sumDl)
+      else {
+        val d = spark.read.parquet(metaDeltaDir(index))
+          .agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+        (index.nDocs + d.getLong(0), index.sumDl + d.getLong(1))
+      }
+    aliveDocs(index, postings)
+      .drop("df").join(dfEff, "term")
+      .withColumnRenamed("df_eff", "df")
+      // recompute the bucket so its type stays canonical regardless of
+      // what partition-column inference produced on the read
+      .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
+      .select("term", "doc_id", "tf", "dl", "df", "term_bucket")
+      .repartition(index.nBuckets * filesPerBucket, col("term_bucket"),
+        pmod(hash(col("doc_id")), lit(filesPerBucket)))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"${index.dir}/postings.v$v")
+    spark.range(1)
+      .select(lit(nDocs).cast(LongType).as("n_docs"),
+        lit(sumDl).cast(LongType).as("sum_dl"),
+        lit(index.nBuckets).cast(IntegerType).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"${index.dir}/meta.v$v")
+    IndexVersions.publish(spark, index.dir, v)
+    open(spark, index.dir)
+  }
 
   // ------------------------------------------------- r9: doc deletes
   //
@@ -208,15 +333,51 @@ object Bm25Index {
       .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
     val buckets = qt.select("term_bucket").distinct()
       .collect().map(_.getLong(0)).sorted
-    val sliced = aliveDocs(index, index.postings
-      .where(col("term_bucket").isin(buckets.map(_.asInstanceOf[Any]): _*)))
+    val inBuckets =
+      col("term_bucket").isin(buckets.map(_.asInstanceOf[Any]): _*)
+    val slicedRaw = index.postings.where(inBuckets)
+    val sliced = aliveDocs(index, slicedRaw)
     val pruned = allowed.fold(sliced)(a =>
       sliced.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi"))
-    val scored = pruned
+    val appended = exists(index.spark, deltaDir(index))
+    // corpus scalars: base meta + (if appended) the meta delta rows —
+    // a bounded driver read per search, the probe-set sanction
+    val (nDocs, sumDl) =
+      if (!appended) (index.nDocs, index.sumDl)
+      else {
+        val d = index.spark.read.parquet(metaDeltaDir(index))
+          .agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+        (index.nDocs + d.getLong(0), index.sumDl + d.getLong(1))
+      }
+    val matched = pruned
       .join(broadcast(qt.select("qid", "term")), "term")
       .where(col("doc_id") =!= col("qid"))
-      .withColumn("n_docs", lit(index.nDocs))
-      .withColumn("sum_dl", lit(index.sumDl))
+    // effective df: on a never-appended index it is the row's own
+    // denormalized value; after appends it is max(build df) over the
+    // BUCKET-pruned slice (append rows carry 0; filters must not
+    // perturb df, so the agg runs on the raw slice) + the pruned
+    // delta sum — bounded by the queried vocabulary either way
+    val scoredBase =
+      if (!appended) matched
+      else {
+        val qTerms = qt.select("term").distinct()
+        val baseDf = slicedRaw.join(broadcast(qTerms), "term")
+          .groupBy("term").agg(max(col("df")).as("df_base"))
+        val deltas = index.spark.read.parquet(deltaDir(index))
+          .where(inBuckets)
+          .join(broadcast(qTerms), "term")
+          .groupBy("term").agg(sum(col("df_delta")).as("df_add"))
+        val dfEff = baseDf.join(deltas, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df_base"), lit(0L)) +
+              coalesce(col("df_add"), lit(0L))).as("df_eff"))
+        matched.drop("df")
+          .join(broadcast(dfEff), "term")
+          .withColumnRenamed("df_eff", "df")
+      }
+    val scored = scoredBase
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("sum_dl", lit(sumDl))
       .withColumn("s", TextAnalysis.bm25TermScore(k1, b))
       .groupBy(col("qid"), col("doc_id").as("nid"))
       .agg(sum(col("s")).cast(DoubleType).as("bm25"))

@@ -245,6 +245,95 @@ class Bm25IndexSpec extends SparkSpec {
     }
   }
 
+  test("appendDocs: search after appends equals an index built whole " +
+      "bit-for-bit, across batches, composing with delete and allowed") {
+    // build on a third of the corpus, append the other two thirds in
+    // two batches — effective df must reconstruct exactly (build max
+    // + accumulated deltas), scalars from the meta deltas
+    val p0 = docs.where($"doc_id" % 3 === 0)
+    val p1 = docs.where($"doc_id" % 3 === 1)
+    val p2 = docs.where($"doc_id" % 3 === 2)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-bm25-app").toString
+    val idx = Bm25Index.write(p0, "doc_id", "text", dirA, nBuckets = 8)
+    Bm25Index.appendDocs(idx, p1, "doc_id", "text")
+    Bm25Index.appendDocs(idx, p2, "doc_id", "text")
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-bm25-whole").toString
+    val whole = Bm25Index.write(docs, "doc_id", "text", dirB, nBuckets = 8)
+    val a = asTuples(Bm25Index.search(idx, queries, "doc_id", "text",
+      topK = 50))
+    val b = asTuples(Bm25Index.search(whole, queries, "doc_id", "text",
+      topK = 50))
+    assert(a.nonEmpty && a == b,
+      s"append=${a.take(3)} whole=${b.take(3)}")
+    // appended docs actually serve (the delta path is non-vacuous)
+    assert(a.exists(_._2 % 3 == 1) && a.exists(_._2 % 3 == 2),
+      "results must include appended docs")
+    // the takedown and tenant filters compose with the delta path
+    val dels = docs.where($"doc_id" % 5 === 0).select("doc_id")
+    Bm25Index.deleteDocs(idx, dels)
+    Bm25Index.deleteDocs(whole, dels)
+    val allow = docs.where($"doc_id" % 2 === 1).select("doc_id")
+    val af = asTuples(Bm25Index.search(idx, queries, "doc_id", "text",
+      topK = 50, allowed = Some(allow)))
+    val bf = asTuples(Bm25Index.search(whole, queries, "doc_id", "text",
+      topK = 50, allowed = Some(allow)))
+    assert(af.nonEmpty && af == bf)
+    assert(af.forall { case (_, n, _, _) => n % 5 != 0 && n % 2 == 1 })
+  }
+
+  test("compactDeltas: folds appends + deletes into a fresh version " +
+      "with identical search results and no delta/tombstone residue") {
+    val p0 = docs.where($"doc_id" % 3 === 0)
+    val p1 = docs.where($"doc_id" % 3 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-compact").toString
+    val idx = Bm25Index.write(p0, "doc_id", "text", dir, nBuckets = 8)
+    Bm25Index.appendDocs(idx, p1, "doc_id", "text")
+    Bm25Index.deleteDocs(idx, docs.where($"doc_id" % 7 === 0)
+      .select("doc_id"))
+    val before = asTuples(Bm25Index.search(idx, queries, "doc_id", "text",
+      topK = 50))
+    val compacted = Bm25Index.compactDeltas(idx, filesPerBucket = 2)
+    assert(compacted.version == idx.version + 1)
+    val after = asTuples(Bm25Index.search(compacted, queries, "doc_id",
+      "text", topK = 50))
+    assert(before.nonEmpty && after == before,
+      s"before=${before.take(3)} after=${after.take(3)}")
+    // the compacted version is physically clean: tombstoned docs gone
+    // from the postings, no delta/tombstone dirs, so search takes the
+    // row-local single-relation plan again
+    assert(compacted.postings.where($"doc_id" % 7 === 0).count() == 0)
+    val root = new java.io.File(dir)
+    val v = compacted.version
+    assert(!new java.io.File(root, s"df_deltas.v$v").exists())
+    assert(!new java.io.File(root, s"meta_deltas.v$v").exists())
+    assert(!new java.io.File(root, s"doc_tombstones.v$v").exists())
+    // compaction is TRANSPARENT to future appends: appending the same
+    // fresh batch to the pre-compaction version (still on disk, its
+    // readers pinned) and to the compacted version must serve
+    // identically — effective df, scalars, and the alive set all agree
+    // by construction, just reconstructed vs materialized
+    val fresh = docs.where($"doc_id" % 5 === 1)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    Bm25Index.appendDocs(idx, fresh, "doc_id", "text")
+    Bm25Index.appendDocs(compacted, fresh, "doc_id", "text")
+    val viaOld = asTuples(Bm25Index.search(idx, queries, "doc_id",
+      "text", topK = 50))
+    val viaNew = asTuples(Bm25Index.search(compacted, queries, "doc_id",
+      "text", topK = 50))
+    assert(viaNew == viaOld,
+      s"old=${viaOld.take(3)} new=${viaNew.take(3)}")
+    assert(viaNew.exists(_._2 >= 100000L),
+      "appended-after-compaction docs must serve")
+    // vacuum reclaims every superseded dir class
+    Bm25Index.vacuum(compacted)
+    assert(!new java.io.File(root, s"postings.v${idx.version}").exists())
+    assert(!new java.io.File(root, s"df_deltas.v${idx.version}").exists())
+    assert(new java.io.File(root, s"postings.v$v").exists())
+  }
+
   test("postings are denormalized: df/dl on rows match corpus stats") {
     // hand-check one term: its df must equal the number of distinct
     // docs containing it, dl the containing doc's token count
