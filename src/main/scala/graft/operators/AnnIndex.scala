@@ -24,15 +24,21 @@ import org.apache.spark.sql.types._
   *   CURRENT            — text file holding the published version
   *   cells.vV/cent_id=N/ — parquet of (vec_id, codes: array<int>,
   *                      anrm: double, embedding: array<float>,
-  *                      gen: long — the write generation, see deletes)
-  *   centroids/       — parquet of (cent_id: long, cent: array<float>)
-  *   codebooks/       — parquet of (m: int, code: int, cent: array<double>)
-  *   cellstats/       — parquet of (cent_id: long, n: long) at build time
-  *   meta/            — parquet of (next_gen: long)
+  *                      gen: long — the write generation, see deletes,
+  *                      plus any `metaCols` carried at build)
+  *   centroids.vV/    — parquet of (cent_id: long, cent: array<float>)
+  *   codebooks.vV/    — parquet of (m: int, code: int, cent: array<double>)
+  *   cellstats.vV/    — parquet of (cent_id: long, n: long) at build time
+  *   meta/            — parquet of (next_gen: long; monotone across
+  *                      versions, deliberately unversioned)
   *   tombstones.vV/   — parquet of (vec_id, gen: long); present only
   *                      between a delete/upsert and the next compaction
-  * (pre-r9 indexes with unversioned `cells/` resolve as version 0 and
-  * keep opening.)
+  * The bounded artifacts are versioned WITH the cells (r9): open()
+  * loads the artifact set of the version it pins, so a rebuild that
+  * crashes between its artifact writes and the CURRENT flip can never
+  * leave old cells served with new centroids/codebooks. (pre-r9
+  * indexes with unversioned `cells/` resolve as version 0 and keep
+  * opening, artifacts falling back to the unversioned dirs.)
   *
   * `codes`/`anrm` serve the ADC scan (each scanned row is m ints, not
   * dim floats); `embedding` serves exact re-rank and exact-within-cell
@@ -76,17 +82,54 @@ object AnnIndex {
     * shuffle — the shape both the initial build and every append use.
     */
   private def encode(rows: DataFrame, cents: DataFrame,
-                     books: Seq[Seq[Seq[Double]]], gen: Long): DataFrame = {
+                     books: Seq[Seq[Seq[Double]]], gen: Long,
+                     keep: Seq[String] = Nil): DataFrame = {
     import graft.functions.{exprs, PqAdc, PqEncode}
-    Similarity.assignToCentroids(rows, cents)
-      .select(col("vec_id"), col("cent_id"),
+    Similarity.assignToCentroids(rows, cents, keep)
+      .select(Seq(col("vec_id"), col("cent_id"),
         exprs.toColumn(PqEncode(exprs.toExpr(col("embedding")), books))
           .as("codes"),
-        col("embedding"))
+        col("embedding")) ++ keep.map(col): _*)
       .withColumn("anrm", sqrt(exprs.toColumn(PqAdc(
         exprs.toExpr(col("codes")),
         exprs.toExpr(typedlit(normLut(books)))))))
       .withColumn("gen", lit(gen))
+  }
+
+  /** The non-core cell columns: index-resident metadata carried by
+    * `write(metaCols = ...)`, preserved by append/upsert/compaction.
+    */
+  private val coreCols =
+    Set("vec_id", "cent_id", "codes", "embedding", "anrm", "gen")
+  private def metaColsOf(index: IvfPqIndex): Seq[String] =
+    index.cells.columns.toSeq.filterNot(coreCols)
+
+  /** Resolve a bounded artifact ("centroids", "codebooks",
+    * "cellstats") for version `v`: the versioned directory when it
+    * exists (r9 builds/compactions write them per version, so a
+    * crashed rebuild can never mix new centroids with old cells), the
+    * legacy unversioned one otherwise.
+    */
+  private def artifactDir(spark: SparkSession, dir: String, base: String,
+                          v: Long): String = {
+    import org.apache.hadoop.fs.Path
+    val versioned = s"$dir/$base.v$v"
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    if (v > 0L && fs.exists(new Path(versioned))) versioned
+    else s"$dir/$base"
+  }
+
+  private def writeArtifacts(spark: SparkSession, dir: String, v: Long,
+                             cents: DataFrame,
+                             books: Seq[Seq[Seq[Double]]]): Unit = {
+    import spark.implicits._
+    cents.select(col("cent_id").cast(LongType), col("cent"))
+      .write.mode("overwrite").parquet(s"$dir/centroids.v$v")
+    books.zipWithIndex
+      .flatMap { case (sub, mi) =>
+        sub.zipWithIndex.map { case (c, ci) => (mi, ci, c) } }
+      .toDF("m", "code", "cent")
+      .write.mode("overwrite").parquet(s"$dir/codebooks.v$v")
   }
 
   /** Build and persist the index: train both halves (or reuse
@@ -109,43 +152,50 @@ object AnnIndex {
     * size parallelize regardless, so 1 (the default) is right at
     * 100 TB; raise it when cells are small relative to the cluster.
     */
+  /** `metaCols` (r9): corpus columns to carry INTO the cell rows —
+    * tenant, label, source, lang. Searches then filter with a plain
+    * predicate over index-resident columns (`where = Some(...)`): no
+    * external id-relation to maintain or join, and the predicate
+    * pushes into the pruned parquet scan (row-group skipping via
+    * min/max stats) — the cheapest possible per-tenant serving at
+    * 100 TB. append/upsert preserve the columns automatically.
+    */
   def write(corpus: DataFrame, dir: String, dim: Int,
             nCells: Int = 16, stride: Long = 7, kmeansIters: Int = 1,
             m: Int = 8, ncodes: Int = 16, pqIters: Int = 2,
             centroids: Option[DataFrame] = None,
             codebooks: Option[Seq[Seq[Seq[Double]]]] = None,
             storeEmbeddings: Boolean = true,
-            filesPerCell: Int = 1): IvfPqIndex = {
+            filesPerCell: Int = 1,
+            metaCols: Seq[String] = Nil): IvfPqIndex = {
     require(filesPerCell >= 1, s"filesPerCell must be >= 1: $filesPerCell")
+    require(metaCols.forall(c => !coreCols(c)),
+      s"metaCols clash with core index columns: $metaCols")
     val spark = corpus.sparkSession
-    import spark.implicits._
     val cents = centroids.getOrElse(
       Similarity.trainIvfCentroids(corpus, nCells, stride, kmeansIters))
     val books = codebooks.getOrElse(
       Similarity.trainPqCodebooks(corpus, dim, m, ncodes, stride, pqIters))
-    val enc = encode(corpus, cents, books, gen = 0L)
+    val enc = encode(corpus, cents, books, gen = 0L, keep = metaCols)
     // versioned publication (r9): the corpus lands in a NEW cells.vN
     // directory and becomes visible only at the CURRENT flip below —
     // a rebuild over a live index never races its readers, and a
-    // crashed build leaves the old version published
+    // crashed build leaves the old version published. The bounded
+    // artifacts are versioned too: a crash between the artifact writes
+    // and the flip must not leave old cells served with NEW centroids
+    // or codebooks (wrong probes, wrong ADC decode).
     val v = IndexVersions.current(spark, dir).getOrElse(0L) + 1L
     val cellsDir = s"$dir/cells.v$v"
     cellPartitioned(if (storeEmbeddings) enc else enc.drop("embedding"),
       nCells, filesPerCell)
       .write.mode("overwrite").partitionBy("cent_id").parquet(cellsDir)
-    cents.select(col("cent_id").cast(LongType), col("cent"))
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    books.zipWithIndex
-      .flatMap { case (sub, mi) =>
-        sub.zipWithIndex.map { case (c, ci) => (mi, ci, c) } }
-      .toDF("m", "code", "cent")
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    writeArtifacts(spark, dir, v, cents, books)
     // build-time cell histogram: the drift baseline (bounded: nCells
     // rows). Row counts come from the just-written parquet FOOTERS —
     // a distributed metadata-only pass over O(files) (the D14
     // surface), not the r7 second scan of the encoded corpus
     cellStatsFromFooters(spark, cellsDir)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cellstats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cellstats.v$v")
     writeNextGen(spark, dir, 1L)
     IndexVersions.publish(spark, dir, v)
     IvfPqIndex(spark, dir, cents, books, cellsDir, tombDirFor(dir, v), v)
@@ -199,6 +249,18 @@ object AnnIndex {
     allowed.fold(cells)(a =>
       cells.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi"))
 
+  /** Index-resident predicate filtering (r9): a plain Column over the
+    * metadata columns stored by `write(metaCols = ...)` — the
+    * zero-join twin of `allowed`. Catalyst pushes the predicate
+    * through the tombstone/allowed joins into the pruned parquet scan
+    * itself (data filters + row-group skipping), so a tenant/label
+    * restriction costs no extra relation and no shuffle at any corpus
+    * size. Ranks are computed within the filtered set, the same
+    * brute-force-within-filter contract as `allowed`.
+    */
+  private def withPred(cells: DataFrame, pred: Option[Column]): DataFrame =
+    pred.fold(cells)(cells.where)
+
   /** Rows of `cells` still alive under the tombstone set. */
   private def alive(index: IvfPqIndex, cells: DataFrame): DataFrame =
     tombstones(index) match {
@@ -233,7 +295,8 @@ object AnnIndex {
     rows.select(col("vec_id"), lit(g).as("gen"))
       .coalesce(1)
       .write.mode("append").parquet(index.tombDir)
-    val enc = encode(rows, index.centroids, index.codebooks, gen = g)
+    val enc = encode(rows, index.centroids, index.codebooks, gen = g,
+      keep = metaColsOf(index))
     (if (hasEmbeddings(index)) enc else enc.drop("embedding"))
       .repartition(col("cent_id"))
       .write.mode("append").partitionBy("cent_id").parquet(index.cellsDir)
@@ -315,21 +378,25 @@ object AnnIndex {
     val nCells = index.centroids.count().toInt
     cellPartitioned(alive(index, index.cells), nCells, filesPerCell)
       .write.mode("overwrite").partitionBy("cent_id").parquet(dst)
+    // the frozen artifacts carry forward to the new version (bounded
+    // rows — k·dim and m·ncodes·sub), so every version is
+    // self-contained and vacuum can reclaim old ones wholesale
+    writeArtifacts(spark, dir, newV, index.centroids, index.codebooks)
     cellStatsFromFooters(spark, dst)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cellstats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cellstats.v$newV")
     IndexVersions.publish(spark, dir, newV)
     index.copy(cellsDir = dst, tombDir = tombDirFor(dir, newV),
       version = newV)
   }
 
-  /** Reclaim superseded versions (old versioned cells/tombstone dirs
-    * and the legacy unversioned ones) in a maintenance window — readers
-    * pinned to older versions lose their files, exactly like vacuuming
-    * any MVCC store.
+  /** Reclaim superseded versions (old versioned cells/tombstone/
+    * artifact dirs and the legacy unversioned ones) in a maintenance
+    * window — readers pinned to older versions lose their files,
+    * exactly like vacuuming any MVCC store.
     */
   def vacuum(index: IvfPqIndex): Unit =
     IndexVersions.vacuum(index.spark, index.dir, index.version,
-      Seq("cells", "tombstones"))
+      Seq("cells", "tombstones", "centroids", "codebooks", "cellstats"))
 
   /** Open a persisted index. Loads only the bounded artifacts
     * (centroids pinned as a local relation, codebooks to the driver);
@@ -337,16 +404,19 @@ object AnnIndex {
     */
   def open(spark: SparkSession, dir: String): IvfPqIndex = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$dir/centroids")
+    // resolve the published version ONCE and pin it: this object keeps
+    // serving its snapshot even if a compaction publishes a newer one.
+    // Artifacts load from the SAME version (unversioned legacy
+    // fallback), so a concurrent rebuild's fresh centroids/codebooks
+    // can never pair with this snapshot's cells.
+    val (cellsDir, v) = IndexVersions.resolve(spark, dir, "cells")
+    val cents = spark.read.parquet(artifactDir(spark, dir, "centroids", v))
       .as[(Long, Array[Float])].collect().toSeq
       .sortBy(_._1).toDF("cent_id", "cent")
-    val books = spark.read.parquet(s"$dir/codebooks")
+    val books = spark.read.parquet(artifactDir(spark, dir, "codebooks", v))
       .as[(Int, Int, Array[Double])].collect()
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
-    // resolve the published version ONCE and pin it: this object keeps
-    // serving its snapshot even if a compaction publishes a newer one
-    val (cellsDir, v) = IndexVersions.resolve(spark, dir, "cells")
     IvfPqIndex(spark, dir, cents, books, cellsDir, tombDirFor(dir, v), v)
   }
 
@@ -389,12 +459,14 @@ object AnnIndex {
     index.cells.columns.contains("embedding")
 
   def searchExact(index: IvfPqIndex, queries: DataFrame, k: Int,
-                  nprobe: Int, allowed: Option[DataFrame] = None): DataFrame = {
+                  nprobe: Int, allowed: Option[DataFrame] = None,
+                  where: Option[Column] = None): DataFrame = {
     require(hasEmbeddings(index),
       "searchExact needs stored embeddings; this is a codes-only index " +
         "(write(storeEmbeddings = true), or use searchAdc(refine = 0))")
     val probes = probeCells(index, queries, nprobe)
-    val joined = restrict(prunedCells(index, probes), allowed).as("c")
+    val joined = restrict(withPred(prunedCells(index, probes), where),
+        allowed).as("c")
       .join(broadcast(probes.as("p")),
         col("p.cent_id") === col("c.cent_id") && col("p.qid") =!= col("c.vec_id"))
       .select(col("p.qid").as("qid"), col("c.vec_id").as("nid"),
@@ -414,7 +486,8 @@ object AnnIndex {
     */
   def searchAdc(index: IvfPqIndex, queries: DataFrame, k: Int,
                 nprobe: Int, refine: Int = 4,
-                allowed: Option[DataFrame] = None): DataFrame = {
+                allowed: Option[DataFrame] = None,
+                where: Option[Column] = None): DataFrame = {
     import graft.functions.{exprs, PqAdc, PqLut}
     require(refine <= 0 || hasEmbeddings(index),
       "exact re-rank needs stored embeddings; on a codes-only index " +
@@ -425,7 +498,7 @@ object AnnIndex {
         .as("lut"),
       Similarity.norm(col("embedding")).as("qnrm"))
     val probesLut = probes.drop("qe").join(qLut, "qid")
-    val pruned = restrict(prunedCells(index, probes), allowed)
+    val pruned = restrict(withPred(prunedCells(index, probes), where), allowed)
     // the scored projection carries ONLY (qid, nid, acos): the query
     // embedding must not ride every scanned corpus row through the
     // rank-window shuffle — it re-joins onto the bounded refine·k
@@ -472,7 +545,8 @@ object AnnIndex {
     // appended rows take a fresh generation so an id deleted earlier
     // and re-added here is alive (its row gen outranks the tombstone)
     val g = nextGen(spark, index.dir)
-    val enc = encode(rows, index.centroids, index.codebooks, gen = g)
+    val enc = encode(rows, index.centroids, index.codebooks, gen = g,
+      keep = metaColsOf(index))
     (if (hasEmbeddings(index)) enc else enc.drop("embedding"))
       .repartition(col("cent_id"))
       .write.mode("append").partitionBy("cent_id").parquet(index.cellsDir)
@@ -506,7 +580,8 @@ object AnnIndex {
     def hist(df: DataFrame): Map[Long, Long] = df.collect()
       .map(r => r.getAs[Number](0).longValue() -> r.getAs[Number](1).longValue())
       .toMap
-    val base = hist(index.spark.read.parquet(s"${index.dir}/cellstats"))
+    val base = hist(index.spark.read.parquet(
+      artifactDir(index.spark, index.dir, "cellstats", index.version)))
     val batch = hist(Similarity.assignToCentroids(rows, index.centroids)
       .groupBy("cent_id").agg(count(lit(1)).as("n")))
     val keys = (base.keySet ++ batch.keySet).toSeq

@@ -216,7 +216,8 @@ object Similarity {
     * materialized k rows per corpus row and shuffled them — at scale
     * that exchange was the whole cost of a Lloyd step.
     */
-  def assignToCentroids(corpus: DataFrame, cents: DataFrame): DataFrame = {
+  def assignToCentroids(corpus: DataFrame, cents: DataFrame,
+                        keep: Seq[String] = Nil): DataFrame = {
     import graft.functions.{exprs, NearestCentroid}
     val m = collectCentroids(cents)
     val idLookup = typedlit(m.map(_._1).toSeq)
@@ -225,7 +226,9 @@ object Similarity {
       m.map(_._2.toSeq).toSeq))
     fanOut(corpus)
       .withColumn("cent_id", element_at(idLookup, pos + 1))
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      // `keep` rides extra columns (e.g. index-resident metadata)
+      // through the map-only assignment — no join, no shuffle
+      .select((Seq("vec_id", "embedding", "cent_id") ++ keep).map(col): _*)
   }
 
   /** k-means centroids: deterministic seeds refined by `iters` Lloyd

@@ -122,6 +122,78 @@ class AnnIndexSpec extends SparkSpec {
       s"expected cent_id partition filters in:\n$plan")
   }
 
+  test("index-resident metadata: where-predicate search equals the " +
+      "allowed-set path, pushes into the scan, survives maintenance") {
+    val full = Tables.embeddings(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-annidx-meta").toString
+    val idx = AnnIndex.write(full.select("vec_id", "embedding", "label"),
+      dir, dim = 64, nCells = 16, stride = 7, kmeansIters = 1,
+      m = 8, ncodes = 16, metaCols = Seq("label"))
+    // the label rides the cell rows: a plain predicate replaces the
+    // external id-relation join, same results on both search paths
+    val allowed = full.where($"label" === 3).select("vec_id")
+    val want = asTuples(AnnIndex.searchExact(idx, queries, k = 5,
+      nprobe = 16, allowed = Some(allowed)))
+    assert(want.nonEmpty, "filter must be non-vacuous at gate scale")
+    val viaPred = asTuples(AnnIndex.searchExact(idx, queries, k = 5,
+      nprobe = 16, where = Some($"label" === 3)))
+    assert(viaPred == want, s"pred=${viaPred.take(5)} allowed=${want.take(5)}")
+    val n = full.count().toInt
+    val adcPred = asTuples(AnnIndex.searchAdc(idx, queries, k = 5,
+      nprobe = 16, refine = n / 5 + 1, where = Some($"label" === 3)))
+    assert(adcPred == want)
+    // the predicate reaches the parquet scan as a pushed data filter
+    // WITHOUT disturbing cent_id partition pruning
+    val plan = AnnIndex.searchExact(idx, queries, k = 5, nprobe = 2,
+      where = Some($"label" === 3)).queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters:") && plan.contains("cent_id"),
+      s"expected cent_id partition filters in:\n$plan")
+    assert(plan.contains("EqualTo(label,3)"),
+      s"expected the label predicate pushed to the scan in:\n$plan")
+    // maintenance preserves the column: appended rows carry their
+    // label and serve through the same predicate, and compaction
+    // leaves filtered results identical
+    val fresh = full.limit(20)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding",
+        lit(77).as("label"))
+    AnnIndex.append(idx, fresh)
+    val gotFresh = asTuples(AnnIndex.searchExact(idx, queries, k = 5,
+      nprobe = 16, where = Some($"label" === 77)))
+    assert(gotFresh.nonEmpty && gotFresh.forall(_._2 >= 1000000L),
+      s"appended-with-label rows must serve the predicate: $gotFresh")
+    val beforeCompact = asTuples(AnnIndex.searchExact(idx, queries, k = 5,
+      nprobe = 16, where = Some($"label" === 3)))
+    val compacted = AnnIndex.compactCells(idx)
+    assert(asTuples(AnnIndex.searchExact(compacted, queries, k = 5,
+      nprobe = 16, where = Some($"label" === 3))) == beforeCompact)
+  }
+
+  test("crashed-rebuild residue: open() pairs the published version's " +
+      "cells with ITS OWN artifacts, never the residue") {
+    val dir = Files.createTempDirectory("graft-annidx-crash").toString
+    val built = AnnIndex.write(emb, dir, dim = 64, nCells = 16, stride = 7,
+      kmeansIters = 1, m = 8, ncodes = 16)
+    val want = asTuples(AnnIndex.searchExact(built, queries, k = 5,
+      nprobe = 16))
+    // a rebuild that died after writing its artifacts but BEFORE the
+    // CURRENT flip leaves v2 artifact residue next to the published v1
+    // — the r8 layout kept these unversioned, so the residue would
+    // have REPLACED the live centroids/codebooks under v1's cells
+    spark.range(4)
+      .select($"id".as("cent_id"),
+        typedlit(Seq.fill(64)(0.0f)).as("cent"))
+      .write.parquet(s"$dir/centroids.v${built.version + 1}")
+    spark.range(1).select(lit(0).as("m"), lit(0).as("code"),
+        typedlit(Seq.fill(8)(0.0)).as("cent"))
+      .write.parquet(s"$dir/codebooks.v${built.version + 1}")
+    val reopened = AnnIndex.open(spark, dir)
+    assert(reopened.version == built.version)
+    assert(reopened.codebooks == built.codebooks,
+      "reopened index must load the published version's codebooks")
+    assert(asTuples(AnnIndex.searchExact(reopened, queries, k = 5,
+      nprobe = 16)) == want)
+  }
+
   test("append: base index + appended rows equals an index built whole") {
     val dir = Files.createTempDirectory("graft-annidx-append").toString
     val base = emb.where($"vec_id" % 3 =!= 0)
@@ -148,14 +220,17 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.append(idx, emb.where($"vec_id" % 3 === 0 && $"vec_id" % 2 =!= 0))
     def files(i: AnnIndex.IvfPqIndex) =
       i.cells.select(input_file_name()).distinct().count()
-    def cellstats() = spark.read.parquet(s"$dir/cellstats")
-      .collect().map(r => r.getAs[Number](0).longValue() ->
-        r.getAs[Number](1).longValue()).toMap
+    // cellstats are versioned with the cells (r9): read the
+    // version the given index snapshot serves
+    def cellstats(i: AnnIndex.IvfPqIndex) =
+      spark.read.parquet(s"$dir/cellstats.v${i.version}")
+        .collect().map(r => r.getAs[Number](0).longValue() ->
+          r.getAs[Number](1).longValue()).toMap
     val before = asTuples(AnnIndex.searchExact(idx, queries, 5, 8))
     val filesBefore = files(idx)
     // cellstats BEFORE compaction describe only the build-time base
     // (the drift baseline deliberately excludes appends)
-    assert(cellstats().values.sum == base.count())
+    assert(cellstats(idx).values.sum == base.count())
     // r9: compaction PUBLISHES a new version and returns the index
     // pinned to it; the passed index keeps serving the old snapshot
     val idx2 = AnnIndex.compactCells(idx)
@@ -173,12 +248,12 @@ class AnnIndexSpec extends SparkSpec {
     assert(files(idx) == filesBefore)
     assert(asTuples(AnnIndex.searchExact(idx, queries, 5, 8)) == before)
     // cellstats refreshed from the rewritten footers now cover ALL rows
-    assert(cellstats().values.sum == emb.count())
+    assert(cellstats(idx2).values.sum == emb.count())
     // and per-cell counts agree with the data itself
     val fromData = idx2.cells.groupBy("cent_id").count().collect()
       .map(r => r.getAs[Number](0).longValue() ->
         r.getAs[Number](1).longValue()).toMap
-    assert(cellstats() == fromData)
+    assert(cellstats(idx2) == fromData)
     // append after compaction lands and is searchable
     val extra = emb.where($"vec_id" < 2)
       .select(($"vec_id" + 500000).as("vec_id"), $"embedding")
