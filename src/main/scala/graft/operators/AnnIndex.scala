@@ -565,6 +565,43 @@ object AnnIndex {
         if (!batch.isEmpty) append(index, batch)
       }
 
+  /** Close the G12 drift loop (r9): re-train centroids (and
+    * optionally codebooks) from the index's OWN alive rows and
+    * republish the re-encoded corpus as a new version — the action
+    * [[assignmentDrift]] is the signal for. No external corpus is
+    * needed: the stored embedding column IS the corpus (embeddings
+    * required; a codes-only index must rebuild from source via
+    * `write`). Tombstoned rows are excluded from training and from
+    * the new version, so a retrain is also a compaction; metadata
+    * columns carry through. Readers pinned to the old version are
+    * undisturbed until [[vacuum]] — the same versioned-publication
+    * contract as compactCells, now covering the artifacts too (the
+    * new centroids/codebooks land in .v(N+1) dirs, so a crash
+    * mid-retrain leaves the old version fully consistent).
+    *
+    * `retrainCodebooks = false` keeps the PQ codebooks frozen (cheap
+    * drift response: only the cell geometry moves); `true` re-trains
+    * both halves from the stored embeddings.
+    */
+  def retrain(index: IvfPqIndex, nCells: Int, stride: Long = 7,
+              kmeansIters: Int = 1, retrainCodebooks: Boolean = false,
+              m: Int = 8, ncodes: Int = 16, pqIters: Int = 2,
+              filesPerCell: Int = 1): IvfPqIndex = {
+    require(hasEmbeddings(index),
+      "retrain needs stored embeddings; a codes-only index must " +
+        "rebuild from the source corpus via write()")
+    val spark = index.spark
+    val meta = metaColsOf(index)
+    val corpus = alive(index, index.cells)
+      .select((Seq("vec_id", "embedding") ++ meta).map(col): _*)
+    val dim = index.codebooks.length * index.codebooks.head.head.length
+    write(corpus, index.dir, dim = dim, nCells = nCells, stride = stride,
+      kmeansIters = kmeansIters, m = m, ncodes = ncodes, pqIters = pqIters,
+      codebooks = if (retrainCodebooks) None else Some(index.codebooks),
+      storeEmbeddings = true, filesPerCell = filesPerCell,
+      metaCols = meta)
+  }
+
   /** Re-train trigger: Jensen–Shannon divergence (base-2, in [0,1])
     * between the batch's cell-assignment histogram and the build-time
     * baseline stored in the index. Both histograms are ≤ nCells rows,

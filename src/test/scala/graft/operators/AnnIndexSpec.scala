@@ -463,4 +463,45 @@ class AnnIndexSpec extends SparkSpec {
     assert(dIn >= 0.0 && dIn < 0.2, s"in-distribution drift too high: $dIn")
     assert(dShift > dIn + 0.2, s"shifted drift $dShift vs in-dist $dIn")
   }
+
+  test("retrain: the drift loop closes — high drift, retrain from the " +
+      "index's own rows, republished version serves the moved corpus") {
+    // build on the native distribution, then the corpus MOVES: a
+    // shifted batch is appended and part of the original is deleted —
+    // the ongoing-ingest shape assignmentDrift exists to flag
+    val dir = Files.createTempDirectory("graft-annidx-retrain").toString
+    val base = emb.where($"vec_id" % 3 =!= 0)
+    val idx = AnnIndex.write(base, dir, dim = 64, nCells = 8, stride = 7,
+      kmeansIters = 1, m = 8, ncodes = 16)
+    val shifted = emb.where($"vec_id" % 3 === 0)
+      .select(($"vec_id" + 700000L).as("vec_id"),
+        transform($"embedding", x => (x + lit(5.0f)).cast("float"))
+          .as("embedding"))
+    AnnIndex.append(idx, shifted)
+    AnnIndex.delete(idx, base.where($"vec_id" % 11 === 0).select("vec_id"))
+    val driftBefore = AnnIndex.assignmentDrift(idx, shifted)
+    assert(driftBefore > 0.2, s"shifted batch must register drift: $driftBefore")
+    // retrain needs NO external corpus: the stored rows are the input.
+    // Tombstoned rows drop (retrain is also a compaction), version
+    // advances, the pinned old handle keeps serving its snapshot
+    val oldResults = asTuples(AnnIndex.searchExact(idx, queries, 5, 8))
+    val re = AnnIndex.retrain(idx, nCells = 8, kmeansIters = 1)
+    assert(re.version == idx.version + 1)
+    assert(asTuples(AnnIndex.searchExact(idx, queries, 5, 8)) == oldResults)
+    // the republished version's baseline covers the moved corpus, so
+    // the same batch now reads as in-distribution
+    val driftAfter = AnnIndex.assignmentDrift(re, shifted)
+    assert(driftAfter < driftBefore - 0.1,
+      s"retrained baseline must absorb the shift: $driftBefore -> $driftAfter")
+    // correctness after retrain: exhaustive search equals brute force
+    // over exactly the alive rows (deletes applied, appends present)
+    val aliveCorpus = base.where($"vec_id" % 11 =!= 0).union(shifted)
+    val want = asTuples(Similarity.bruteForceTopK(aliveCorpus, queries, k = 5)
+      .select("qid", "nid", "rank"))
+    assert(asTuples(AnnIndex.searchExact(re, queries, 5, 8)) == want)
+    assert(re.cells.where($"gen" =!= 0L).count() == 0,
+      "retrain starts a clean generation")
+    // frozen codebooks by default: ADC decode tables are unchanged
+    assert(re.codebooks == idx.codebooks)
+  }
 }
