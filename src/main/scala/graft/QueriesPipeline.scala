@@ -1513,6 +1513,98 @@ object QueriesPipeline {
           SELECT qid, nid, 1 AS rank FROM s1
           UNION ALL SELECT qid, nid, 2 FROM s2
           UNION ALL SELECT qid, nid, 3 FROM s3)
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // --------------------------------- F11 intra-doc line dedup
+    // Within-document repeated-line removal (first copy kept), the
+    // complement of F10's cross-document screen. The corpus has no
+    // newlines, so line structure is synthesized deterministically on
+    // both sides: a 12-char head line that repeats only in even docs,
+    // a twice-repeated "Echo" banner, and the doc's own text — so
+    // n_kept genuinely varies with doc_id (threshold exercised, not
+    // just the extremes).
+    QueryDef("q_dedup_lines_doc",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+        val head = substring(col("text"), 1, 12)
+        val raw = concat_ws("\n", head, col("text"),
+          when(col("doc_id") % 2 === 0, head)
+            .otherwise(concat(lit("unique tail "),
+              col("doc_id").cast(StringType))),
+          lit("Echo"), lit("Echo"))
+        Dedup.dedupLinesInDoc(
+            doc.select(col("doc_id"), raw.as("text")), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id, concat_ws(chr(10), substring(text, 1, 12), text,
+            CASE WHEN doc_id % 2 = 0 THEN substring(text, 1, 12)
+                 ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END,
+            'Echo', 'Echo') AS t
+          FROM documents
+        ), ln AS (
+          SELECT doc_id, CAST(s AS BIGINT) AS line_idx, ls[s] AS line,
+            len(ls) AS n_lines
+          FROM (SELECT doc_id, string_split(t, chr(10)) AS ls,
+              unnest(range(1, len(string_split(t, chr(10))) + 1)) AS s
+            FROM raw)
+        ), mk AS (
+          SELECT doc_id, line_idx, line, n_lines,
+            row_number() OVER (PARTITION BY doc_id, line
+              ORDER BY line_idx) AS rn
+          FROM ln)
+        SELECT doc_id, CAST(MAX(n_lines) AS BIGINT) AS n_lines,
+          COUNT(*) AS n_kept,
+          string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+        FROM mk WHERE rn = 1
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // --------------------------------- G16 hard-negative mining
+    // Contrastive-training negative construction: per query, top-10
+    // most-similar NON-positive vectors, with the hardness floor
+    // (cos >= pos_min − 0.05) and the RocketQA false-negative ceiling
+    // (cos <= pos_max) both active. Positives are the same-label
+    // vec_id%7 band, so every query has a real baseline and both
+    // screens fire (at sf0.01 the ceiling alone removes 50–300
+    // candidates per query). The oracle computes cosine over
+    // CAST(... AS DOUBLE[]) — f32 products are exact in f64, so the
+    // sequential double accumulation is bit-identical to the native
+    // DotProduct kernel and every rounded threshold comparison is
+    // engine-exact.
+    QueryDef("q_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.where(col("vec_id") < 8)
+        val pos = q.select(col("vec_id").as("qid"), col("label"))
+          .join(emb.where(col("vec_id") % 7 === 0)
+            .select(col("vec_id").as("nid"), col("label")), "label")
+          .select("qid", "nid")
+        Similarity.hardNegatives(emb, q, pos, k = 10,
+            minMargin = Some(0.05), dropAbovePos = true)
+          .select("qid", "nid", "rank").orderBy("qid", "rank")
+      },
+      Some("""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
+        pos AS (SELECT q.vec_id AS qid, c.vec_id AS nid
+          FROM q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id % 7 = 0
+            AND c.vec_id <> q.vec_id),
+        pairs AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+            round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+            EXISTS(SELECT 1 FROM pos p
+              WHERE p.qid = q.vec_id AND p.nid = c.vec_id) AS is_pos
+          FROM q, embeddings c WHERE c.vec_id <> q.vec_id),
+        base AS (SELECT qid, min(cos) AS pos_min, max(cos) AS pos_max
+          FROM pairs WHERE is_pos GROUP BY qid),
+        neg AS (SELECT p.qid, p.nid, p.cos
+          FROM pairs p LEFT JOIN base b USING (qid)
+          WHERE NOT p.is_pos
+            AND (b.pos_min IS NULL OR p.cos >= round(b.pos_min - 0.05, 6))
+            AND (b.pos_max IS NULL OR p.cos <= b.pos_max))
+        SELECT qid, nid, rank FROM (
+          SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, nid) AS BIGINT) AS rank FROM neg)
+        WHERE rank <= 10 ORDER BY qid, rank"""))
   )
 }

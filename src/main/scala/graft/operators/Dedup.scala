@@ -554,6 +554,43 @@ object Dedup {
     rebuildWithout(ln, frequent, sep)
   }
 
+  /** Intra-document repeated-line removal (F11): within EACH document,
+    * keep only the first occurrence of every distinct line and rebuild
+    * the text in original order — the removal step behind the Gopher
+    * `dup_line_fraction` statistic (H16 measures it; this repairs it).
+    * Complementary to [[dropFrequentLines]]: F10 removes lines that
+    * repeat ACROSS documents (boilerplate, every copy dropped), F11
+    * removes lines that repeat WITHIN one document (scraper stutter,
+    * chat-log echo, template loops — first copy kept, it carried the
+    * content). Reference behavior: text cleaning utilities in
+    * python/pyarrow compute (no direct twin; semantics follow Rae et
+    * al. 2021 §A1.1's repetition screens).
+    *
+    * Returns (doc_id, n_lines, n_kept, clean_text) — the F10 shape, so
+    * the two compose/interchange in pipeline stage 0.
+    *
+    * Scale shape: strictly MAP-ONLY — one higher-order array filter
+    * per row (`array_position(ls, l) = i+1` keeps exactly the first
+    * occurrence), no explode, no shuffle, no corpus aggregation.
+    * Per-row cost is O(lines²) string compares bounded by
+    * lines-per-document; at 100 TB this pipelines inside whatever scan
+    * the caller already pays. `sep` is the split REGEX and the rebuild
+    * JOINER (same contract and default "\n" as F10 — pre-split
+    * upstream for paragraph units).
+    */
+  def dedupLinesInDoc(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    // split materialized behind a projection boundary so the lambda's
+    // array_position probes an attribute, not a re-evaluated split
+    // (multiple references keep CollapseProject from inlining it back)
+    val kept = filter(col("ls"), (l, i) => array_position(col("ls"), l) === i + 1)
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), sep).as("ls"))
+      .select(col("doc_id"),
+        size(col("ls")).cast(LongType).as("n_lines"),
+        size(kept).cast(LongType).as("n_kept"),
+        array_join(kept, sep).as("clean_text"))
+  }
+
   /** [[dropFrequentLines]] against a PRE-COMPUTED frequent-line set
     * (one `h` = md5(line) column) — the ingest-time form: a corpus
     * pass mines the boilerplate table once (`frequentLines`), then

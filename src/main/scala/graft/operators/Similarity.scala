@@ -824,4 +824,69 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= topK)
   }
+
+  /** Hard-negative mining (G16): for each query, the `k` corpus
+    * vectors most cosine-similar to it that are NOT among its labeled
+    * positives — the negative-construction pass of contrastive
+    * retriever/embedding training (DPR, Karpukhin et al. EMNLP 2020;
+    * denoising per RocketQA, Qu et al. NAACL 2021). `positives` is a
+    * bounded (qid, nid) relevance relation; self-pairs (nid == qid)
+    * are ignored on both the positive and candidate side (a vector is
+    * trivially similar to itself — not a trainable pair).
+    *
+    * Two optional screens against the query's OWN positive similarity
+    * baseline, every comparison at the repo-wide 6-dp float boundary
+    * so membership is engine-independent:
+    *   - `minMargin`: keep cos >= (least-similar positive) − margin —
+    *     the hardness floor (an easy negative teaches nothing);
+    *   - `dropAbovePos`: drop negatives STRICTLY more similar than the
+    *     most similar positive — the false-negative denoiser (a
+    *     candidate outscoring every labeled positive is likely an
+    *     unlabeled positive).
+    * Queries with no positives (after self-pair removal) have no
+    * baseline; both screens pass-through for them. `rank` is dense
+    * 1..k among survivors, (cos desc, nid) deterministic.
+    *
+    * Scale shape: queries and positives are bounded broadcast
+    * relations (the G1 contract); candidate generation is one corpus
+    * pass; the positive-baseline aggregate runs over ≤ |positives|
+    * rows keyed by qid. The corpus relation feeds both the candidate
+    * and baseline sides (two pruned scans of (vec_id, embedding) — at
+    * corpus scales where the re-read dominates, generate candidates
+    * with ivfTopK/AnnIndex.search and feed them through the same
+    * screens; the per-qid rank window is query-bounded either way).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    positives: DataFrame, k: Int,
+                    minMargin: Option[Double] = None,
+                    dropAbovePos: Boolean = false): DataFrame = {
+    val c = fanOut(corpus).withColumn("nrm", norm(col("embedding")))
+    val q = queries.withColumn("nrm", norm(col("embedding")))
+    val pos = positives.select(col("qid"), col("nid"))
+      .where(col("qid") =!= col("nid")).distinct()
+    // one pair relation carries both roles: is_pos marks labeled pairs
+    // (baseline side), the rest are negative candidates
+    val joined = c.as("c")
+      .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
+        round(dot(col("q.embedding"), col("c.embedding")) /
+          (col("q.nrm") * col("c.nrm")), 6).as("cos"))
+      .join(broadcast(pos.withColumn("is_pos", lit(true))),
+        Seq("qid", "nid"), "left")
+      .withColumn("is_pos", coalesce(col("is_pos"), lit(false)))
+    val base = joined.where(col("is_pos"))
+      .groupBy("qid")
+      .agg(min(col("cos")).as("pos_min"), max(col("cos")).as("pos_max"))
+    val floor = minMargin.fold(lit(true))(m =>
+      col("pos_min").isNull || col("cos") >= round(col("pos_min") - m, 6))
+    val ceil = if (!dropAbovePos) lit(true)
+      else col("pos_max").isNull || col("cos") <= col("pos_max")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    joined.where(!col("is_pos")).drop("is_pos")
+      .join(broadcast(base), Seq("qid"), "left")
+      .where(floor && ceil)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
 }

@@ -130,6 +130,79 @@ object PipelineBench {
       s""""n_docs_in":$nDocs,"n_docs_out":$nOut2,""" +
       s""""cpus":$cpus,"loadavg_start":"$load2","loadavg_end":"$loadavg",""" +
       s""""utc":"$ts2"}""")
+
+    // ---- pipeline v2 + F10 boilerplate stage 0 (round 9): the corpus
+    // carries no newline structure, so synthesize it deterministically
+    // (the q_dedup_lines recipe: two every-doc banners + a 1/8-band
+    // shared line + the doc's own text), mine the frequent-line table
+    // once (train-time — a versioned input like the model and merges,
+    // written to disk and read back so the serving plan reads parquet),
+    // then run the SAME v2 pipeline over the synthesized corpus twice —
+    // without and with stage 0 — so the delta attributes the
+    // boilerplate screen itself, not corpus differences.
+    import graft.operators.Dedup
+    def synth(s: SparkSession) = Tables.documents(s, sfDir)
+      .withColumn("text", concat(
+        lit("Subscribe to our newsletter\n"), col("text"),
+        lit("\nshared line "), (col("doc_id") % 8).cast("string"),
+        lit("\nCopyright 2026 Example Corp")))
+    val tMine0 = System.nanoTime()
+    Dedup.frequentLines(synth(spark), "doc_id", "text", minDocs = 50)
+      .write.mode("overwrite").parquet(s"$outDir/boilerplate_v1")
+    val mineWall = (System.nanoTime() - tMine0) / 1e9
+    val mined = spark.read.parquet(s"$outDir/boilerplate_v1")
+    val nMined = mined.count()
+
+    def v2b(s: SparkSession, stage0: Boolean) = Curation.curationPipelineV2(
+      synth(s), "doc_id", "text", model, merges,
+      dsirTargetPred = col("lang") === "en", gopherMinStop = 0L,
+      boilerplate = if (stage0) Some(s.read.parquet(s"$outDir/boilerplate_v1"))
+                    else None)
+
+    // plan-budget gate on the stage-0 variant: stage 0 may add only
+    // its own bounded shape — the line-df anti join is broadcast (the
+    // mined table is small by construction), the rebuild agg and the
+    // id-keyed reattach are the two extra key-local shuffles
+    locally {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      val static = v2b(s2, stage0 = true).queryExecution.executedPlan.toString
+      val lines = static.linesIterator
+        .filterNot(_.contains("ReusedExchange")).toSeq
+      val hash = lines.count(_.contains("Exchange hashpartitioning"))
+      val scans = lines.count(_.contains("Scan parquet"))
+      require(hash <= 16, s"stage-0 v2 grew a hash exchange: $hash > 16\n$static")
+      require(scans <= 11, s"stage-0 v2 re-scans the corpus: $scans > 11\n$static")
+      require(!static.contains("CartesianProduct"),
+        s"stage-0 v2 must not pair-join:\n$static")
+    }
+
+    val load3 = loadavg
+    val t3 = System.nanoTime()
+    Curation.writeSharded(v2b(spark, stage0 = false), "doc_id", nShards,
+      s"$outDir/shards_v2_plain")
+    val wallPlain = (System.nanoTime() - t3) / 1e9
+    val nOutPlain = spark.read.parquet(s"$outDir/shards_v2_plain").count()
+    val t4 = System.nanoTime()
+    Curation.writeSharded(v2b(spark, stage0 = true), "doc_id", nShards,
+      s"$outDir/shards_v2_stage0")
+    val wallStage0 = (System.nanoTime() - t4) / 1e9
+    val nOutStage0 = spark.read.parquet(s"$outDir/shards_v2_stage0").count()
+    // screen attribution: what stage 0 actually removed, measured once
+    // off the screen's own output (cheap aggregate, not in the walls)
+    val att = Dedup.dropListedLines(synth(spark), "doc_id", "text", mined)
+      .agg(sum(col("n_lines") - col("n_kept")).cast("long"),
+        sum(col("n_lines")).cast("long"))
+      .collect()(0)
+    val ts3 = java.time.Instant.now().toString
+    println(s"""{"metric":"pipeline_v2_boilerplate","unit":"sec",""" +
+      s""""mine_wall":$mineWall,"wall_plain":$wallPlain,""" +
+      s""""wall_stage0":$wallStage0,"sf_dir":"$sfDir",""" +
+      s""""n_docs_in":$nDocs,"n_frequent_lines":$nMined,""" +
+      s""""lines_dropped":${att.getLong(0)},"lines_total":${att.getLong(1)},""" +
+      s""""n_out_plain":$nOutPlain,"n_out_stage0":$nOutStage0,""" +
+      s""""cpus":$cpus,"loadavg_start":"$load3","loadavg_end":"$loadavg",""" +
+      s""""utc":"$ts3"}""")
     spark.stop()
   }
 }

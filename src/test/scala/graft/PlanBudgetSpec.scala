@@ -96,6 +96,16 @@ class PlanBudgetSpec extends SparkSpec {
     // shuffle only; quota join broadcast; the pick side and the
     // reattach side each scan the corpus once (the bounded count
     // table is collected before this plan exists)
+    "q_dedup_lines_doc" -> (0, 1, 1), // F11 is strictly map-only: one
+    // corpus scan, zero hash exchanges; the range exchange is the
+    // gate's output orderBy
+    "q_hard_negatives" -> (3, 1, 5), // positives distinct + baseline
+    // agg + rank window; queries/positives/baseline all broadcast —
+    // the CORPUS never hash-shuffles (the three hash exchanges move
+    // qid-keyed bounded relations). 5 scans of the one embeddings
+    // table: candidate pairs, baseline pairs, query side ×2, and the
+    // positives build — every one but the candidate pass is bounded
+    // by the query/positive sets
     "q_bigram_perplexity" -> (13, 1, 10) // static view: the stats lineage
     // appears in the pair-join branch, the HEAD-table branch (r8: seen
     // heads with novel continuations take c1 from a w1-keyed head

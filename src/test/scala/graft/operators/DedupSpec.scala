@@ -314,6 +314,28 @@ class DedupSpec extends SparkSpec {
       s"dropFrequentLines must not window:\n$plan")
   }
 
+  test("dedupLinesInDoc keeps the first copy per document, leaves " +
+      "cross-document repeats alone, and stays map-only") {
+    val docs = Seq(
+      (1L, "a\nb\na\nb\nc"), // intra-doc dups collapse to first copies
+      (2L, "a\nb\nc"), // repeats docs 1's lines ACROSS docs — F10's job, untouched
+      (3L, "x\nx\nx"), // degenerate all-one-line doc
+      (4L, "") // empty text splits to one empty line, kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesInDoc(docs, "doc_id", "text")
+    val rows = out.select("doc_id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(rows(1L) == ((1L, 5L, 3L, "a\nb\nc")))
+    assert(rows(2L) == ((2L, 3L, 3L, "a\nb\nc")))
+    assert(rows(3L) == ((3L, 3L, 1L, "x")))
+    assert(rows(4L) == ((4L, 1L, 1L, "")))
+    // the contract's scale claim: strictly map-only — no shuffle, no
+    // window, no join, no explode-regroup round trip
+    val plan = out.queryExecution.executedPlan.toString()
+    Seq("Exchange", "Window", "Join", "Generate").foreach(op =>
+      assert(!plan.contains(op), s"dedupLinesInDoc must be map-only, found $op:\n$plan"))
+  }
+
   test("dropListedLines: mined-table screen equals the one-shot op, " +
       "batch and under foreachBatch micro-batches") {
     // the I14 train/serve split applied to F10: mine boilerplate once,

@@ -541,4 +541,51 @@ class SimilaritySpec extends SparkSpec {
       Similarity.mmrRerank(vecs, q0, k = 1, n = 2, lambda = 1.5)
     }
   }
+
+  // x–y-plane geometry with hand-computable cosines against the query
+  // (1,0,0,0): positives at 0.993884 (max) and 0.707107 (min), so the
+  // floor sits at 0.657107 and the ceiling at 0.993884
+  private lazy val hnCorpus = Seq(
+    (1L, Array(0.9f, 0.1f, 0f, 0f)), // positive, cos 0.993884 (pos_max)
+    (2L, Array(0.5f, 0.5f, 0f, 0f)), // positive, cos 0.707107 (pos_min)
+    (3L, Array(1f, 0.01f, 0f, 0f)), // cos 0.99995 > pos_max: false negative, dropped
+    (4L, Array(0.8f, 0.2f, 0f, 0f)), // cos 0.970143: hard negative, rank 1
+    (5L, Array(0.6f, 0.4f, 0f, 0f)), // cos 0.832050: hard negative, rank 3
+    (6L, Array(0f, 1f, 0f, 0f)), // cos 0 < floor: easy, dropped
+    (7L, Array(0.7f, 0.35f, 0f, 0f)), // cos 0.894427: hard negative, rank 2
+    (100L, Array(1f, 0f, 0f, 0f)), // the query itself (self excluded)
+    (200L, Array(0f, 0f, 1f, 0f)) // second query, no positives
+  ).toDF("vec_id", "embedding")
+
+  test("hardNegatives: positives excluded, hardness floor and " +
+      "false-negative ceiling both fire, no-positive queries pass through") {
+    val qs = hnCorpus.where($"vec_id" === 100L || $"vec_id" === 200L)
+    // self-pair (100,100) present to prove it is ignored, not a baseline
+    val pos = Seq((100L, 1L), (100L, 2L), (100L, 100L)).toDF("qid", "nid")
+    val out = Similarity.hardNegatives(hnCorpus, qs, pos, k = 10,
+        minMargin = Some(0.05), dropAbovePos = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect()
+    val q100 = out.filter(_._1 == 100L).sortBy(_._3).map(_._2).toSeq
+    assert(q100 == Seq(4L, 7L, 5L),
+      s"expected the three hard negatives in cosine order, got $q100")
+    // qid 200 has no positives: both screens pass through; every
+    // candidate has cos 0 except none — ranks are pure nid tiebreaks
+    val q200 = out.filter(_._1 == 200L).sortBy(_._3).map(_._2).toSeq
+    assert(q200 == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 100L),
+      s"no-baseline query must keep plain top-k with nid ties: $q200")
+  }
+
+  test("hardNegatives with screens off equals brute-force top-k minus positives") {
+    val qs = hnCorpus.where($"vec_id" === 100L)
+    val pos = Seq((100L, 1L), (100L, 2L)).toDF("qid", "nid")
+    val hn = Similarity.hardNegatives(hnCorpus, qs, pos, k = 4)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().toSet
+    val posSet = Set(1L, 2L)
+    val brute = Similarity.bruteForceTopK(hnCorpus, qs, k = 4 + posSet.size)
+      .orderBy("rank").select("qid", "nid").as[(Long, Long)].collect()
+      .filterNot(p => posSet(p._2)).take(4)
+    // same membership; ranks re-densified among the negatives
+    assert(hn.map(p => (p._1, p._2)) == brute.toSet, s"$hn vs ${brute.toSeq}")
+    assert(hn.map(_._3) == Set(1L, 2L, 3L, 4L))
+  }
 }
