@@ -460,7 +460,8 @@ object AnnIndex {
 
   def searchExact(index: IvfPqIndex, queries: DataFrame, k: Int,
                   nprobe: Int, allowed: Option[DataFrame] = None,
-                  where: Option[Column] = None): DataFrame = {
+                  where: Option[Column] = None,
+                  keepScore: Boolean = false): DataFrame = {
     require(hasEmbeddings(index),
       "searchExact needs stored embeddings; this is a codes-only index " +
         "(write(storeEmbeddings = true), or use searchAdc(refine = 0))")
@@ -472,9 +473,13 @@ object AnnIndex {
       .select(col("p.qid").as("qid"), col("c.vec_id").as("nid"),
         Similarity.cosine(col("p.qe"), col("c.embedding")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    joined.withColumn("rank", row_number().over(w).cast(LongType))
+    val ranked = joined.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"))
+    // keepScore feeds score-consuming downstream stages — the
+    // hardNegativesFrom / mmr serving chains — without a re-scoring
+    // join; the default stays the rank-only serving contract
+    if (keepScore) ranked.select(col("qid"), col("nid"), col("cos"), col("rank"))
+    else ranked.select(col("qid"), col("nid"), col("rank"))
   }
 
   /** ADC search over the probed cells: each scanned row costs m table

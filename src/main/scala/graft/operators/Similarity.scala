@@ -862,19 +862,51 @@ object Similarity {
                     dropAbovePos: Boolean = false): DataFrame = {
     val c = fanOut(corpus).withColumn("nrm", norm(col("embedding")))
     val q = queries.withColumn("nrm", norm(col("embedding")))
-    val pos = positives.select(col("qid"), col("nid"))
-      .where(col("qid") =!= col("nid")).distinct()
-    // one pair relation carries both roles: is_pos marks labeled pairs
-    // (baseline side), the rest are negative candidates
     val joined = c.as("c")
       .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
         round(dot(col("q.embedding"), col("c.embedding")) /
           (col("q.nrm") * col("c.nrm")), 6).as("cos"))
+    screenNegatives(joined, positives, k, minMargin, dropAbovePos)
+  }
+
+  /** [[hardNegatives]] over a CALLER-SUPPLIED scored candidate
+    * relation (qid, nid, cos) — the production serving form, the G15
+    * mmrRerankCandidates discipline applied here: candidates come
+    * from `AnnIndex.searchExact`/`searchAdc` or any retriever, so
+    * mining negatives for a training epoch never pays a brute-force
+    * corpus pass. `candidates` must be (qid, nid)-distinct (union
+    * legs through rrfFuse or a max-cos agg first). Positive pairs
+    * PRESENT in the relation form the baseline and are excluded from
+    * the output; positive pairs the retriever cut contribute no
+    * baseline — pass a deeper top-n, or score the bounded positive
+    * set explicitly and union it in, when the baseline must be
+    * exact. cos is re-rounded to 6 dp on entry so any caller's raw
+    * doubles meet the same engine-exact comparison boundary.
+    */
+  def hardNegativesFrom(candidates: DataFrame, positives: DataFrame,
+                        k: Int, minMargin: Option[Double] = None,
+                        dropAbovePos: Boolean = false): DataFrame =
+    screenNegatives(
+      candidates.select(col("qid"), col("nid"),
+        round(col("cos"), 6).as("cos")),
+      positives, k, minMargin, dropAbovePos)
+
+  /** The shared screen: mark positives in the scored pair relation
+    * (baseline side), aggregate the per-qid baseline, apply the floor
+    * and ceiling, rank the survivors. Both shuffles are qid-keyed and
+    * bounded by the query set; positives and baseline broadcast.
+    */
+  private def screenNegatives(scored: DataFrame, positives: DataFrame,
+                              k: Int, minMargin: Option[Double],
+                              dropAbovePos: Boolean): DataFrame = {
+    val pos = positives.select(col("qid"), col("nid"))
+      .where(col("qid") =!= col("nid")).distinct()
+    val marked = scored
       .join(broadcast(pos.withColumn("is_pos", lit(true))),
         Seq("qid", "nid"), "left")
       .withColumn("is_pos", coalesce(col("is_pos"), lit(false)))
-    val base = joined.where(col("is_pos"))
+    val base = marked.where(col("is_pos"))
       .groupBy("qid")
       .agg(min(col("cos")).as("pos_min"), max(col("cos")).as("pos_max"))
     val floor = minMargin.fold(lit(true))(m =>
@@ -882,7 +914,7 @@ object Similarity {
     val ceil = if (!dropAbovePos) lit(true)
       else col("pos_max").isNull || col("cos") <= col("pos_max")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    joined.where(!col("is_pos")).drop("is_pos")
+    marked.where(!col("is_pos")).drop("is_pos")
       .join(broadcast(base), Seq("qid"), "left")
       .where(floor && ceil)
       .withColumn("rank", row_number().over(w).cast(LongType))

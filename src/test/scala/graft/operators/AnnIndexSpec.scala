@@ -122,6 +122,28 @@ class AnnIndexSpec extends SparkSpec {
       s"expected cent_id partition filters in:\n$plan")
   }
 
+  test("hard-negative mining composes over the persisted index: " +
+      "exhaustive-probe candidates equal the brute-force chain") {
+    // the G16 serving form: searchExact(keepScore) feeds
+    // hardNegativesFrom, so an epoch's negatives come off the disk
+    // index with no brute-force corpus pass; exhaustive probes make
+    // the brute chain the exact oracle
+    val pos = queries.select($"vec_id".as("qid"))
+      .withColumn("nid", $"qid" * 7 + 3)
+    val n = emb.count().toInt
+    val cands = AnnIndex.searchExact(index, queries, k = n, nprobe = 16,
+      keepScore = true)
+    val fromIdx = asTuples(Similarity.hardNegativesFrom(cands, pos,
+      k = 5, minMargin = Some(0.1), dropAbovePos = true))
+    val brute = asTuples(Similarity.hardNegatives(emb, queries, pos,
+      k = 5, minMargin = Some(0.1), dropAbovePos = true))
+    assert(fromIdx.nonEmpty, "chain must be non-vacuous at gate scale")
+    assert(fromIdx == brute, s"idx=${fromIdx.take(5)} brute=${brute.take(5)}")
+    // keepScore = false keeps the rank-only serving contract unchanged
+    assert(AnnIndex.searchExact(index, queries, k = 5, nprobe = 16)
+      .columns.toSeq == Seq("qid", "nid", "rank"))
+  }
+
   test("index-resident metadata: where-predicate search equals the " +
       "allowed-set path, pushes into the scan, survives maintenance") {
     val full = Tables.embeddings(spark, sfDir)

@@ -575,6 +575,25 @@ class SimilaritySpec extends SparkSpec {
       s"no-baseline query must keep plain top-k with nid ties: $q200")
   }
 
+  test("hardNegativesFrom over an exhaustive scored relation equals " +
+      "the brute-force form") {
+    val qs = hnCorpus.where($"vec_id" === 100L || $"vec_id" === 200L)
+    val pos = Seq((100L, 1L), (100L, 2L)).toDF("qid", "nid")
+    // caller-supplied candidates: every (q, c) pair scored with the
+    // same kernel but UNROUNDED — From re-rounds on entry
+    val cands = hnCorpus.as("c")
+      .join(broadcast(qs.as("q")), $"q.vec_id" =!= $"c.vec_id")
+      .select($"q.vec_id".as("qid"), $"c.vec_id".as("nid"),
+        Similarity.cosine($"q.embedding", $"c.embedding").as("cos"))
+    val from = Similarity.hardNegativesFrom(cands, pos, k = 10,
+        minMargin = Some(0.05), dropAbovePos = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.hardNegatives(hnCorpus, qs, pos, k = 10,
+        minMargin = Some(0.05), dropAbovePos = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(from == brute, s"from=$from brute=$brute")
+  }
+
   test("hardNegatives with screens off equals brute-force top-k minus positives") {
     val qs = hnCorpus.where($"vec_id" === 100L)
     val pos = Seq((100L, 1L), (100L, 2L)).toDF("qid", "nid")
