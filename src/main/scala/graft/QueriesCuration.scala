@@ -444,6 +444,63 @@ object QueriesCuration {
               < printf('%04x', CAST(floor(least(mix_weight, 1.0) * 65536) AS INT))
         ORDER BY doc_id""")),
 
+    // ---------------------------------- K35 UniMax epoch-capped quotas
+    // closed-form waterfill on a three-band skewed key (46/151/303
+    // docs at sf0.01): the tiny band hits its 4-epoch capacity cap
+    // (quota 184), the surplus splits equally across the other two
+    // (508 each) — both branches of the allocation fire, Σ quota =
+    // budget. The oracle unrolls the same prefix-guarded boundary test
+    // in SQL windows over the bounded per-source table.
+    QueryDef("q_unimax_quotas",
+      (s, d) => Curation.uniMaxQuotas(
+          Tables.documents(s, d).withColumn("band",
+            when(col("doc_id") % 11 === 0, "tiny")
+              .when(col("doc_id") % 3 === 0, "mid")
+              .otherwise("big")),
+          "band", budget = 1200L, maxEpochs = 4)
+        .orderBy("source"),
+      Some("""WITH d AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0 THEN 'tiny'
+                 WHEN doc_id % 3 = 0 THEN 'mid'
+                 ELSE 'big' END AS source
+          FROM documents),
+        c AS (SELECT source, COUNT(*) AS n_docs, COUNT(*) * 4 AS capacity
+              FROM d GROUP BY 1),
+        r AS (SELECT *, row_number() OVER (ORDER BY capacity, source) AS r,
+                SUM(capacity) OVER (ORDER BY capacity, source
+                  ROWS UNBOUNDED PRECEDING) AS prefix,
+                COUNT(*) OVER () AS m
+              FROM c),
+        f AS (SELECT *,
+                (CAST(1200 AS DOUBLE) - (prefix - capacity)) / (m - r + 1)
+                  AS share_r
+              FROM r),
+        g AS (SELECT *,
+                MIN(CASE WHEN capacity <= share_r THEN 1 ELSE 0 END)
+                  OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) = 1 AS is_capped
+              FROM f),
+        h AS (SELECT *,
+                SUM(CASE WHEN is_capped THEN capacity ELSE 0 END) OVER ()
+                  AS capped_sum,
+                SUM(CASE WHEN is_capped THEN 0 ELSE 1 END) OVER ()
+                  AS n_uncapped
+              FROM g),
+        u AS (SELECT *,
+                row_number() OVER (PARTITION BY is_capped ORDER BY source)
+                  AS ru,
+                1200 - capped_sum AS rem
+              FROM h),
+        q AS (SELECT source, n_docs, capacity,
+                CAST(CASE WHEN is_capped THEN capacity
+                     ELSE floor(CAST(rem AS DOUBLE) / n_uncapped) +
+                       (CASE WHEN ru <= rem % n_uncapped THEN 1 ELSE 0 END)
+                     END AS BIGINT) AS quota
+              FROM u)
+        SELECT source, n_docs, capacity, quota,
+          round(CAST(quota AS DOUBLE) / n_docs, 6) AS epochs
+        FROM q ORDER BY source""")),
+
     // ------------------------------------ K33 temperature source mix
     // p_i ∝ n_i^0.5 realized as per-source keep fraction
     // (n_i/n_min)^(−0.5), rounded 6 dp before the 16-bit threshold so

@@ -111,6 +111,69 @@ object Curation {
       .drop("n_src", "n_min")
   }
 
+  /** UniMax epoch-capped source quotas (K35): allocate a token/doc
+    * budget as UNIFORMLY as possible across sources, capping every
+    * source at `maxEpochs` passes over its data — the UniMax sampling
+    * recipe (Chung et al., 2023), the deterministic-budget complement
+    * to [[temperatureMix]]'s n^α keep fractions: temperature trades
+    * low-resource coverage smoothly, UniMax maximizes it under an
+    * explicit repetition ceiling (past a few epochs, repeats hurt).
+    *
+    * Closed-form waterfill instead of UniMax's iterative statement:
+    * with capacities c_i = n_i·maxEpochs ASCENDING, source r is capped
+    * iff c_r ≤ (B − P(r−1)) / (m − r + 1) (budget left after filling
+    * every smaller source, split over the rest); the flag is
+    * prefix-guarded (min over ranks ≤ r) so the boundary is exact, and
+    * everything past the boundary gets the equal share. Integerized
+    * exactly: the remainder R mod u goes one doc each to the first
+    * (source-ascending) uncapped sources, so Σ quota = min(B, Σ c)
+    * with no source over its capacity. Returns one row per source:
+    * (source, n_docs, capacity, quota, epochs = quota/n_docs @ 6 dp).
+    *
+    * Scale shape: ONE map-side-combined groupBy(source) count; every
+    * window after it runs on the bounded per-source table (the K34
+    * quota-table justification — rows = |sources|, not |corpus|).
+    * Materialize the quotas with [[groupSample]]'s per-source
+    * BoundedMinK fill (k = quota) exactly as K34 fills strata.
+    */
+  def uniMaxQuotas(df: DataFrame, sourceCol: String, budget: Long,
+                   maxEpochs: Int): DataFrame = {
+    require(budget >= 0, s"budget out of range: $budget")
+    require(maxEpochs >= 1, s"maxEpochs out of range: $maxEpochs")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("capacity", col("n_docs") * maxEpochs)
+    val byCap = Window.orderBy(col("capacity").asc, col("source").asc)
+    val all = Window.partitionBy()
+    val ranked = counts
+      .withColumn("r", row_number().over(byCap))
+      .withColumn("prefix", sum(col("capacity")).over(byCap))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("share_r",
+        (lit(budget).cast(DoubleType) - (col("prefix") - col("capacity"))) /
+          (col("m") - col("r") + 1))
+      .withColumn("is_capped",
+        min(when(col("capacity") <= col("share_r"), 1).otherwise(0))
+          .over(byCap.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)) === 1)
+      .withColumn("capped_sum",
+        sum(when(col("is_capped"), col("capacity")).otherwise(0L)).over(all))
+      .withColumn("n_uncapped",
+        sum(when(col("is_capped"), 0L).otherwise(1L)).over(all))
+      .withColumn("ru", row_number().over(
+        Window.partitionBy("is_capped").orderBy(col("source").asc)))
+    val remaining = lit(budget) - col("capped_sum")
+    ranked
+      .withColumn("quota",
+        when(col("is_capped"), col("capacity"))
+          .otherwise(floor(remaining / col("n_uncapped")) +
+            when(col("ru") <= remaining % col("n_uncapped"), 1L)
+              .otherwise(0L)).cast(LongType))
+      .withColumn("epochs",
+        round(col("quota").cast(DoubleType) / col("n_docs"), 6))
+      .select("source", "n_docs", "capacity", "quota", "epochs")
+  }
+
   /** Exact-size deterministic sample (K21): the k rows with the
     * smallest md5 key — "uniform without replacement" with a hash in
     * place of the RNG. Plans as TakeOrderedAndProject: per-partition

@@ -96,6 +96,10 @@ class PlanBudgetSpec extends SparkSpec {
     // shuffle only; quota join broadcast; the pick side and the
     // reattach side each scan the corpus once (the bounded count
     // table is collected before this plan exists)
+    "q_unimax_quotas" -> (1, 1, 1), // ONE map-side-combined
+    // groupBy(source) shuffle; every waterfill window runs on the
+    // bounded per-source table (SinglePartition exchanges over
+    // |sources| rows, not counted here and not corpus-scaled)
     "q_dedup_lines_doc" -> (0, 1, 1), // F11 is strictly map-only: one
     // corpus scan, zero hash exchanges; the range exchange is the
     // gate's output orderBy

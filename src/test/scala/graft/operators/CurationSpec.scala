@@ -669,6 +669,45 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("uniMaxQuotas: waterfill caps small sources at maxEpochs, splits " +
+      "the surplus equally, conserves the budget exactly") {
+    val rows = (0 until 300).map(i =>
+      (i.toLong, if (i < 200) "big" else if (i < 280) "mid" else "small"))
+      .toDF("doc_id", "source")
+    def quotas(b: Long, e: Int) =
+      Curation.uniMaxQuotas(rows, "source", b, e).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("capacity"),
+            r.getAs[Long]("quota"), r.getAs[Double]("epochs"))).toMap
+    // capacities at 2 epochs: big 400, mid 160, small 40 (total 600).
+    // budget 300: small capped? share asc [small 40, mid 160, big 400]:
+    // share(1)=100 >= 40 -> capped; share(2)=(300-40)/2=130 < 160 ->
+    // uncapped; R=260, u=2 -> 130 each
+    val q = quotas(300L, 2)
+    assert(q("small") == ((20L, 40L, 40L, 2.0)), s"$q")
+    assert(q("mid")._3 == 130L && q("big")._3 == 130L, s"$q")
+    assert(q.values.map(_._3).sum == 300L, "quotas must sum to the budget")
+    assert(q.forall { case (_, (_, cap, quota, _)) => quota <= cap },
+      "no source may exceed its epoch capacity")
+    // odd remainder goes to the FIRST uncapped source in name order
+    // ('big' < 'mid'): 261/2 -> big 131, mid 130
+    val q1 = quotas(301L, 2)
+    assert(q1("big")._3 == 131L && q1("mid")._3 == 130L, s"$q1")
+    assert(q1.values.map(_._3).sum == 301L)
+    // budget beyond total capacity: every source serves its capacity
+    val qBig = quotas(10000L, 2)
+    assert(qBig.forall { case (_, (_, cap, quota, _)) => quota == cap },
+      s"$qBig")
+    // epochs column: quota/n_docs at 6 dp
+    assert(q("mid")._4 == math.rint(130.0 / 80 * 1e6) / 1e6)
+    intercept[IllegalArgumentException] {
+      Curation.uniMaxQuotas(rows, "source", -1L, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.uniMaxQuotas(rows, "source", 10L, 0)
+    }
+  }
+
   test("dsirWeights: exactHash (md5 oracle) mode preserves invariants " +
       "and gram counts match the fast kernel") {
     val docs = Seq(
