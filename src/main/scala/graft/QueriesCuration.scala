@@ -501,6 +501,73 @@ object QueriesCuration {
           round(CAST(quota AS DOUBLE) / n_docs, 6) AS epochs
         FROM q ORDER BY source""")),
 
+    // ------------------------------ K35 UniMax quota materialization
+    // the serve half: per-document repetition counts such that every
+    // source sums exactly to its waterfilled quota — full epochs for
+    // everyone plus the rem smallest-md5 docs once more. The oracle
+    // reuses the waterfill CTE and fills with a per-source md5-rank
+    // window; the engine fills with the BoundedMinK aggregate.
+    QueryDef("q_unimax_sample",
+      (s, d) => Curation.uniMaxSample(
+          Tables.documents(s, d).withColumn("band",
+            when(col("doc_id") % 11 === 0, "tiny")
+              .when(col("doc_id") % 3 === 0, "mid")
+              .otherwise("big"))
+            .select("doc_id", "band"),
+          "band", "doc_id", budget = 1200L, maxEpochs = 4)
+        .select("doc_id", "band", "n_repeats")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0 THEN 'tiny'
+                 WHEN doc_id % 3 = 0 THEN 'mid'
+                 ELSE 'big' END AS source
+          FROM documents),
+        c AS (SELECT source, COUNT(*) AS n_docs, COUNT(*) * 4 AS capacity
+              FROM d GROUP BY 1),
+        r AS (SELECT *, row_number() OVER (ORDER BY capacity, source) AS r,
+                SUM(capacity) OVER (ORDER BY capacity, source
+                  ROWS UNBOUNDED PRECEDING) AS prefix,
+                COUNT(*) OVER () AS m
+              FROM c),
+        f AS (SELECT *,
+                (CAST(1200 AS DOUBLE) - (prefix - capacity)) / (m - r + 1)
+                  AS share_r
+              FROM r),
+        g AS (SELECT *,
+                MIN(CASE WHEN capacity <= share_r THEN 1 ELSE 0 END)
+                  OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) = 1 AS is_capped
+              FROM f),
+        h AS (SELECT *,
+                SUM(CASE WHEN is_capped THEN capacity ELSE 0 END) OVER ()
+                  AS capped_sum,
+                SUM(CASE WHEN is_capped THEN 0 ELSE 1 END) OVER ()
+                  AS n_uncapped
+              FROM g),
+        u AS (SELECT *,
+                row_number() OVER (PARTITION BY is_capped ORDER BY source)
+                  AS ru,
+                1200 - capped_sum AS rem_b
+              FROM h),
+        q AS (SELECT source, n_docs,
+                CAST(CASE WHEN is_capped THEN capacity
+                     ELSE floor(CAST(rem_b AS DOUBLE) / n_uncapped) +
+                       (CASE WHEN ru <= rem_b % n_uncapped THEN 1 ELSE 0 END)
+                     END AS BIGINT) AS quota
+              FROM u),
+        p AS (SELECT source, quota // n_docs AS base, quota % n_docs AS rem
+              FROM q),
+        rn AS (SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM d)
+        SELECT doc_id, source AS band,
+          CAST(base + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS BIGINT)
+            AS n_repeats
+        FROM rn JOIN p USING (source)
+        WHERE base + CASE WHEN rn <= rem THEN 1 ELSE 0 END >= 1
+        ORDER BY doc_id""")),
+
     // ------------------------------------ K33 temperature source mix
     // p_i ∝ n_i^0.5 realized as per-source keep fraction
     // (n_i/n_min)^(−0.5), rounded 6 dp before the 16-bit threshold so

@@ -174,6 +174,61 @@ object Curation {
       .select("source", "n_docs", "capacity", "quota", "epochs")
   }
 
+  /** Materialize [[uniMaxQuotas]] as per-document repetition counts
+    * (K35's serve half): every source serves quota_i documents WITH
+    * repetition — each of its n_i documents repeats base = quota_i
+    * div n_i times, and the (quota_i mod n_i) smallest-md5 documents
+    * repeat once more, so Σ n_repeats per source == quota_i exactly,
+    * no document repeats more than maxEpochs times, and the bumped
+    * set is the deterministic K21 hash order. Documents in sources
+    * whose quota rounds to zero epochs drop. Returns the input row +
+    * `n_repeats` (≥ 1); the training-data writer explodes it (or
+    * feeds a repeat-aware loader).
+    *
+    * Scale shape: the quota table collects driver-side (bounded —
+    * one row per source, the K34 sanction) and broadcasts back; the
+    * remainder fill is the K34 BoundedMinK aggregate keyed by source
+    * (buffer = max remainder, under one source's doc count by
+    * construction), never a corpus-keyed window.
+    */
+  def uniMaxSample(df: DataFrame, sourceCol: String, idCol: String,
+                   budget: Long, maxEpochs: Int): DataFrame = {
+    val spark = df.sparkSession
+    val plan = uniMaxQuotas(df, sourceCol, budget, maxEpochs).collect()
+      .map { r =>
+        val (n, q) = (r.getAs[Long]("n_docs"), r.getAs[Long]("quota"))
+        (r.getAs[Any]("source"), q / n, q % n)
+      }
+    val maxRem = plan.map(_._3).max.toInt
+    import scala.jdk.CollectionConverters._
+    val planDf = spark.createDataFrame(
+      plan.map { case (g, b, rm) => org.apache.spark.sql.Row(g, b, rm) }
+        .toSeq.asJava,
+      StructType(Seq(df.schema(sourceCol).copy(name = "_grp"),
+        StructField("_base", LongType, nullable = false),
+        StructField("_rem", LongType, nullable = false))))
+    val pick = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BoundedMinK(math.max(maxRem, 1)))
+    // rem-smallest ids per source; slice(_, 1, 0) is empty, so a
+    // zero-remainder source simply bumps nobody
+    val bumped = df
+      .select(md5(col(idCol).cast(StringType)).as("_k"),
+        col(idCol).cast(LongType).as("_sid"), col(sourceCol))
+      .groupBy(sourceCol).agg(pick(col("_k"), col("_sid")).as("_ids"))
+      .join(broadcast(planDf), col(sourceCol) <=> col("_grp"))
+      .select(col("_grp").as("_bgrp"),
+        explode(slice(col("_ids"), lit(1), col("_rem").cast(IntegerType)))
+          .as("_bid"))
+    df.join(broadcast(planDf), df(sourceCol) <=> col("_grp"), "inner")
+      .join(bumped, df(sourceCol) <=> col("_bgrp") &&
+        col(idCol).cast(LongType) === col("_bid"), "left")
+      .withColumn("n_repeats",
+        (col("_base") + when(col("_bid").isNotNull, 1L).otherwise(0L))
+          .cast(LongType))
+      .where(col("n_repeats") >= 1)
+      .drop("_grp", "_base", "_rem", "_bgrp", "_bid")
+  }
+
   /** Exact-size deterministic sample (K21): the k rows with the
     * smallest md5 key — "uniform without replacement" with a hash in
     * place of the RNG. Plans as TakeOrderedAndProject: per-partition

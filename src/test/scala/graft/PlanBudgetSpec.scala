@@ -96,6 +96,10 @@ class PlanBudgetSpec extends SparkSpec {
     // shuffle only; quota join broadcast; the pick side and the
     // reattach side each scan the corpus once (the bounded count
     // table is collected before this plan exists)
+    "q_unimax_sample" -> (1, 1, 2), // the K34 fill shape: ONE
+    // BoundedMinK agg shuffle for the remainder bumps; plan table
+    // broadcast (collected before this plan exists); main + fill
+    // sides each scan the corpus once
     "q_unimax_quotas" -> (1, 1, 1), // ONE map-side-combined
     // groupBy(source) shuffle; every waterfill window runs on the
     // bounded per-source table (SinglePartition exchanges over

@@ -708,6 +708,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("uniMaxSample: per-source repeats sum exactly to the quota, " +
+      "respect the epoch cap, and bump the smallest-md5 docs") {
+    val rows = (0 until 300).map(i =>
+      (i.toLong, if (i < 200) "big" else if (i < 280) "mid" else "small"))
+      .toDF("doc_id", "source")
+    // budget 300 @ 2 epochs: small capped at 40 (2.0 epochs), mid/big
+    // 130 each (mid: base 1 rem 50; big: base 0 rem 130 — 70 big docs
+    // drop entirely, exercising the n_repeats = 0 filter)
+    val out = Curation.uniMaxSample(rows, "source", "doc_id", 300L, 2)
+    val bySrc = out.groupBy("source")
+      .agg(sum("n_repeats").as("served"), count(lit(1)).as("kept"),
+        max("n_repeats").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(bySrc("small") == ((40L, 20L, 2L)), s"$bySrc")
+    assert(bySrc("mid") == ((130L, 80L, 2L)), s"$bySrc")
+    assert(bySrc("big") == ((130L, 130L, 1L)), s"$bySrc")
+    assert(out.agg(sum("n_repeats")).head().getLong(0) == 300L,
+      "total served must equal the budget")
+    // the bumped mid docs are exactly its 50 smallest-md5 ids
+    val midBumped = out.where($"source" === "mid" && $"n_repeats" === 2L)
+      .select("doc_id").as[Long].collect().toSet
+    val engineRank = rows.where($"source" === "mid")
+      .select($"doc_id", md5($"doc_id".cast("string")).as("k"))
+      .orderBy("k", "doc_id").limit(50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(midBumped == engineRank, "bumps must be the smallest-md5 set")
+    // deterministic across runs
+    val again = Curation.uniMaxSample(rows, "source", "doc_id", 300L, 2)
+      .select("doc_id", "n_repeats").as[(Long, Long)].collect().toSet
+    val first = out.select("doc_id", "n_repeats").as[(Long, Long)]
+      .collect().toSet
+    assert(again == first)
+  }
+
   test("dsirWeights: exactHash (md5 oracle) mode preserves invariants " +
       "and gram counts match the fast kernel") {
     val docs = Seq(
