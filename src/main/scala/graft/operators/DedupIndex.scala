@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted near-dup signature index (SURVEY F12) — the DEDUP member
+  * of the index trifecta (G11 ANN cells, H18 BM25 postings, F12 LSH
+  * bands), closing the same scale gap in the dedup family that those
+  * two closed for retrieval: [[graft.streaming.IncrementalDedup]]'s
+  * signature store is correct and exactly-once, but every batch
+  * re-reads and re-BANDS the ENTIRE store — per-batch screening cost
+  * tracks corpus size, the exact shape the other indexes eliminated.
+  * This operator persists the banded keys hash-bucketed ON DISK, so
+  * screening a batch reads only the bucket partitions the batch's own
+  * band keys collide with — the collision slice, never the corpus.
+  * (Reference analog: the partition-pruned ParquetDataset read,
+  * python/pyarrow/parquet.py `ParquetDataset(filters=...)`.)
+  *
+  * On-disk layout under `dir` (CURRENT-pointer versioned, the
+  * [[IndexVersions]] discipline — atomic publication, pinned readers,
+  * crash-safe rebuilds):
+  *   bands.vN/bucket=B/batch_id=b/ — (doc_id, band, bh): LSH band
+  *       keys, bucket = pmod(xxhash64(band, bh), nBuckets). batch_id
+  *       is 0 for build rows; appends land in their OWN (bucket,
+  *       batch_id) partitions via dynamic overwrite, so a replayed
+  *       batch overwrites its partial write instead of
+  *       double-appending (the IncrementalDedup exactly-once
+  *       discipline, kept verbatim).
+  *   sigs.vN/sbucket=S/batch_id=b/ — (doc_id, sig): full signatures
+  *       for the estimate-Jaccard verify, bucketed by doc-id hash so
+  *       the verify join also reads only candidate buckets.
+  *   meta.vN/ — one row (num_perm, bands, n_buckets, n_sig_buckets);
+  *       opening runs no corpus job.
+  *
+  * Screening cost model at 100 TB: a batch with D docs emits
+  * D × bands band keys hitting ≤ min(D·bands, nBuckets) bucket
+  * partitions; the store side of the candidate join is those
+  * partitions only. The verify pass reads ≤ nSigBuckets sig
+  * partitions chosen by the CANDIDATES' doc hashes (a bounded collect
+  * of distinct bucket ids — the AnnIndex probe-set sanction). Neither
+  * pass scans or re-hashes the store; [[IncrementalDedup.dedupBatch]]
+  * pays both on every batch.
+  *
+  * Semantics are pinned to dedupBatch EXACTLY (spec-proven equal):
+  * a new doc drops iff its estimated signature Jaccard reaches
+  * `threshold` against any store doc or any earlier (smaller-id) doc
+  * of the same batch; dropped pairs carry the 6-dp estimate.
+  */
+object DedupIndex {
+
+  final case class Index(spark: SparkSession, dir: String,
+                         numPerm: Int, bands: Int,
+                         nBuckets: Int, nSigBuckets: Int,
+                         bandsDir: String, sigsDir: String, version: Long) {
+    def bandRows: DataFrame = spark.read.parquet(bandsDir)
+    def sigRows: DataFrame = spark.read.parquet(sigsDir)
+  }
+
+  /** clean batch rows + (new_id, matched_id, est_jaccard) dropped
+    * pairs + the survivors' signatures (what [[appendBatch]] takes).
+    */
+  final case class ScreenResult(clean: DataFrame, dropped: DataFrame,
+                                cleanSigs: DataFrame)
+
+  private def bandBucket(band: Column, bh: Column, n: Int): Column =
+    pmod(xxhash64(band, bh), lit(n.toLong)).cast(LongType)
+
+  private def sigBucket(id: Column, n: Int): Column =
+    pmod(xxhash64(id), lit(n.toLong)).cast(LongType)
+
+  /** (doc_id, band, bh) from a (doc_id, sig) relation. */
+  private def banded(sigs: DataFrame, bands: Int): DataFrame = {
+    import graft.functions.{exprs, LshBandKeys}
+    sigs.select(col("doc_id"),
+      posexplode(exprs.toColumn(LshBandKeys(exprs.toExpr(col("sig")), bands)))
+        .as(Seq("band", "bh")))
+  }
+
+  /** Build from a corpus and publish as the next version. One
+    * signature pass; both relations write salted (`filesPerBucket`
+    * writer tasks per bucket — the AnnIndex filesPerCell pattern, so
+    * the bucket holding the hottest collision keys doesn't serialize
+    * one writer).
+    *
+    * Sizing rule: pruning bites only when nBuckets >> batch · bands
+    * (a batch's band keys hit ≤ min(batch·bands, nBuckets) buckets —
+    * once they cover every bucket the "pruned" read is the full store
+    * plus overhead). This index serves the MICRO-BATCH regime —
+    * continuous ingest screening small batches against a huge store,
+    * IncrementalDedup's production shape — where batch·bands is tiny
+    * against nBuckets; for corpus-sized batches a full-store pass
+    * amortizes over the batch and dedupBatch's shape is already
+    * right. The smoke tool measures the slope of both.
+    */
+  def write(docs: DataFrame, idCol: String, textCol: String, dir: String,
+            numPerm: Int = 64, bands: Int = 16,
+            nBuckets: Int = 1024, nSigBuckets: Int = 256,
+            filesPerBucket: Int = 2): Index = {
+    require(numPerm >= bands && numPerm % bands == 0,
+      s"numPerm must be a positive multiple of bands: $numPerm/$bands")
+    require(nBuckets >= 1 && nSigBuckets >= 1 && filesPerBucket >= 1,
+      s"bucket params out of range: $nBuckets/$nSigBuckets/$filesPerBucket")
+    val spark = docs.sparkSession
+    val v = IndexVersions.current(spark, dir).getOrElse(0L) + 1L
+    val sigs = Dedup.minhashSignature(docs, idCol, textCol, numPerm)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      banded(sigs, bands)
+        .withColumn("bucket", bandBucket(col("band"), col("bh"), nBuckets))
+        .withColumn("batch_id", lit(0L))
+        .repartition(nBuckets * filesPerBucket, col("bucket"),
+          pmod(xxhash64(col("doc_id")), lit(filesPerBucket.toLong)))
+        .write.mode("overwrite").partitionBy("bucket", "batch_id")
+        .parquet(s"$dir/bands.v$v")
+      sigs
+        .withColumn("sbucket", sigBucket(col("doc_id"), nSigBuckets))
+        .withColumn("batch_id", lit(0L))
+        .repartition(nSigBuckets, col("sbucket"))
+        .write.mode("overwrite").partitionBy("sbucket", "batch_id")
+        .parquet(s"$dir/sigs.v$v")
+      spark.range(1).select(lit(numPerm).as("num_perm"),
+          lit(bands).as("bands"), lit(nBuckets).as("n_buckets"),
+          lit(nSigBuckets).as("n_sig_buckets"))
+        .write.mode("overwrite").parquet(s"$dir/meta.v$v")
+    } finally sigs.unpersist()
+    IndexVersions.publish(spark, dir, v)
+    open(spark, dir)
+  }
+
+  def open(spark: SparkSession, dir: String): Index = {
+    val (bandsDir, v) = IndexVersions.resolve(spark, dir, "bands")
+    val m = spark.read.parquet(
+      IndexVersions.resolve(spark, dir, "meta")._1).collect()(0)
+    Index(spark, dir, m.getAs[Int]("num_perm"), m.getAs[Int]("bands"),
+      m.getAs[Int]("n_buckets"), m.getAs[Int]("n_sig_buckets"),
+      bandsDir, IndexVersions.resolve(spark, dir, "sigs")._1, v)
+  }
+
+  /** Screen a batch against the store (and itself, keep-first) —
+    * [[graft.streaming.IncrementalDedup.dedupBatch]] semantics served
+    * from the bucket-pruned disk index. `beforeBatch = Some(b)` reads
+    * only store rows with batch_id < b (the replay rule: a re-run
+    * batch must not see its own partial append).
+    *
+    * Cache lifecycle: the batch signatures and the candidate relation
+    * persist (MEMORY_AND_DISK) because the probe-set collects and the
+    * returned lazy results both consume them; both are bounded by the
+    * batch, and live until the session evicts them — the documented
+    * mediaNearDups signature-cache lifecycle applies.
+    */
+  def screenBatch(index: Index, newDocs: DataFrame, idCol: String,
+                  textCol: String, threshold: Double = 0.8,
+                  beforeBatch: Option[Long] = None): ScreenResult = {
+    val newSigs = Dedup.minhashSignature(newDocs, idCol, textCol,
+        index.numPerm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = banded(newSigs, index.bands)
+      .withColumn("bucket",
+        bandBucket(col("band"), col("bh"), index.nBuckets))
+    // the batch's collision footprint: ≤ nBuckets values, the bounded
+    // probe-set collect every index here uses (AnnIndex probes, BM25
+    // query buckets)
+    val buckets = nb.select("bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val horizon = beforeBatch.fold(lit(true))(b => col("batch_id") < b)
+    val store =
+      if (buckets.isEmpty) index.bandRows.where(lit(false))
+      else index.bandRows
+        .where(col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*) &&
+          horizon)
+    // store candidates + earlier-in-batch candidates (keep-first)
+    val storeCands = nb.as("n")
+      .join(store.as("o"),
+        col("n.band") === col("o.band") && col("n.bh") === col("o.bh") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("matched_id"))
+    val batchCands = nb.as("n")
+      .join(nb.as("o"),
+        col("n.band") === col("o.band") && col("n.bh") === col("o.bh") &&
+          col("o.doc_id") < col("n.doc_id"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("matched_id"))
+    val cands = storeCands.unionByName(batchCands).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify: matched-side sigs from the sig-bucket slice the
+    // candidates actually hit (bounded collect of ≤ nSigBuckets ids);
+    // new-side sigs are batch-local
+    val sbuckets = cands
+      .select(sigBucket(col("matched_id"), index.nSigBuckets).as("sb"))
+      .distinct().collect().map(_.getLong(0))
+    val matchedSigs =
+      if (sbuckets.isEmpty)
+        newSigs.select(col("doc_id").as("matched_id"),
+          col("sig").as("sig_o")).limit(0)
+      else index.sigRows
+        .where(col("sbucket").isin(sbuckets.map(_.asInstanceOf[Any]): _*) &&
+          horizon)
+        .select(col("doc_id").as("matched_id"), col("sig").as("sig_o"))
+    // earlier-in-batch matches verify against batch-local sigs
+    val allMatched = matchedSigs.unionByName(
+      newSigs.select(col("doc_id").as("matched_id"), col("sig").as("sig_o")))
+    val dropped = cands
+      .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("sig_n")),
+        "new_id")
+      .join(allMatched, "matched_id")
+      .withColumn("est_jaccard",
+        round(Dedup.signatureJaccard(col("sig_n"), col("sig_o")), 6))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("matched_id"), col("est_jaccard"))
+      .distinct()
+    val dupIds = dropped.select(col("new_id").as(idCol)).distinct()
+    val clean = newDocs.join(dupIds, Seq(idCol), "left_anti")
+    val cleanSigs = newSigs.join(
+      dupIds.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"), "left_anti")
+    ScreenResult(clean, dropped, cleanSigs)
+  }
+
+  /** Append a screened batch's surviving signatures into the live
+    * version's bucket partitions. `batchId` must be ≥ 1 and unique per
+    * source batch; dynamic partition overwrite makes a replay
+    * overwrite its own partitions (exactly-once under the foreachBatch
+    * contract). Single-writer per batchId, like every maintenance op
+    * here.
+    */
+  def appendBatch(index: Index, sigs: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 1, s"batchId must be >= 1 (0 is the build): $batchId")
+    val dyn = Map("partitionOverwriteMode" -> "dynamic")
+    banded(sigs, index.bands)
+      .withColumn("bucket",
+        bandBucket(col("band"), col("bh"), index.nBuckets))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").options(dyn)
+      .partitionBy("bucket", "batch_id").parquet(index.bandsDir)
+    sigs.select(col("doc_id"), col("sig"))
+      .withColumn("sbucket", sigBucket(col("doc_id"), index.nSigBuckets))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("sbucket"))
+      .write.mode("overwrite").options(dyn)
+      .partitionBy("sbucket", "batch_id").parquet(index.sigsDir)
+  }
+
+  /** Drop all versions but the live one (maintenance window only). */
+  def vacuum(index: Index): Unit =
+    IndexVersions.vacuum(index.spark, index.dir, index.version,
+      Seq("bands", "sigs", "meta"))
+}

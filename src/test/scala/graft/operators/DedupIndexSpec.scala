@@ -1,0 +1,125 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.streaming.IncrementalDedup
+import org.apache.spark.sql.DataFrame
+
+class DedupIndexSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog again and again"
+
+  private lazy val corpus =
+    graft.Tables.documents(spark, sfDir).select($"doc_id", $"text")
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("new_id", "matched_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("screenBatch from disk equals dedupBatch against the raw store") {
+    // store = 2/3 of the corpus, batch = the rest + planted dups; the
+    // real corpus carries natural near-dup pairs (measured J up to
+    // 0.99), so this exercises genuine collisions, not just plants
+    val store = corpus.where($"doc_id" % 3 =!= 0)
+    val batch = corpus.where($"doc_id" % 3 === 0)
+    val dir = Files.createTempDirectory("graft-dedupidx").toString
+    val idx = DedupIndex.write(store, "doc_id", "text", dir,
+      nBuckets = 16, nSigBuckets = 8)
+    val fromDisk = DedupIndex.screenBatch(idx, batch, "doc_id", "text",
+      threshold = 0.8)
+    val storeSigs = Dedup.minhashSignature(store, "doc_id", "text")
+    val recompute = IncrementalDedup.dedupBatch(batch, "doc_id", "text",
+      Some(storeSigs), threshold = 0.8)
+    assert(pairs(fromDisk.dropped) == pairs(recompute.dropped),
+      "dropped pairs must match the recompute path exactly")
+    val cleanDisk = fromDisk.clean.select("doc_id").as[Long].collect().toSet
+    val cleanRe = recompute.clean.select("doc_id").as[Long].collect().toSet
+    assert(cleanDisk == cleanRe && cleanDisk.nonEmpty)
+    assert(fromDisk.cleanSigs.select("doc_id").as[Long].collect().toSet ==
+      recompute.cleanSigs.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("screening prunes band-bucket partitions on disk") {
+    val dir = Files.createTempDirectory("graft-dedupidx-prune").toString
+    val idx = DedupIndex.write(corpus, "doc_id", "text", dir,
+      nBuckets = 32, nSigBuckets = 8)
+    // a one-doc batch collides with at most `bands` buckets of 32
+    val one = Seq((90001L, baseText)).toDF("doc_id", "text")
+    val res = DedupIndex.screenBatch(idx, one, "doc_id", "text")
+    res.dropped.count() // force the plan
+    val plan = idx.bandRows
+      .where($"bucket".isin(0L, 1L))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters:") && plan.contains("bucket"),
+      s"bucket must be a partition column:\n$plan")
+    // the screen's own store read touches only the batch's collision
+    // buckets: every file it reads sits under one of those partitions
+    val nb = Dedup.minhashSignature(one, "doc_id", "text", idx.numPerm)
+    import graft.functions.{exprs, LshBandKeys}
+    import org.apache.spark.sql.functions._
+    val hit = nb.select(posexplode(exprs.toColumn(
+        LshBandKeys(exprs.toExpr(col("sig")), idx.bands))).as(Seq("band", "bh")))
+      .select(pmod(xxhash64(col("band"), col("bh")), lit(32L)).as("b"))
+      .distinct().as[Long].collect().toSet
+    assert(hit.size <= idx.bands)
+    // input_file_name() reflects the files ACTUALLY read after
+    // partition pruning (inputFiles lists the unpruned relation)
+    val readFiles = idx.bandRows
+      .where(col("bucket").isin(hit.toSeq.map(_.asInstanceOf[Any]): _*))
+      .select(input_file_name()).distinct().as[String].collect().toSeq
+    assert(readFiles.nonEmpty &&
+      readFiles.forall(f => hit.exists(b => f.contains(s"bucket=$b"))),
+      s"pruned read must stay inside colliding buckets: $readFiles")
+    // and the full relation has more files than the pruned slice
+    assert(idx.bandRows.inputFiles.length > readFiles.length)
+  }
+
+  test("appendBatch: appended docs screen as duplicates; a replayed " +
+      "append overwrites itself (no double rows)") {
+    val dir = Files.createTempDirectory("graft-dedupidx-append").toString
+    val store = corpus.where($"doc_id" % 3 =!= 0)
+    val idx = DedupIndex.write(store, "doc_id", "text", dir,
+      nBuckets = 16, nSigBuckets = 8)
+    val b1 = Seq((70001L, baseText), (70002L, "first appended unique body"))
+      .toDF("doc_id", "text")
+    val r1 = DedupIndex.screenBatch(idx, b1, "doc_id", "text",
+      beforeBatch = Some(1L))
+    DedupIndex.appendBatch(idx, r1.cleanSigs, batchId = 1L)
+    // a later batch duplicating an appended doc drops against it
+    val b2 = Seq((80001L, baseText)).toDF("doc_id", "text")
+    val r2 = DedupIndex.screenBatch(idx, b2, "doc_id", "text",
+      beforeBatch = Some(2L))
+    val matched = r2.dropped.select("matched_id").as[Long].collect().toSet
+    assert(matched.contains(70001L),
+      s"batch-2 dup must match the appended doc: $matched")
+    // replay batch 1: same screen (its own append invisible), and the
+    // re-append leaves the store byte-identical in row counts
+    val before = idx.bandRows.count()
+    val r1b = DedupIndex.screenBatch(idx, b1, "doc_id", "text",
+      beforeBatch = Some(1L))
+    assert(pairs(r1b.dropped) == pairs(r1.dropped))
+    DedupIndex.appendBatch(idx, r1b.cleanSigs, batchId = 1L)
+    assert(idx.bandRows.count() == before, "replayed append must overwrite")
+  }
+
+  test("versioned publication: a rebuild publishes v+1, a pinned " +
+      "reader keeps serving, vacuum reclaims") {
+    val dir = Files.createTempDirectory("graft-dedupidx-ver").toString
+    val v1 = DedupIndex.write(corpus.where($"doc_id" < 100), "doc_id",
+      "text", dir, nBuckets = 8, nSigBuckets = 4)
+    val pinned = DedupIndex.open(spark, dir)
+    val v2 = DedupIndex.write(corpus, "doc_id", "text", dir,
+      nBuckets = 8, nSigBuckets = 4)
+    assert(v2.version == v1.version + 1)
+    assert(pinned.version == v1.version &&
+      pinned.bandsDir != v2.bandsDir)
+    // the pinned reader still reads its own version's files
+    assert(pinned.bandRows.count() > 0)
+    DedupIndex.vacuum(v2)
+    assert(DedupIndex.open(spark, dir).version == v2.version)
+    intercept[Exception] { pinned.bandRows.count() } // files reclaimed
+  }
+}
