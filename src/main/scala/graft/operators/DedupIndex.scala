@@ -59,9 +59,15 @@ object DedupIndex {
 
   /** clean batch rows + (new_id, matched_id, est_jaccard) dropped
     * pairs + the survivors' signatures (what [[appendBatch]] takes).
+    * `release()` unpersists the screen's internal cached relations —
+    * call it once the results are consumed (a long-running stream
+    * screening thousands of batches must not accumulate cache
+    * bookkeeping; [[graft.streaming.IncrementalDedup.startIndexed]]
+    * does this per batch).
     */
   final case class ScreenResult(clean: DataFrame, dropped: DataFrame,
-                                cleanSigs: DataFrame)
+                                cleanSigs: DataFrame,
+                                release: () => Unit = () => ())
 
   private def bandBucket(band: Column, bh: Column, n: Int): Column =
     pmod(xxhash64(band, bh), lit(n.toLong)).cast(LongType)
@@ -146,8 +152,10 @@ object DedupIndex {
     * Cache lifecycle: the batch signatures and the candidate relation
     * persist (MEMORY_AND_DISK) because the probe-set collects and the
     * returned lazy results both consume them; both are bounded by the
-    * batch, and live until the session evicts them — the documented
-    * mediaNearDups signature-cache lifecycle applies.
+    * batch. Call the result's `release()` once consumed — a stream
+    * screening thousands of batches must not accumulate cache
+    * bookkeeping (startIndexed does; one-shot callers may instead
+    * lean on session eviction, the mediaNearDups lifecycle note).
     */
   def screenBatch(index: Index, newDocs: DataFrame, idCol: String,
                   textCol: String, threshold: Double = 0.8,
@@ -212,7 +220,8 @@ object DedupIndex {
     val clean = newDocs.join(dupIds, Seq(idCol), "left_anti")
     val cleanSigs = newSigs.join(
       dupIds.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"), "left_anti")
-    ScreenResult(clean, dropped, cleanSigs)
+    ScreenResult(clean, dropped, cleanSigs,
+      () => { newSigs.unpersist(); cands.unpersist() })
   }
 
   /** Append a screened batch's surviving signatures into the live

@@ -152,4 +152,43 @@ object IncrementalDedup {
     }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
+
+  /** [[start]] served from a persisted [[graft.operators.DedupIndex]]
+    * instead of the raw signature store — the scale form: the raw
+    * store re-reads and re-BANDS every prior signature on every
+    * micro-batch (per-batch cost tracks the ingested corpus), while
+    * the index screen reads only the batch's collision buckets
+    * (DEDUP_SERVE_r09 measures the contrast). Identical screening
+    * semantics (DedupIndexSpec pins screenBatch == dedupBatch) and
+    * the identical exactly-once rule: screenBatch(beforeBatch = b)
+    * never sees batch b's own partial append, and appendBatch lands
+    * in per-(bucket, batch_id) partitions with dynamic overwrite so a
+    * replay overwrites itself. The index must exist (build it with
+    * `DedupIndex.write` on a non-empty seed corpus — parquet needs at
+    * least one row to carry the schema); its
+    * numPerm/bands ride in from the index metadata so the stream
+    * cannot diverge from the build-time signature scheme. Streamed
+    * batch ids are offset by +1 so the build rows' batch_id = 0 stays
+    * reserved.
+    */
+  def startIndexed(docs: DataFrame, idCol: String, textCol: String,
+                   indexDir: String, threshold: Double = 0.8,
+                   checkpointDir: Option[String] = None)
+                  (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.operators.DedupIndex
+    val writer = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val cached = batch.persist()
+      try {
+        val idx = DedupIndex.open(batch.sparkSession, indexDir)
+        val b = batchId + 1L
+        val res = DedupIndex.screenBatch(idx, cached, idCol, textCol,
+          threshold, beforeBatch = Some(b))
+        try {
+          sink(res.clean, batchId)
+          DedupIndex.appendBatch(idx, res.cleanSigs, b)
+        } finally res.release()
+      } finally cached.unpersist()
+    }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 }

@@ -105,6 +105,36 @@ class DedupIndexSpec extends SparkSpec {
     assert(idx.bandRows.count() == before, "replayed append must overwrite")
   }
 
+  test("startIndexed: streamed micro-batches screen against the index " +
+      "and append to it, matching the raw-store stream's decisions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-dedupidx-stream").toString
+    // seed corpus: one doc the stream will collide with
+    DedupIndex.write(Seq((1L, baseText)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, nBuckets = 16, nSigBuckets = 8)
+    val input = MemoryStream[(Long, String)]
+    val cleaned = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = IncrementalDedup.startIndexed(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir) {
+      (clean, _) =>
+        cleaned.synchronized {
+          cleaned ++= clean.select("doc_id")
+            .as[Long](sqlImplicits.newLongEncoder).collect()
+        }
+    }
+    try {
+      // batch 0: 10 dups the seed, 11 is fresh
+      input.addData((10L, baseText), (11L, "unrelated first-batch text"))
+      q.processAllAvailable()
+      // batch 1: 12 dups 11 (appended by batch 0), 13 is fresh
+      input.addData((12L, "unrelated first-batch text"),
+        (13L, "brand new second-batch body"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(cleaned.toSet == Set(11L, 13L), s"got ${cleaned.toSet}")
+  }
+
   test("versioned publication: a rebuild publishes v+1, a pinned " +
       "reader keeps serving, vacuum reclaims") {
     val dir = Files.createTempDirectory("graft-dedupidx-ver").toString
