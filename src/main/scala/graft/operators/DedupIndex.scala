@@ -249,6 +249,70 @@ object DedupIndex {
       .partitionBy("sbucket", "batch_id").parquet(index.sigsDir)
   }
 
+  /** Retention horizon: drop every APPENDED batch partition with
+    * 1 ≤ batch_id < minLiveBatch from both relations — pure directory
+    * deletes, nothing live rewritten (the raw store's retainBatches
+    * compaction rule ported to the index; a crash mid-drop only
+    * delays deletes). The build rows (batch_id = 0) are permanent
+    * until a rebuild — the horizon is an INGEST window, and the
+    * retention trade is the same: documents older than it can
+    * re-enter the corpus unchallenged.
+    */
+  def dropBatchesBelow(index: Index, minLiveBatch: Long): Unit = {
+    val conf = index.spark.sessionState.newHadoopConf()
+    Seq(index.bandsDir, index.sigsDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.listStatus(p)
+        .filter(st => st.isDirectory &&
+          (st.getPath.getName.startsWith("bucket=") ||
+            st.getPath.getName.startsWith("sbucket=")))
+        .foreach { bdir =>
+          fs.listStatus(bdir.getPath)
+            .filter { st =>
+              val n = st.getPath.getName
+              n.startsWith("batch_id=") && scala.util.Try(
+                n.stripPrefix("batch_id=").toLong).toOption
+                .exists(b => b >= 1 && b < minLiveBatch)
+            }
+            .foreach(st => fs.delete(st.getPath, true))
+        }
+    }
+  }
+
+  /** Fold every surviving batch partition into a fresh version's
+    * build rows (batch_id = 0) — file-count hygiene after a long
+    * append run, with no re-signing (both relations rewrite from the
+    * index's own rows) and byte-identical screening (spec-pinned).
+    * Publishes through the CURRENT flip like every rebuild; pinned
+    * readers keep the old version until vacuum.
+    */
+  def compactBatches(index: Index, filesPerBucket: Int = 2): Index = {
+    require(filesPerBucket >= 1,
+      s"filesPerBucket must be >= 1: $filesPerBucket")
+    val spark = index.spark
+    val v = IndexVersions.current(spark, index.dir).getOrElse(0L) + 1L
+    index.bandRows
+      .select(col("doc_id"), col("band"), col("bh"), col("bucket"))
+      .withColumn("batch_id", lit(0L))
+      .repartition(index.nBuckets * filesPerBucket, col("bucket"),
+        pmod(xxhash64(col("doc_id")), lit(filesPerBucket.toLong)))
+      .write.mode("overwrite").partitionBy("bucket", "batch_id")
+      .parquet(s"${index.dir}/bands.v$v")
+    index.sigRows
+      .select(col("doc_id"), col("sig"), col("sbucket"))
+      .withColumn("batch_id", lit(0L))
+      .repartition(index.nSigBuckets, col("sbucket"))
+      .write.mode("overwrite").partitionBy("sbucket", "batch_id")
+      .parquet(s"${index.dir}/sigs.v$v")
+    spark.range(1).select(lit(index.numPerm).as("num_perm"),
+        lit(index.bands).as("bands"), lit(index.nBuckets).as("n_buckets"),
+        lit(index.nSigBuckets).as("n_sig_buckets"))
+      .write.mode("overwrite").parquet(s"${index.dir}/meta.v$v")
+    IndexVersions.publish(spark, index.dir, v)
+    open(spark, index.dir)
+  }
+
   /** Drop all versions but the live one (maintenance window only). */
   def vacuum(index: Index): Unit =
     IndexVersions.vacuum(index.spark, index.dir, index.version,

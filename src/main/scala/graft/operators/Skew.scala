@@ -19,15 +19,25 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-                 salts: Int = 16): DataFrame = {
+                 salts: Int = 16, shuffleHash: Boolean = false): DataFrame = {
     val salted = large.withColumn("_salt",
       (rand(seed = 42) * salts).cast("int"))
-    // shuffle-hash, not sort-merge: salting already bounds each
-    // (key, salt) partition's build side, so hashing the replicated
-    // dim skips two full sorts of the fact table
-    val replicated = small.withColumn("_salt",
+    // Join strategy (r9 sf3 lesson): the earlier unconditional
+    // shuffle_hash hint OOMed at 30× data — salting bounds each
+    // (key, salt) GROUP, but a ShuffledHashJoin's build side is the
+    // whole replicated-dim PARTITION SLICE, |small|·salts/partitions
+    // rows, which grows linearly with the dim and cannot spill while
+    // building. Leaving the choice to Spark is no better: Generate's
+    // size estimate does not scale with the explode fan-out, so the
+    // replicated dim under-estimates ×salts and gets BROADCAST — the
+    // same map, now on one driver. The caller reached for saltedJoin
+    // precisely because the dim is too big to broadcast, so the
+    // default is an explicit sort-merge hint (spills gracefully at
+    // any scale); pass shuffleHash = true only when the per-task
+    // slice provably fits executor memory — it skips the fact sorts.
+    val rep = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
-      .hint("shuffle_hash")
+    val replicated = rep.hint(if (shuffleHash) "shuffle_hash" else "merge")
     salted.join(replicated,
         salted(key) === replicated(key) && salted("_salt") === replicated("_salt"))
       .drop(replicated(key)).drop("_salt")

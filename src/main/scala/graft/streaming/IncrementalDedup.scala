@@ -173,9 +173,12 @@ object IncrementalDedup {
     */
   def startIndexed(docs: DataFrame, idCol: String, textCol: String,
                    indexDir: String, threshold: Double = 0.8,
+                   retainBatches: Option[Long] = None,
                    checkpointDir: Option[String] = None)
                   (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import graft.operators.DedupIndex
+    retainBatches.foreach(r =>
+      require(r >= 1, s"retainBatches must be >= 1: $r"))
     val writer = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val cached = batch.persist()
       try {
@@ -187,6 +190,10 @@ object IncrementalDedup {
           sink(res.clean, batchId)
           DedupIndex.appendBatch(idx, res.cleanSigs, b)
         } finally res.release()
+        // ingest-window retention: drop appended batches that fell off
+        // the horizon (build rows are permanent — same trade as start)
+        retainBatches.foreach(r =>
+          DedupIndex.dropBatchesBelow(idx, b - r + 1))
       } finally cached.unpersist()
     }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()

@@ -135,6 +135,45 @@ class DedupIndexSpec extends SparkSpec {
     assert(cleaned.toSet == Set(11L, 13L), s"got ${cleaned.toSet}")
   }
 
+  test("retention horizon drops old appended batches (build rows stay); " +
+      "compactBatches folds survivors into a fresh identical version") {
+    val dir = Files.createTempDirectory("graft-dedupidx-retain").toString
+    val idx = DedupIndex.write(
+      Seq((1L, baseText)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, nBuckets = 8, nSigBuckets = 4)
+    def sigsOf(rows: Seq[(Long, String)]) =
+      Dedup.minhashSignature(rows.toDF("doc_id", "text"), "doc_id", "text")
+    DedupIndex.appendBatch(idx, sigsOf(Seq((10L, "first batch body"))), 1L)
+    DedupIndex.appendBatch(idx, sigsOf(Seq((20L, "second batch body"))), 2L)
+    DedupIndex.appendBatch(idx, sigsOf(Seq((30L, "third batch body"))), 3L)
+    DedupIndex.dropBatchesBelow(idx, minLiveBatch = 3L)
+    val live = idx.bandRows.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(live == Set(1L, 30L),
+      s"batches 1-2 must drop, build + batch 3 stay: $live")
+    // a doc that fell off the horizon re-enters unchallenged — the
+    // documented retention trade
+    val re = DedupIndex.screenBatch(idx,
+      Seq((40L, "first batch body")).toDF("doc_id", "text"),
+      "doc_id", "text", beforeBatch = Some(4L))
+    assert(re.dropped.count() == 0)
+    // compaction: same screening decisions from one batch_id=0 set
+    val before = DedupIndex.screenBatch(idx,
+      Seq((50L, "third batch body"), (51L, baseText))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val compacted = DedupIndex.compactBatches(idx)
+    assert(compacted.version == idx.version + 1)
+    val bandDirs = compacted.bandRows.select("batch_id").distinct()
+      .as[Long].collect().toSet
+    assert(bandDirs == Set(0L), s"all rows must fold into the build: $bandDirs")
+    val after = DedupIndex.screenBatch(compacted,
+      Seq((50L, "third batch body"), (51L, baseText))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(pairs(before.dropped) == pairs(after.dropped) &&
+      pairs(after.dropped).map(p => (p._1, p._2)) ==
+        Set((50L, 30L), (51L, 1L)))
+  }
+
   test("versioned publication: a rebuild publishes v+1, a pinned " +
       "reader keeps serving, vacuum reclaims") {
     val dir = Files.createTempDirectory("graft-dedupidx-ver").toString
