@@ -229,6 +229,33 @@ object Curation {
       .drop("_grp", "_base", "_rem", "_bgrp", "_bid")
   }
 
+  /** The UniMax mixture materialized as training shards in ONE job
+    * (K35's write half, composing [[uniMaxSample]] with
+    * [[writeSharded]]): each document's n_repeats explode to one row
+    * per epoch copy (`repeat_idx` ∈ 1..n_repeats) and shard on the
+    * deterministic composite key id#repeat_idx — so the copies of a
+    * repeated document SPREAD across shards instead of colliding into
+    * one (a trainer consuming shards sequentially sees a repeat in a
+    * different shard, the epoch-interleaving layout), while shard
+    * membership stays a pure function of (id, copy) with
+    * writeSharded's resume/retry determinism. Output rows carry the
+    * input columns + repeat_idx + copy_key (the shard key, kept so a
+    * resuming trainer can re-derive membership) + shard_id; Σ rows
+    * per source == the waterfilled quota by construction.
+    */
+  def uniMaxShards(df: DataFrame, sourceCol: String, idCol: String,
+                   budget: Long, maxEpochs: Int, nShards: Int,
+                   path: String): Unit =
+    writeSharded(
+      uniMaxSample(df, sourceCol, idCol, budget, maxEpochs)
+        .withColumn("repeat_idx",
+          explode(sequence(lit(1L), col("n_repeats"))))
+        .drop("n_repeats")
+        .withColumn("copy_key",
+          concat(col(idCol).cast(StringType), lit("#"),
+            col("repeat_idx").cast(StringType))),
+      "copy_key", nShards, path)
+
   /** Exact-size deterministic sample (K21): the k rows with the
     * smallest md5 key — "uniform without replacement" with a hash in
     * place of the RNG. Plans as TakeOrderedAndProject: per-partition

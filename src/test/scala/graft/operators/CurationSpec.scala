@@ -743,6 +743,38 @@ class CurationSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("uniMaxShards: epoch copies spread across shards, totals hold, " +
+      "membership is deterministic") {
+    val rows = (0 until 300).map(i =>
+      (i.toLong, if (i < 200) "big" else if (i < 280) "mid" else "small"))
+      .toDF("doc_id", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-unimax-shards").toString
+    Curation.uniMaxShards(rows, "source", "doc_id",
+      budget = 300L, maxEpochs = 2, nShards = 16, path = dir)
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 300L, "one row per budgeted copy")
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("small" -> 40L, "mid" -> 130L, "big" -> 130L))
+    // a doc's two epoch copies land in (generally) different shards:
+    // with 16 shards at least one of small's 20 doubled docs must split
+    val split = out.where($"source" === "small")
+      .groupBy("doc_id").agg(countDistinct($"shard_id").as("ns"))
+      .where($"ns" === 2).count()
+    assert(split > 0, "epoch copies must be able to spread across shards")
+    // deterministic: same write twice -> identical membership
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-unimax-shards2").toString
+    Curation.uniMaxShards(rows, "source", "doc_id",
+      budget = 300L, maxEpochs = 2, nShards = 16, path = dir2)
+    val a = out.select("copy_key", "shard_id")
+      .as[(String, Long)].collect().toSet
+    val b = spark.read.parquet(dir2).select("copy_key", "shard_id")
+      .as[(String, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("dsirWeights: exactHash (md5 oracle) mode preserves invariants " +
       "and gram counts match the fast kernel") {
     val docs = Seq(
