@@ -44,8 +44,13 @@ object ScaleGen {
     }.reduce(_ unionAll _)
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleGen <srcDir> <dstDir> <mult>")
+    require(args.length >= 3,
+      "usage: ScaleGen <srcDir> <dstDir> <mult> [tables]")
     val (src, dst, mult) = (args(0), args(1), args(2).toInt)
+    // optional 4th arg: comma-list of tables to generate (a docs-only
+    // sf30 for the pipeline sweep need not pay a 300x lineitem write)
+    val keep: String => Boolean =
+      if (args.length > 3) args(3).split(",").toSet else _ => true
     require(mult >= 1, s"mult must be >= 1: $mult")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -60,30 +65,41 @@ object ScaleGen {
       df.repartition(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     // fixed-cardinality dims: copy once
-    Seq("region", "nation").foreach(t => write(read(t), t, 1))
+    Seq("region", "nation").filter(keep).foreach(t => write(read(t), t, 1))
 
-    val custSpan = span(read("customer"), "c_custkey")
-    val suppSpan = span(read("supplier"), "s_suppkey")
-    val partSpan = span(read("part"), "p_partkey")
-    val ordSpan = span(read("orders"), "o_orderkey")
+    if (Seq("customer", "supplier", "part", "orders", "lineitem")
+        .exists(keep)) {
+      val custSpan = span(read("customer"), "c_custkey")
+      val suppSpan = span(read("supplier"), "s_suppkey")
+      val partSpan = span(read("part"), "p_partkey")
+      val ordSpan = span(read("orders"), "o_orderkey")
 
-    write(replicate(read("customer"), mult, Map("c_custkey" -> custSpan)),
-      "customer", 4)
-    write(replicate(read("supplier"), mult, Map("s_suppkey" -> suppSpan)),
-      "supplier", 1)
-    write(replicate(read("part"), mult, Map("p_partkey" -> partSpan)),
-      "part", 4)
-    write(replicate(read("orders"), mult,
-      Map("o_orderkey" -> ordSpan, "o_custkey" -> custSpan)), "orders", 8)
-    write(replicate(read("lineitem"), mult,
-      Map("l_orderkey" -> ordSpan, "l_partkey" -> partSpan,
-        "l_suppkey" -> suppSpan)), "lineitem", 16)
+      if (keep("customer"))
+        write(replicate(read("customer"), mult, Map("c_custkey" -> custSpan)),
+          "customer", 4)
+      if (keep("supplier"))
+        write(replicate(read("supplier"), mult, Map("s_suppkey" -> suppSpan)),
+          "supplier", 1)
+      if (keep("part"))
+        write(replicate(read("part"), mult, Map("p_partkey" -> partSpan)),
+          "part", 4)
+      if (keep("orders"))
+        write(replicate(read("orders"), mult,
+          Map("o_orderkey" -> ordSpan, "o_custkey" -> custSpan)), "orders", 8)
+      if (keep("lineitem"))
+        write(replicate(read("lineitem"), mult,
+          Map("l_orderkey" -> ordSpan, "l_partkey" -> partSpan,
+            "l_suppkey" -> suppSpan)), "lineitem", 16)
+    }
 
-    val ev = read("events")
-    write(replicate(ev, mult,
-      Map("event_id" -> span(ev, "event_id"), "user_id" -> span(ev, "user_id"))),
-      "events", 8)
+    if (keep("events")) {
+      val ev = read("events")
+      write(replicate(ev, mult,
+        Map("event_id" -> span(ev, "event_id"), "user_id" -> span(ev, "user_id"))),
+        "events", 8)
+    }
 
+    if (keep("documents")) {
     val docs = read("documents")
     val docSpan = span(docs, "doc_id")
     val docCopies = (0 until mult).map { k =>
@@ -97,7 +113,9 @@ object ScaleGen {
     }.reduce(_ unionAll _)
     write(docCopies.select("doc_id", "text", "lang", "source", "n_chars"),
       "documents", 4)
+    }
 
+    if (keep("embeddings")) {
     val emb = read("embeddings")
     val embSpan = span(emb, "vec_id")
     val embCopies = (0 until mult).map { k =>
@@ -110,9 +128,10 @@ object ScaleGen {
         col("label"))
     }.reduce(_ unionAll _)
     write(embCopies, "embeddings", 2)
+    }
 
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      "lineitem", "events", "documents", "embeddings").filter(keep).foreach { t =>
       println(s"[scalegen] $t rows=${spark.read.parquet(s"$dst/$t.parquet").count()}")
     }
     spark.stop()
