@@ -52,3 +52,35 @@ class BoundedMinK(k: Int) extends Aggregator[MinKEntry, Seq[MinKEntry], Seq[Long
   override def outputEncoder: Encoder[Seq[Long]] =
     ExpressionEncoder[Seq[Long]]()
 }
+
+/** [[BoundedMinK]] finishing to the k smallest string KEYS instead of
+  * ids — for callers whose row identity is not Long-castable (the id
+  * slot is only the deterministic tiebreak, e.g. a hash of the raw
+  * id). Same bounded buffer and merge algebra.
+  */
+class BoundedMinKeys(k: Int) extends Aggregator[MinKEntry, Seq[MinKEntry], Seq[String]]
+    with Serializable {
+  require(k > 0, s"k must be positive: $k")
+
+  private def trim(b: Seq[MinKEntry]): Seq[MinKEntry] =
+    if (b.length <= k) b
+    else b.sortBy(e => (e.k, e.id)).take(k)
+
+  override def zero: Seq[MinKEntry] = Vector.empty
+
+  override def reduce(b: Seq[MinKEntry], a: MinKEntry): Seq[MinKEntry] = {
+    val nb = b :+ a
+    if (nb.length >= 2 * k) trim(nb) else nb
+  }
+
+  override def merge(b1: Seq[MinKEntry], b2: Seq[MinKEntry]): Seq[MinKEntry] =
+    trim(b1 ++ b2)
+
+  override def finish(b: Seq[MinKEntry]): Seq[String] =
+    b.sortBy(e => (e.k, e.id)).take(k).map(_.k)
+
+  override def bufferEncoder: Encoder[Seq[MinKEntry]] =
+    ExpressionEncoder[Seq[MinKEntry]]()
+  override def outputEncoder: Encoder[Seq[String]] =
+    ExpressionEncoder[Seq[String]]()
+}

@@ -187,9 +187,11 @@ object Curation {
     *
     * Scale shape: the quota table collects driver-side (bounded —
     * one row per source, the K34 sanction) and broadcasts back; the
-    * remainder fill is the K34 BoundedMinK aggregate keyed by source
-    * (buffer = max remainder, under one source's doc count by
-    * construction), never a corpus-keyed window.
+    * remainder fill is the K34-shaped BoundedMinKeys aggregate keyed
+    * by source (buffer = max remainder, under one source's doc count
+    * by construction), never a corpus-keyed window. Ids of any type
+    * work — bumps reattach by md5 key, and an empty input returns
+    * empty with the n_repeats column present.
     */
   def uniMaxSample(df: DataFrame, sourceCol: String, idCol: String,
                    budget: Long, maxEpochs: Int): DataFrame = {
@@ -199,7 +201,9 @@ object Curation {
         val (n, q) = (r.getAs[Long]("n_docs"), r.getAs[Long]("quota"))
         (r.getAs[Any]("source"), q / n, q % n)
       }
-    val maxRem = plan.map(_._3).max.toInt
+    // empty input → empty plan; keep the output contract (input rows +
+    // n_repeats) without tripping on the empty max below
+    val maxRem = plan.map(_._3).maxOption.getOrElse(0L).toInt
     import scala.jdk.CollectionConverters._
     val planDf = spark.createDataFrame(
       plan.map { case (g, b, rm) => org.apache.spark.sql.Row(g, b, rm) }
@@ -208,25 +212,30 @@ object Curation {
         StructField("_base", LongType, nullable = false),
         StructField("_rem", LongType, nullable = false))))
     val pick = org.apache.spark.sql.functions.udaf(
-      new graft.functions.BoundedMinK(math.max(maxRem, 1)))
-    // rem-smallest ids per source; slice(_, 1, 0) is empty, so a
-    // zero-remainder source simply bumps nobody
+      new graft.functions.BoundedMinKeys(math.max(maxRem, 1)))
+    // rem-smallest md5 keys per source; slice(_, 1, 0) is empty, so a
+    // zero-remainder source simply bumps nobody. The bump set carries
+    // the md5 KEY, not a Long id, so any id type (string doc ids
+    // included) reattaches exactly — a cast-to-Long join would null
+    // out non-numeric ids and silently drop every remainder bump. The
+    // Long slot is only the deterministic tiebreak among duplicate
+    // ids (xxhash64 of the string form, never null for non-null ids).
     val bumped = df
       .select(md5(col(idCol).cast(StringType)).as("_k"),
-        col(idCol).cast(LongType).as("_sid"), col(sourceCol))
-      .groupBy(sourceCol).agg(pick(col("_k"), col("_sid")).as("_ids"))
+        xxhash64(col(idCol).cast(StringType)).as("_sid"), col(sourceCol))
+      .groupBy(sourceCol).agg(pick(col("_k"), col("_sid")).as("_keys"))
       .join(broadcast(planDf), col(sourceCol) <=> col("_grp"))
       .select(col("_grp").as("_bgrp"),
-        explode(slice(col("_ids"), lit(1), col("_rem").cast(IntegerType)))
-          .as("_bid"))
+        explode(slice(col("_keys"), lit(1), col("_rem").cast(IntegerType)))
+          .as("_bkey"))
     df.join(broadcast(planDf), df(sourceCol) <=> col("_grp"), "inner")
       .join(bumped, df(sourceCol) <=> col("_bgrp") &&
-        col(idCol).cast(LongType) === col("_bid"), "left")
+        md5(df(idCol).cast(StringType)) === col("_bkey"), "left")
       .withColumn("n_repeats",
-        (col("_base") + when(col("_bid").isNotNull, 1L).otherwise(0L))
+        (col("_base") + when(col("_bkey").isNotNull, 1L).otherwise(0L))
           .cast(LongType))
       .where(col("n_repeats") >= 1)
-      .drop("_grp", "_base", "_rem", "_bgrp", "_bid")
+      .drop("_grp", "_base", "_rem", "_bgrp", "_bkey")
   }
 
   /** The UniMax mixture materialized as training shards in ONE job

@@ -188,12 +188,17 @@ object DedupIndex {
         col("n.band") === col("o.band") && col("n.bh") === col("o.bh") &&
           col("o.doc_id") < col("n.doc_id"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("matched_id"))
-    val cands = storeCands.unionByName(batchCands).distinct()
+    val cands = storeCands.withColumn("from_store", lit(true))
+      .unionByName(batchCands.withColumn("from_store", lit(false)))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // verify: matched-side sigs from the sig-bucket slice the
-    // candidates actually hit (bounded collect of ≤ nSigBuckets ids);
-    // new-side sigs are batch-local
-    val sbuckets = cands
+    // verify: matched-side sigs from the sig-bucket slice the STORE
+    // candidates actually hit (bounded collect of ≤ nSigBuckets ids).
+    // Batch-local matched_ids cannot exist in the store by
+    // construction — they verify against the in-memory newSigs union
+    // below — so including them would only widen the pruned sig read
+    // with partitions that contribute nothing.
+    val sbuckets = cands.where(col("from_store"))
       .select(sigBucket(col("matched_id"), index.nSigBuckets).as("sb"))
       .distinct().collect().map(_.getLong(0))
     val matchedSigs =
@@ -207,7 +212,7 @@ object DedupIndex {
     // earlier-in-batch matches verify against batch-local sigs
     val allMatched = matchedSigs.unionByName(
       newSigs.select(col("doc_id").as("matched_id"), col("sig").as("sig_o")))
-    val dropped = cands
+    val dropped = cands.drop("from_store")
       .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("sig_n")),
         "new_id")
       .join(allMatched, "matched_id")

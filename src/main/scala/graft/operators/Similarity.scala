@@ -52,11 +52,34 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Skew-proof per-query top-k over a scored (qid, nid, score) pair
+    * relation: the [[graft.functions.BoundedTopK]] bounded aggregate
+    * keyed by qid instead of `row_number() OVER (PARTITION BY qid)`.
+    * The window form co-locates each query's ENTIRE candidate set in
+    * one task — for the brute-force rankers that set IS the corpus, an
+    * unsplittable reducer at 10^10 rows (the H12/K3 hot-partition
+    * shape; AQE cannot split window partitions) — while the aggregate
+    * reduces map-side, so the shuffle carries O(partitions·k) rows per
+    * query and the k-wide explode of the finished array is bounded.
+    * Output (qid, nid, score, rank) is byte-identical to the window
+    * form (SkewSpec: planted mega-corpus proof, no Window in plan).
+    */
+  private def rankTopK(pairs: DataFrame, k: Int, desc: Boolean,
+                       scoreName: String): DataFrame = {
+    val pick = udaf(new graft.functions.BoundedTopK(k, desc))
+    pairs.groupBy("qid").agg(pick(col(scoreName), col("nid")).as("_hits"))
+      .select(col("qid"), posexplode(col("_hits")).as(Seq("_pos", "_h")))
+      .select(col("qid"), col("_h.nid").as("nid"),
+        col("_h.score").as(scoreName),
+        (col("_pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** Exact brute-force cosine top-k for a (small, broadcast) query set.
-    * One pass over the corpus, per-query top-k via window rank.
+    * One pass over the corpus, per-query top-k via the bounded
+    * [[rankTopK]] aggregate (never a corpus-sized window partition).
     *
     * `roundCosTo >= 0` rounds the cosine to that many decimals BEFORE
-    * the rank window (nid breaks ties, as always). Ranks that feed a
+    * the rank (nid breaks ties, as always). Ranks that feed a
     * downstream engine-exact contract — RRF fusion sums 1/(60+rank)
     * terms — should use 6, the repo-wide float boundary: a raw-double
     * near-tie can rank-flip between engines and shift the fused order.
@@ -76,9 +99,7 @@ object Similarity {
       .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
         (if (roundCosTo >= 0) round(rawCos, roundCosTo) else rawCos).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    joined.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
+    rankTopK(joined, k, desc = true, "cos")
   }
 
   /** Euclidean distance via the native kernel (sequential squared-diff
@@ -92,16 +113,15 @@ object Similarity {
   /** Exact brute-force L2 top-k (G8) — the metric twin of
     * bruteForceTopK for embeddings that are NOT unit-normalized, where
     * cosine and Euclidean ranks genuinely differ. Same scale shape:
-    * one corpus pass against broadcast queries, per-query window rank.
+    * one corpus pass against broadcast queries, per-query bounded
+    * [[rankTopK]] aggregate (ascending distance).
     */
   def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val joined = fanOut(corpus).as("c")
       .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
         l2(col("q.embedding"), col("c.embedding")).as("dist"))
-    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("nid"))
-    joined.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
+    rankTopK(joined, k, desc = false, "dist")
   }
 
   /** Random-hyperplane signature: `planes` deterministic pseudo-random
@@ -854,7 +874,8 @@ object Similarity {
     * and baseline sides (two pruned scans of (vec_id, embedding) — at
     * corpus scales where the re-read dominates, generate candidates
     * with ivfTopK/AnnIndex.search and feed them through the same
-    * screens; the per-qid rank window is query-bounded either way).
+    * screens; the final rank is the bounded [[rankTopK]] aggregate
+    * either way, never a corpus-sized window partition).
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
                     positives: DataFrame, k: Int,
@@ -894,8 +915,9 @@ object Similarity {
 
   /** The shared screen: mark positives in the scored pair relation
     * (baseline side), aggregate the per-qid baseline, apply the floor
-    * and ceiling, rank the survivors. Both shuffles are qid-keyed and
-    * bounded by the query set; positives and baseline broadcast.
+    * and ceiling, rank the survivors with the bounded [[rankTopK]]
+    * aggregate (map-side partials — a corpus-sized candidate relation
+    * never lands on one reducer). Positives and baseline broadcast.
     */
   private def screenNegatives(scored: DataFrame, positives: DataFrame,
                               k: Int, minMargin: Option[Double],
@@ -913,12 +935,10 @@ object Similarity {
       col("pos_min").isNull || col("cos") >= round(col("pos_min") - m, 6))
     val ceil = if (!dropAbovePos) lit(true)
       else col("pos_max").isNull || col("cos") <= col("pos_max")
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    marked.where(!col("is_pos")).drop("is_pos")
+    val survivors = marked.where(!col("is_pos")).drop("is_pos")
       .join(broadcast(base), Seq("qid"), "left")
       .where(floor && ceil)
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+      .select(col("qid"), col("nid"), col("cos"))
+    rankTopK(survivors, k, desc = true, "cos")
   }
 }

@@ -73,16 +73,24 @@ object DedupServeSmoke {
     }
     val recompute = time(IncrementalDedup.dedupBatch(
       batch, "doc_id", "text", Some(rawStore)).dropped.count())
-    val fromIndex = time(DedupIndex.screenBatch(
-      index, batch, "doc_id", "text").dropped.count())
+    // release() each rep's ScreenResult inside the timed closure — the
+    // lifecycle the operator doc mandates; un-released reps accumulate
+    // persisted newSigs/cands relations and skew later medians via
+    // cache pressure
+    val fromIndex = time {
+      val res = DedupIndex.screenBatch(index, batch, "doc_id", "text")
+      try res.dropped.count() finally res.release()
+    }
     // sanity: identical screening decisions
     val a = IncrementalDedup.dedupBatch(batch, "doc_id", "text",
         Some(rawStore)).dropped
       .select("new_id", "matched_id").collect().map(r =>
         (r.getLong(0), r.getLong(1))).toSet
-    val b = DedupIndex.screenBatch(index, batch, "doc_id", "text").dropped
+    val sres = DedupIndex.screenBatch(index, batch, "doc_id", "text")
+    val b = sres.dropped
       .select("new_id", "matched_id").collect().map(r =>
         (r.getLong(0), r.getLong(1))).toSet
+    sres.release()
     require(a == b, s"screening divergence: ${a.size} vs ${b.size}")
 
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)

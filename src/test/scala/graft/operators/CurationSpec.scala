@@ -743,6 +743,38 @@ class CurationSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("uniMaxSample: string ids keep the per-source sum invariant, " +
+      "and empty input returns empty with the contract columns") {
+    // non-Long-castable ids: the bump reattach joins on the md5 key,
+    // so remainder bumps must still land (a cast-to-Long join would
+    // null out and silently serve base*n_docs < quota)
+    val rows = (0 until 30).map(i =>
+      (s"doc-$i", if (i < 20) "big" else "small"))
+      .toDF("doc_id", "source")
+    // budget 25 @ 2 epochs: small (10 docs, cap 20) vs big (20 docs):
+    // waterfill splits 12/13 with remainder bumps on both sides
+    val out = Curation.uniMaxSample(rows, "source", "doc_id", 25L, 2)
+    val bySrc = out.groupBy("source").agg(sum("n_repeats").as("served"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.sum == 25L, s"total must equal budget: $bySrc")
+    val quotas = Curation.uniMaxQuotas(rows, "source", 25L, 2)
+      .select("source", "quota").as[(String, Long)].collect().toMap
+    assert(bySrc == quotas, s"per-source served must equal quota: " +
+      s"$bySrc vs $quotas")
+    // bumps are the smallest-md5 ids of each source (string form)
+    val bigBumped = out.where($"source" === "big" && $"n_repeats" >
+        quotas("big") / 20).select("doc_id").as[String].collect().toSet
+    val engineRank = rows.where($"source" === "big")
+      .select($"doc_id", md5($"doc_id").as("k"))
+      .orderBy("k", "doc_id").limit((quotas("big") % 20).toInt)
+      .select("doc_id").as[String].collect().toSet
+    assert(bigBumped == engineRank)
+    // empty input: no rows, schema carries n_repeats, no crash
+    val empty = Curation.uniMaxSample(rows.where(lit(false)),
+      "source", "doc_id", 25L, 2)
+    assert(empty.columns.contains("n_repeats") && empty.count() == 0L)
+  }
+
   test("uniMaxShards: epoch copies spread across shards, totals hold, " +
       "membership is deterministic") {
     val rows = (0 until 300).map(i =>

@@ -301,4 +301,79 @@ class SkewSpec extends SparkSpec {
     assert(winLines.forall(l => l.contains("doc_id#") && !l.contains(" h#")),
       s"chunk dedup may only window by doc_id:\n$plan")
   }
+
+  test("brute-force top-k never windows over qid: planted mega-corpus " +
+      "per query, byte-identical to the window form") {
+    import org.apache.spark.sql.expressions.Window
+    // Every query's candidate set is the WHOLE corpus by definition of
+    // brute force — the old row_number-over-Window.partitionBy(qid)
+    // form made each query one corpus-sized unsplittable reducer (AQE
+    // cannot split window partitions). The BoundedTopK aggregate path
+    // must return byte-identical (qid, nid, score, rank) rows for
+    // cosine, L2, and the hard-negative screen, with NO Window
+    // operator anywhere in any of the three plans.
+    val corpus = (0L until 4000L).map { i =>
+      (i, Array((i % 17).toFloat / 17f, ((i * 3) % 23).toFloat / 23f,
+        ((i * 7) % 29).toFloat / 29f, 1f))
+    }.toDF("vec_id", "embedding").repartition(8)
+    val queries = corpus.where($"vec_id" < 3)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def assertNoWindow(df: org.apache.spark.sql.DataFrame, what: String) = {
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Window"), s"$what must not window:\n$plan")
+      assert(plan.toLowerCase.contains("boundedtopk"),
+        s"expected the bounded aggregate in the $what plan:\n$plan")
+    }
+
+    // window-form references, built from the SAME scored pair relation
+    // the operators construct (norms pre-projected, native dot kernel)
+    val c = corpus.withColumn("nrm", Similarity.norm($"embedding"))
+    val q = queries.withColumn("nrm", Similarity.norm($"embedding"))
+    val pairs = c.as("c")
+      .join(broadcast(q.as("q")), $"q.vec_id" =!= $"c.vec_id")
+      .select($"q.vec_id".as("qid"), $"c.vec_id".as("nid"),
+        (Similarity.dot($"q.embedding", $"c.embedding")
+          / ($"q.nrm" * $"c.nrm")).as("cos"),
+        Similarity.l2($"q.embedding", $"c.embedding").as("dist"))
+    val wCos = Window.partitionBy("qid").orderBy($"cos".desc, $"nid")
+    val wDist = Window.partitionBy("qid").orderBy($"dist".asc, $"nid")
+
+    val cosOut = Similarity.bruteForceTopK(corpus, queries, k = 7)
+    assert(rows(cosOut) == rows(pairs
+      .select($"qid", $"nid", $"cos",
+        row_number().over(wCos).cast("long").as("rank"))
+      .where($"rank" <= 7)))
+    assertNoWindow(cosOut, "bruteForceTopK")
+
+    val l2Out = Similarity.bruteForceTopKL2(corpus, queries, k = 7)
+    assert(rows(l2Out) == rows(pairs
+      .select($"qid", $"nid", $"dist",
+        row_number().over(wDist).cast("long").as("rank"))
+      .where($"rank" <= 7)))
+    assertNoWindow(l2Out, "bruteForceTopKL2")
+
+    // the G16 screen: positives excluded, floor/ceiling applied, THEN
+    // the rank — the window reference replicates the screen inline
+    val pos = Seq((0L, 100L), (0L, 200L), (1L, 300L), (2L, 400L))
+      .toDF("qid", "nid")
+    val hnOut = Similarity.hardNegatives(corpus, queries, pos, k = 7,
+      minMargin = Some(0.05), dropAbovePos = true)
+    val scored = pairs.select($"qid", $"nid", round($"cos", 6).as("cos"))
+    val marked = scored.join(pos.withColumn("is_pos", lit(true)),
+        Seq("qid", "nid"), "left")
+      .withColumn("is_pos", coalesce($"is_pos", lit(false)))
+    val base = marked.where($"is_pos").groupBy("qid")
+      .agg(min($"cos").as("pos_min"), max($"cos").as("pos_max"))
+    val hnRef = marked.where(!$"is_pos").drop("is_pos")
+      .join(base, Seq("qid"), "left")
+      .where(($"pos_min".isNull || $"cos" >= round($"pos_min" - 0.05, 6)) &&
+        ($"pos_max".isNull || $"cos" <= $"pos_max"))
+      .select($"qid", $"nid", $"cos",
+        row_number().over(wCos).cast("long").as("rank"))
+      .where($"rank" <= 7)
+    assert(rows(hnOut) == rows(hnRef))
+    assertNoWindow(hnOut, "hardNegatives")
+  }
 }
