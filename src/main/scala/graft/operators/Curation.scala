@@ -1068,14 +1068,19 @@ object Curation {
     * sum runs in exact DECIMAL (order-independent) — the H14
     * discipline — so scores are bit-identical cross-engine.
     *
-    * Scale shape: ONE heavy tokenize+explode scan collapses to
-    * per-(doc, bucket) counts (map-side combined); per-bucket totals
-    * attach via a bucket-keyed WINDOW over that compressed relation
-    * (hash-uniform bounded key space — never all-pairs, input is ≤
-    * min(doc grams, buckets) rows per doc, not the token stream);
-    * corpus gram totals come from a NARROW no-explode second pass,
-    * broadcast. No collect, no UDFs; `buckets` dials feature-hash
-    * resolution, not a memory commitment.
+    * Scale shape (fast path): TWO NARROW SCANS and nothing else. The
+    * per-side bucket histogram is ONE bounded aggregate (the
+    * DsirHistogram kernel walks each doc's token array in compiled
+    * code; each map task ships a single 2·buckets-long buffer, so the
+    * shuffle is O(tasks) regardless of corpus size); gram totals are
+    * its row sums. The bounded (≤ buckets) scaled log-ratio table
+    * then rides into the DsirScore codegen kernel as a reference
+    * object and scoring is a MAP-ONLY projection — no doc-keyed
+    * shuffle, no exploded bigram relation (the previous shape
+    * materialized O(corpus tokens) gram rows twice; V2Probe at 300×
+    * measured it as pipeline v2's super-scaling stage). The
+    * histogram collect is ≤ 2·buckets longs, the centroid sanction.
+    * `buckets` dials feature-hash resolution, not memory.
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, buckets: Int = 4096,
@@ -1085,64 +1090,95 @@ object Curation {
       s"buckets out of range [2, 65536]: $buckets")
     require(smoothing > 0.0, s"smoothing must be > 0: $smoothing")
     val t = TextAnalysis.tokens(col(textCol))
-    val base = docs
-      .select(col(idCol).as("doc_id"), targetPred.as("is_target"), t.as("t"))
-      .where(size(col("t")) >= 2)
-    // Feature hashing, two interchangeable kernels (the A10
-    // approx-default / exact-oracle pattern): the default buckets each
-    // bigram with codegen'd murmur3 over the token PAIR, computed
-    // inside the transform so only an int array ever explodes — no
-    // 8-M-row string materialization, no md5. `exactHash` switches to
-    // md5 over the concatenated gram, which the DuckDB oracle mirrors
-    // digit-for-digit; both are deterministic everywhere, they just
-    // draw different (equally uniform) bucket assignments.
-    val bucketed =
-      if (exactHash) base.select(col("doc_id"), col("is_target"),
-          explode(transform(sequence(lit(0), size(col("t")) - 2),
-            i => (conv(substring(md5(concat_ws(" ",
-              element_at(col("t"), i + 1), element_at(col("t"), i + 2))),
-              1, 4), 16, 10).cast(LongType) % buckets))).as("bucket"))
-      else base.select(col("doc_id"), col("is_target"),
-        explode(transform(sequence(lit(0), size(col("t")) - 2),
-          i => pmod(hash(element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)), lit(buckets)).cast(LongType)))
-          .as("bucket"))
-    // Per-bucket side counts as a BOUNDED aggregate: map-side combine
-    // collapses each task to ≤ `buckets` rows before the shuffle, so
-    // the exchange carries O(buckets·tasks), never the gram stream.
-    // (A per-(doc,bucket) intermediate — the naive shape — barely
-    // compresses the stream, since a doc's grams mostly land in
-    // distinct buckets; shuffling it costs more than the second
-    // corpus scan below at every scale.)
-    val bstats = bucketed.groupBy("bucket").agg(
-      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct"),
-      sum(when(!col("is_target"), lit(1L)).otherwise(lit(0L))).as("cr"))
-    // corpus gram totals per side: narrow pass, no explode
-    val totals = docs
-      .select(targetPred.as("is_target"),
-        when(size(t) >= 2, (size(t) - 1).cast(LongType))
-          .otherwise(lit(0L)).as("n"))
-      .agg(sum(when(col("is_target"), col("n")).otherwise(lit(0L))).as("tt"),
-        sum(when(!col("is_target"), col("n")).otherwise(lit(0L))).as("tr"))
     val a = lit(smoothing)
     val ab = lit(smoothing * buckets)
+    // Feature hashing, two interchangeable kernels (the A10
+    // approx-default / exact-oracle pattern): the default buckets each
+    // bigram with murmur3 over the token PAIR (seed-chained exactly as
+    // the SQL `pmod(hash(t[i], t[i+1]), buckets)` — spec-pinned).
+    // `exactHash` keeps the exploded md5 form, which the DuckDB oracle
+    // mirrors digit-for-digit; both are deterministic everywhere, they
+    // just draw different (equally uniform) bucket assignments.
+    if (exactHash) {
+      val base = docs
+        .select(col(idCol).as("doc_id"), targetPred.as("is_target"), t.as("t"))
+        .where(size(col("t")) >= 2)
+      val bucketed = base.select(col("doc_id"), col("is_target"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => (conv(substring(md5(concat_ws(" ",
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2))),
+            1, 4), 16, 10).cast(LongType) % buckets))).as("bucket"))
+      // Per-bucket side counts as a BOUNDED aggregate: map-side combine
+      // collapses each task to ≤ `buckets` rows before the shuffle, so
+      // the exchange carries O(buckets·tasks), never the gram stream.
+      val bstats = bucketed.groupBy("bucket").agg(
+        sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct"),
+        sum(when(!col("is_target"), lit(1L)).otherwise(lit(0L))).as("cr"))
+      // corpus gram totals per side: narrow pass, no explode
+      val totals = docs
+        .select(targetPred.as("is_target"),
+          when(size(t) >= 2, (size(t) - 1).cast(LongType))
+            .otherwise(lit(0L)).as("n"))
+        .agg(sum(when(col("is_target"), col("n")).otherwise(lit(0L))).as("tt"),
+          sum(when(!col("is_target"), col("n")).otherwise(lit(0L))).as("tr"))
+      val lr = round(
+        log((col("ct") + a) / (col("tt") + ab)) -
+          log((col("cr") + a) / (col("tr") + ab)), 6)
+        .cast(DecimalType(28, 6))
+      // Bounded (bucket, lr) table broadcasts into a SECOND pass over
+      // the gram stream, which aggregates straight to per-doc rows.
+      // Each gram instance contributes lr(bucket) once, so the exact-
+      // DECIMAL sum equals the Σ c_db·lr_b formulation bit-for-bit.
+      val lrTab = bstats.join(broadcast(totals)).select(col("bucket"),
+        lr.as("lr"))
+      return bucketed.join(broadcast(lrTab), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("sw"))
+        .select(col("doc_id"), col("n_grams"),
+          round(col("sw").cast(DoubleType), 6).as("log_weight"))
+    }
+    val spark = docs.sparkSession
+    // a null target predicate row counts to the raw side, same as the
+    // when/otherwise branches of the exact path
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        coalesce(targetPred, lit(false)).as("is_target"), t.as("t"))
+      .where(size(col("t")) >= 2)
+    import graft.functions.{exprs, DsirHistAgg, DsirScore}
+    val hist = base.agg(exprs.toColumn(
+        DsirHistAgg(exprs.toExpr(col("t")), exprs.toExpr(col("is_target")),
+          buckets).toAggregateExpression()).as("h"))
+      .head().getSeq[Long](0)
+    val tt = hist.view.slice(0, buckets).sum
+    val tr = hist.view.slice(buckets, 2 * buckets).sum
+    // the log-ratio stays a Spark expression over a local bounded
+    // table so its round/Decimal semantics are byte-identical to the
+    // exact path's; untouched buckets get an lr too but no gram ever
+    // indexes them
+    import scala.jdk.CollectionConverters._
+    val statsDf = spark.createDataFrame(
+      (0 until buckets).map(b => org.apache.spark.sql.Row(
+        b.toLong, hist(b), hist(buckets + b))).asJava,
+      StructType(Seq(StructField("bucket", LongType, nullable = false),
+        StructField("ct", LongType, nullable = false),
+        StructField("cr", LongType, nullable = false))))
     val lr = round(
-      log((col("ct") + a) / (col("tt") + ab)) -
-        log((col("cr") + a) / (col("tr") + ab)), 6)
+      log((col("ct") + a) / (lit(tt) + ab)) -
+        log((col("cr") + a) / (lit(tr) + ab)), 6)
       .cast(DecimalType(28, 6))
-    // Bounded (bucket, lr) table broadcasts into a SECOND pass over
-    // the gram stream, which aggregates straight to per-doc rows —
-    // map-side combine emits ~1 row per doc per task, so the only
-    // doc-keyed shuffle is corpus-cardinality. Each gram instance
-    // contributes lr(bucket) once, so the exact-DECIMAL sum equals
-    // the Σ c_db·lr_b formulation bit-for-bit.
-    val lrTab = bstats.join(broadcast(totals)).select(col("bucket"),
-      lr.as("lr"))
-    bucketed.join(broadcast(lrTab), "bucket")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("sw"))
-      .select(col("doc_id"), col("n_grams"),
-        round(col("sw").cast(DoubleType), 6).as("log_weight"))
+    val lrScaled = new Array[Long](buckets)
+    statsDf.select(col("bucket"), lr.as("lr")).collect().foreach { r =>
+      lrScaled(r.getLong(0).toInt) =
+        r.getDecimal(1).movePointRight(6).longValueExact()
+    }
+    // map-only scoring: the scaled-long sum is exact (multiples of
+    // 1e-6; |sum| << 2^53), so /1e6 then round(…, 6) equals the exact
+    // path's DECIMAL-sum-then-round digit-for-digit
+    val sw = exprs.toColumn(
+      DsirScore(exprs.toExpr(col("t")), lrScaled.toSeq, buckets))
+    base.select(col("doc_id"),
+      (size(col("t")) - 1).cast(LongType).as("n_grams"),
+      round(sw.cast(DoubleType) / lit(1000000L), 6).as("log_weight"))
   }
 
   /** Semantic eval-set decontamination (K31): drop from the corpus

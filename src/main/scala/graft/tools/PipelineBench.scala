@@ -111,10 +111,12 @@ object PipelineBench {
       Tables.documents(s, sfDir), "doc_id", "text", model, merges,
       dsirTargetPred = col("lang") === "en", gopherMinStop = 0L)
 
-    // the ONE sanctioned nested-loop is DSIR's single-row corpus
-    // totals broadcast (a 1×N attach, not a pair join)
+    // r10: the DSIR kernel rewrite (histogram aggregate + map-only
+    // scorer) removed the exploded-gram exchanges, a corpus re-scan,
+    // AND the formerly-sanctioned 1-row totals nested-loop — the v2
+    // plan budget tightened from 12/7/1 to 11/5/0
     gate("v2", v2(staticSession()).queryExecution.executedPlan.toString,
-      maxHash = 12, maxScans = 7, maxBnl = 1)
+      maxHash = 11, maxScans = 5, maxBnl = 0)
 
     val load2 = loadavg
     val t2 = System.nanoTime()
@@ -163,7 +165,7 @@ object PipelineBench {
     // id-keyed reattach are the two extra key-local shuffles
     gate("v2-stage0",
       v2b(staticSession(), stage0 = true).queryExecution.executedPlan.toString,
-      maxHash = 20, maxScans = 9, maxBnl = 1)
+      maxHash = 18, maxScans = 8, maxBnl = 0)
 
     val load3 = loadavg
     val t3 = System.nanoTime()

@@ -70,6 +70,28 @@ object V2Probe {
       .agg(count(lit(1)).as("c"))
     time("dsir_cdb_agg")(cdb0.count())
 
+    // r10 kernel-path decomposition: histogram aggregate vs map-only
+    // scoring (the two passes of the rebuilt fast path)
+    val tok = TextAnalysis.tokens(col("text"))
+    val kbase = docs.select(col("doc_id"),
+      coalesce(col("lang") === "en", lit(false)).as("is_target"),
+      tok.as("t")).where(size(col("t")) >= 2)
+    import graft.functions.{exprs => gex, DsirHistAgg}
+    time("dsir_hist_agg") {
+      kbase.agg(gex.toColumn(DsirHistAgg(gex.toExpr(col("t")),
+          gex.toExpr(col("is_target")), 4096).toAggregateExpression())
+          .as("h"))
+        .head().getSeq[Long](0).length.toLong
+    }
+    time("dsir_score_only") {
+      val lrz = new Array[Long](4096) // zeros: timing the hash walk
+      import graft.functions.{exprs, DsirScore}
+      kbase.select(col("doc_id"), exprs.toColumn(
+        DsirScore(exprs.toExpr(col("t")), lrz.toSeq, 4096)).as("s"))
+        .agg(sum("s")).head()
+      docs.count()
+    }
+
     val sample = Curation.hashSample(docs, "doc_id", 26)
     val medLen = sample.agg(expr("percentile(length(text), 0.5)"))
       .collect()(0).getDouble(0)

@@ -596,6 +596,65 @@ class CurationSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("dsirWeights: kernel fast path is byte-identical to the " +
+      "exploded-bigram murmur reference; scoring plan is map-only") {
+    // the r10 kernel replaced the explode → bucket-count → broadcast-
+    // join → doc-keyed-agg shape (V2Probe's sf30 super-scaler) with a
+    // histogram aggregate + map-only scorer; the reference below IS
+    // that old shape, so any hash-chain or rounding divergence fails
+    val texts = Seq(
+      "stir the sauce and simmer the sauce gently",
+      "chop the onions and stir the pan",
+      "stir the sauce and chop the onions",
+      "quantum flux entangles qubit lattices rapidly",
+      "naïve café déjà vu — ünïcödé tökens",
+      "a a a a a a a a",
+      "one two", "single", "",
+      "the the the quick quick brown fox")
+    val docs = texts.zipWithIndex.map { case (s, i) =>
+      (i.toLong, s, if (i % 3 == 0) "t" else "r") }
+      .toDF("doc_id", "text", "side")
+    val pred = col("side") === "t"
+    val (buckets, smoothing) = (64, 1.0)
+    val out = Curation.dsirWeights(docs, "doc_id", "text", pred,
+      buckets = buckets)
+    // old-shape reference, verbatim
+    val t = TextAnalysis.tokens(col("text"))
+    val base = docs.select(col("doc_id"), pred.as("is_target"), t.as("t"))
+      .where(size(col("t")) >= 2)
+    val bucketed = base.select(col("doc_id"), col("is_target"),
+      explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => pmod(hash(element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2)), lit(buckets)).cast("long")))
+        .as("bucket"))
+    val bstats = bucketed.groupBy("bucket").agg(
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct"),
+      sum(when(!col("is_target"), lit(1L)).otherwise(lit(0L))).as("cr"))
+    val totals = docs.select(pred.as("is_target"),
+        when(size(t) >= 2, (size(t) - 1).cast("long"))
+          .otherwise(lit(0L)).as("n"))
+      .agg(sum(when(col("is_target"), col("n")).otherwise(lit(0L))).as("tt"),
+        sum(when(!col("is_target"), col("n")).otherwise(lit(0L))).as("tr"))
+    val a = lit(smoothing); val ab = lit(smoothing * buckets)
+    val lr = round(log((col("ct") + a) / (col("tt") + ab)) -
+      log((col("cr") + a) / (col("tr") + ab)), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+    val lrTab = bstats.join(broadcast(totals))
+      .select(col("bucket"), lr.as("lr"))
+    val ref = bucketed.join(broadcast(lrTab), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("sw"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("sw").cast("double"), 6).as("log_weight"))
+    assert(out.collect().map(_.toSeq).toSet ==
+      ref.collect().map(_.toSeq).toSet)
+    // the kernel scoring pass must stay a pure projection
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange") && !plan.contains("Window") &&
+      !plan.contains("Join") && !plan.contains("Generate"),
+      s"kernel DSIR scoring must be map-only:\n$plan")
+  }
+
   test("semanticDecontam: exact mode drops eval rows and their " +
       "near-dups, keeps the rest; cell mode finds planted leaks") {
     def unit(seed: Int): Array[Float] = {
