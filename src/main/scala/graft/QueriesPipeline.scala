@@ -1055,6 +1055,56 @@ object QueriesPipeline {
         FROM ln WHERE md5(line) NOT IN (SELECT h FROM freq)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // -------------------------- F10 at PARAGRAPH units (r10, VERDICT
+    // item 6): sep="\n\n" — the unit a real boilerplate screen uses
+    // for multi-line banners. The synthesized paragraphs CONTAIN
+    // single newlines (that is the point: the unit must cross them
+    // un-split), and the threshold straddles both ways at gate scale
+    // (every-doc banners + a %8 paragraph drop; the %20 paragraph
+    // stays). Same operator, same rebuild — the sep is the split
+    // regex and the joiner, so this also gates that contract.
+    QueryDef("q_dedup_paragraphs",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+        val raw = concat(
+          lit("Subscribe to our newsletter\nGet the app today\n\n"),
+          col("text"),
+          lit("\n\nshared para "), (col("doc_id") % 8).cast(StringType),
+          lit("\nsecond line of the shared para"),
+          lit("\n\nrare para "), (col("doc_id") % 20).cast(StringType),
+          lit("\n\nCopyright 2026 Example Corp\nAll rights reserved"))
+        Dedup.dropFrequentLines(
+            doc.select(col("doc_id"), raw.as("text")),
+            "doc_id", "text", minDocs = 50, sep = "\n\n")
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id,
+            'Subscribe to our newsletter' || chr(10) || 'Get the app today'
+            || chr(10) || chr(10) || text || chr(10) || chr(10) ||
+            'shared para ' || CAST(doc_id % 8 AS VARCHAR) || chr(10) ||
+            'second line of the shared para' || chr(10) || chr(10) ||
+            'rare para ' || CAST(doc_id % 20 AS VARCHAR) || chr(10) ||
+            chr(10) ||
+            'Copyright 2026 Example Corp' || chr(10) || 'All rights reserved'
+            AS t
+          FROM documents
+        ), ln AS (
+          SELECT doc_id, CAST(s AS BIGINT) AS line_idx, ls[s] AS line,
+            len(ls) AS n_lines
+          FROM (SELECT doc_id,
+              string_split(t, chr(10) || chr(10)) AS ls,
+              unnest(range(1, len(string_split(t, chr(10) || chr(10))) + 1)) AS s
+            FROM raw)
+        ), freq AS (
+          SELECT md5(line) AS h FROM ln
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50)
+        SELECT doc_id, CAST(MAX(n_lines) AS BIGINT) AS n_lines,
+          COUNT(*) AS n_kept,
+          string_agg(line, chr(10) || chr(10) ORDER BY line_idx) AS clean_text
+        FROM ln WHERE md5(line) NOT IN (SELECT h FROM freq)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ------------------------------------------------------ G8 L2 ANN
     // Euclidean-metric twin of q_ann_bruteforce: native l2_distance
     // kernel (sequential accumulation = DuckDB list_distance), rank

@@ -472,9 +472,12 @@ object AnnIndex {
         col("p.cent_id") === col("c.cent_id") && col("p.qid") =!= col("c.vec_id"))
       .select(col("p.qid").as("qid"), col("c.vec_id").as("nid"),
         Similarity.cosine(col("p.qe"), col("c.embedding")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    val ranked = joined.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
+    // bounded rank (r10): a qid's candidate set is its probed cells'
+    // whole content — corpus·nprobe/nCells rows in one window
+    // partition at 10^10 vectors; the BoundedTopK aggregate keeps the
+    // shuffle at O(partitions·k) per query instead (byte-identical,
+    // SkewSpec-proven machinery)
+    val ranked = Similarity.rankTopK(joined, k, desc = true, "cos")
     // keepScore feeds score-consuming downstream stages — the
     // hardNegativesFrom / mmr serving chains — without a re-scoring
     // join; the default stays the rank-only serving contract
@@ -492,7 +495,8 @@ object AnnIndex {
   def searchAdc(index: IvfPqIndex, queries: DataFrame, k: Int,
                 nprobe: Int, refine: Int = 4,
                 allowed: Option[DataFrame] = None,
-                where: Option[Column] = None): DataFrame = {
+                where: Option[Column] = None,
+                keepScore: Boolean = false): DataFrame = {
     import graft.functions.{exprs, PqAdc, PqLut}
     require(refine <= 0 || hasEmbeddings(index),
       "exact re-rank needs stored embeddings; on a codes-only index " +
@@ -515,15 +519,20 @@ object AnnIndex {
         (exprs.toColumn(PqAdc(exprs.toExpr(col("c.codes")),
           exprs.toExpr(col("p.lut"))))
           / (col("p.qnrm") * col("c.anrm"))).as("acos"))
-    val wa = Window.partitionBy("qid").orderBy(col("acos").desc, col("nid"))
-    if (refine <= 0)
-      return scored.withColumn("rank", row_number().over(wa).cast(LongType))
-        .where(col("rank") <= k)
-        .select(col("qid"), col("nid"), col("rank"))
+    // bounded ranks throughout (r10) — same rationale as searchExact:
+    // a qid's ADC-scored candidate set is its probed cells' content
+    if (refine <= 0) {
+      val rk = Similarity.rankTopK(scored, k, desc = true, "acos")
+      // keepScore in approximate mode exposes the ADC ESTIMATE as
+      // `cos` (downstream screens re-round to 6 dp anyway); exact
+      // scores need refine > 0 or searchExact
+      return if (keepScore)
+        rk.select(col("qid"), col("nid"), col("acos").as("cos"), col("rank"))
+      else rk.select(col("qid"), col("nid"), col("rank"))
+    }
     val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       Similarity.norm(col("embedding")).as("qnrm"))
-    val cand = scored.withColumn("r", row_number().over(wa))
-      .where(col("r") <= refine * k)
+    val cand = Similarity.rankTopK(scored, refine * k, desc = true, "acos")
       .select("qid", "nid")
       .join(qe, "qid")
     val rer = pruned.select(col("vec_id").as("nid"), col("embedding"))
@@ -531,10 +540,13 @@ object AnnIndex {
       .select(col("qid"), col("nid"),
         (Similarity.dot(col("qe"), col("embedding"))
           / (col("qnrm") * Similarity.norm(col("embedding")))).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    rer.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"))
+    val ranked = Similarity.rankTopK(rer, k, desc = true, "cos")
+    // keepScore here carries the exact re-rank cosine — the same
+    // expression searchExact scores with, so the G16 chain can mine
+    // epoch negatives off the codes-only quantized index
+    if (keepScore)
+      ranked.select(col("qid"), col("nid"), col("cos"), col("rank"))
+    else ranked.select(col("qid"), col("nid"), col("rank"))
   }
 
   /** Incremental maintenance (G12): assign + encode `rows` with the

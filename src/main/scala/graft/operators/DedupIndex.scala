@@ -53,8 +53,30 @@ object DedupIndex {
                          numPerm: Int, bands: Int,
                          nBuckets: Int, nSigBuckets: Int,
                          bandsDir: String, sigsDir: String, version: Long) {
-    def bandRows: DataFrame = spark.read.parquet(bandsDir)
-    def sigRows: DataFrame = spark.read.parquet(sigsDir)
+    // Listing cache (r10, serving-constant cut): building the relation
+    // lists the whole partition tree (nBuckets·filesPerBucket files) —
+    // a stream screening thousands of micro-batches must pay that once
+    // per open, not twice per batch. Maintenance ops that change the
+    // file set (appendBatch, dropBatchesBelow) invalidate; compaction
+    // and rebuilds publish a NEW version and re-open.
+    @transient private val bandCache =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    @transient private val sigCache =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+    private def cached(ref: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                       d: String): DataFrame = {
+      val pre = ref.get()
+      if (pre != null) pre
+      else { ref.compareAndSet(null, spark.read.parquet(d)); ref.get() }
+    }
+
+    def bandRows: DataFrame = cached(bandCache, bandsDir)
+    def sigRows: DataFrame = cached(sigCache, sigsDir)
+
+    /** Force a re-list on next read — called by every op that adds or
+      * deletes files under the live version. */
+    def invalidateListing(): Unit = { bandCache.set(null); sigCache.set(null) }
   }
 
   /** clean batch rows + (new_id, matched_id, est_jaccard) dropped
@@ -81,6 +103,35 @@ object DedupIndex {
     sigs.select(col("doc_id"),
       posexplode(exprs.toColumn(LshBandKeys(exprs.toExpr(col("sig")), bands)))
         .as(Seq("band", "bh")))
+  }
+
+  /** The sizing rule as code (r10 — was operator-doc prose): pruning
+    * bites only while a batch's footprint covers a small fraction of
+    * the bucket space, so size each bucket count at `headroom` × the
+    * footprint that reads it and round up to a power of two:
+    *   - nBuckets from the BAND-KEY footprint (a batch of D docs emits
+    *     D·bands keys → that many bucket hits at most);
+    *   - nSigBuckets from the MATCH footprint (the verify pass reads
+    *     the sig buckets of the candidates' matched store docs — the
+    *     DEDUP_SERVE_r09 mult=100 row showed 500 matched ids
+    *     saturating a fixed 256 and turning the "pruned" verify into a
+    *     full sig-store read).
+    * Inputs are per-batch EXPECTATIONS (observe them from a pilot
+    * batch: batchDocs = batch size, matchesPerBatch = distinct
+    * matched_id count of a screening). Capped at `maxBuckets` —
+    * buckets are directories; a million tiny partitions costs more in
+    * listing than pruning saves (the listing the Index now caches).
+    */
+  def autoSize(batchDocs: Long, matchesPerBatch: Long, bands: Int = 16,
+               headroom: Int = 16, maxBuckets: Int = 1 << 16): (Int, Int) = {
+    require(batchDocs >= 1 && matchesPerBatch >= 0 && headroom >= 1,
+      s"autoSize inputs out of range: $batchDocs/$matchesPerBatch/$headroom")
+    def pow2Above(x: Long): Int =
+      if (x >= maxBuckets) maxBuckets
+      else math.max(1, java.lang.Long.highestOneBit(math.max(1L, x)).toInt
+        * (if (java.lang.Long.bitCount(math.max(1L, x)) == 1) 1 else 2))
+    (pow2Above(batchDocs * bands * headroom),
+      pow2Above(math.max(matchesPerBatch, 1L) * headroom))
   }
 
   /** Build from a corpus and publish as the next version. One
@@ -252,6 +303,7 @@ object DedupIndex {
       .repartition(col("sbucket"))
       .write.mode("overwrite").options(dyn)
       .partitionBy("sbucket", "batch_id").parquet(index.sigsDir)
+    index.invalidateListing()
   }
 
   /** Retention horizon: drop every APPENDED batch partition with
@@ -283,6 +335,7 @@ object DedupIndex {
             .foreach(st => fs.delete(st.getPath, true))
         }
     }
+    index.invalidateListing()
   }
 
   /** Fold every surviving batch partition into a fresh version's

@@ -64,8 +64,8 @@ object Similarity {
     * Output (qid, nid, score, rank) is byte-identical to the window
     * form (SkewSpec: planted mega-corpus proof, no Window in plan).
     */
-  private def rankTopK(pairs: DataFrame, k: Int, desc: Boolean,
-                       scoreName: String): DataFrame = {
+  private[operators] def rankTopK(pairs: DataFrame, k: Int, desc: Boolean,
+                                  scoreName: String): DataFrame = {
     val pick = udaf(new graft.functions.BoundedTopK(k, desc))
     pairs.groupBy("qid").agg(pick(col(scoreName), col("nid")).as("_hits"))
       .select(col("qid"), posexplode(col("_hits")).as(Seq("_pos", "_h")))

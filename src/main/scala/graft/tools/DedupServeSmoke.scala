@@ -90,8 +90,38 @@ object DedupServeSmoke {
     val b = sres.dropped
       .select("new_id", "matched_id").collect().map(r =>
         (r.getLong(0), r.getLong(1))).toSet
+    val nMatched = sres.dropped.select("matched_id").distinct().count()
     sres.release()
     require(a == b, s"screening divergence: ${a.size} vs ${b.size}")
+
+    // auto-sizing leg (r10): re-derive the bucket counts from this
+    // batch's OBSERVED footprints (the DedupIndex.autoSize rule) and
+    // measure the same screen — at high `mult` the fixed nSigBuckets
+    // saturates (the DEDUP_SERVE_r09 finding) while the auto-sized
+    // verify read stays a slice
+    val (autoB, autoS) = DedupIndex.autoSize(
+      batchDocs = 10L, matchesPerBatch = nMatched)
+    val (autoIndexMed, autoBuildWall) =
+      if (autoB == 1024 && autoS == 256) (-1.0, -1.0)
+      else {
+        val dir2 = java.nio.file.Files
+          .createTempDirectory("graft-dedup-serve-auto").toString
+        val tb = System.nanoTime()
+        val idx2 = DedupIndex.write(store, "doc_id", "text", dir2,
+          nBuckets = autoB, nSigBuckets = autoS)
+        val bw = (System.nanoTime() - tb) / 1e9
+        val med2 = time {
+          val r = DedupIndex.screenBatch(idx2, batch, "doc_id", "text")
+          try r.dropped.count() finally r.release()
+        }
+        val r2 = DedupIndex.screenBatch(idx2, batch, "doc_id", "text")
+        val b2 = r2.dropped.select("new_id", "matched_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        r2.release()
+        require(b2 == b, "auto-sized index diverges from fixed config")
+        def m(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+        (m(med2), bw)
+      }
 
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val loadavg = scala.util.Try(
@@ -103,7 +133,10 @@ object DedupServeSmoke {
       f""""recompute_med":${med(recompute)}%.3f,""" +
       f""""index_med":${med(fromIndex)}%.3f,""" +
       f""""speedup":${med(recompute) / med(fromIndex)}%.2f,""" +
-      f""""n_dropped":${b.size},"loadavg":"$loadavg",""" +
+      f""""n_dropped":${b.size},"n_matched":$nMatched,""" +
+      f""""auto_n_buckets":$autoB,"auto_n_sig_buckets":$autoS,""" +
+      f""""auto_index_med":$autoIndexMed%.3f,""" +
+      f""""auto_build_wall":$autoBuildWall%.3f,"loadavg":"$loadavg",""" +
       f""""utc":"${java.time.Instant.now()}"}""")
     spark.stop()
   }

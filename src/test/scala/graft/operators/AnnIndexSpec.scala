@@ -142,6 +142,19 @@ class AnnIndexSpec extends SparkSpec {
     // keepScore = false keeps the rank-only serving contract unchanged
     assert(AnnIndex.searchExact(index, queries, k = 5, nprobe = 16)
       .columns.toSeq == Seq("qid", "nid", "rank"))
+    // r10 (VERDICT item 9): the QUANTIZED path carries the exact
+    // re-rank cosine through keepScore too, so epoch mining runs off
+    // the codes-only production index — full-refine ADC == the exact
+    // chain == brute, bit for bit
+    val adcCands = AnnIndex.searchAdc(index, queries, k = n, nprobe = 16,
+      refine = 1, keepScore = true) // refine·k = n candidates = all
+    val fromAdc = asTuples(Similarity.hardNegativesFrom(adcCands, pos,
+      k = 5, minMargin = Some(0.1), dropAbovePos = true))
+    assert(fromAdc == brute, s"adc=${fromAdc.take(5)} brute=${brute.take(5)}")
+    // approximate mode (refine <= 0) exposes the ADC estimate as cos
+    assert(AnnIndex.searchAdc(index, queries, k = 5, nprobe = 16,
+      refine = 0, keepScore = true)
+      .columns.toSeq == Seq("qid", "nid", "cos", "rank"))
   }
 
   test("index-resident metadata: where-predicate search equals the " +

@@ -174,6 +174,37 @@ class DedupIndexSpec extends SparkSpec {
         Set((50L, 30L), (51L, 1L)))
   }
 
+  test("autoSize: headroom over the observed footprints, pow2, capped") {
+    // the DEDUP_SERVE_r09 saturation case: 10-doc batch, 500 matched
+    // store docs — the fixed 256 sig buckets all get hit; auto-sizing
+    // keeps the verify read a slice
+    assert(DedupIndex.autoSize(batchDocs = 10L, matchesPerBatch = 500L)
+      == ((4096, 8192)))
+    // exact powers of two stay put; non-powers round up
+    assert(DedupIndex.autoSize(4L, 64L)._1 == 1024) // 4*16*16 = 1024
+    assert(DedupIndex.autoSize(5L, 64L)._1 == 2048) // 1280 -> 2048
+    // no matches yet -> minimal sig footprint, never zero
+    assert(DedupIndex.autoSize(10L, 0L)._2 == 16)
+    // cap: bucket counts are directories, not free
+    assert(DedupIndex.autoSize(1000000L, 1000000L) == ((65536, 65536)))
+    intercept[IllegalArgumentException] { DedupIndex.autoSize(0L, 1L) }
+  }
+
+  test("appendBatch invalidates the cached listing: the same Index " +
+      "object sees appended rows without re-opening") {
+    val dir = Files.createTempDirectory("graft-dedupidx-inval").toString
+    val idx = DedupIndex.write(corpus.where($"doc_id" < 100), "doc_id",
+      "text", dir, nBuckets = 8, nSigBuckets = 4)
+    val before = idx.bandRows.count() // populates the listing cache
+    val batch = Seq((90007L, "a wholly novel appended body")).toDF("doc_id", "text")
+    val r = DedupIndex.screenBatch(idx, batch, "doc_id", "text",
+      beforeBatch = Some(1L))
+    DedupIndex.appendBatch(idx, r.cleanSigs, batchId = 1L)
+    r.release()
+    assert(idx.bandRows.count() > before,
+      "append must be visible through the same Index object")
+  }
+
   test("versioned publication: a rebuild publishes v+1, a pinned " +
       "reader keeps serving, vacuum reclaims") {
     val dir = Files.createTempDirectory("graft-dedupidx-ver").toString

@@ -336,6 +336,35 @@ class DedupSpec extends SparkSpec {
       assert(!plan.contains(op), s"dedupLinesInDoc must be map-only, found $op:\n$plan"))
   }
 
+  test("paragraph units (sep = \\n\\n): units keep their internal " +
+      "newlines through both F10 and F11") {
+    // the unit must CROSS single newlines un-split — a multi-line
+    // banner is one paragraph, dropped or kept whole
+    val banner = "subscribe now\nget the app"
+    val docs = Seq(
+      (1L, s"$banner\n\nalpha body\nline two\n\n$banner"),
+      (2L, s"$banner\n\nbeta body"),
+      (3L, s"$banner\n\ngamma body"),
+      (4L, "delta body\n\ndelta body\n\nunique tail")
+    ).toDF("doc_id", "text")
+    // F10: banner appears in 3 distinct docs >= minDocs=3 — every copy
+    // (including doc 1's repeat) drops as ONE unit
+    val f10 = Dedup.dropFrequentLines(docs, "doc_id", "text",
+        minDocs = 3, sep = "\n\n")
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(f10(1L) == ((1L, 1L, "alpha body\nline two")))
+    assert(f10(2L) == ((2L, 1L, "beta body")))
+    assert(f10(4L) == ((4L, 3L, "delta body\n\ndelta body\n\nunique tail")))
+    // F11: doc 4's repeated paragraph collapses to its first copy;
+    // doc 1's repeated banner likewise (intra-doc, no corpus stats)
+    val f11 = Dedup.dedupLinesInDoc(docs, "doc_id", "text", sep = "\n\n")
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(f11(4L) == ((4L, 2L, "delta body\n\nunique tail")))
+    assert(f11(1L) == ((1L, 2L, s"$banner\n\nalpha body\nline two")))
+  }
+
   test("dropListedLines: mined-table screen equals the one-shot op, " +
       "batch and under foreachBatch micro-batches") {
     // the I14 train/serve split applied to F10: mine boilerplate once,
