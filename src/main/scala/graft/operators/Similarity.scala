@@ -63,11 +63,19 @@ object Similarity {
     * query and the k-wide explode of the finished array is bounded.
     * Output (qid, nid, score, rank) is byte-identical to the window
     * form (SkewSpec: planted mega-corpus proof, no Window in plan).
+    *
+    * Null scores/nids are dropped before the aggregate (the udaf input
+    * encoder is non-nullable — a null embedding's null cosine would
+    * fail at runtime); the window form ordered nulls last, so the two
+    * differ only when a partition holds fewer than k non-null rows,
+    * and a null-scored "hit" was never a meaningful answer (r10
+    * ADVICE).
     */
   private[operators] def rankTopK(pairs: DataFrame, k: Int, desc: Boolean,
                                   scoreName: String): DataFrame = {
     val pick = udaf(new graft.functions.BoundedTopK(k, desc))
-    pairs.groupBy("qid").agg(pick(col(scoreName), col("nid")).as("_hits"))
+    pairs.where(col(scoreName).isNotNull && col("nid").isNotNull)
+      .groupBy("qid").agg(pick(col(scoreName), col("nid")).as("_hits"))
       .select(col("qid"), posexplode(col("_hits")).as(Seq("_pos", "_h")))
       .select(col("qid"), col("_h.nid").as("nid"),
         col("_h.score").as(scoreName),
@@ -136,22 +144,31 @@ object Similarity {
 
   /** LSH ANN: same-bucket candidates only, then exact cosine + top-k.
     * Recall is tunable by `planes` (fewer planes → bigger buckets).
+    * The per-query rank is the bounded [[rankTopK]] aggregate: a hot
+    * bucket holds ≈ corpus/2^planes rows, so at low `planes` a query's
+    * candidate window partition is corpus-scale — the same
+    * unsplittable-reducer shape the brute family shed in r10.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              dim: Int, planes: Int = 8): DataFrame = {
+              dim: Int, planes: Int = 8): DataFrame =
+    rankTopK(lshScored(corpus, queries, dim, planes), k, desc = true, "cos")
+
+  /** The scored (qid, nid, cos) same-bucket candidate relation behind
+    * [[lshTopK]] — exposed for the SkewSpec window-vs-aggregate
+    * byte-identity proofs.
+    */
+  private[operators] def lshScored(corpus: DataFrame, queries: DataFrame,
+                                   dim: Int, planes: Int): DataFrame = {
     val cb = fanOut(corpus).withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes))
       .withColumn("nrm", norm(col("embedding")))
     val qb = queries.withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes))
       .withColumn("nrm", norm(col("embedding")))
-    val joined = cb.as("c")
+    cb.as("c")
       .join(broadcast(qb.as("q")),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
         (dot(col("q.embedding"), col("c.embedding"))
           / (col("q.nrm") * col("c.nrm"))).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    joined.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
   }
 
   /** Radius-bounded ANN via multi-probe hyperplane LSH: candidates
@@ -169,7 +186,20 @@ object Similarity {
     * collision probability bounds.
     */
   def lshRadiusTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-                    threshold: Double, planes: Int = 1, probes: Int = 8): DataFrame = {
+                    threshold: Double, planes: Int = 1, probes: Int = 8): DataFrame =
+    // radius-filtered, but a loose threshold leaves the relation
+    // corpus-sized — rank via the bounded aggregate, never a window
+    rankTopK(lshRadiusScored(corpus, queries, dim, threshold, planes, probes),
+      k, desc = true, "cos")
+      .select(col("qid"), col("nid"), col("rank"))
+
+  /** The radius-filtered scored (qid, nid, cos) relation behind
+    * [[lshRadiusTopK]] (planes <= 0 = the exhaustive ground-truth
+    * mode) — exposed for the SkewSpec byte-identity proofs.
+    */
+  private[operators] def lshRadiusScored(corpus: DataFrame, queries: DataFrame,
+                                         dim: Int, threshold: Double,
+                                         planes: Int, probes: Int): DataFrame = {
     val c = fanOut(corpus).withColumn("nrm", norm(col("embedding")))
     val q = queries.withColumn("nrm", norm(col("embedding")))
     if (planes <= 0) {
@@ -178,16 +208,12 @@ object Similarity {
       // the exact-oracle gate use (same role as ivfTopK probing every
       // cell). One corpus pass, no probe tables to deduplicate;
       // identical output to a full-recall LSH config.
-      val joined = c.as("c")
+      return c.as("c")
         .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
         .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
           (dot(col("q.embedding"), col("c.embedding"))
             / (col("q.nrm") * col("c.nrm"))).as("cos"))
         .where(col("cos") >= threshold)
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-      return joined.withColumn("rank", row_number().over(w).cast(LongType))
-        .where(col("rank") <= k)
-        .select(col("qid"), col("nid"), col("rank"))
     }
     val cand = (0 until probes).map { s =>
       val cb = c.withColumn("bucket", hyperplaneBucket(col("embedding"), dim, planes, s))
@@ -198,13 +224,10 @@ object Similarity {
           col("q.embedding").as("qe"), col("c.embedding").as("ce"),
           col("q.nrm").as("qn"), col("c.nrm").as("cn"))
     }.reduce(_ unionAll _).dropDuplicates("qid", "nid")
-    val scored = cand
+    cand
       .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .where(col("cos") >= threshold)
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"))
+      .select(col("qid"), col("nid"), col("cos"))
   }
 
   /** Deterministic seed centroids: corpus rows with vec_id ≡ 0 mod
@@ -313,21 +336,42 @@ object Similarity {
               kmeansIters: Int = 1, centroids: Option[DataFrame] = None): DataFrame = {
     val cents = centroids.getOrElse(
       trainIvfCentroids(corpus, nCells, stride, kmeansIters))
-    val assigned = assignToCentroids(corpus, cents)
+    // per-query candidates = the probed cells' content ≈
+    // corpus·nprobe/nCells rows — an unsplittable multi-GB window
+    // partition at 10^10 rows (the AnnIndex.searchExact analysis);
+    // the bounded aggregate reduces it map-side instead
+    rankTopK(ivfScored(corpus, queries, cents, nprobe), k, desc = true, "cos")
+  }
+
+  /** Per-query probe-cell selection: the `nprobe` most query-cosine
+    * centroids, (ccos desc, cent_id) deterministic — via the bounded
+    * [[rankTopK]] aggregate so no plan anywhere windows by qid (the
+    * relation is |q|·nCells rows, small, but uniformity keeps the
+    * window audit trivially true).
+    */
+  private[operators] def probeCells(queries: DataFrame, cents: DataFrame,
+                                    nprobe: Int): DataFrame = {
     val qCells = queries.as("q").join(broadcast(cents.as("k")))
-      .select(col("q.vec_id").as("qid"), col("q.embedding").as("qe"),
-        col("k.cent_id").as("cent_id"),
+      .select(col("q.vec_id").as("qid"),
+        col("k.cent_id").as("nid"),
         cosine(col("q.embedding"), col("k.cent")).as("ccos"))
-    val wq = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
-    val probes = qCells.withColumn("r", row_number().over(wq)).where(col("r") <= nprobe)
-      .select(col("qid"), col("qe"), col("cent_id"))
-    val joined = assigned.as("c").join(broadcast(probes.as("p")),
+    rankTopK(qCells, nprobe, desc = true, "ccos")
+      .select(col("qid"), col("nid").as("cent_id"))
+  }
+
+  /** The scored (qid, nid, cos) probed-cell candidate relation behind
+    * [[ivfTopK]] — exposed for the SkewSpec byte-identity proofs.
+    */
+  private[operators] def ivfScored(corpus: DataFrame, queries: DataFrame,
+                                   cents: DataFrame, nprobe: Int): DataFrame = {
+    val assigned = assignToCentroids(corpus, cents)
+    val probes = probeCells(queries, cents, nprobe)
+      .join(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qe")), "qid")
+    assigned.as("c").join(broadcast(probes.as("p")),
         col("p.cent_id") === col("c.cent_id") && col("p.qid") =!= col("c.vec_id"))
       .select(col("p.qid").as("qid"), col("c.vec_id").as("nid"),
         cosine(col("p.qe"), col("c.embedding")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    joined.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
   }
 
   /** Product-quantization codebooks: the embedding space split into
@@ -398,9 +442,26 @@ object Similarity {
              m: Int = 8, ncodes: Int = 16, stride: Long = 7,
              iters: Int = 2, refine: Int = 4,
              codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
-    import graft.functions.{exprs, PqAdc, PqEncode, PqLut}
     val books = codebooks.getOrElse(
       trainPqCodebooks(corpus, dim, m, ncodes, stride, iters))
+    val scored = pqScored(corpus, queries, books)
+    // the flat ADC scan scores EVERY corpus row per query — the rank
+    // must be the bounded aggregate, or each query's window partition
+    // is the entire corpus (the r10 brute-family fix, applied here)
+    if (refine <= 0)
+      return rankTopK(scored, k, desc = true, "acos")
+        .select(col("qid"), col("nid"), col("rank"))
+    val cand = rankTopK(scored, refine * k, desc = true, "acos")
+      .select("qid", "nid")
+    exactReRank(corpus, queries, cand, k)
+  }
+
+  /** The flat-ADC scored (qid, nid, acos) relation behind [[pqTopK]] —
+    * exposed for the SkewSpec byte-identity proofs.
+    */
+  private[operators] def pqScored(corpus: DataFrame, queries: DataFrame,
+                                  books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import graft.functions.{exprs, PqAdc, PqEncode, PqLut}
     def encodeCol(c: Column) = exprs.toColumn(PqEncode(exprs.toExpr(c), books))
     def lutCol(c: Column) = exprs.toColumn(PqLut(exprs.toExpr(c), books))
     def adcCol(a: Column, b: Column) =
@@ -412,19 +473,10 @@ object Similarity {
       .withColumn("anrm", sqrt(adcCol(col("codes"), typedlit(normLut))))
     val q = queries.select(col("vec_id").as("qid"),
       lutCol(col("embedding")).as("lut"), norm(col("embedding")).as("qnrm"))
-    val scored = enc.join(broadcast(q), col("qid") =!= col("vec_id"))
+    enc.join(broadcast(q), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),
         (adcCol(col("codes"), col("lut")) / (col("qnrm") * col("anrm")))
           .as("acos"))
-    val wa = Window.partitionBy("qid").orderBy(col("acos").desc, col("nid"))
-    if (refine <= 0)
-      return scored.withColumn("rank", row_number().over(wa).cast(LongType))
-        .where(col("rank") <= k)
-        .select(col("qid"), col("nid"), col("rank"))
-    val cand = scored.withColumn("r", row_number().over(wa))
-      .where(col("r") <= refine * k)
-      .select("qid", "nid")
-    exactReRank(corpus, queries, cand, k)
   }
 
   /** Scalar-quantization bounds (G13): per-dimension corpus min/max —
@@ -462,6 +514,22 @@ object Similarity {
     val (lo, hi) = bounds.getOrElse(trainSqBounds(corpus, dim))
     require(lo.length == dim && hi.length == dim,
       s"bounds length ${lo.length}/${hi.length} != dim $dim")
+    val scored = sqScored(corpus, queries, lo, hi)
+    // flat SQ scan = corpus-sized scored relation per query; bounded
+    // aggregate rank (see pqTopK)
+    if (refine <= 0)
+      return rankTopK(scored, k, desc = true, "acos")
+        .select(col("qid"), col("nid"), col("rank"))
+    val cand = rankTopK(scored, refine * k, desc = true, "acos")
+      .select("qid", "nid")
+    exactReRank(corpus, queries, cand, k)
+  }
+
+  /** The flat-SQ scored (qid, nid, acos) relation behind [[sqTopK]] —
+    * exposed for the SkewSpec byte-identity proofs.
+    */
+  private[operators] def sqScored(corpus: DataFrame, queries: DataFrame,
+                                  lo: Seq[Double], hi: Seq[Double]): DataFrame = {
     val delta = lo.zip(hi).map { case (l, h) =>
       if (h > l) (h - l) / 255.0 else 0.0
     }
@@ -487,20 +555,11 @@ object Similarity {
       arraySum(zip_with(col("embedding"), loL,
         (qe, l) => qe.cast(DoubleType) * l)).as("bias"),
       norm(col("embedding")).as("qnrm"))
-    val scored = enc.join(broadcast(q), col("qid") =!= col("vec_id"))
+    enc.join(broadcast(q), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),
         ((col("bias") + arraySum(zip_with(col("w"), col("codes"),
           (wi, ci) => wi * ci.cast(DoubleType))))
           / (col("qnrm") * col("anrm"))).as("acos"))
-    val wa = Window.partitionBy("qid").orderBy(col("acos").desc, col("nid"))
-    if (refine <= 0)
-      return scored.withColumn("rank", row_number().over(wa).cast(LongType))
-        .where(col("rank") <= k)
-        .select(col("qid"), col("nid"), col("rank"))
-    val cand = scored.withColumn("r", row_number().over(wa))
-      .where(col("r") <= refine * k)
-      .select("qid", "nid")
-    exactReRank(corpus, queries, cand, k)
   }
 
   /** MMR diversified re-rank (G15): maximal marginal relevance
@@ -654,9 +713,9 @@ object Similarity {
       .join(broadcast(qe), "qid")
       .select(col("qid"), col("nid"),
         (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    rer.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
+    // bounded at refine·k rows per query — the aggregate anyway, so
+    // every ranker plan in this file is Window-free
+    rankTopK(rer, k, desc = true, "cos")
       .select(col("qid"), col("nid"), col("rank"))
   }
 
@@ -678,10 +737,28 @@ object Similarity {
                 refine: Int = 4,
                 centroids: Option[DataFrame] = None,
                 codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
-    import graft.functions.{exprs, PqAdc, PqEncode, PqLut}
     val cents = centroids.getOrElse(trainIvfCentroids(corpus, nCells, stride))
     val books = codebooks.getOrElse(
       trainPqCodebooks(corpus, dim, m, ncodes, stride, iters))
+    val scored = ivfPqScored(corpus, queries, cents, books, nprobe)
+    // probed-cell candidates ≈ corpus·nprobe/nCells per query — the
+    // bounded aggregate, never a qid window (see ivfTopK)
+    if (refine <= 0)
+      return rankTopK(scored, k, desc = true, "acos")
+        .select(col("qid"), col("nid"), col("rank"))
+    val cand = rankTopK(scored, refine * k, desc = true, "acos")
+      .select("qid", "nid")
+    exactReRank(corpus, queries, cand, k)
+  }
+
+  /** The probed-cell ADC scored (qid, nid, acos) relation behind
+    * [[ivfPqTopK]] — exposed for the SkewSpec byte-identity proofs.
+    */
+  private[operators] def ivfPqScored(corpus: DataFrame, queries: DataFrame,
+                                     cents: DataFrame,
+                                     books: Seq[Seq[Seq[Double]]],
+                                     nprobe: Int): DataFrame = {
+    import graft.functions.{exprs, PqAdc, PqEncode, PqLut}
     def encodeCol(c: Column) = exprs.toColumn(PqEncode(exprs.toExpr(c), books))
     def lutCol(c: Column) = exprs.toColumn(PqLut(exprs.toExpr(c), books))
     def adcCol(a: Column, b: Column) =
@@ -691,31 +768,15 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"),
         encodeCol(col("embedding")).as("codes"))
       .withColumn("anrm", sqrt(adcCol(col("codes"), typedlit(normLut))))
-    val qCells = queries.as("q").join(broadcast(cents.as("c")))
-      .select(col("q.vec_id").as("qid"), col("c.cent_id").as("cent_id"),
-        cosine(col("q.embedding"), col("c.cent")).as("ccos"))
-    val wq = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
     // LUT computed once per query row, joined onto its nprobe cells
     val qLut = queries.select(col("vec_id").as("qid"),
       lutCol(col("embedding")).as("lut"), norm(col("embedding")).as("qnrm"))
-    val probes = qCells.withColumn("r", row_number().over(wq))
-      .where(col("r") <= nprobe)
-      .select(col("qid"), col("cent_id"))
-      .join(qLut, "qid")
-    val scored = enc.as("c").join(broadcast(probes.as("p")),
+    val probes = probeCells(queries, cents, nprobe).join(qLut, "qid")
+    enc.as("c").join(broadcast(probes.as("p")),
         col("p.cent_id") === col("c.cent_id") && col("p.qid") =!= col("c.vec_id"))
       .select(col("p.qid").as("qid"), col("c.vec_id").as("nid"),
         (adcCol(col("c.codes"), col("p.lut")) / (col("p.qnrm") * col("c.anrm")))
           .as("acos"))
-    val wa = Window.partitionBy("qid").orderBy(col("acos").desc, col("nid"))
-    if (refine <= 0)
-      return scored.withColumn("rank", row_number().over(wa).cast(LongType))
-        .where(col("rank") <= k)
-        .select(col("qid"), col("nid"), col("rank"))
-    val cand = scored.withColumn("r", row_number().over(wa))
-      .where(col("r") <= refine * k)
-      .select("qid", "nid")
-    exactReRank(corpus, queries, cand, k)
   }
 
   /** SemDeDup-style semantic near-duplicate pairs: k-means cells as

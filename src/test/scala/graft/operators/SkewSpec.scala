@@ -376,4 +376,110 @@ class SkewSpec extends SparkSpec {
     assert(rows(hnOut) == rows(hnRef))
     assertNoWindow(hnOut, "hardNegatives")
   }
+
+  test("quantized and bucketed rankers never window over qid: LSH, radius-LSH, " +
+      "IVF, PQ, SQ, IVF-PQ byte-identical to the window form") {
+    import org.apache.spark.sql.expressions.Window
+    // The r10 sweep killed the qid window in the brute family; these
+    // are the remaining six ranker entry points (VERDICT r10 item 1).
+    // pqTopK/sqTopK score EVERY corpus row per query (a flat ADC/SQ
+    // scan), so their ranked relation is corpus-sized per query;
+    // lshTopK's hot bucket is ≈ corpus/2^planes, ivf's probed cells ≈
+    // corpus·nprobe/nCells — all unsplittable window partitions at
+    // 10^10 rows. Each operator must be byte-identical to a
+    // row_number-window reference over ITS OWN scored relation (the
+    // private[operators] *Scored builders — identical scores by
+    // construction, so the equality isolates the ranker), with NO
+    // Window operator in any executed plan and the bounded aggregate
+    // present.
+    val corpus = (0L until 4000L).map { i =>
+      (i, Array((i % 17).toFloat / 17f, ((i * 3) % 23).toFloat / 23f,
+        ((i * 7) % 29).toFloat / 29f, 1f))
+    }.toDF("vec_id", "embedding").repartition(8)
+    val queries = corpus.where($"vec_id" < 3)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def assertNoWindow(df: org.apache.spark.sql.DataFrame, what: String) = {
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Window"), s"$what must not window:\n$plan")
+      assert(plan.toLowerCase.contains("boundedtopk"),
+        s"expected the bounded aggregate in the $what plan:\n$plan")
+    }
+    def windowRank(scored: org.apache.spark.sql.DataFrame, scoreCol: String,
+                   k: Int) =
+      scored.select($"qid", $"nid", col(scoreCol),
+        row_number().over(Window.partitionBy("qid")
+          .orderBy(col(scoreCol).desc, $"nid")).cast("long").as("rank"))
+        .where($"rank" <= k)
+
+    // LSH at planes=1: each bucket holds ≈ half the corpus (the
+    // mega-bucket shape)
+    val lshOut = Similarity.lshTopK(corpus, queries, k = 7, dim = 4, planes = 1)
+    assert(rows(lshOut) ==
+      rows(windowRank(Similarity.lshScored(corpus, queries, 4, 1), "cos", 7)))
+    assertNoWindow(lshOut, "lshTopK")
+
+    // radius LSH, exhaustive mode (planes=0): the scored relation IS
+    // the corpus per query after a loose threshold
+    val radOut = Similarity.lshRadiusTopK(corpus, queries, k = 7, dim = 4,
+      threshold = 0.2, planes = 0)
+    assert(rows(radOut) == rows(
+      windowRank(Similarity.lshRadiusScored(corpus, queries, 4, 0.2, 0, 8),
+        "cos", 7).select($"qid", $"nid", $"rank")))
+    assertNoWindow(radOut, "lshRadiusTopK exhaustive")
+    // banded mode
+    val radBand = Similarity.lshRadiusTopK(corpus, queries, k = 7, dim = 4,
+      threshold = 0.2, planes = 1, probes = 2)
+    assert(rows(radBand) == rows(
+      windowRank(Similarity.lshRadiusScored(corpus, queries, 4, 0.2, 1, 2),
+        "cos", 7).select($"qid", $"nid", $"rank")))
+    assertNoWindow(radBand, "lshRadiusTopK banded")
+
+    // IVF: probe selection AND the candidate rank both via the
+    // aggregate; probe-set identity vs a window reference proven
+    // directly on the bounded (qid, cent) relation
+    val cents = Similarity.trainIvfCentroids(corpus, nCells = 4, stride = 7)
+    val qCells = queries.as("q").join(broadcast(cents.as("k")))
+      .select($"q.vec_id".as("qid"), $"k.cent_id".as("nid"),
+        Similarity.cosine($"q.embedding", $"k.cent").as("ccos"))
+    assert(rows(Similarity.probeCells(queries, cents, 2)) ==
+      rows(windowRank(qCells, "ccos", 2)
+        .select($"qid", $"nid".as("cent_id"))))
+    val ivfOut = Similarity.ivfTopK(corpus, queries, k = 7, nCells = 4,
+      nprobe = 2, centroids = Some(cents))
+    assert(rows(ivfOut) ==
+      rows(windowRank(Similarity.ivfScored(corpus, queries, cents, 2), "cos", 7)))
+    assertNoWindow(ivfOut, "ivfTopK")
+
+    // PQ flat ADC scan (quantized scores are tie-heavy — the nid
+    // tiebreak is exercised for real), both refine modes
+    val books = Similarity.trainPqCodebooks(corpus, dim = 4, m = 2, ncodes = 8)
+    val pqOut = Similarity.pqTopK(corpus, queries, k = 7, dim = 4, m = 2,
+      ncodes = 8, refine = 0, codebooks = Some(books))
+    assert(rows(pqOut) == rows(
+      windowRank(Similarity.pqScored(corpus, queries, books), "acos", 7)
+        .select($"qid", $"nid", $"rank")))
+    assertNoWindow(pqOut, "pqTopK flat")
+    assertNoWindow(Similarity.pqTopK(corpus, queries, k = 7, dim = 4, m = 2,
+      ncodes = 8, refine = 2, codebooks = Some(books)), "pqTopK refine")
+
+    // SQ8 flat scan
+    val (lo, hi) = Similarity.trainSqBounds(corpus, 4)
+    val sqOut = Similarity.sqTopK(corpus, queries, k = 7, dim = 4, refine = 0,
+      bounds = Some((lo, hi)))
+    assert(rows(sqOut) == rows(
+      windowRank(Similarity.sqScored(corpus, queries, lo, hi), "acos", 7)
+        .select($"qid", $"nid", $"rank")))
+    assertNoWindow(sqOut, "sqTopK flat")
+
+    // IVF-PQ probed ADC scan
+    val ivfpqOut = Similarity.ivfPqTopK(corpus, queries, k = 7, dim = 4,
+      nCells = 4, nprobe = 2, m = 2, ncodes = 8, refine = 0,
+      centroids = Some(cents), codebooks = Some(books))
+    assert(rows(ivfpqOut) == rows(
+      windowRank(Similarity.ivfPqScored(corpus, queries, cents, books, 2),
+        "acos", 7).select($"qid", $"nid", $"rank")))
+    assertNoWindow(ivfpqOut, "ivfPqTopK flat")
+  }
 }
