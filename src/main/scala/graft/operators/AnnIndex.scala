@@ -523,11 +523,14 @@ object AnnIndex {
     // a qid's ADC-scored candidate set is its probed cells' content
     if (refine <= 0) {
       val rk = Similarity.rankTopK(scored, k, desc = true, "acos")
-      // keepScore in approximate mode exposes the ADC ESTIMATE as
-      // `cos` (downstream screens re-round to 6 dp anyway); exact
-      // scores need refine > 0 or searchExact
+      // keepScore in approximate mode exposes the ADC ESTIMATE under
+      // its own name `acos`, never `cos` — `cos` is reserved for exact
+      // cosine (refine > 0 here, or searchExact), so a consumer that
+      // joins/unions ANN outputs by schema can never feed a quantized
+      // estimate to an exact-cosine screen unaware (r10 ADVICE);
+      // rename explicitly if an estimate is genuinely acceptable
       return if (keepScore)
-        rk.select(col("qid"), col("nid"), col("acos").as("cos"), col("rank"))
+        rk.select(col("qid"), col("nid"), col("acos"), col("rank"))
       else rk.select(col("qid"), col("nid"), col("rank"))
     }
     val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),

@@ -1138,14 +1138,18 @@ object Curation {
           round(col("sw").cast(DoubleType), 6).as("log_weight"))
     }
     val spark = docs.sparkSession
-    // a null target predicate row counts to the raw side, same as the
-    // when/otherwise branches of the exact path
+    // a null target predicate row is SCORED but counted into NEITHER
+    // histogram side nor total — the exact path's when/otherwise
+    // branches send it to neither ct/cr nor tt/tr (r10 ADVICE: the
+    // previous coalesce-to-false here silently counted those docs'
+    // grams raw, diverging from the documented contract whenever
+    // targetPred is nullable)
     val base = docs
-      .select(col(idCol).as("doc_id"),
-        coalesce(targetPred, lit(false)).as("is_target"), t.as("t"))
+      .select(col(idCol).as("doc_id"), targetPred.as("is_target"), t.as("t"))
       .where(size(col("t")) >= 2)
     import graft.functions.{exprs, DsirHistAgg, DsirScore}
-    val hist = base.agg(exprs.toColumn(
+    val hist = base.where(col("is_target").isNotNull)
+      .agg(exprs.toColumn(
         DsirHistAgg(exprs.toExpr(col("t")), exprs.toExpr(col("is_target")),
           buckets).toAggregateExpression()).as("h"))
       .head().getSeq[Long](0)

@@ -49,6 +49,17 @@ import org.apache.spark.sql.types._
   */
 object DedupIndex {
 
+  /** OWNERSHIP (r10 ADVICE): an Index handle assumes single-process,
+    * single-handle use of its live version — the listing cache below
+    * is per-handle, and only the handle that performed a mutation
+    * invalidates it, so a SECOND handle opened on the same live
+    * version (another session/process sharing the directory) can
+    * serve a stale pinned listing after this one appends or drops
+    * batches. Cross-process visibility comes from the versioned
+    * publication protocol (compaction/rebuild → new version → fresh
+    * open()), which is also the single-writer maintenance contract
+    * the ANN/BM25 indexes document.
+    */
   final case class Index(spark: SparkSession, dir: String,
                          numPerm: Int, bands: Int,
                          nBuckets: Int, nSigBuckets: Int,
@@ -59,9 +70,11 @@ object DedupIndex {
     // per open, not twice per batch. Maintenance ops that change the
     // file set (appendBatch, dropBatchesBelow) invalidate; compaction
     // and rebuilds publish a NEW version and re-open.
-    @transient private val bandCache =
+    // `lazy` so a deserialized handle (the @transient fields come back
+    // null) degrades to a fresh re-list instead of an NPE.
+    @transient private lazy val bandCache =
       new java.util.concurrent.atomic.AtomicReference[DataFrame]()
-    @transient private val sigCache =
+    @transient private lazy val sigCache =
       new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
     private def cached(ref: java.util.concurrent.atomic.AtomicReference[DataFrame],

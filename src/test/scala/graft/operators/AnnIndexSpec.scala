@@ -151,10 +151,12 @@ class AnnIndexSpec extends SparkSpec {
     val fromAdc = asTuples(Similarity.hardNegativesFrom(adcCands, pos,
       k = 5, minMargin = Some(0.1), dropAbovePos = true))
     assert(fromAdc == brute, s"adc=${fromAdc.take(5)} brute=${brute.take(5)}")
-    // approximate mode (refine <= 0) exposes the ADC estimate as cos
+    // approximate mode (refine <= 0) exposes the ADC estimate under
+    // its OWN name — `cos` stays reserved for exact re-rank scores, so
+    // schema-driven consumers cannot mistake an estimate for exact
     assert(AnnIndex.searchAdc(index, queries, k = 5, nprobe = 16,
       refine = 0, keepScore = true)
-      .columns.toSeq == Seq("qid", "nid", "cos", "rank"))
+      .columns.toSeq == Seq("qid", "nid", "acos", "rank"))
   }
 
   test("index-resident metadata: where-predicate search equals the " +

@@ -655,6 +655,73 @@ class CurationSpec extends SparkSpec {
       s"kernel DSIR scoring must be map-only:\n$plan")
   }
 
+  test("dsirWeights: a null target predicate counts into NEITHER " +
+      "histogram side but the doc is still scored (kernel == reference)") {
+    // r10 ADVICE (medium): the kernel fast path coalesced a null
+    // targetPred to false, counting those docs' bigrams into the
+    // raw-side histogram and tr total, where the exact path's
+    // when/otherwise branches contribute a null-pred row to neither
+    // ct/cr nor tt/tr. The contract is the exact path's: null-pred
+    // docs are scored against the two distributions but help define
+    // neither. lang IS NULL rows under col("lang") === "en" are the
+    // production shape.
+    val docs = Seq(
+      (0L, "stir the sauce and simmer the sauce gently", "t"),
+      (1L, "chop the onions and stir the pan", "r"),
+      (2L, "stir the sauce and chop the onions", null),
+      (3L, "quantum flux entangles qubit lattices rapidly", "r"),
+      (4L, "the the the quick quick brown fox", null))
+      .toDF("doc_id", "text", "side")
+    val pred = col("side") === "t" // null side → null predicate
+    val buckets = 64
+    val out = Curation.dsirWeights(docs, "doc_id", "text", pred,
+      buckets = buckets)
+    // murmur exploded reference with the exact path's when/otherwise
+    // null semantics (the shape the kernel-identity test pins, on a
+    // NULLABLE predicate this time)
+    val t = TextAnalysis.tokens(col("text"))
+    val base = docs.select(col("doc_id"), pred.as("is_target"), t.as("t"))
+      .where(size(col("t")) >= 2)
+    val bucketed = base.select(col("doc_id"), col("is_target"),
+      explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => pmod(hash(element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2)), lit(buckets)).cast("long")))
+        .as("bucket"))
+    val bstats = bucketed.groupBy("bucket").agg(
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct"),
+      sum(when(!col("is_target"), lit(1L)).otherwise(lit(0L))).as("cr"))
+    val totals = docs.select(pred.as("is_target"),
+        when(size(t) >= 2, (size(t) - 1).cast("long"))
+          .otherwise(lit(0L)).as("n"))
+      .agg(sum(when(col("is_target"), col("n")).otherwise(lit(0L))).as("tt"),
+        sum(when(!col("is_target"), col("n")).otherwise(lit(0L))).as("tr"))
+    val a = lit(1.0); val ab = lit(1.0 * buckets)
+    val lr = round(log((col("ct") + a) / (col("tt") + ab)) -
+      log((col("cr") + a) / (col("tr") + ab)), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+    val lrTab = bstats.join(broadcast(totals))
+      .select(col("bucket"), lr.as("lr"))
+    val ref = bucketed.join(broadcast(lrTab), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("sw"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("sw").cast("double"), 6).as("log_weight"))
+    assert(out.collect().map(_.toSeq).toSet ==
+      ref.collect().map(_.toSeq).toSet)
+    // null-pred docs are present in the output
+    val scoredIds = out.select("doc_id").as[Long].collect().toSet
+    assert(Set(2L, 4L).subsetOf(scoredIds),
+      s"null-pred docs must still be scored, got $scoredIds")
+    // and the coalesce-to-false form is genuinely different here: the
+    // null-pred docs' grams would land raw-side and shift weights
+    val coalesced = Curation.dsirWeights(
+      docs.withColumn("side", coalesce(col("side"), lit("r"))),
+      "doc_id", "text", pred, buckets = buckets)
+    assert(coalesced.collect().map(_.toSeq).toSet !=
+      out.collect().map(_.toSeq).toSet,
+      "fixture must distinguish null-to-neither from null-to-raw")
+  }
+
   test("semanticDecontam: exact mode drops eval rows and their " +
       "near-dups, keeps the rest; cell mode finds planted leaks") {
     def unit(seed: Int): Array[Float] = {
