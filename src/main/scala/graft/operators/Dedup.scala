@@ -634,14 +634,29 @@ object Dedup {
 
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         lenCol: String, maxDist: Int,
-                        blockWidth: Int = 10): DataFrame = {
+                        blockWidth: Int = 10,
+                        maxIdGap: Long = 0L): DataFrame = {
     require(blockWidth > 0 && maxDist >= 0, "blockWidth > 0, maxDist >= 0")
+    require(maxIdGap >= 0, s"maxIdGap must be >= 0: $maxIdGap")
     val blocked = docs.select(col(idCol), col(textCol).as("t"),
       floor(col(lenCol) / blockWidth).as("blk"))
     val a = blocked.select(col(idCol).as("id_a"), col("t").as("text_a"), col("blk"))
     val b = blocked.select(col(idCol).as("id_b"), col("t").as("text_b"), col("blk"))
+    // maxIdGap > 0 bounds candidates to id-adjacent pairs — the
+    // ingestion-window screen for replica-heavy corpora: pair LISTING
+    // is inherently quadratic in copy multiplicity (a family of n
+    // mutual near-dups has C(n,2) pairs — no plan shape fixes output
+    // size), so a corpus where whole slices repeat (re-crawls,
+    // ScaleGen-style replication) pairs every copy with every other.
+    // Bounding the id gap keeps listing linear while cluster-then-
+    // canonical (F6 over LSH candidates) remains the full-corpus
+    // production path. The gap predicate sits INSIDE the join, so the
+    // Levenshtein DP only ever runs on gap-surviving pairs.
+    val gapOk = if (maxIdGap > 0) col("id_b") - col("id_a") <= maxIdGap
+                else lit(true)
     editDistanceVerify(
-      a.join(b, Seq("blk")).where(col("id_a") < col("id_b")), maxDist)
+      a.join(b, Seq("blk")).where(col("id_a") < col("id_b") && gapOk),
+      maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

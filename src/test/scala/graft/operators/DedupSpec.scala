@@ -207,6 +207,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 2L)), s"got $pairs")
   }
 
+  test("editDistancePairs maxIdGap bounds candidates to id-adjacent pairs") {
+    import org.apache.spark.sql.functions._
+    // the replica-corpus screen (r11): a family of mutual near-dups
+    // lists C(n,2) pairs — the id-gap cap keeps listing linear by
+    // excluding far-id copies deterministically, BEFORE the DP runs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumped"),   // gap 1 from doc 1
+      (9L, "the quick brown fox jumpss"),   // gap 8/7 from docs 1/2
+      (10L, "the quick brown fox jumpst")   // gap 1 from doc 9
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    def run(gap: Long) =
+      Dedup.editDistancePairs(docs, "doc_id", "text", "n_chars",
+          maxDist = 5, blockWidth = 10, maxIdGap = gap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // unbounded (default 0): all close pairs in the block
+    val all = run(0L)
+    assert(all == Set((1L, 2L), (1L, 9L), (1L, 10L), (2L, 9L), (2L, 10L),
+      (9L, 10L)), s"got $all")
+    // gap 1: only id-adjacent pairs survive — the far copies never
+    // reach the DP (2L,9L has gap 7, 1L,9L gap 8, ...)
+    assert(run(1L) == Set((1L, 2L), (9L, 10L)))
+    // gap >= max observed gap: identical to unbounded
+    assert(run(9L) == all)
+  }
+
   test("editDistanceVerify on LSH candidates keeps only close pairs, banded DP agrees with full") {
     import org.apache.spark.sql.functions._
     // production composition: candidate pairs from any generator,
