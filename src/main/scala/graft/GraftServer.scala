@@ -25,27 +25,54 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * sfDir).collect()` — ServerBench gates that per query.
   *
   * Staleness: a cached entry pins the file listing captured at plan
-  * time, like any DataFrame. If the underlying table directory
-  * changes (new parquet files, index republish), call
-  * [[invalidate]]/[[clear]] — the same contract as Spark's own table
-  * cache over external files.
+  * time, like any DataFrame. For plain table directories that change
+  * underneath (new parquet files), call [[invalidate]]/[[clear]] —
+  * the same contract as Spark's own table cache over external files.
+  * For the VERSIONED indexes (AnnIndex/Bm25Index/DedupIndex publish
+  * through a CURRENT pointer), [[watchIndexes]] closes the loop
+  * without manual calls (r11, VERDICT r10 item 5): the cached entry
+  * fingerprints each watched directory's CURRENT pointer at build
+  * time and every request re-reads the pointers (one tiny-file read
+  * per dir — negligible next to serving), so a republish
+  * (rebuild/compaction/retrain) is picked up on the next serve and a
+  * resident server never serves a vacuumed version's file listing.
+  *
+  * `registry` defaults to the SparkEntry registry; a custom map lets
+  * the server front index-reading queries (the watchIndexes use).
   */
-class GraftServer(spark: SparkSession) {
+class GraftServer(spark: SparkSession,
+                  registry: Map[String, (SparkSession, String) => DataFrame] =
+                    SparkEntry.queries) {
 
   private case class Served(df: DataFrame, rdd: RDD[InternalRow],
-                            enc: ExpressionEncoder[Row])
+                            enc: ExpressionEncoder[Row],
+                            fp: Seq[Option[Long]])
 
   private val cache = new ConcurrentHashMap[(String, String), Served]()
+  private val watched = new ConcurrentHashMap[(String, String), Seq[String]]()
   private val hits = new AtomicLong
   private val builds = new AtomicLong
 
   /** (cache hits, plan builds) since construction — server telemetry. */
   def counters: (Long, Long) = (hits.get, builds.get)
 
+  /** Declare that `name`'s plan reads the versioned index(es) rooted
+    * at `dirs`: the cached entry is keyed to each dir's CURRENT
+    * pointer, and a publish flip (rebuild, compaction, retrain,
+    * delta compaction) auto-rebuilds the plan on the next request —
+    * no manual [[invalidate]] needed. Unversioned/legacy layouts
+    * fingerprint as None and fall back to the manual contract.
+    */
+  def watchIndexes(name: String, sfDir: String, dirs: Seq[String]): Unit =
+    watched.put((name, sfDir), dirs)
+
+  private def fingerprint(dirs: Seq[String]): Seq[Option[Long]] =
+    dirs.map(d => graft.operators.IndexVersions.current(spark, d))
+
   private val buildFn: JFunction[(String, String), Served] = {
     case (name, sfDir) =>
       builds.incrementAndGet()
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = registry(name)(spark, sfDir)
       val qe = df.queryExecution
       qe.executedPlan // settle analysis/optimization/planning ONCE
       // one stable lineage for every future request: the per-row copy
@@ -55,14 +82,20 @@ class GraftServer(spark: SparkSession) {
       val rdd = qe.toRdd.map(_.copy())
       val enc = ExpressionEncoder(RowEncoder.encoderFor(df.schema))
         .resolveAndBind()
-      Served(df, rdd, enc)
+      Served(df, rdd, enc,
+        fingerprint(watched.getOrDefault((name, sfDir), Nil)))
   }
 
   private def entry(name: String, sfDir: String): Served = {
     val k = (name, sfDir)
     val pre = cache.get(k)
-    if (pre != null) { hits.incrementAndGet(); pre }
-    else cache.computeIfAbsent(k, buildFn)
+    if (pre != null &&
+        pre.fp == fingerprint(watched.getOrDefault(k, Nil))) {
+      hits.incrementAndGet(); pre
+    } else {
+      if (pre != null) cache.remove(k, pre) // stale version: rebuild
+      cache.computeIfAbsent(k, buildFn)
+    }
   }
 
   /** The memoized, fully planned DataFrame — for composition or

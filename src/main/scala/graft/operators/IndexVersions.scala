@@ -31,7 +31,7 @@ import org.apache.spark.sql.SparkSession
   * no `CURRENT`) resolve as version 0 at the unversioned path, so
   * existing indexes keep opening.
   */
-private[operators] object IndexVersions {
+private[graft] object IndexVersions {
 
   private def fileSystem(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())

@@ -38,6 +38,45 @@ class GraftServerSpec extends SparkSpec {
     assert(b4 == names.size + 1L)
   }
 
+  test("watchIndexes: an index republish is served fresh without " +
+      "manual invalidate; unflipped versions still hit the cache") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    import graft.operators.AnnIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-server-idx").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpusA = emb.where(col("vec_id") < 40)
+    val corpusB = emb.where(col("vec_id") >= 40 && col("vec_id") < 80)
+    val queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 103)
+    def freshRows() = AnnIndex
+      .searchExact(AnnIndex.open(spark, dir), queries, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    AnnIndex.write(corpusA, dir, dim = 64, nCells = 2, stride = 7,
+      m = 8, ncodes = 16)
+    // a custom registry fronting the index read — the serving shape
+    // watchIndexes exists for
+    val reg = Map("ann" -> ((s: SparkSession, d: String) =>
+      AnnIndex.searchExact(AnnIndex.open(s, d), queries, k = 3,
+        nprobe = 2)))
+    val server = new GraftServer(spark, reg)
+    server.watchIndexes("ann", dir, Seq(dir))
+    val a = server.serveRows("ann", dir).map(_.toString).sorted.toSeq
+    assert(a == freshRows(), "first serve must match a fresh search")
+    // unflipped CURRENT: the repeat hits the cache
+    assert(server.serveRows("ann", dir).map(_.toString).sorted.toSeq == a)
+    val (h1, b1) = server.counters
+    assert(b1 == 1 && h1 == 1, s"expected 1 build / 1 hit, got $b1/$h1")
+    // republish: a rebuild over a DIFFERENT corpus flips CURRENT to v2
+    AnnIndex.write(corpusB, dir, dim = 64, nCells = 2, stride = 7,
+      m = 8, ncodes = 16)
+    val b = server.serveRows("ann", dir).map(_.toString).sorted.toSeq
+    assert(b == freshRows(), "post-republish serve must match v2")
+    assert(b != a, "fixture must make v1 and v2 results differ")
+    val (_, b2) = server.counters
+    assert(b2 == 2, s"republish must force exactly one rebuild, got $b2")
+  }
+
   test("two sfDirs cache independently") {
     val server = new GraftServer(spark)
     val a = server.serveRows("q1_agg", sfDir)
