@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{AnnIndex, DedupIndex}
+
+/** The composed streaming ingest story (VERDICT r10 item 7): one
+  * micro-batch loop running the full production intake —
+  *
+  *   stream → quality gate (I14, map-only) → persisted-index dedup
+  *   screen (F12) → clean sink (exactly-once) → ANN upsert (G12/G13)
+  *
+  * — with every leg REPLAY-IDEMPOTENT, so a query killed anywhere
+  * inside a batch and restarted from its checkpoint converges to
+  * exactly-once row accounting:
+  *
+  *  - the dedup screen reads `beforeBatch = b`, so a replayed batch
+  *    never sees its own partial append, and `appendBatch` lands in
+  *    per-(bucket, batch_id) partitions with dynamic overwrite — the
+  *    replay REPLACES its crashed attempt (the IncrementalDedup rule);
+  *  - the clean sink writes batch_id-partitioned parquet with dynamic
+  *    overwrite — same rule, so accounting never double-counts;
+  *  - the ANN leg uses `upsert`, not `append`: a replayed batch's
+  *    upsert tombstones the crashed attempt's rows at a strictly later
+  *    generation, so searches serve exactly ONE live copy per vec_id
+  *    no matter how many times the batch replays (append would
+  *    double-serve — the reason the composed pipeline upserts).
+  *
+  * `gate` is the map-only screen applied first (the I14 shape —
+  * [[Streams.qualityGate]] for the full Gopher-kernel → classifier →
+  * BPE battery, or any stateless filter); running it before the
+  * dedup screen keeps rejected docs out of the signature index, so
+  * gate-failing spam never pollutes dedup state. Both indexes must
+  * exist (seed them with `DedupIndex.write` / `AnnIndex.write`);
+  * handles re-open per batch, so index maintenance published between
+  * batches (versioned CURRENT flips) is picked up at the next batch.
+  */
+object IngestPipeline {
+
+  def start(docs: DataFrame, idCol: String, textCol: String,
+            gate: DataFrame => DataFrame,
+            dedupIndexDir: String, annIndexDir: String, outDir: String,
+            threshold: Double = 0.8,
+            checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val gated = gate(batch).persist()
+        try {
+          val idx = DedupIndex.open(spark, dedupIndexDir)
+          val b = batchId + 1L // batch_id 0 is the dedup seed build
+          val res = DedupIndex.screenBatch(idx, gated, idCol, textCol,
+            threshold, beforeBatch = Some(b))
+          try {
+            val clean = res.clean.persist()
+            try {
+              // exactly-once accounting sink: a replay overwrites its
+              // own partition, never appends beside it
+              clean.withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(outDir)
+              // replay-idempotent ANN leg (see scaladoc)
+              AnnIndex.upsert(AnnIndex.open(spark, annIndexDir),
+                clean.select(col(idCol).as("vec_id"), col("embedding")))
+              DedupIndex.appendBatch(idx, res.cleanSigs, b)
+            } finally clean.unpersist()
+          } finally res.release()
+        } finally gated.unpersist()
+    }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _))
+      .start()
+  }
+}
