@@ -61,8 +61,13 @@ class PlanBudgetSpec extends SparkSpec {
     // the partsupp agg itself is computed once
     "q_table_profile" -> (5, 1, 5), // 5 per-column branches, each one
     // column-pruned scan + one distinct-valued shuffle; no Expand (below)
-    "q_ann_index" -> (3, 1, 2), // serving path: probe window + rank window;
-    // queries scan + the PRUNED cells scan; probes broadcast, never the corpus
+    "q_ann_index" -> (3, 1, 2), // serving path (r10/r11: probe + rank
+    // are bounded aggregates, no Window anywhere); queries scan + the
+    // PRUNED cells scan; probes broadcast, never the corpus
+    "q_ann_lsh" -> (2, 1, 2), // r11 sweep: bucket join (queries
+    // broadcast) + the BoundedTopK rank agg; corpus + queries scans
+    "q_ann_ivf" -> (3, 1, 3), // r11 sweep: probe-cell agg + rank agg +
+    // assignment; every rank a bounded aggregate, no qid window
     "q_compress_ratio" -> (0, 1, 1), // pure codegen map: NO shuffle
     "q_gopher_rules" -> (0, 1, 1), // rule battery: pure codegen map, NO shuffle
     "q_soft_dedup" -> (4, 1, 2), // clusters come back lineage-cut (the CC
