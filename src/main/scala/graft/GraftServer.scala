@@ -72,6 +72,12 @@ class GraftServer(spark: SparkSession,
   private val buildFn: JFunction[(String, String), Served] = {
     case (name, sfDir) =>
       builds.incrementAndGet()
+      // fingerprint BEFORE the plan settles: a CURRENT flip racing the
+      // (multi-second) build then MISMATCHES on the next request and
+      // rebuilds — captured after, the post-flip pointer would match a
+      // plan pinned to the pre-flip file listing and serve it forever
+      // (r11 review finding)
+      val fp = fingerprint(watched.getOrDefault((name, sfDir), Nil))
       val df = registry(name)(spark, sfDir)
       val qe = df.queryExecution
       qe.executedPlan // settle analysis/optimization/planning ONCE
@@ -82,8 +88,7 @@ class GraftServer(spark: SparkSession,
       val rdd = qe.toRdd.map(_.copy())
       val enc = ExpressionEncoder(RowEncoder.encoderFor(df.schema))
         .resolveAndBind()
-      Served(df, rdd, enc,
-        fingerprint(watched.getOrDefault((name, sfDir), Nil)))
+      Served(df, rdd, enc, fp)
   }
 
   private def entry(name: String, sfDir: String): Served = {

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -422,18 +421,18 @@ object AnnIndex {
 
   /** Per-query probe cells: broadcast join against the LOCAL centroid
     * relation (never the corpus), top-`nprobe` cells by centroid
-    * cosine. Bounded output: |queries|·nprobe rows.
+    * cosine via [[Similarity.probeCells]] — the bounded rankTopK
+    * aggregate, so no search plan anywhere windows by qid (r11: the
+    * relation is |q|·nCells rows, small, but the window audit stays
+    * trivially true). Bounded output: |queries|·nprobe rows, query
+    * embeddings re-attached by one bounded join.
     */
   private def probeCells(index: IvfPqIndex, queries: DataFrame,
-                         nprobe: Int): DataFrame = {
-    val qCells = queries.as("q").join(broadcast(index.centroids.as("c")))
-      .select(col("q.vec_id").as("qid"), col("q.embedding").as("qe"),
-        col("c.cent_id").as("cent_id"),
-        Similarity.cosine(col("q.embedding"), col("c.cent")).as("ccos"))
-    val wq = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
-    qCells.withColumn("r", row_number().over(wq)).where(col("r") <= nprobe)
+                         nprobe: Int): DataFrame =
+    Similarity.probeCells(queries, index.centroids, nprobe)
+      .join(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qe")), "qid")
       .select(col("qid"), col("qe"), col("cent_id"))
-  }
 
   /** The probed slice of the on-disk corpus: the distinct probe cell
     * ids (bounded: ≤ |queries|·nprobe, collected) become a LITERAL

@@ -638,6 +638,14 @@ object Dedup {
                         maxIdGap: Long = 0L): DataFrame = {
     require(blockWidth > 0 && maxDist >= 0, "blockWidth > 0, maxDist >= 0")
     require(maxIdGap >= 0, s"maxIdGap must be >= 0: $maxIdGap")
+    // the gap predicate subtracts ids: on a string/UUID id column the
+    // subtraction null-evaluates and would silently drop EVERY pair —
+    // fail loudly instead (ids only need to be comparable when the gap
+    // cap is off; r11 review finding)
+    require(maxIdGap == 0 ||
+      docs.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"maxIdGap needs a numeric id column; $idCol is " +
+        s"${docs.schema(idCol).dataType.simpleString}")
     val blocked = docs.select(col(idCol), col(textCol).as("t"),
       floor(col(lenCol) / blockWidth).as("blk"))
     val a = blocked.select(col(idCol).as("id_a"), col("t").as("text_a"), col("blk"))

@@ -714,7 +714,10 @@ object Similarity {
       .select(col("qid"), col("nid"),
         (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
     // bounded at refine·k rows per query — the aggregate anyway, so
-    // every ranker plan in this file is Window-free
+    // every similarity-RANKER plan in this file is Window-free
+    // (rrfFuse keeps its one window: per-query fusion input is
+    // |lists|·k rows by its contract, and its output carries n_lists
+    // which the aggregate would drop)
     rankTopK(rer, k, desc = true, "cos")
       .select(col("qid"), col("nid"), col("rank"))
   }

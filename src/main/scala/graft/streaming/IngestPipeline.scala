@@ -43,7 +43,14 @@ object IngestPipeline {
             gate: DataFrame => DataFrame,
             dedupIndexDir: String, annIndexDir: String, outDir: String,
             threshold: Double = 0.8,
-            checkpointDir: Option[String] = None): StreamingQuery = {
+            checkpointDir: String): StreamingQuery = {
+    // the checkpoint is REQUIRED, not optional: every exactly-once
+    // guarantee above keys the dynamic overwrites by batchId, and an
+    // uncheckpointed restart renumbers batches from 0 — batch_id=0
+    // would overwrite while stale higher partitions double-count, and
+    // the dedup index's beforeBatch horizon would shift against its
+    // own appends (r11 review finding)
+    require(checkpointDir.nonEmpty, "checkpointDir must be non-empty")
     val writer = docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -56,22 +63,33 @@ object IngestPipeline {
           try {
             val clean = res.clean.persist()
             try {
-              // exactly-once accounting sink: a replay overwrites its
-              // own partition, never appends beside it
-              clean.withColumn("batch_id", lit(batchId))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(outDir)
-              // replay-idempotent ANN leg (see scaladoc)
-              AnnIndex.upsert(AnnIndex.open(spark, annIndexDir),
-                clean.select(col(idCol).as("vec_id"), col("embedding")))
-              DedupIndex.appendBatch(idx, res.cleanSigs, b)
+              // empty-batch guard: a quiet or fully-filtered batch must
+              // not bump the ANN generation, append empty tombstone/
+              // sig files, or litter an empty sink partition — 10k idle
+              // micro-batches would otherwise grow every future search's
+              // file list. Replay-safe: the pipeline is deterministic
+              // over checkpointed offsets, so a replayed batch computes
+              // the same clean set as its crashed attempt — an
+              // empty-clean replay implies the crash also wrote nothing
+              // (or an empty partition, which dynamic overwrite leaves
+              // semantically empty either way).
+              if (!clean.isEmpty) {
+                // exactly-once accounting sink: a replay overwrites its
+                // own partition, never appends beside it
+                clean.withColumn("batch_id", lit(batchId))
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("batch_id")
+                  .parquet(outDir)
+                // replay-idempotent ANN leg (see scaladoc)
+                AnnIndex.upsert(AnnIndex.open(spark, annIndexDir),
+                  clean.select(col(idCol).as("vec_id"), col("embedding")))
+                DedupIndex.appendBatch(idx, res.cleanSigs, b)
+              }
             } finally clean.unpersist()
           } finally res.release()
         } finally gated.unpersist()
     }
-    checkpointDir.fold(writer)(writer.option("checkpointLocation", _))
-      .start()
+    writer.option("checkpointLocation", checkpointDir).start()
   }
 }

@@ -111,6 +111,8 @@ object NegServeSmoke {
     // (queries broadcast in every leg — the G1/G16 contract)
     val qAll = corpus.where(col("vec_id") < nQueries)
       .as[(Long, Array[Float])].collect().toSeq
+      .sortBy(_._1) // collect order is partition order — pin the
+      // brute subset so the artifact reproduces across runs
     val qLocal = qAll.toDF("vec_id", "embedding")
     val qBrute = qAll.take(bruteQueries).toDF("vec_id", "embedding")
     def posFor(qs: DataFrame) = qs.select(col("vec_id").as("qid"))

@@ -61,9 +61,12 @@ class PlanBudgetSpec extends SparkSpec {
     // the partsupp agg itself is computed once
     "q_table_profile" -> (5, 1, 5), // 5 per-column branches, each one
     // column-pruned scan + one distinct-valued shuffle; no Expand (below)
-    "q_ann_index" -> (3, 1, 2), // serving path (r10/r11: probe + rank
-    // are bounded aggregates, no Window anywhere); queries scan + the
-    // PRUNED cells scan; probes broadcast, never the corpus
+    "q_ann_index" -> (3, 1, 3), // serving path (r10/r11: probe + rank
+    // are bounded aggregates, no Window anywhere); the PRUNED cells
+    // scan + TWO scans of the bounded QUERY BATCH (the aggregate probe
+    // rank drops qe, so it re-attaches by one bounded join — a
+    // query-relation rescan, free at any corpus scale; the cells scan
+    // stays pruned and single); probes broadcast, never the corpus
     "q_ann_lsh" -> (2, 1, 2), // r11 sweep: bucket join (queries
     // broadcast) + the BoundedTopK rank agg; corpus + queries scans
     "q_ann_ivf" -> (3, 1, 3), // r11 sweep: probe-cell agg + rank agg +

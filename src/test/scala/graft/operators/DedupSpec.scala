@@ -231,6 +231,16 @@ class DedupSpec extends SparkSpec {
     assert(run(1L) == Set((1L, 2L), (9L, 10L)))
     // gap >= max observed gap: identical to unbounded
     assert(run(9L) == all)
+    // string ids: the gap subtraction would null-evaluate and silently
+    // drop every pair — must reject loudly (unbounded mode still works,
+    // ids only need to be comparable there)
+    val sdocs = docs.withColumn("doc_id", concat(lit("d"), col("doc_id")))
+    assertThrows[IllegalArgumentException] {
+      Dedup.editDistancePairs(sdocs, "doc_id", "text", "n_chars",
+        maxDist = 5, blockWidth = 10, maxIdGap = 1L)
+    }
+    assert(Dedup.editDistancePairs(sdocs, "doc_id", "text", "n_chars",
+      maxDist = 5, blockWidth = 10).count() == 6L)
   }
 
   test("editDistanceVerify on LSH candidates keeps only close pairs, banded DP agrees with full") {

@@ -38,7 +38,7 @@ class IngestPipelineSpec extends SparkSpec {
     def startQ() = IngestPipeline.start(
       input.toDF().toDF("doc_id", "text", "embedding"),
       "doc_id", "text", gate, dedupDir, annDir, outDir,
-      threshold = 0.8, checkpointDir = Some(ckpt))
+      threshold = 0.8, checkpointDir = ckpt)
 
     // ---- batch 0: doc 3 = exact copy of seed t1 (dedup-dropped),
     // doc 4 novel (passes everything), doc 5 gate-fail (2 words)
