@@ -1166,6 +1166,62 @@ object QueriesPipeline {
           substr(norm, 1, 8) AS prefix, md5(norm) AS fp
         FROM n ORDER BY doc_id""")),
 
+    // ---------------------------------------------- H19 html to text
+    // The crawl-pipeline extraction step: strip comments/script/style,
+    // block tags -> newlines (line structure survives for F10/F11),
+    // remaining tags -> spaces, basic entities decoded (&amp; LAST so
+    // &amp;lt; stays the literal text "&lt;"), per-line whitespace
+    // normalization. Every stage is an RE2-compatible regexp_replace /
+    // replace builtin, so the oracle runs the IDENTICAL chain — and a
+    // planted script with "1<2" inside proves lazy block matching, not
+    // just tag stripping. Pure narrow map: no shuffle, no UDF.
+    QueryDef("q_html_to_text",
+      (s, d) => {
+        val html = concat(
+          lit("<html><!-- nav --><head><title>Doc "), col("doc_id"),
+          lit("</title><script type=\"text/javascript\">if (1<2) { x(); }" +
+            "</script><style>p > a { color: red }</style></head><body>" +
+            "<h1>Head &amp; tail</h1><p>"),
+          col("text"),
+          lit("</p><ul><li>alpha</li><li>beta</li></ul></body></html>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.htmlToText(html).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            '<html><!-- nav --><head><title>Doc ' || doc_id ||
+            '</title><script type="text/javascript">if (1<2) { x(); }' ||
+            '</script><style>p > a { color: red }</style></head><body>' ||
+            '<h1>Head &amp; tail</h1><p>' || text ||
+            '</p><ul><li>alpha</li><li>beta</li></ul></body></html>' AS t
+          FROM documents),
+        s1 AS (SELECT doc_id,
+          regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+        s2 AS (SELECT doc_id, regexp_replace(t,
+          '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id, regexp_replace(t,
+          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s2),
+        s4 AS (SELECT doc_id, regexp_replace(t,
+          '(?i)<(?:br\s*/?|/(?:p|div|li|h[1-6]|tr|ul|ol|table|title))\s*>',
+          chr(10), 'g') AS t FROM s3),
+        s5 AS (SELECT doc_id,
+          regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s4),
+        s6 AS (SELECT doc_id,
+          replace(replace(replace(replace(replace(replace(replace(replace(
+          replace(replace(replace(replace(t,
+            '&nbsp;', ' '), '&#160;', ' '), '&lt;', '<'), '&#60;', '<'),
+            '&gt;', '>'), '&#62;', '>'), '&quot;', '"'), '&#34;', '"'),
+            '&apos;', ''''), '&#39;', ''''), '&amp;', '&'), '&#38;', '&')
+            AS t FROM s5),
+        s7 AS (SELECT doc_id,
+          regexp_replace(t, '[ \t\x0B\f\r]+', ' ', 'g') AS t FROM s6)
+        SELECT doc_id, array_to_string(list_filter(list_transform(
+          string_split(t, chr(10)), l -> trim(l)), l -> l <> ''),
+          chr(10)) AS clean_text
+        FROM s7 ORDER BY doc_id""")),
+
     // ------------------------------------------------- H8 PII redact
     // Typed scrubbing of emails / phones / IPv4s with per-kind counts.
     // PII is synthesized deterministically from doc_id on BOTH sides

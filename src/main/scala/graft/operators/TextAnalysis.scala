@@ -752,4 +752,61 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= topK)
   }
+
+  /** HTML → text extraction (H19, round 11) — the step a crawl
+    * pipeline runs before EVERY text screen in this file: strip
+    * comments and script/style blocks, turn block-boundary tags into
+    * newlines (so F10/F11 line dedup and the Gopher line statistics
+    * see real line structure), drip the remaining tags, decode the
+    * basic entities, and normalize whitespace per line.
+    *
+    * Deliberately a REGEX STRIPPER, not an HTML5 tree parser: every
+    * stage is a codegen'd builtin (`regexp_replace`/`replace`) with an
+    * RE2-compatible pattern, so the identical chain runs digit-for-
+    * digit in DuckDB (the H9/H10 oracle discipline) and the whole
+    * operator is one narrow map — no UDF, no shuffle, pipelines inside
+    * whatever scan the caller pays, at any corpus scale.
+    *
+    * Documented semantics (the standard stripper conventions):
+    *  - `<script>`/`<style>` bodies and `<!-- -->` comments vanish
+    *    (lazy match per block; an UNCLOSED block survives to the tag
+    *    stripper, which removes its tags but keeps its text);
+    *  - `<br>` and CLOSING block tags (p/div/li/h1-6/tr/ul/ol/table)
+    *    become newlines; every other `<...>` run becomes a space — a
+    *    bare `<` in text is treated as a tag opener until the next
+    *    `>`, exactly as in every regex stripper;
+    *  - entities: the named/numeric basics (nbsp, lt, gt, quot,
+    *    apos + their codepoints), with `&amp;` decoded LAST so
+    *    `&amp;lt;` yields the literal text `&lt;` (correct HTML
+    *    semantics); other entities pass through untouched;
+    *  - within-line whitespace collapses to single spaces, lines trim,
+    *    empty lines drop. NOT idempotent by design: decoded `&lt;`
+    *    becomes a literal `<` that a second pass would strip.
+    */
+  def htmlToText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val blocks = regexp_replace(noStyle,
+      "(?i)<(?:br\\s*/?|/(?:p|div|li|h[1-6]|tr|ul|ol|table|title))\\s*>",
+      "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    // basics first, &amp; LAST (so "&amp;lt;" decodes to literal "&lt;")
+    val ent = Seq(
+      "&nbsp;" -> " ", "&#160;" -> " ",
+      "&lt;" -> "<", "&#60;" -> "<",
+      "&gt;" -> ">", "&#62;" -> ">",
+      "&quot;" -> "\"", "&#34;" -> "\"",
+      "&apos;" -> "'", "&#39;" -> "'",
+      "&amp;" -> "&", "&#38;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    val spaced = regexp_replace(ent, "[ \\t\\x0B\\f\\r]+", " ")
+    array_join(
+      filter(transform(split(spaced, "\n"), l => trim(l)), l => l =!= ""),
+      "\n")
+  }
 }

@@ -601,4 +601,48 @@ class TextAnalysisSpec extends SparkSpec {
       assert(j == wj, s"doc $id: '$j' != '$wj'")
     }
   }
+
+  test("htmlToText: scripts/styles/comments vanish, block tags become " +
+      "lines, entities decode in the right order, whitespace normalizes") {
+    import org.apache.spark.sql.functions._
+    def clean(h: String): String =
+      Seq(h).toDF("h").select(TextAnalysis.htmlToText(col("h")).as("t"))
+        .as[String].head()
+    // the full shape: head noise gone, headings/paragraphs/list items
+    // become separate lines, inline tags become spaces
+    val page = "<html><!-- nav v2 --><head><title>T</title>" +
+      "<script type=\"text/javascript\">if (1<2) { x(); }</script>" +
+      "<style>p > a { color: red }</style></head><body>" +
+      "<h1>Title</h1><p>first &amp; <b>second</b></p>" +
+      "<ul><li>alpha</li><li>beta</li></ul></body></html>"
+    assert(clean(page) == "T\nTitle\nfirst & second\nalpha\nbeta",
+      s"got '${clean(page)}'")
+    // entity order: &amp;lt; is the literal text &lt; (never a tag);
+    // numeric basics decode; unknown entities pass through
+    assert(clean("a &amp;lt; b &#39;q&#39; &nbsp; c &copy;") ==
+      "a &lt; b 'q' c &copy;")
+    // unclosed script: tags strip, body text survives (documented)
+    assert(clean("<script>var x;") == "var x;")
+    // <br> variants break lines; blank lines drop; tabs/CRs collapse
+    assert(clean("a<br>b<br/>c<BR >d") == "a\nb\nc\nd")
+    assert(clean("  a\t b \r<p></p><p> </p>c ") == "a b\nc")
+    // plain text passes through; empty stays empty
+    assert(clean("plain text") == "plain text")
+    assert(clean("") == "")
+  }
+
+  test("htmlToText feeds line structure to the line-dedup family") {
+    import org.apache.spark.sql.functions._
+    // the composition reason block tags become NEWLINES: a nav list
+    // repeated across pages is droppable by F10 only if each <li> is
+    // its own line after extraction
+    val docs = (0 until 60).map { i =>
+      (i.toLong, "<ul><li>Home</li><li>About</li></ul><p>unique body " +
+        i + "</p>")
+    }.toDF("doc_id", "html")
+      .select(col("doc_id"), TextAnalysis.htmlToText(col("html")).as("text"))
+    val out = Dedup.dropFrequentLines(docs, "doc_id", "text", minDocs = 50)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(3L) == "unique body 3", s"got ${out(3L)}")
+  }
 }

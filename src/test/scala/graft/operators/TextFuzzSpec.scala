@@ -255,4 +255,87 @@ class TextFuzzSpec extends SparkSpec {
           diff.take(3).map(r => cases(r.getLong(0).toInt)).mkString(" | "))
     }
   }
+
+  // --------------------------------------------------------------- H19
+
+  /** Independent scanner reference for htmlToText (well-formed blocks —
+    * the generator below only emits closed comments/scripts/styles;
+    * the unclosed-edge semantics are hand-pinned in TextAnalysisSpec).
+    */
+  private def refHtmlToText(h: String): String = {
+    val out = new StringBuilder
+    val lower = h.toLowerCase
+    val n = h.length
+    def word(c: Char) = c.isLetterOrDigit || c == '_'
+    var i = 0
+    while (i < n) {
+      if (h.charAt(i) == '<') {
+        if (lower.startsWith("<!--", i)) {
+          out.append(' '); i = lower.indexOf("-->", i + 4) + 3
+        } else if (lower.startsWith("<script", i) &&
+            (i + 7 >= n || !word(lower.charAt(i + 7)))) {
+          val close = lower.indexOf("</script", lower.indexOf('>', i))
+          out.append(' '); i = lower.indexOf('>', close) + 1
+        } else if (lower.startsWith("<style", i) &&
+            (i + 6 >= n || !word(lower.charAt(i + 6)))) {
+          val close = lower.indexOf("</style", lower.indexOf('>', i))
+          out.append(' '); i = lower.indexOf('>', close) + 1
+        } else {
+          val e = lower.indexOf('>', i)
+          val tag = lower.substring(i + 1, e)
+          val isBlock = tag.matches(
+            "br\\s*/?|/(?:p|div|li|h[1-6]|tr|ul|ol|table|title)\\s*")
+          out.append(if (isBlock) '\n' else ' ')
+          i = e + 1
+        }
+      } else { out.append(h.charAt(i)); i += 1 }
+    }
+    var t = out.toString
+    Seq("&nbsp;" -> " ", "&#160;" -> " ", "&lt;" -> "<", "&#60;" -> "<",
+      "&gt;" -> ">", "&#62;" -> ">", "&quot;" -> "\"", "&#34;" -> "\"",
+      "&apos;" -> "'", "&#39;" -> "'", "&amp;" -> "&", "&#38;" -> "&")
+      .foreach { case (f, r) => t = t.replace(f, r) }
+    t.replaceAll("[ \\t\\x0B\\f\\r]+", " ")
+      .split("\n", -1).map { l =>
+        var a = 0; var b = l.length
+        while (a < b && l.charAt(a) == ' ') a += 1
+        while (b > a && l.charAt(b - 1) == ' ') b -= 1
+        l.substring(a, b)
+      }.filter(_.nonEmpty).mkString("\n")
+  }
+
+  private val genHtml: Gen[String] = {
+    val word = Gen.oneOf("alpha", "beta", "café", "naïve", "🎉", "x1",
+      "Head", "&amp;", "&lt;tag&gt;", "&nbsp;", "&copy;", "O'Neil",
+      "\"q\"", "", "  ", "\t")
+    val textG = Gen.chooseNum(0, 6)
+      .flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val node: Gen[String] = Gen.frequency(
+      4 -> textG,
+      2 -> textG.map(t => s"<p>$t</p>"),
+      1 -> textG.map(t => s"<li class='i'>$t</li>"),
+      1 -> textG.map(t => s"<b>$t</b>"),
+      1 -> textG.map(t => s"<DIV Class='c'>$t</div>"),
+      1 -> textG.map(t => s"<!-- $t -->"),
+      1 -> textG.map(t =>
+        s"<script>var a = 1; if (1<2) { b('$t'); }</script>"),
+      1 -> textG.map(t => s"<style>p > a { content: '$t' }</style>"),
+      1 -> Gen.oneOf("<br>", "<br/>", "<BR >"),
+      1 -> Gen.const("<h2>T</h2>"))
+    Gen.chooseNum(0, 10).flatMap(k => Gen.listOfN(k, node).map(_.mkString))
+  }
+
+  test(s"H19 htmlToText matches an independent scanner reference on " +
+      s"$N fuzzed well-formed pages") {
+    import org.apache.spark.sql.functions._
+    val cases = sample(Gen.listOfN(N, genHtml), 0x417b1L)
+    val df = cases.zipWithIndex.map { case (h, i) => (i, h) }.toDF("i", "h")
+    val got = df.select($"i", TextAnalysis.htmlToText($"h").as("t"))
+      .as[(Int, String)].collect().sortBy(_._1)
+    got.foreach { case (i, t) =>
+      val want = refHtmlToText(cases(i))
+      assert(t == want,
+        s"case $i: '$t' != '$want' input='${cases(i).take(200)}'")
+    }
+  }
 }
