@@ -9,7 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * session, so strong values would defeat the weak keys (the
   * WeakHashMap value→key warning) — soft values let the collector
   * clear a dropped session's cache under memory pressure, at the cost
-  * of an occasional rebuild.
+  * of an occasional rebuild. r11 adds a bounded strong LRU over the
+  * most-recently-used values (see below): an ACTIVE workload's memo
+  * survives full GCs, only cold entries stay collectable.
   */
 private[graft] object SessionMemo {
   // bench telemetry: memoized-pipeline cost charges to whichever
@@ -21,6 +23,27 @@ private[graft] object SessionMemo {
   private val hitCounter = new java.util.concurrent.atomic.AtomicLong
   private val buildCounter = new java.util.concurrent.atomic.AtomicLong
   def counters: (Long, Long) = (hitCounter.get, buildCounter.get)
+
+  // Bounded strong LRU over the memo VALUES (r11): the soft-value
+  // design lets a full GC clear entries whose referents are tiny (a
+  // plan tree, a collected codebook) but whose REBUILD re-runs a
+  // multi-minute training pipeline — the r11 sf3 bench measured a
+  // cleared q_ann_recall memo re-training its indexes between
+  // round-robin reps (1.1 s hit → ~70 s rebuild medians, sitting-
+  // dependent). Pinning the most-recently-used values strongly makes
+  // an ACTIVE workload's memo GC-proof, while entries beyond the LRU
+  // bound (and any dropped session's, once they age out) fall back to
+  // the collectable soft reference — the weak-key design keeps
+  // working, the leak is bounded by MaxPinned small objects.
+  private val MaxPinned = 512
+  private val pinned =
+    new java.util.LinkedHashMap[AnyRef, java.lang.Boolean](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, java.lang.Boolean]): Boolean =
+        size() > MaxPinned
+    }
+  private def pin(v: AnyRef): Unit =
+    pinned.synchronized { pinned.put(v, java.lang.Boolean.TRUE); () }
 
   private val store = new java.util.WeakHashMap[
     SparkSession,
@@ -37,11 +60,12 @@ private[graft] object SessionMemo {
       t
     }
     perSession.get(key).flatMap(r => Option(r.get())) match {
-      case Some(df) => hitCounter.incrementAndGet(); df
+      case Some(df) => hitCounter.incrementAndGet(); pin(df); df
       case None =>
         val df = build
         buildCounter.incrementAndGet()
         perSession.put(key, new java.lang.ref.SoftReference(df))
+        pin(df)
         df
     }
   }
@@ -66,11 +90,12 @@ private[graft] object SessionMemo {
       t
     }
     perSession.get(key).flatMap(r => Option(r.get())) match {
-      case Some(v) => hitCounter.incrementAndGet(); v.asInstanceOf[T]
+      case Some(v) => hitCounter.incrementAndGet(); pin(v); v.asInstanceOf[T]
       case None =>
         val v = build
         buildCounter.incrementAndGet()
         perSession.put(key, new java.lang.ref.SoftReference[AnyRef](v))
+        pin(v)
         v
     }
   }
