@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -381,8 +380,10 @@ object Bm25Index {
       .withColumn("s", TextAnalysis.bm25TermScore(k1, b))
       .groupBy(col("qid"), col("doc_id").as("nid"))
       .agg(sum(col("s")).cast(DoubleType).as("bm25"))
-    val w = Window.partitionBy("qid").orderBy(col("bm25").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= topK)
+    // bounded per-query rank (r12): the qid window form co-located a
+    // query's whole matched-posting set in one task — corpus-scale
+    // under a Zipf-head query term. rankTopK reduces map-side and is
+    // byte-identical (SkewSpec pins identity vs the window form).
+    Similarity.rankTopK(scored, topK, desc = true, "bm25")
   }
 }

@@ -747,10 +747,14 @@ object TextAnalysis {
       .withColumn("s", bm25TermScore(k1, b))
       .groupBy(col("qid"), col("doc_id").as("nid"))
       .agg(sum(col("s")).cast(DoubleType).as("bm25"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("bm25").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= topK)
+    // per-query rank via the bounded rankTopK aggregate, NOT a qid
+    // window: a Zipf-head query term matches corpus-scale postings, so
+    // `row_number() OVER (PARTITION BY qid)` would co-locate that
+    // query's entire candidate set in one unsplittable task — the same
+    // shape r11 swept out of every ANN ranker. Requires integral ids
+    // (the repo-wide vec_id/doc_id contract). Byte-identical to the
+    // window form (SkewSpec).
+    Similarity.rankTopK(scored, topK, desc = true, "bm25")
   }
 
   /** HTML → text extraction (H19, round 11) — the step a crawl

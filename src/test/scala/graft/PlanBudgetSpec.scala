@@ -90,7 +90,7 @@ class PlanBudgetSpec extends SparkSpec {
     // shuffle at all)
     "q_bm25_index" -> (3, 1, 2), // SEARCH plan only (build memoized):
     // pruned postings scan + query tokenize scan; qt distinct + score
-    // agg + rank window
+    // agg + the bounded rank agg (r12: no qid window anywhere)
     "q_mmr_rerank" -> (3, 1, 3), // brute-force candidate window +
     // vector re-attach + per-query greedy groupByKey; 3 bounded
     // embedding scans

@@ -157,17 +157,48 @@ class SkewSpec extends SparkSpec {
     assert(!postPlan.contains("Window"),
       s"index build must not window over term:\n$postPlan")
 
-    // retrieve: the ONLY window left is the bounded per-query rank
-    // (partitioned by qid — never by term)
+    // retrieve (r12): NO window at all — the per-query rank goes
+    // through the bounded rankTopK aggregate. A qid window would put a
+    // query's ENTIRE matched-posting set (corpus-scale under the
+    // planted stopword 'the': every query here matches every document)
+    // in one unsplittable task. Byte-identity vs the window-ranked
+    // reference is pinned below.
     val queries = docs.where(col("doc_id") < 2)
     val ret = TextAnalysis.bm25Retrieve(docs, queries, "doc_id", "text",
       topK = 5)
     val retPlan = ret.queryExecution.executedPlan.toString()
-    val winLines = retPlan.linesIterator
-      .filter(_.contains("windowspecdefinition")).toSeq
-    assert(winLines.nonEmpty && winLines.forall(l =>
-        l.contains("qid#") && !l.contains("term#")),
-      s"bm25Retrieve may only window by qid:\n$retPlan")
+    assert(!retPlan.contains("Window"),
+      s"bm25Retrieve must not window at all:\n$retPlan")
+
+    // window-shaped reference for the rank stage — the pre-r12
+    // implementation, inlined: rank the FULL scored (qid, nid, bm25)
+    // relation (recovered via topK ≥ pair count, where the bounded
+    // aggregate provably returns every row — BoundedTopKSpec algebra)
+    // with row_number() over (bm25 desc, nid), then take 5
+    val allScored = TextAnalysis.bm25Retrieve(docs, queries, "doc_id",
+      "text", topK = 10000).drop("rank")
+    val w5 = Window.partitionBy("qid")
+      .orderBy(col("bm25").desc, col("nid"))
+    val retRef = allScored.withColumn("rank",
+        row_number().over(w5).cast(org.apache.spark.sql.types.LongType))
+      .where(col("rank") <= 5)
+    assert(ret.collect().map(_.toSeq).toSet ==
+      retRef.collect().map(_.toSeq).toSet)
+
+    // Bm25Index.search: same rank-stage discipline — no Window in the
+    // search plan, results byte-identical to bm25Retrieve on the same
+    // corpus (the Bm25IndexSpec identity, re-checked here under the
+    // planted-stopword skew shape)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-skew").toString
+    Bm25Index.write(docs, "doc_id", "text", dir, nBuckets = 8)
+    val idx = Bm25Index.open(spark, dir)
+    val srch = Bm25Index.search(idx, queries, "doc_id", "text", topK = 5)
+    val srchPlan = srch.queryExecution.executedPlan.toString()
+    assert(!srchPlan.contains("Window"),
+      s"Bm25Index.search must not window at all:\n$srchPlan")
+    assert(srch.collect().map(_.toSeq).toSet ==
+      ret.collect().map(_.toSeq).toSet)
   }
 
   test("tfidfTopTerm hotCap: capped path matches the window path, no term window") {
