@@ -30,12 +30,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * the same contract as Spark's own table cache over external files.
   * For the VERSIONED indexes (AnnIndex/Bm25Index/DedupIndex publish
   * through a CURRENT pointer), [[watchIndexes]] closes the loop
-  * without manual calls (r11, VERDICT r10 item 5): the cached entry
-  * fingerprints each watched directory's CURRENT pointer at build
-  * time and every request re-reads the pointers (one tiny-file read
-  * per dir — negligible next to serving), so a republish
-  * (rebuild/compaction/retrain) is picked up on the next serve and a
-  * resident server never serves a vacuumed version's file listing.
+  * without manual calls (r11, VERDICT r10 item 5; r12 closed the
+  * same-version half): the cached entry fingerprints each watched
+  * directory's (CURRENT pointer, GEN mutation counter) at build time
+  * and every request re-reads them (two tiny-file reads per dir —
+  * negligible next to serving), so BOTH a republish (rebuild/
+  * compaction/retrain) and an in-version mutation (upsert/append/
+  * delete — every micro-batch of the composed ingest) are picked up
+  * on the next serve; a resident server never serves a vacuumed
+  * version's file listing or a pre-upsert one.
   *
   * `registry` defaults to the SparkEntry registry; a custom map lets
   * the server front index-reading queries (the watchIndexes use).
@@ -46,7 +49,7 @@ class GraftServer(spark: SparkSession,
 
   private case class Served(df: DataFrame, rdd: RDD[InternalRow],
                             enc: ExpressionEncoder[Row],
-                            fp: Seq[Option[Long]])
+                            fp: Seq[(Option[Long], Option[Long])])
 
   private val cache = new ConcurrentHashMap[(String, String), Served]()
   private val watched = new ConcurrentHashMap[(String, String), Seq[String]]()
@@ -57,17 +60,26 @@ class GraftServer(spark: SparkSession,
   def counters: (Long, Long) = (hits.get, builds.get)
 
   /** Declare that `name`'s plan reads the versioned index(es) rooted
-    * at `dirs`: the cached entry is keyed to each dir's CURRENT
-    * pointer, and a publish flip (rebuild, compaction, retrain,
-    * delta compaction) auto-rebuilds the plan on the next request —
-    * no manual [[invalidate]] needed. Unversioned/legacy layouts
-    * fingerprint as None and fall back to the manual contract.
+    * at `dirs`: the cached entry is keyed to each dir's (CURRENT
+    * pointer, GEN mutation counter) pair, so BOTH a publish flip
+    * (rebuild, compaction, retrain, delta compaction) AND a
+    * same-version mutation (upsert, append, delete/tombstone,
+    * batch-drop — exactly what IngestPipeline performs every
+    * micro-batch) auto-rebuild the plan on the next request — no
+    * manual [[invalidate]] needed (the GEN half is r12: CURRENT alone
+    * never moved under in-version mutation, so a watching server
+    * served the pre-upsert file listing indefinitely). Unversioned/
+    * legacy layouts fingerprint as (None, None) and fall back to the
+    * manual contract.
     */
   def watchIndexes(name: String, sfDir: String, dirs: Seq[String]): Unit =
     watched.put((name, sfDir), dirs)
 
-  private def fingerprint(dirs: Seq[String]): Seq[Option[Long]] =
-    dirs.map(d => graft.operators.IndexVersions.current(spark, d))
+  private def fingerprint(dirs: Seq[String]): Seq[(Option[Long], Option[Long])] =
+    dirs.map { d =>
+      (graft.operators.IndexVersions.current(spark, d),
+        graft.operators.IndexVersions.generation(spark, d))
+    }
 
   private val buildFn: JFunction[(String, String), Served] = {
     case (name, sfDir) =>

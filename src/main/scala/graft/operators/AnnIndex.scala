@@ -225,6 +225,11 @@ object AnnIndex {
     import spark.implicits._
     Seq(g).toDF("next_gen").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
+    // every caller just mutated the live version WITHOUT flipping
+    // CURRENT (delete/upsert/append; the initial build's bump is
+    // harmless — its publish follows) — advance the watcher-visible
+    // mutation counter so GraftServer.watchIndexes rebuilds (r12)
+    IndexVersions.bumpGeneration(spark, dir)
   }
 
   private def tombstones(index: IvfPqIndex): Option[DataFrame] = {

@@ -200,6 +200,10 @@ object Bm25Index {
       TextAnalysis.corpusStats(newDocs, textCol)
         .coalesce(1)
         .write.mode("append").parquet(metaDeltaDir(index))
+      // in-version mutation: advance the watcher counter (r12) so a
+      // GraftServer.watchIndexes plan pinned to the pre-append file
+      // listing rebuilds on its next request
+      IndexVersions.bumpGeneration(index.spark, index.dir)
     } finally rel.unpersist()
   }
 
@@ -288,10 +292,12 @@ object Bm25Index {
     * this version.
     */
   def deleteDocs(index: Index, ids: DataFrame,
-                 idCol: String = "doc_id"): Unit =
+                 idCol: String = "doc_id"): Unit = {
     ids.select(col(idCol).as("doc_id")).distinct()
       .coalesce(1)
       .write.mode("append").parquet(tombDir(index))
+    IndexVersions.bumpGeneration(index.spark, index.dir) // r12: watchers
+  }
 
   /** The pruned postings slice with tombstoned documents removed. */
   private def aliveDocs(index: Index, postings: DataFrame): DataFrame = {

@@ -317,6 +317,7 @@ object DedupIndex {
       .write.mode("overwrite").options(dyn)
       .partitionBy("sbucket", "batch_id").parquet(index.sigsDir)
     index.invalidateListing()
+    IndexVersions.bumpGeneration(index.spark, index.dir) // r12: watchers
   }
 
   /** Retention horizon: drop every APPENDED batch partition with
@@ -349,6 +350,7 @@ object DedupIndex {
         }
     }
     index.invalidateListing()
+    IndexVersions.bumpGeneration(index.spark, index.dir) // r12: watchers
   }
 
   /** Fold every surviving batch partition into a fresh version's

@@ -77,16 +77,53 @@ private[graft] object IndexVersions {
     }
 
   /** Atomically flip CURRENT to `v` (write-tmp + overwrite-rename). */
-  def publish(spark: SparkSession, dir: String, v: Long): Unit = {
+  def publish(spark: SparkSession, dir: String, v: Long): Unit =
+    atomicWrite(spark, dir, "CURRENT", v)
+
+  private def atomicWrite(spark: SparkSession, dir: String,
+                          name: String, v: Long): Unit = {
     val fs = fileSystem(spark, dir)
-    val tmp = new Path(s"$dir/CURRENT.tmp")
-    val cur = new Path(s"$dir/CURRENT")
+    val tmp = new Path(s"$dir/$name.tmp")
+    val cur = new Path(s"$dir/$name")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     val fc = FileContext.getFileContext(new Path(dir).toUri,
       spark.sessionState.newHadoopConf())
     fc.rename(tmp, cur, Options.Rename.OVERWRITE)
   }
+
+  /** The SAME-VERSION mutation counter: CURRENT only moves on a
+    * publish (rebuild/compaction/retrain), but append/upsert/delete/
+    * tombstone ops mutate the live version's directories WITHOUT a
+    * flip — a watcher keyed to CURRENT alone would keep serving the
+    * pre-mutation file listing forever (r11 ADVICE). Every in-version
+    * mutator bumps this tiny `GEN` file (same atomic overwrite-rename
+    * as CURRENT), so (CURRENT, GEN) together fingerprint everything
+    * that can change what a search reads. Absent on indexes that were
+    * never mutated in-version — fingerprints as None, which still
+    * transitions to Some on the first bump.
+    */
+  def generation(spark: SparkSession, dir: String): Option[Long] = {
+    val fs = fileSystem(spark, dir)
+    val p = new Path(s"$dir/GEN")
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        new String(out.toByteArray, "UTF-8").trim.toLong
+      } finally in.close()
+    }.toOption
+  }
+
+  /** Bump the mutation counter — call at the END of any op that
+    * changes the live version's data without flipping CURRENT.
+    * Maintenance is single-writer by contract (the same sanction the
+    * mutations themselves rely on), so read-inc-write needs no CAS.
+    */
+  def bumpGeneration(spark: SparkSession, dir: String): Unit =
+    atomicWrite(spark, dir, "GEN", generation(spark, dir).getOrElse(0L) + 1L)
 
   /** Reclaim every version of `base` (and its `alsoBases` side
     * relations, e.g. tombstones) other than `keep`, plus the legacy

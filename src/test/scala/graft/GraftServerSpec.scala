@@ -77,6 +77,70 @@ class GraftServerSpec extends SparkSpec {
     assert(b2 == 2, s"republish must force exactly one rebuild, got $b2")
   }
 
+  test("watchIndexes: a SAME-VERSION mutation (upsert / appendDocs) is " +
+      "served fresh — the GEN counter half of the fingerprint (r12)") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndex, Bm25Index}
+    // ANN: upsert never flips CURRENT (it appends cells + tombstones
+    // within the live version) — the r11 ADVICE staleness hole: a
+    // watcher keyed to CURRENT alone served the pre-upsert listing
+    // until the next compaction. The GEN bump must invalidate.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-server-gen").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.where(col("vec_id") < 40)
+    val queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 103)
+    AnnIndex.write(corpus, dir, dim = 64, nCells = 2, stride = 7,
+      m = 8, ncodes = 16)
+    def freshRows() = AnnIndex
+      .searchExact(AnnIndex.open(spark, dir), queries, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val reg = Map("ann" -> ((s: SparkSession, d: String) =>
+      AnnIndex.searchExact(AnnIndex.open(s, d), queries, k = 3,
+        nprobe = 2)))
+    val server = new GraftServer(spark, reg)
+    server.watchIndexes("ann", dir, Seq(dir))
+    val a = server.serveRows("ann", dir).map(_.toString).sorted.toSeq
+    assert(a == freshRows())
+    // upsert the 40–79 block: same CURRENT, bumped GEN
+    val curBefore = graft.operators.IndexVersions.current(spark, dir)
+    AnnIndex.upsert(AnnIndex.open(spark, dir),
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 80))
+    assert(graft.operators.IndexVersions.current(spark, dir) == curBefore,
+      "fixture requires an in-version mutation (CURRENT must not move)")
+    val b = server.serveRows("ann", dir).map(_.toString).sorted.toSeq
+    assert(b == freshRows(), "post-upsert serve must see the new rows")
+    assert(b != a, "fixture must make the upsert change the top-3")
+    val (_, builds) = server.counters
+    assert(builds == 2, s"upsert must force exactly one rebuild: $builds")
+
+    // BM25: appendDocs is the IngestPipeline micro-batch mutation
+    val bdir = java.nio.file.Files
+      .createTempDirectory("graft-server-gen-bm25").toString
+    val docs = Tables.documents(spark, sfDir).limit(60)
+      .select(col("doc_id"), col("text"))
+    val (seed, extra) = (docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 =!= 0))
+    Bm25Index.write(seed, "doc_id", "text", bdir, nBuckets = 8)
+    val qdocs = docs.limit(3)
+    val breg = Map("bm25" -> ((s: SparkSession, d: String) =>
+      Bm25Index.search(Bm25Index.open(s, d), qdocs, "doc_id", "text",
+        topK = 5)))
+    val bserver = new GraftServer(spark, breg)
+    bserver.watchIndexes("bm25", bdir, Seq(bdir))
+    val s1 = bserver.serveRows("bm25", bdir).map(_.toString).sorted.toSeq
+    Bm25Index.appendDocs(Bm25Index.open(spark, bdir), extra,
+      "doc_id", "text")
+    val s2 = bserver.serveRows("bm25", bdir).map(_.toString).sorted.toSeq
+    val fresh = Bm25Index.search(Bm25Index.open(spark, bdir), qdocs,
+      "doc_id", "text", topK = 5).collect().map(_.toString).sorted.toSeq
+    assert(s2 == fresh, "post-append serve must see appended docs")
+    assert(s2 != s1, "fixture must make the append change retrieval")
+    val (_, bbuilds) = bserver.counters
+    assert(bbuilds == 2, s"append must force exactly one rebuild: $bbuilds")
+  }
+
   test("two sfDirs cache independently") {
     val server = new GraftServer(spark)
     val a = server.serveRows("q1_agg", sfDir)
