@@ -1210,13 +1210,15 @@ object QueriesPipeline {
           regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s4),
         s6 AS (SELECT doc_id,
           replace(replace(replace(replace(replace(replace(replace(replace(
-          replace(replace(replace(replace(t,
+          replace(replace(t,
             '&nbsp;', ' '), '&#160;', ' '), '&lt;', '<'), '&#60;', '<'),
             '&gt;', '>'), '&#62;', '>'), '&quot;', '"'), '&#34;', '"'),
-            '&apos;', ''''), '&#39;', ''''), '&amp;', '&'), '&#38;', '&')
+            '&apos;', ''''), '&#39;', '''')
             AS t FROM s5),
+        s6b AS (SELECT doc_id,
+          regexp_replace(t, '&(?:amp|#38);', '&', 'g') AS t FROM s6),
         s7 AS (SELECT doc_id,
-          regexp_replace(t, '[ \t\x0B\f\r]+', ' ', 'g') AS t FROM s6)
+          regexp_replace(t, '[ \t\x0B\f\r]+', ' ', 'g') AS t FROM s6b)
         SELECT doc_id, array_to_string(list_filter(list_transform(
           string_split(t, chr(10)), l -> trim(l)), l -> l <> ''),
           chr(10)) AS clean_text

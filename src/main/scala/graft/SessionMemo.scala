@@ -35,15 +35,41 @@ private[graft] object SessionMemo {
   // bound (and any dropped session's, once they age out) fall back to
   // the collectable soft reference — the weak-key design keeps
   // working, the leak is bounded by MaxPinned small objects.
-  private val MaxPinned = 512
+  // Env-tunable (r12) so the bench A/B can run the soft-only r10 form
+  // (GRAFT_MEMO_MAX_PINNED=0) against the pinned default in otherwise
+  // identical sittings — the q_embed_neardup regression attribution.
+  private val MaxPinned = scala.util.Try(
+    sys.env.getOrElse("GRAFT_MEMO_MAX_PINNED", "512").toInt).getOrElse(512)
+  // value → its owning session (weak: the pin must not ADD a session
+  // edge — the pinned DataFrame already strongly references its own
+  // session, which is why dead sessions need active eviction at all)
   private val pinned =
-    new java.util.LinkedHashMap[AnyRef, java.lang.Boolean](64, 0.75f, true) {
+    new java.util.LinkedHashMap[
+        AnyRef, java.lang.ref.WeakReference[SparkSession]](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[AnyRef, java.lang.Boolean]): Boolean =
+          e: java.util.Map.Entry[AnyRef,
+            java.lang.ref.WeakReference[SparkSession]]): Boolean =
         size() > MaxPinned
     }
-  private def pin(v: AnyRef): Unit =
-    pinned.synchronized { pinned.put(v, java.lang.Boolean.TRUE); () }
+  private def pin(v: AnyRef, s: SparkSession): Unit =
+    if (MaxPinned > 0) pinned.synchronized {
+      // Evict pins whose session is STOPPED (r12, r11 ADVICE): a pinned
+      // DataFrame reaches its SparkSession, so a stopped session's
+      // whole memo — weak-keyed and soft-valued by design — stayed
+      // strongly reachable through the pin until 512 newer pins
+      // displaced it. A stopped context never serves again; a dropped-
+      // but-unstopped session is undetectable while we hold its values
+      // (the pin itself defeats the weak key), so that residue stays
+      // displacement-bounded as before. O(MaxPinned) driver-side scan
+      // per memo access — negligible next to the Spark job the access
+      // fronts.
+      val it = pinned.entrySet().iterator()
+      while (it.hasNext) {
+        val sess = it.next().getValue.get()
+        if (sess != null && sess.sparkContext.isStopped) it.remove()
+      }
+      pinned.put(v, new java.lang.ref.WeakReference(s)); ()
+    }
 
   private val store = new java.util.WeakHashMap[
     SparkSession,
@@ -60,12 +86,12 @@ private[graft] object SessionMemo {
       t
     }
     perSession.get(key).flatMap(r => Option(r.get())) match {
-      case Some(df) => hitCounter.incrementAndGet(); pin(df); df
+      case Some(df) => hitCounter.incrementAndGet(); pin(df, s); df
       case None =>
         val df = build
         buildCounter.incrementAndGet()
         perSession.put(key, new java.lang.ref.SoftReference(df))
-        pin(df)
+        pin(df, s)
         df
     }
   }
@@ -90,12 +116,12 @@ private[graft] object SessionMemo {
       t
     }
     perSession.get(key).flatMap(r => Option(r.get())) match {
-      case Some(v) => hitCounter.incrementAndGet(); pin(v); v.asInstanceOf[T]
+      case Some(v) => hitCounter.incrementAndGet(); pin(v, s); v.asInstanceOf[T]
       case None =>
         val v = build
         buildCounter.incrementAndGet()
         perSession.put(key, new java.lang.ref.SoftReference[AnyRef](v))
-        pin(v)
+        pin(v, s)
         v
     }
   }

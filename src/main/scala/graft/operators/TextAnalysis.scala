@@ -780,9 +780,12 @@ object TextAnalysis {
     *    bare `<` in text is treated as a tag opener until the next
     *    `>`, exactly as in every regex stripper;
     *  - entities: the named/numeric basics (nbsp, lt, gt, quot,
-    *    apos + their codepoints), with `&amp;` decoded LAST so
+    *    apos + their codepoints), with the ampersand decoded LAST so
     *    `&amp;lt;` yields the literal text `&lt;` (correct HTML
-    *    semantics); other entities pass through untouched;
+    *    semantics); `&amp;` and `&#38;` decode in ONE alternation
+    *    pass (r12), so `&amp;#38;` yields the literal `&#38;` instead
+    *    of double-decoding — chained replaces had that hole in either
+    *    order; other entities pass through untouched;
     *  - within-line whitespace collapses to single spaces, lines trim,
     *    empty lines drop. NOT idempotent by design: decoded `&lt;`
     *    becomes a literal `<` that a second pass would strip.
@@ -797,18 +800,23 @@ object TextAnalysis {
       "(?i)<(?:br\\s*/?|/(?:p|div|li|h[1-6]|tr|ul|ol|table|title))\\s*>",
       "\n")
     val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
-    // basics first, &amp; LAST (so "&amp;lt;" decodes to literal "&lt;")
+    // basics first, ampersand LAST (so "&amp;lt;" decodes to literal
+    // "&lt;"). The two ampersand spellings decode in ONE alternation
+    // pass (r12): chained replaces had an order hole either way —
+    // "&amp;#38;" double-decoded to "&" under amp-then-numeric (and
+    // "&#38;amp;" would under the swap) — while a single left-to-right
+    // scan consumes "&amp;" and leaves the following "#38;" as text.
     val ent = Seq(
       "&nbsp;" -> " ", "&#160;" -> " ",
       "&lt;" -> "<", "&#60;" -> "<",
       "&gt;" -> ">", "&#62;" -> ">",
       "&quot;" -> "\"", "&#34;" -> "\"",
-      "&apos;" -> "'", "&#39;" -> "'",
-      "&amp;" -> "&", "&#38;" -> "&")
+      "&apos;" -> "'", "&#39;" -> "'")
       .foldLeft(noTags) { case (c, (from, to)) =>
         replace(c, lit(from), lit(to))
       }
-    val spaced = regexp_replace(ent, "[ \\t\\x0B\\f\\r]+", " ")
+    val entAmp = regexp_replace(ent, "&(?:amp|#38);", "&")
+    val spaced = regexp_replace(entAmp, "[ \\t\\x0B\\f\\r]+", " ")
     array_join(
       filter(transform(split(spaced, "\n"), l => trim(l)), l => l =!= ""),
       "\n")

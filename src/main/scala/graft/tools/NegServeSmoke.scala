@@ -115,10 +115,16 @@ object NegServeSmoke {
       // brute subset so the artifact reproduces across runs
     val qLocal = qAll.toDF("vec_id", "embedding")
     val qBrute = qAll.take(bruteQueries).toDF("vec_id", "embedding")
+    // positives wrap modulo the ID SPAN (mult * span), not the row
+    // count: replica ids are base_id + m*span, so with sparse base ids
+    // (span > count) a row-count modulus would name nonexistent nids
+    // and exclude top-of-range ids from ever being positives,
+    // silently weakening the measured screen (r11 ADVICE)
+    val idSpan = mult.toLong * span
     def posFor(qs: DataFrame) = qs.select(col("vec_id").as("qid"))
       .select(col("qid"), explode(array(
-        pmod(col("qid") + 1, lit(corpusRows)),
-        pmod(col("qid") + 3, lit(corpusRows)))).as("nid"))
+        pmod(col("qid") + 1, lit(idSpan)),
+        pmod(col("qid") + 3, lit(idSpan)))).as("nid"))
     val posAll = posFor(qLocal)
     val posBrute = posFor(qBrute)
 
