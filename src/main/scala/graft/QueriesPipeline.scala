@@ -1116,6 +1116,52 @@ object QueriesPipeline {
         FROM ln WHERE md5(line) NOT IN (SELECT h FROM freq)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ----------------------------------- F13 exact-substring dedup
+    // the Lee et al. 2022 ExactSubstr pass at token granularity:
+    // every duplicated >= 8-token span is scrubbed from all but its
+    // corpus-order-first occurrence, documents rebuilt from surviving
+    // tokens. The synthetic corpus's small vocabulary gives it real
+    // duplicated 8-grams (~9% of gram occurrences at sf0.01), so the
+    // gate exercises removal, keep-first survival, and short-doc
+    // passthrough on natural data — no synthesis needed. The oracle
+    // mirrors the tokenizer, gram hashing, keep-first choice
+    // (row_number by (doc_id, s) = Spark's min(struct)), coverage
+    // union, and rebuild digit-for-digit; DuckDB may use windows
+    // here — it is the Spark plan that must stay window-free.
+    QueryDef("q_exact_substr",
+      (s, d) => Dedup.exactSubstrDedup(Tables.documents(s, d),
+          "doc_id", "text", minLen = 8)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+            CAST(s AS BIGINT) AS pos, t[s] AS tok
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS s FROM tk)
+        ), gr AS (
+          SELECT doc_id, CAST(s AS BIGINT) AS s,
+            md5(array_to_string(t[s : s + 7], ' ')) AS h
+          FROM (SELECT doc_id, t,
+              unnest(range(1, greatest(len(t) - 6, 1))) AS s FROM tk)
+        ), mk AS (
+          SELECT doc_id, s,
+            COUNT(*) OVER (PARTITION BY h) AS c,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+          FROM gr
+        ), cov AS (
+          SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos FROM (
+            SELECT doc_id, s + unnest(range(0, 8)) AS p
+            FROM mk WHERE c >= 2 AND rn > 1)
+        )
+        SELECT t.doc_id AS doc_id, MAX(t.n_tokens) AS n_tokens,
+          COUNT(*) FILTER (c.pos IS NULL) AS n_kept,
+          COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+            FILTER (c.pos IS NULL), '') AS clean_text
+        FROM tok t LEFT JOIN cov c
+          ON t.doc_id = c.doc_id AND t.pos = c.pos
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
     // ------------------------------------------------------ G8 L2 ANN
     // Euclidean-metric twin of q_ann_bruteforce: native l2_distance
     // kernel (sequential accumulation = DuckDB list_distance), rank

@@ -667,4 +667,92 @@ object Dedup {
       maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Exact-substring span dedup (F13): remove every duplicated token
+    * span of at least `minLen` tokens from the corpus and rebuild each
+    * document from its surviving tokens in original order — the
+    * ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), re-expressed at token granularity
+    * with `minLen`-gram anchors instead of a suffix array: a span of
+    * >= minLen tokens is duplicated iff every one of its minLen-token
+    * windows is duplicated, so scrubbing all tokens covered by a
+    * duplicated window removes exactly the maximal duplicated spans.
+    * Fills the gap the rest of the ladder leaves open: F1–F8 drop or
+    * pair whole documents, F9/CDC drops whole chunks at chunk
+    * boundaries, F10/F11 need line structure — this edits out exact
+    * repeats of any length >= minLen at ANY offset, including repeats
+    * WITHIN one document.
+    *
+    * `keepFirst = true` (the paper's policy) spares the corpus-order
+    * first occurrence of each duplicated window (min by (doc_id,
+    * start)), so one copy of each repeated span survives; note the
+    * kept copy is chosen per WINDOW, so when a window of a long
+    * duplicated span also occurs earlier elsewhere on its own, the
+    * "first" copy of the long span can still lose that window — the
+    * semantics are per-gram and deterministic. `keepFirst = false`
+    * scrubs every copy (the decontamination-style variant).
+    *
+    * Returns (doc_id, n_tokens, n_kept, clean_text); a document whose
+    * every token is covered stays in the output with n_kept = 0 and
+    * clean_text = "" (callers decide whether to drop empties).
+    *
+    * Scale shape: one gram explode (rows = corpus tokens); duplicated
+    * grams found by a map-side-combined (count, min(struct)) aggregate
+    * on md5(gram) — never a gram-hash window, whose hottest partition
+    * would be the most boilerplate gram by definition; the
+    * occurrences-side join back is a hash join on the gram key (AQE
+    * skew-splittable; the dup side is one row per hash); coverage is
+    * an exploded (start → minLen positions) set, distinct-ed on the
+    * (doc_id, pos) key, then one left join + doc-keyed rebuild
+    * aggregation bounded by tokens-per-document. Never all-pairs,
+    * cost O(corpus tokens); the gram relation is evaluated twice
+    * (aggregate + join back) — at 100 TB persist it or accept two
+    * scan-bound passes, as with F10's line relation.
+    */
+  def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 8,
+                       keepFirst: Boolean = true): DataFrame = {
+    require(minLen >= 2, s"minLen must be at least 2: $minLen")
+    val toks = fanOut(docs).select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("t"))
+    val tok = toks
+      .select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"),
+        posexplode(col("t")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).cast(LongType).as("pos"), col("col").as("tok"))
+    // minLen-gram starts (1-based), hashed; docs shorter than minLen
+    // contribute no grams and pass through untouched
+    val gr = toks.where(size(col("t")) >= minLen)
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - minLen + 1),
+          s => struct(s.cast(LongType).as("s"),
+            md5(concat_ws(" ", slice(col("t"), s, lit(minLen)))).as("h"))))
+        .as("g"))
+      .select(col("doc_id"), col("g.s").as("s"), col("g.h").as("h"))
+    val dup = gr.groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("s"))).as("f"))
+      .where(col("c") >= 2)
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.s").as("f_s"))
+    val starts = gr.join(dup, "h")
+    val removable =
+      if (keepFirst)
+        starts.where(!(col("doc_id") === col("f_doc") && col("s") === col("f_s")))
+      else starts
+    val covered = removable
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + minLen - 1)).as("pos"))
+      .distinct()
+      .withColumn("rm", lit(true))
+    // one pass keeps fully-scrubbed docs: collect_list skips the
+    // null-marked (covered) tokens, count(when) counts the survivors
+    tok.join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(when(col("rm").isNull, lit(1))).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("rm").isNull, struct(col("pos"), col("tok"))))),
+          x => x.getField("tok"))).as("clean_text"))
+  }
 }

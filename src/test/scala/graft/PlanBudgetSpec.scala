@@ -112,6 +112,12 @@ class PlanBudgetSpec extends SparkSpec {
     // groupBy(source) shuffle; every waterfill window runs on the
     // bounded per-source table (SinglePartition exchanges over
     // |sources| rows, not counted here and not corpus-scaled)
+    "q_exact_substr" -> (5, 1, 3), // F13: gram-df agg + gram join-back
+    // + coverage distinct + token-key join + doc rebuild agg — every
+    // exchange key-bounded, no gram-hash window; 3 scans = token pass
+    // + the gram lineage feeding both the aggregate and the join-back
+    // (the F10/dsir trade: pipelined re-scans beat persisting an
+    // exploded gram relation)
     "q_dedup_lines_doc" -> (0, 1, 1), // F11 is strictly map-only: one
     // corpus scan, zero hash exchanges; the range exchange is the
     // gate's output orderBy

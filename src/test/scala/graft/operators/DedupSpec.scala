@@ -438,4 +438,65 @@ class DedupSpec extends SparkSpec {
     } finally q.stop()
     assert(sink.map(r => r._1 -> r).toMap == oneShot)
   }
+
+  // F13 exact-substring span dedup: a 10-token span shared by docs 0
+  // and 1 at DIFFERENT offsets (chunk-window dedup would miss the
+  // alignment), a short doc, an in-document repeat, and a full
+  // duplicate pair. Token sets are disjoint across families so no
+  // accidental cross-family 8-grams exist.
+  private lazy val substrDocs = Seq(
+    (0L, "u0a u0b u0c s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 u0d"),
+    (1L, "v1 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 v2 v3"),
+    (2L, "tiny doc"),
+    (3L, "r1 r2 r3 r4 r5 r6 r7 r8 x r1 r2 r3 r4 r5 r6 r7 r8"),
+    (4L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+    (5L, "w1 w2 w3 w4 w5 w6 w7 w8")
+  ).toDF("doc_id", "text")
+
+  private def substrMap(keepFirst: Boolean) =
+    Dedup.exactSubstrDedup(substrDocs, "doc_id", "text",
+        minLen = 8, keepFirst = keepFirst)
+      .select("doc_id", "n_tokens", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+
+  test("exactSubstrDedup keepFirst: first copy survives, later copies " +
+      "scrubbed at any offset, short docs pass through") {
+    val out = substrMap(keepFirst = true)
+    assert(out.size == 6)
+    // doc 0 holds the corpus-first occurrence of every shared window
+    assert(out(0L) == ((0L, 14L, 14L,
+      "u0a u0b u0c s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 u0d")))
+    // doc 1's copy sits at a different offset and is fully scrubbed
+    assert(out(1L) == ((1L, 13L, 3L, "v1 v2 v3")))
+    // below minLen: no grams, untouched
+    assert(out(2L) == ((2L, 2L, 2L, "tiny doc")))
+    // WITHIN-doc repeat: second copy of the 8-gram scrubbed
+    assert(out(3L) == ((3L, 17L, 9L, "r1 r2 r3 r4 r5 r6 r7 r8 x")))
+    // full-duplicate pair: doc 4 kept whole, doc 5 scrubbed to empty
+    // but still PRESENT in the output
+    assert(out(4L) == ((4L, 8L, 8L, "w1 w2 w3 w4 w5 w6 w7 w8")))
+    assert(out(5L) == ((5L, 8L, 0L, "")))
+  }
+
+  test("exactSubstrDedup keepFirst=false scrubs every copy") {
+    val out = substrMap(keepFirst = false)
+    assert(out(0L)._4 == "u0a u0b u0c u0d")
+    assert(out(1L)._4 == "v1 v2 v3")
+    assert(out(3L)._4 == "x")
+    assert(out(4L) == ((4L, 8L, 0L, "")))
+    assert(out(5L) == ((5L, 8L, 0L, "")))
+  }
+
+  test("exactSubstrDedup plans no Window and rejects minLen < 2") {
+    // the duplicated-gram side is Zipf-headed by definition (corpus
+    // boilerplate): the keep-first choice must stay an aggregate, not
+    // a gram-hash window partition
+    val plan = Dedup.exactSubstrDedup(substrDocs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"exactSubstrDedup must not window on the gram hash:\n$plan")
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstrDedup(substrDocs, "doc_id", "text", minLen = 1)
+    }
+  }
 }
