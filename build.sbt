@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// GRAFT_JFR=<file.jfr> attaches a flight recording to the forked run
+// (profiling hook for perf attributions; off unless the env var is set)
+javaOptions ++= sys.env.get("GRAFT_JFR").toSeq.map(f =>
+  s"-XX:StartFlightRecording=filename=$f,settings=profile,dumponexit=true,maxsize=512m")

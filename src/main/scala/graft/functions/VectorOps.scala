@@ -213,9 +213,9 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
-  private def kernel: String = left.dataType match {
-    case ArrayType(FloatType, _) => "dotF"
-    case _ => "dotD"
+  private def getter: String = left.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case _ => "getDouble"
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -230,13 +230,53 @@ case class DotProduct(left: Expression, right: Expression)
     }
   }
 
+  // The loop is emitted INLINE in the generated code, not as a call
+  // into VectorRuntime (r12): in the pair-join hot paths the child
+  // gen-code allocates a per-pair UnsafeArrayData wrapper (getArray),
+  // and whether that wrapper gets scalar-replaced depended on C2
+  // choosing to inline the static kernel into the (huge) generated
+  // join method — a decision that flipped with ANY unrelated
+  // classfile change (the r11→r12 q_embed_neardup bimodality: an 8×
+  // GC-count swing from escaping wrappers, bisected to a
+  // semantically-inert method addition). With the loop in the same
+  // generated method the wrapper never crosses a call boundary, so
+  // escape analysis is local and layout-independent. The
+  // concrete-typed UnsafeArrayData branch exists for the same
+  // determinism reason: against the abstract ArrayData receiver the
+  // element getter devirtualizes only if the site's captured type
+  // profile is narrow — a per-launch race (same build measured 1.7 s
+  // or 2.9 s depending on launch) — while against the concrete static
+  // type CHA devirtualizes unconditionally. Accumulation order is
+  // identical in every branch and to VectorRuntime.dotF/dotD
+  // (bit-identical results; the interpreted path still uses them).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val ua = ctx.freshName("ua")
+      val ub = ctx.freshName("ub")
+      val U = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
+      s"""
       if ($a.numElements() != $b.numElements()) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = graft.functions.VectorRuntime.$kernel($a, $b);
-      }""")
+        int $n = $a.numElements();
+        double $acc = 0.0;
+        if ($a instanceof $U && $b instanceof $U) {
+          $U $ua = ($U) $a;
+          $U $ub = ($U) $b;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += (double) $ua.$getter($i) * (double) $ub.$getter($i);
+          }
+        } else {
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += (double) $a.$getter($i) * (double) $b.$getter($i);
+          }
+        }
+        ${ev.value} = $acc;
+      }"""
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -261,9 +301,9 @@ case class L2Distance(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "l2_distance"
 
-  private def kernel: String = left.dataType match {
-    case ArrayType(FloatType, _) => "l2F"
-    case _ => "l2D"
+  private def getter: String = left.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case _ => "getDouble"
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -275,13 +315,41 @@ case class L2Distance(left: Expression, right: Expression)
     }
   }
 
+  // inline loop + concrete-typed fast branch for the same
+  // escape-analysis/devirtualization determinism reasons as
+  // DotProduct (see the comment there); same accumulation order as
+  // VectorRuntime.l2F/l2D, so results stay bit-identical
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val ua = ctx.freshName("ua")
+      val ub = ctx.freshName("ub")
+      val U = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
+      s"""
       if ($a.numElements() != $b.numElements()) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = graft.functions.VectorRuntime.$kernel($a, $b);
-      }""")
+        int $n = $a.numElements();
+        double $acc = 0.0;
+        if ($a instanceof $U && $b instanceof $U) {
+          $U $ua = ($U) $a;
+          $U $ub = ($U) $b;
+          for (int $i = 0; $i < $n; $i++) {
+            double $d = (double) $ua.$getter($i) - (double) $ub.$getter($i);
+            $acc += $d * $d;
+          }
+        } else {
+          for (int $i = 0; $i < $n; $i++) {
+            double $d = (double) $a.$getter($i) - (double) $b.$getter($i);
+            $acc += $d * $d;
+          }
+        }
+        ${ev.value} = java.lang.Math.sqrt($acc);
+      }"""
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2Distance =
