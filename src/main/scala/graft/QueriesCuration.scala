@@ -158,6 +158,30 @@ object QueriesCuration {
         WHERE e.doc_id % 31 = 0 AND c.doc_id % 31 <> 0
         GROUP BY c.doc_id ORDER BY c.doc_id""")),
 
+    // ---------------------------------- K36 fraction contamination
+    // the GPT-3/PaLM decontamination statistic: the share of each
+    // training doc's DISTINCT 3-gram shingles appearing anywhere in
+    // the eval subset (same % 31 eval stand-in as K5). n=3 with this
+    // corpus gives a real distribution (370/483 docs have some hit,
+    // 3 at >= 0.25, max 0.976 at sf0.01), so the fraction math — one
+    // IEEE division of two exact counts — is exercised across the
+    // whole range, not just 0. The screen itself
+    // (decontaminateByFraction) is the where-clause composition,
+    // spec-covered in CurationSpec.
+    QueryDef("q_contam_fraction",
+      (s, d) => Curation.contaminationFraction(Tables.documents(s, d),
+          "doc_id", "text", col("doc_id") % 31 === 0, n = 3)
+        .orderBy("doc_id"),
+      Some(s"""${shingleCte(3)}
+        SELECT c.doc_id AS doc_id, COUNT(*) AS n_grams,
+          COUNT(*) FILTER (c.gram IN
+            (SELECT e.gram FROM ex e WHERE e.doc_id % 31 = 0)) AS n_hits,
+          CAST(COUNT(*) FILTER (c.gram IN
+            (SELECT e.gram FROM ex e WHERE e.doc_id % 31 = 0)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS hit_frac
+        FROM ex c WHERE c.doc_id % 31 <> 0
+        GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
     // ------------------------------------------- K6 repetition score
     // share of each doc's bigrams taken by its most frequent bigram
     // (Gopher-style boilerplate flag). Exact integer ratio → exact

@@ -447,6 +447,59 @@ object Curation {
         countDistinct("gram").as("n_gram_hits"))
   }
 
+  /** Fraction-threshold contamination scoring (K36): for every
+    * NON-eval document, the share of its distinct n-gram shingles
+    * that also appear anywhere in the eval subset — the GPT-3/PaLM
+    * family's decontamination statistic, where a document counts as
+    * dirty only when a large FRACTION of it overlaps a benchmark
+    * (K5's [[contamination]] counts raw hits; one shared idiom there
+    * flags a 10k-token document). Returns
+    * (doc_id, n_grams, n_hits, hit_frac); hit_frac is one IEEE
+    * double division of two exact integer counts, so the score is
+    * bit-identical cross-engine.
+    *
+    * Scale shape: same as K5 — the join key is the shingle, the eval
+    * side is a fixed benchmark suite (MBs) whose distinct gram set
+    * AQE broadcasts, so the corpus gram stream never shuffles for
+    * the probe; the only corpus-keyed exchange is the per-doc count
+    * aggregation. Shingles are per-document DISTINCT by construction
+    * (ShingleSet), so counts need no second dedup pass.
+    */
+  def contaminationFraction(docs: DataFrame, idCol: String, textCol: String,
+                            evalPred: Column, n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"), evalPred.as("is_eval"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val evalGrams = grams.where(col("is_eval"))
+      .select("gram").distinct().withColumn("hit", lit(true))
+    grams.where(!col("is_eval"))
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("hit"), lit(1))).as("n_hits"))
+      .withColumn("hit_frac",
+        col("n_hits").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+
+  /** The screen over [[contaminationFraction]]: drop every non-eval
+    * document whose eval-overlap fraction reaches `minFrac`, keep the
+    * rest (eval rows themselves are excluded — the output is the
+    * cleaned TRAINING corpus). K5's any-hit `decontaminate` is the
+    * conservative benchmark-protection default; this is the
+    * published-recipe alternative when any-hit is too destructive
+    * (web corpora share idioms with every benchmark at some n).
+    */
+  def decontaminateByFraction(docs: DataFrame, idCol: String, textCol: String,
+                              evalPred: Column, n: Int = 3,
+                              minFrac: Double = 0.5): DataFrame = {
+    require(minFrac > 0.0 && minFrac <= 1.0,
+      s"minFrac must be in (0, 1]: $minFrac")
+    val dirty = contaminationFraction(docs, idCol, textCol, evalPred, n)
+      .where(col("hit_frac") >= minFrac)
+      .select(col("doc_id").as("_dirty_id"))
+    docs.where(!evalPred)
+      .join(dirty, col(idCol) === col("_dirty_id"), "left_anti")
+  }
+
   /** Gopher-style repetition signal: the share of a doc's word
     * bigrams taken by its single most frequent bigram. High values
     * flag boilerplate/degenerate text. Exact integer ratio (cast to

@@ -120,6 +120,43 @@ class CurationSpec extends SparkSpec {
     assert(cartesian.isEmpty, "contamination must join on the shingle key")
   }
 
+  test("contaminationFraction scores the distinct-shingle overlap share " +
+      "and decontaminateByFraction drops only docs at the threshold") {
+    // eval = doc 0 ("the cat sat on the mat": distinct 3-shingles
+    // {the cat sat, cat sat on, sat on the, on the mat}). Doc 3 adds
+    // "today": 5 distinct 3-shingles, 4 of them eval hits → 0.8.
+    // Docs 1/2/4 share nothing → 0.0.
+    val fr = Curation.contaminationFraction(docs, "doc_id", "text",
+        col("doc_id") === 0, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!fr.contains(0L), "eval docs are not scored")
+    assert(fr(3L) == ((5L, 4L, 0.8)), s"doc 3 scored ${fr(3L)}")
+    assert(fr(1L)._2 == 0L && fr(2L)._2 == 0L && fr(4L)._2 == 0L)
+    // threshold straddling: 0.5 drops doc 3 (0.8), 0.9 keeps it; eval
+    // doc 0 is excluded from the cleaned corpus either way
+    def kept(minFrac: Double) = Curation.decontaminateByFraction(docs,
+        "doc_id", "text", col("doc_id") === 0, n = 3, minFrac = minFrac)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept(0.5) == Seq(1L, 2L, 4L))
+    assert(kept(0.9) == Seq(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      Curation.decontaminateByFraction(docs, "doc_id", "text",
+        col("doc_id") === 0, minFrac = 0.0)
+    }
+  }
+
+  test("contaminationFraction: a short doc degrades to one whole-text " +
+      "shingle and scores 0 or 1 exactly") {
+    val tiny = Seq((0L, "alpha beta"), (1L, "alpha beta"), (2L, "gamma"))
+      .toDF("doc_id", "text")
+    val fr = Curation.contaminationFraction(tiny, "doc_id", "text",
+        col("doc_id") === 0, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(fr(1L) == 1.0, "identical short doc is fully contaminated")
+    assert(fr(2L) == 0.0)
+  }
+
   test("topBigramShare scores degenerate repetition as 1.0") {
     val out = Curation.topBigramShare(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
