@@ -112,6 +112,10 @@ class PlanBudgetSpec extends SparkSpec {
     // groupBy(source) shuffle; every waterfill window runs on the
     // bounded per-source table (SinglePartition exchanges over
     // |sources| rows, not counted here and not corpus-scaled)
+    "q_contam_fraction" -> (3, 1, 2), // K36: eval-gram distinct + the
+    // probe join's corpus-gram side + per-doc count agg; the eval side
+    // broadcasts at runtime (bounded suite), corpus scans twice (eval
+    // branch + corpus branch of the one shingle lineage)
     "q_exact_substr" -> (5, 1, 3), // F13: gram-df agg + gram join-back
     // + coverage distinct + token-key join + doc rebuild agg — every
     // exchange key-bounded, no gram-hash window; 3 scans = token pass
