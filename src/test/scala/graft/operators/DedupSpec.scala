@@ -487,6 +487,57 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((5L, 8L, 0L, "")))
   }
 
+  test("exactSubstrDedup fuzz: 80 generated docs match an independent " +
+      "scalar reference under both policies") {
+    // independent oracle: a straightforward single-machine
+    // implementation over token vectors (gram map → covered set →
+    // rebuild), sharing NO code with the operator
+    def reference(corpus: Seq[(Long, String)], minLen: Int,
+                  keepFirst: Boolean): Map[Long, (Long, Long, String)] = {
+      val toks = corpus.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toVector
+      }.toMap
+      val occ = scala.collection.mutable.LinkedHashMap
+        .empty[String, Vector[(Long, Int)]]
+      for ((id, ts) <- toks.toSeq.sortBy(_._1); s <- 0 to ts.length - minLen) {
+        val g = ts.slice(s, s + minLen).mkString(" ")
+        occ(g) = occ.getOrElse(g, Vector.empty) :+ (id -> s)
+      }
+      val covered = scala.collection.mutable.Set.empty[(Long, Int)]
+      for ((_, os) <- occ if os.length >= 2) {
+        val canonical = os.min // (doc asc, start asc) — the min-struct
+        for (o <- os if !(keepFirst && o == canonical);
+             p <- o._2 until o._2 + minLen) covered += (o._1 -> p)
+      }
+      toks.map { case (id, ts) =>
+        val kept = ts.indices.filterNot(p => covered(id -> p)).map(ts)
+        id -> ((ts.length.toLong, kept.length.toLong, kept.mkString(" ")))
+      }
+    }
+    // small vocab + replanted spans force heavy overlap, including
+    // whole-doc copies and within-doc repeats
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val base = (0 until 60).map { id =>
+      id.toLong -> Vector.fill(3 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val corpus = base ++ (60 until 80).map { id =>
+      // replant a random earlier doc's text, sometimes doubled
+      val src = base(rnd.nextInt(base.length))._2
+      id.toLong -> (if (rnd.nextBoolean()) src else s"$src $src")
+    }
+    for (keepFirst <- Seq(true, false)) {
+      val expect = reference(corpus, minLen = 4, keepFirst)
+      val got = Dedup.exactSubstrDedup(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", minLen = 4, keepFirst = keepFirst)
+        .select("doc_id", "n_tokens", "n_kept", "clean_text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expect, s"keepFirst=$keepFirst diverged from reference")
+    }
+  }
+
   test("exactSubstrDedup plans no Window and rejects minLen < 2") {
     // the duplicated-gram side is Zipf-headed by definition (corpus
     // boilerplate): the keep-first choice must stay an aggregate, not
