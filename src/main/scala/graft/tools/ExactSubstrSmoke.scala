@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scaling smoke for F13 exactSubstrDedup: run the full scrub over a
+  * documents dir and reduce to corpus totals (never collect the
+  * rebuilt corpus — it is corpus-sized by definition). Prints one
+  * JSON line per rep: wall, docs, tokens in/kept, scrub share.
+  *
+  * Usage: ExactSubstrSmoke <docsDir> [reps] [minLen]
+  * (env SPARK_GRAFT_CPUS; the dir needs only documents.parquet)
+  */
+object ExactSubstrSmoke {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ExactSubstrSmoke <docsDir> [reps] [minLen]")
+    val dir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val minLen = if (args.length > 2) args(2).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", 32 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    spark.range(1000).selectExpr("sum(id)").collect() // warm
+
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val row = Dedup.exactSubstrDedup(docs, "doc_id", "text", minLen)
+        .agg(count(lit(1)).as("docs"), sum("n_tokens").as("toks"),
+          sum("n_kept").as("kept"))
+        .head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (nd, nt, nk) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      println(f"""{"metric":"exact_substr","rep":$r,"wall":$wall%.3f,""" +
+        f""""docs":$nd,"tokens":$nt,"kept":$nk,""" +
+        f""""scrubbed_share":${1.0 - nk.toDouble / nt}%.4f,"minLen":$minLen}""")
+    }
+  }
+}
