@@ -722,14 +722,11 @@ object Dedup {
         (col("pos") + 1).cast(LongType).as("pos"), col("col").as("tok"))
     // minLen-gram starts (1-based), hashed; docs shorter than minLen
     // contribute no grams and pass through untouched
-    // h is internal (never output): 16-byte binary digest, not the
-    // 32-char hex string — the gram relation is the operator's
-    // dominant shuffle and the hash column is most of each row
     val gr = toks.where(size(col("t")) >= minLen)
       .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(col("t")) - minLen + 1),
           s => struct(s.cast(LongType).as("s"),
-            unhex(md5(concat_ws(" ", slice(col("t"), s, lit(minLen))))).as("h"))))
+            md5(concat_ws(" ", slice(col("t"), s, lit(minLen)))).as("h"))))
         .as("g"))
       .select(col("doc_id"), col("g.s").as("s"), col("g.h").as("h"))
     val dup = gr.groupBy("h")
