@@ -1133,7 +1133,8 @@ object QueriesPipeline {
           "doc_id", "text", minLen = 8)
         .orderBy("doc_id"),
       Some("""WITH tk AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          SELECT doc_id,
+            string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
           FROM documents
         ), tok AS (
           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,

@@ -436,7 +436,14 @@ object Curation {
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     evalPred: Column, n: Int = 5): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc_id"), evalPred.as("is_eval"),
+    // a NULL evalPred is neither side of the corpus/eval split: the
+    // raw column would exclude the doc from BOTH branches (dropped
+    // from the audit entirely) — coalesce to false so such docs are
+    // corpus docs, the conservative read (r13 ADVICE). Docs with no
+    // n-gram (shorter than n tokens, or null/empty text) have nothing
+    // to probe and are absent from the output by construction.
+    val grams = docs.select(col(idCol).as("doc_id"),
+      coalesce(evalPred, lit(false)).as("is_eval"),
       explode(Dedup.shingles(col(textCol), n)).as("gram"))
     val evalGrams = grams.where(col("is_eval"))
       .select(col("doc_id").as("eval_id"), col("gram"))
@@ -467,7 +474,12 @@ object Curation {
     */
   def contaminationFraction(docs: DataFrame, idCol: String, textCol: String,
                             evalPred: Column, n: Int = 3): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc_id"), evalPred.as("is_eval"),
+    // NULL evalPred → corpus side (coalesce false), as in K5; zero-gram
+    // docs (shorter than n tokens, null/empty text) are absent from
+    // the output by construction — they have no fraction to score
+    // (0/0) and nothing to leak (r13 ADVICE)
+    val grams = docs.select(col(idCol).as("doc_id"),
+      coalesce(evalPred, lit(false)).as("is_eval"),
       explode(Dedup.shingles(col(textCol), n)).as("gram"))
     val evalGrams = grams.where(col("is_eval"))
       .select("gram").distinct().withColumn("hit", lit(true))
@@ -496,7 +508,9 @@ object Curation {
     val dirty = contaminationFraction(docs, idCol, textCol, evalPred, n)
       .where(col("hit_frac") >= minFrac)
       .select(col("doc_id").as("_dirty_id"))
-    docs.where(!evalPred)
+    // NULL evalPred rows are corpus docs (see contaminationFraction)
+    // and must stay in the cleaned-training output
+    docs.where(!coalesce(evalPred, lit(false)))
       .join(dirty, col(idCol) === col("_dirty_id"), "left_anti")
   }
 

@@ -713,8 +713,15 @@ object Dedup {
                        minLen: Int = 8,
                        keepFirst: Boolean = true): DataFrame = {
     require(minLen >= 2, s"minLen must be at least 2: $minLen")
+    // NULL text coalesces to '' (r13 ADVICE): tokens(null) is a null
+    // array, whose posexplode would silently DROP the row — breaking
+    // the every-document-stays contract above. With the coalesce such
+    // docs pass through as the empty-text degenerate case (the
+    // tokenizer yields [''] on empty input, so n_tokens = n_kept = 1
+    // and clean_text = '' — identical to a doc whose text IS '');
+    // the oracle mirrors the coalesce.
     val toks = fanOut(docs).select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("t"))
+      TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("t"))
     val tok = toks
       .select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"),
         posexplode(col("t")))

@@ -37,10 +37,20 @@ object ExactSubstrSmoke {
           sum("n_kept").as("kept"))
         .head()
       val wall = (System.nanoTime() - t0) / 1e9
-      val (nd, nt, nk) = (row.getLong(0), row.getLong(1), row.getLong(2))
-      println(f"""{"metric":"exact_substr","rep":$r,"wall":$wall%.3f,""" +
-        f""""docs":$nd,"tokens":$nt,"kept":$nk,""" +
-        f""""scrubbed_share":${1.0 - nk.toDouble / nt}%.4f,"minLen":$minLen}""")
+      // empty corpus: sum() is NULL and getLong would NPE — report it
+      // plainly instead (r13 ADVICE); share is skipped at 0 tokens
+      // (0/0), which an all-empty-text corpus can also produce
+      val nd = row.getLong(0)
+      if (nd == 0L || row.isNullAt(1)) {
+        println(s"""{"metric":"exact_substr","rep":$r,"docs":$nd,""" +
+          s""""error":"empty corpus: no documents/tokens at $dir"}""")
+      } else {
+        val (nt, nk) = (row.getLong(1), row.getLong(2))
+        val share = if (nt == 0L) 0.0 else 1.0 - nk.toDouble / nt
+        println(f"""{"metric":"exact_substr","rep":$r,"wall":$wall%.3f,""" +
+          f""""docs":$nd,"tokens":$nt,"kept":$nk,""" +
+          f""""scrubbed_share":$share%.4f,"minLen":$minLen}""")
+      }
     }
   }
 }

@@ -157,6 +157,30 @@ class CurationSpec extends SparkSpec {
     assert(fr(2L) == 0.0)
   }
 
+  test("contamination family: NULL evalPred counts as corpus-side, " +
+      "null-text docs are the zero-gram degenerate (r13 ADVICE)") {
+    // doc 1's source is null → evalPred (source = 'eval') is NULL;
+    // raw column semantics would exclude it from BOTH join branches
+    val d = Seq((0L, "eval", Option("the cat sat on the mat")),
+        (1L, null, Option("the cat sat on a rug today")),
+        (2L, "web", Option.empty[String]))
+      .toDF("doc_id", "source", "text")
+    val pred = col("source") === "eval"
+    val fr = Curation.contaminationFraction(d, "doc_id", "text", pred, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fr.contains(1L), "null-evalPred doc must be scored as corpus")
+    assert(fr(1L) == 2L, s"doc 1 shares {the cat sat, cat sat on}: $fr")
+    assert(!fr.contains(2L), "zero-gram (null text) docs have no score")
+    val hits = Curation.contamination(d, "doc_id", "text", pred, n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L), "K5 must flag the null-evalPred corpus doc")
+    val kept = Curation.decontaminateByFraction(d, "doc_id", "text", pred,
+        n = 3, minFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 1: 2 of 5 grams hit (0.4 < 0.5) → kept; doc 2 gram-free → kept
+    assert(kept == Set(1L, 2L), s"cleaned corpus diverged: $kept")
+  }
+
   test("topBigramShare scores degenerate repetition as 1.0") {
     val out = Curation.topBigramShare(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -478,6 +478,25 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((5L, 8L, 0L, "")))
   }
 
+  test("exactSubstrDedup: NULL text passes through as the empty-text " +
+      "degenerate case, never silently dropped (r13 ADVICE)") {
+    val withNull = Seq((0L, Option("a b c d e f g h i")),
+        (1L, Option("a b c d e f g h j")), (2L, Option.empty[String]),
+        (3L, Option("")))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(withNull, "doc_id", "text", minLen = 8)
+      .select("doc_id", "n_tokens", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // the contract: EVERY input document appears in the output
+    assert(out.keySet == Set(0L, 1L, 2L, 3L), s"docs lost: ${out.keySet}")
+    // null behaves exactly like empty text: the tokenizer's [''] on
+    // empty input makes both the 1-token degenerate doc
+    assert(out(2L) == ((2L, 1L, 1L, "")))
+    assert(out(2L)._2 == out(3L)._2 && out(2L)._4 == out(3L)._4)
+    // and the real docs still dedup normally around them
+    assert(out(0L)._3 == 9L && out(1L)._3 == 1L)
+  }
+
   test("exactSubstrDedup keepFirst=false scrubs every copy") {
     val out = substrMap(keepFirst = false)
     assert(out(0L)._4 == "u0a u0b u0c u0d")
