@@ -55,7 +55,19 @@ object Bm25Index {
   final case class Index(spark: SparkSession, dir: String,
                          nBuckets: Int, nDocs: Long, sumDl: Long,
                          postingsDir: String, version: Long) {
-    def postings: DataFrame = spark.read.parquet(postingsDir)
+    /** Build postings plus any batch-keyed appended postings (r13:
+      * [[appendDocsBatch]] lands micro-batch rows in a sibling
+      * batch-partitioned dataset so a streaming replay can REPLACE its
+      * crashed attempt). The union is column-aligned; term_bucket
+      * pruning pushes into both legs.
+      */
+    def postings: DataFrame = {
+      val base = spark.read.parquet(postingsDir)
+      val bdir = batchPostingsDir(this)
+      if (!exists(spark, bdir)) base
+      else base.unionByName(spark.read.parquet(bdir)
+        .select("term", "doc_id", "tf", "dl", "df", "term_bucket"))
+    }
   }
 
   private def bucketOf(term: Column, nBuckets: Int): Column =
@@ -144,7 +156,8 @@ object Bm25Index {
   def vacuum(index: Index): Unit =
     IndexVersions.vacuum(index.spark, index.dir, index.version,
       Seq("postings", "meta", "doc_tombstones", "df_deltas",
-        "meta_deltas"))
+        "meta_deltas", "postings_batches", "df_delta_batches",
+        "meta_delta_batches"))
 
   // ---------------------------------------------- r9: exact appends
   //
@@ -164,12 +177,60 @@ object Bm25Index {
     s"${index.dir}/df_deltas.v${index.version}"
   private def metaDeltaDir(index: Index): String =
     s"${index.dir}/meta_deltas.v${index.version}"
+  // r13: the batch-keyed twins — [[appendDocsBatch]]'s landing zones,
+  // partitioned by batch_id so a streaming replay REPLACES its crashed
+  // attempt (dynamic overwrite) instead of appending beside it
+  private def batchPostingsDir(index: Index): String =
+    s"${index.dir}/postings_batches.v${index.version}"
+  private def batchDeltaDir(index: Index): String =
+    s"${index.dir}/df_delta_batches.v${index.version}"
+  private def batchMetaDeltaDir(index: Index): String =
+    s"${index.dir}/meta_delta_batches.v${index.version}"
 
   private def exists(spark: SparkSession, dir: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
+
+  /** True when this version has ANY appended rows (plain or batch). */
+  private def hasAppends(index: Index): Boolean =
+    exists(index.spark, deltaDir(index)) ||
+      exists(index.spark, batchDeltaDir(index))
+
+  /** The (term, df_delta, term_bucket) delta relation across both
+    * append paths, or None when this version was never appended to.
+    */
+  private def dfDeltas(index: Index): Option[DataFrame] = {
+    val spark = index.spark
+    val legs = Seq(deltaDir(index), batchDeltaDir(index))
+      .filter(exists(spark, _))
+      .map(d => spark.read.parquet(d)
+        .select("term", "df_delta", "term_bucket"))
+    legs.reduceOption(_ unionByName _)
+  }
+
+  /** The (n_docs, sum_dl) meta-delta relation across both append
+    * paths, or None when this version was never appended to.
+    */
+  private def metaDeltas(index: Index): Option[DataFrame] = {
+    val spark = index.spark
+    val legs = Seq(metaDeltaDir(index), batchMetaDeltaDir(index))
+      .filter(exists(spark, _))
+      .map(d => spark.read.parquet(d).select("n_docs", "sum_dl"))
+    legs.reduceOption(_ unionByName _)
+  }
+
+  /** Corpus scalars for this version: base meta plus any accumulated
+    * deltas — a bounded driver read (one row per append batch).
+    */
+  private def effectiveScalars(index: Index): (Long, Long) =
+    metaDeltas(index) match {
+      case None => (index.nDocs, index.sumDl)
+      case Some(md) =>
+        val d = md.agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+        (index.nDocs + d.getLong(0), index.sumDl + d.getLong(1))
+    }
 
   /** Append `newDocs` to the index's CURRENT version: one tokenize
     * pass; postings land in the existing bucket partitions (df = 0),
@@ -207,6 +268,62 @@ object Bm25Index {
     } finally rel.unpersist()
   }
 
+  /** The REPLAY-IDEMPOTENT form of [[appendDocs]] for the composed
+    * streaming ingest (I15, r13): identical search semantics — df = 0
+    * postings, per-term df deltas, a meta delta row — but every
+    * relation lands in a `batch_id`-partitioned dataset with DYNAMIC
+    * overwrite, so a micro-batch killed mid-append and replayed from
+    * its checkpoint REPLACES its crashed attempt's partitions instead
+    * of appending a second copy beside them (the IncrementalDedup /
+    * clean-sink rule; plain [[appendDocs]]'s `mode("append")` would
+    * double-count every replayed posting and df delta). The replay is
+    * exact because the pipeline is deterministic over checkpointed
+    * offsets: a replayed batch computes the same postings, so
+    * overwriting its own partitions converges to exactly-once rows.
+    *
+    * Search-after-restart equals an index built whole over the final
+    * corpus (spec-pinned), exactly as for [[appendDocs]]: search and
+    * compaction read both append paths through one unioned relation,
+    * with bucket pruning pushed into each leg.
+    */
+  def appendDocsBatch(index: Index, newDocs: DataFrame, idCol: String,
+                      textCol: String, batchId: Long,
+                      filesPerBucket: Int = 1): Unit = {
+    require(filesPerBucket >= 1,
+      s"filesPerBucket must be >= 1: $filesPerBucket")
+    val rel = tfRelation(newDocs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      rel.withColumn("df", lit(0L))
+        .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
+        .withColumn("batch_id", lit(batchId))
+        .select("term", "doc_id", "tf", "dl", "df", "term_bucket",
+          "batch_id")
+        .repartition(index.nBuckets * filesPerBucket, col("term_bucket"),
+          pmod(hash(col("doc_id")), lit(filesPerBucket)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket", "batch_id")
+        .parquet(batchPostingsDir(index))
+      rel.groupBy("term").agg(count(lit(1)).as("df_delta"))
+        .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
+        .withColumn("batch_id", lit(batchId))
+        .repartition(col("term_bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket", "batch_id")
+        .parquet(batchDeltaDir(index))
+      TextAnalysis.corpusStats(newDocs, textCol)
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(batchMetaDeltaDir(index))
+      IndexVersions.bumpGeneration(index.spark, index.dir)
+    } finally rel.unpersist()
+  }
+
   /** Fold accumulated df deltas and doc tombstones into a fresh
     * postings version WITHOUT re-tokenizing the corpus — the lexical
     * twin of `AnnIndex.compactCells`. Everything derives from the
@@ -229,27 +346,23 @@ object Bm25Index {
     val spark = index.spark
     val v = IndexVersions.current(spark, index.dir).getOrElse(0L) + 1L
     val postings = index.postings
-    val appended = exists(spark, deltaDir(index))
     // effective df per term from the RAW rows (deletes must not
     // perturb df — same rule as search): build rows share one value,
-    // append rows carry 0, delta rows add batch counts
+    // append rows carry 0, delta rows (either append path) add batch
+    // counts
     val baseDf = postings.groupBy("term").agg(max(col("df")).as("df_base"))
-    val dfEff =
-      if (!appended) baseDf.select(col("term"), col("df_base").as("df_eff"))
-      else baseDf.join(
-        spark.read.parquet(deltaDir(index))
-          .groupBy("term").agg(sum(col("df_delta")).as("df_add")),
-        Seq("term"), "full_outer")
-        .select(col("term"),
-          (coalesce(col("df_base"), lit(0L)) +
-            coalesce(col("df_add"), lit(0L))).as("df_eff"))
-    val (nDocs, sumDl) =
-      if (!appended) (index.nDocs, index.sumDl)
-      else {
-        val d = spark.read.parquet(metaDeltaDir(index))
-          .agg(sum("n_docs"), sum("sum_dl")).collect()(0)
-        (index.nDocs + d.getLong(0), index.sumDl + d.getLong(1))
-      }
+    val dfEff = dfDeltas(index) match {
+      case None =>
+        baseDf.select(col("term"), col("df_base").as("df_eff"))
+      case Some(deltas) =>
+        baseDf.join(
+          deltas.groupBy("term").agg(sum(col("df_delta")).as("df_add")),
+          Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df_base"), lit(0L)) +
+              coalesce(col("df_add"), lit(0L))).as("df_eff"))
+    }
+    val (nDocs, sumDl) = effectiveScalars(index)
     aliveDocs(index, postings)
       .drop("df").join(dfEff, "term")
       .withColumnRenamed("df_eff", "df")
@@ -344,16 +457,9 @@ object Bm25Index {
     val sliced = aliveDocs(index, slicedRaw)
     val pruned = allowed.fold(sliced)(a =>
       sliced.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi"))
-    val appended = exists(index.spark, deltaDir(index))
     // corpus scalars: base meta + (if appended) the meta delta rows —
     // a bounded driver read per search, the probe-set sanction
-    val (nDocs, sumDl) =
-      if (!appended) (index.nDocs, index.sumDl)
-      else {
-        val d = index.spark.read.parquet(metaDeltaDir(index))
-          .agg(sum("n_docs"), sum("sum_dl")).collect()(0)
-        (index.nDocs + d.getLong(0), index.sumDl + d.getLong(1))
-      }
+    val (nDocs, sumDl) = effectiveScalars(index)
     val matched = pruned
       .join(broadcast(qt.select("qid", "term")), "term")
       .where(col("doc_id") =!= col("qid"))
@@ -361,14 +467,15 @@ object Bm25Index {
     // denormalized value; after appends it is max(build df) over the
     // BUCKET-pruned slice (append rows carry 0; filters must not
     // perturb df, so the agg runs on the raw slice) + the pruned
-    // delta sum — bounded by the queried vocabulary either way
-    val scoredBase =
-      if (!appended) matched
-      else {
+    // delta sum (both append paths) — bounded by the queried
+    // vocabulary either way
+    val scoredBase = dfDeltas(index) match {
+      case None => matched
+      case Some(allDeltas) =>
         val qTerms = qt.select("term").distinct()
         val baseDf = slicedRaw.join(broadcast(qTerms), "term")
           .groupBy("term").agg(max(col("df")).as("df_base"))
-        val deltas = index.spark.read.parquet(deltaDir(index))
+        val deltas = allDeltas
           .where(inBuckets)
           .join(broadcast(qTerms), "term")
           .groupBy("term").agg(sum(col("df_delta")).as("df_add"))
@@ -379,7 +486,7 @@ object Bm25Index {
         matched.drop("df")
           .join(broadcast(dfEff), "term")
           .withColumnRenamed("df_eff", "df")
-      }
+    }
     val scored = scoredBase
       .withColumn("n_docs", lit(nDocs))
       .withColumn("sum_dl", lit(sumDl))

@@ -857,7 +857,23 @@ object Curation {
       merges: Seq[(String, String)], dsirTargetPred: Column,
       minQuality: Double = 0.5, ngram: Int = 5, dsirBuckets: Int = 4096,
       gopherMinWords: Long = 50L, gopherMinStop: Long = 2L,
-      boilerplate: Option[DataFrame] = None): DataFrame = {
+      boilerplate: Option[DataFrame] = None,
+      htmlInput: Boolean = false): DataFrame = {
+    // r13 stage −1 (optional): crawl extraction. When the corpus is
+    // raw HTML, every downstream screen reads distorted statistics —
+    // tags and attribute soup inflate word counts past the Gopher
+    // gate, entity escapes perturb shingles and content hashes, and
+    // F10's line dedup sees no line structure at all (block tags, not
+    // newlines, delimit the boilerplate). htmlToText (H19) runs FIRST,
+    // as one narrow codegen'd map that pipelines inside the scan —
+    // zero new shuffles, zero new scans (plan budget unchanged,
+    // PipelineBench gate) — so stage 0's frequent-line table is mined
+    // over, and matched against, EXTRACTED text: the same train/serve
+    // discipline as the model and merges.
+    val input =
+      if (htmlInput)
+        docs.withColumn(textCol, TextAnalysis.htmlToText(col(textCol)))
+      else docs
     // r9 stage 0 (optional): line-level boilerplate removal against a
     // pre-mined frequent-line table (F10's train/serve split — the
     // table is a versioned input like the model and merges). Runs
@@ -866,10 +882,10 @@ object Curation {
     // word-count gate on padding alone); text downstream is the
     // cleaned text, other doc columns re-attach by the id-keyed join,
     // and an all-boilerplate doc drops here.
-    val base = boilerplate.fold(docs) { freq =>
-      val cleaned = Dedup.dropListedLines(docs, idCol, textCol, freq)
+    val base = boilerplate.fold(input) { freq =>
+      val cleaned = Dedup.dropListedLines(input, idCol, textCol, freq)
         .select(col("doc_id").as(idCol), col("clean_text").as(textCol))
-      docs.drop(textCol).join(cleaned, idCol)
+      input.drop(textCol).join(cleaned, idCol)
     }
     val g = base.where(TextAnalysis.gopherPass(col(textCol), gopherMinWords,
       minStop = gopherMinStop))

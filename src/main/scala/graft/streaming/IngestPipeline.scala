@@ -4,13 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{AnnIndex, DedupIndex}
+import graft.operators.{AnnIndex, Bm25Index, DedupIndex}
 
 /** The composed streaming ingest story (VERDICT r10 item 7): one
   * micro-batch loop running the full production intake —
   *
   *   stream → quality gate (I14, map-only) → persisted-index dedup
   *   screen (F12) → clean sink (exactly-once) → ANN upsert (G12/G13)
+  *   → lexical-index append (H18, optional — r13)
   *
   * — with every leg REPLAY-IDEMPOTENT, so a query killed anywhere
   * inside a batch and restarted from its checkpoint converges to
@@ -39,11 +40,21 @@ import graft.operators.{AnnIndex, DedupIndex}
   */
 object IngestPipeline {
 
+  /** `bm25IndexDir` (r13, VERDICT r12 item 2): when set, each batch's
+    * clean documents are ALSO appended to the persisted lexical index
+    * via [[Bm25Index.appendDocsBatch]] — the batch-keyed,
+    * dynamic-overwrite form, so a replayed batch REPLACES its crashed
+    * attempt's postings/df-delta/meta-delta partitions (plain
+    * `appendDocs`'s append mode would double-count every replay).
+    * The index must exist (seed it with `Bm25Index.write`); the GEN
+    * bump inside the append keeps watching servers fresh per batch.
+    */
   def start(docs: DataFrame, idCol: String, textCol: String,
             gate: DataFrame => DataFrame,
             dedupIndexDir: String, annIndexDir: String, outDir: String,
             threshold: Double = 0.8,
-            checkpointDir: String): StreamingQuery = {
+            checkpointDir: String,
+            bm25IndexDir: Option[String] = None): StreamingQuery = {
     // the checkpoint is REQUIRED, not optional: every exactly-once
     // guarantee above keys the dynamic overwrites by batchId, and an
     // uncheckpointed restart renumbers batches from 0 — batch_id=0
@@ -85,6 +96,13 @@ object IngestPipeline {
                 AnnIndex.upsert(AnnIndex.open(spark, annIndexDir),
                   clean.select(col(idCol).as("vec_id"), col("embedding")))
                 DedupIndex.appendBatch(idx, res.cleanSigs, b)
+                // replay-idempotent lexical leg (r13): batch-keyed
+                // dynamic overwrite — see the bm25IndexDir scaladoc
+                bm25IndexDir.foreach { bdir =>
+                  Bm25Index.appendDocsBatch(
+                    Bm25Index.open(spark, bdir), clean, idCol, textCol,
+                    batchId)
+                }
               }
             } finally clean.unpersist()
           } finally res.release()

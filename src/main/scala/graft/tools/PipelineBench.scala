@@ -193,6 +193,56 @@ object PipelineBench {
       s""""n_out_plain":$nOutPlain,"n_out_stage0":$nOutStage0,""" +
       s""""cpus":$cpus,"loadavg_start":"$load3","loadavg_end":"$loadavg",""" +
       s""""utc":"$ts3"}""")
+
+    // ---- pipeline v2 + H19 stage -1 (round 13): the corpus arrives
+    // as raw CRAWL HTML — a nav <ul> whose <li> items only become F10
+    // lines after extraction, tag soup around every paragraph — and
+    // the FULL chain (htmlToText → stage 0 line dedup → the v2
+    // battery) runs as ONE plan. The frequent-line table is mined over
+    // EXTRACTED text (train/serve split, like the model and merges).
+    def synthHtml(s: SparkSession) = Tables.documents(s, sfDir)
+      .withColumn("text", concat(
+        lit("<ul><li>Subscribe to our newsletter</li>" +
+          "<li>Copyright 2026 Example Corp</li></ul><p>"),
+        col("text"),
+        lit("</p><div>shared footer "), (col("doc_id") % 8).cast("string"),
+        lit("</div>")))
+    val tMine1 = System.nanoTime()
+    Dedup.frequentLines(
+        synthHtml(spark).withColumn("text",
+          TextAnalysis.htmlToText(col("text"))),
+        "doc_id", "text", minDocs = 50)
+      .write.mode("overwrite").parquet(s"$outDir/boilerplate_html")
+    val mineWallH = (System.nanoTime() - tMine1) / 1e9
+    val nMinedH = spark.read.parquet(s"$outDir/boilerplate_html").count()
+
+    def v2h(s: SparkSession) = Curation.curationPipelineV2(
+      synthHtml(s), "doc_id", "text", model, merges,
+      dsirTargetPred = col("lang") === "en", gopherMinStop = 0L,
+      boilerplate = Some(s.read.parquet(s"$outDir/boilerplate_html")),
+      htmlInput = true)
+
+    // plan budget: stage -1 is one narrow codegen'd map — the chain
+    // must hold the v2-stage0 ceilings EXACTLY (no new exchange, no
+    // new scan; r13)
+    gate("v2-html",
+      v2h(staticSession()).queryExecution.executedPlan.toString,
+      maxHash = 18, maxScans = 8, maxBnl = 0)
+
+    val load4 = loadavg
+    val t5 = System.nanoTime()
+    Curation.writeSharded(v2h(spark), "doc_id", nShards,
+      s"$outDir/shards_v2_html")
+    val wallHtml = (System.nanoTime() - t5) / 1e9
+    val nOutHtml = spark.read.parquet(s"$outDir/shards_v2_html").count()
+    val ts4 = java.time.Instant.now().toString
+    println(s"""{"metric":"pipeline_v2_html","unit":"sec",""" +
+      s""""mine_wall":$mineWallH,"wall_html_chain":$wallHtml,""" +
+      s""""wall_stage0_ref":$wallStage0,"sf_dir":"$sfDir",""" +
+      s""""n_docs_in":$nDocs,"n_frequent_lines":$nMinedH,""" +
+      s""""n_out_html":$nOutHtml,""" +
+      s""""cpus":$cpus,"loadavg_start":"$load4","loadavg_end":"$loadavg",""" +
+      s""""utc":"$ts4"}""")
     spark.stop()
   }
 }

@@ -141,6 +141,69 @@ class GraftServerSpec extends SparkSpec {
     assert(bbuilds == 2, s"append must force exactly one rebuild: $bbuilds")
   }
 
+  test("fused ANN+BM25 → RRF → MMR chain served warm across a " +
+      "mid-stream republish: next serve reflects v2 with exactly one " +
+      "rebuild (r13, VERDICT r12 item 3)") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndex, Bm25Index, Similarity}
+    val emb = Tables.embeddings(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val annDir = java.nio.file.Files
+      .createTempDirectory("graft-fused-ann").toString
+    val bm25Dir = java.nio.file.Files
+      .createTempDirectory("graft-fused-bm25").toString
+    AnnIndex.write(emb, annDir, dim = 64, nCells = 4, stride = 7,
+      kmeansIters = 1, m = 8, ncodes = 16)
+    // v1 lexical index over HALF the corpus so the republish below
+    // (full corpus) genuinely changes retrieval
+    Bm25Index.write(docs.where(col("doc_id") % 2 === 0), "doc_id",
+      "text", bm25Dir, nBuckets = 8)
+    val qv = emb.where(col("vec_id") < 3)
+    val qd = docs.where(col("doc_id") < 3)
+    // the COMPLETE serving chain over the persisted indexes — dense
+    // leg, lexical leg, RRF fusion, MMR diversification with vectors
+    // re-attached from the index's own cells (no brute-force corpus
+    // pass anywhere); indexes OPEN per request, which is what lets a
+    // CURRENT flip or GEN bump change what the next build plans
+    def chain(s: SparkSession, d: String): DataFrame = {
+      val ann = AnnIndex.open(s, annDir)
+      val lex = Bm25Index.open(s, bm25Dir)
+      val dense = AnnIndex.searchExact(ann, qv, k = 20, nprobe = 4)
+        .select(col("qid"), col("nid"), col("rank"))
+      val lexical = Bm25Index.search(lex, qd, "doc_id", "text", topK = 20)
+        .select(col("qid"), col("nid"), col("rank"))
+      Similarity.mmrRerankCandidates(
+        ann.cells.select(col("vec_id"), col("embedding")),
+        Similarity.rrfFuse(Seq(dense, lexical), topK = 10)
+          .select(col("qid"), col("nid"), col("rrf").as("rel")),
+        k = 5)
+    }
+    val reg = Map("fused" -> (chain _))
+    val server = new GraftServer(spark, reg)
+    server.watchIndexes("fused", sfDir, Seq(annDir, bm25Dir))
+    def freshRows() = chain(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val v1 = server.serveRows("fused", sfDir).map(_.toString).sorted.toSeq
+    assert(v1 == freshRows(), "first fused serve must match fresh chain")
+    assert(server.serveRows("fused", sfDir)
+      .map(_.toString).sorted.toSeq == v1)
+    val (h1, b1) = server.counters
+    assert(b1 == 1 && h1 == 1, s"warm repeat must hit: $b1/$h1")
+    // REPUBLISH the lexical index mid-stream (CURRENT flips v1 → v2)
+    Bm25Index.write(docs, "doc_id", "text", bm25Dir, nBuckets = 8)
+    val v2 = server.serveRows("fused", sfDir).map(_.toString).sorted.toSeq
+    assert(v2 == freshRows(), "post-republish serve must reflect v2")
+    assert(v2 != v1, "fixture must make the republish change the chain")
+    val (_, b2) = server.counters
+    assert(b2 == 2, s"republish must force exactly ONE rebuild: $b2")
+    // and the rebuilt entry is warm again
+    assert(server.serveRows("fused", sfDir)
+      .map(_.toString).sorted.toSeq == v2)
+    val (h3, b3) = server.counters
+    assert(b3 == 2 && h3 == 2)
+  }
+
   test("two sfDirs cache independently") {
     val server = new GraftServer(spark)
     val a = server.serveRows("q1_agg", sfDir)

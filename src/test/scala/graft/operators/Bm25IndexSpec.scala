@@ -283,6 +283,68 @@ class Bm25IndexSpec extends SparkSpec {
     assert(af.forall { case (_, n, _, _) => n % 5 != 0 && n % 2 == 1 })
   }
 
+  test("appendDocsBatch: replay-idempotent — a crashed attempt's " +
+      "partitions are REPLACED, search equals an index built whole, " +
+      "and both append forms + compaction compose (r13)") {
+    val p0 = docs.where($"doc_id" % 3 === 0)
+    val p1 = docs.where($"doc_id" % 3 === 1)
+    val p2 = docs.where($"doc_id" % 3 === 2)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-bm25-batch").toString
+    val idx = Bm25Index.write(p0, "doc_id", "text", dirA, nBuckets = 8)
+    // batch 0 lands normally
+    Bm25Index.appendDocsBatch(idx, p1, "doc_id", "text", batchId = 0L)
+    // batch 1 CRASHES mid-append: a partial attempt wrote garbage rows
+    // (a corrupted subset claiming huge tf) into the batch partitions
+    Bm25Index.appendDocsBatch(idx,
+      p2.limit(5).select($"doc_id", lit("bogus crashed attempt words")
+        .as("text")),
+      "doc_id", "text", batchId = 1L)
+    // the REPLAY of batch 1 recomputes the true rows and must REPLACE
+    // the crashed attempt (dynamic overwrite), not append beside it
+    Bm25Index.appendDocsBatch(idx, p2, "doc_id", "text", batchId = 1L)
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-bm25-batch-whole").toString
+    val whole = Bm25Index.write(docs, "doc_id", "text", dirB, nBuckets = 8)
+    val a = asTuples(Bm25Index.search(idx, queries, "doc_id", "text",
+      topK = 50))
+    val b = asTuples(Bm25Index.search(whole, queries, "doc_id", "text",
+      topK = 50))
+    assert(a.nonEmpty && a == b,
+      s"batch-append=${a.take(3)} whole=${b.take(3)}")
+    assert(a.exists(_._2 % 3 == 1) && a.exists(_._2 % 3 == 2),
+      "results must include batch-appended docs")
+    // no residue of the crashed attempt anywhere in the index
+    assert(idx.postings.where($"term" === "bogus").count() == 0,
+      "crashed-attempt postings must be overwritten by the replay")
+    val wholeReopened = Bm25Index.open(spark, dirB)
+    // the two append forms MIX on one version: a plain appendDocs on
+    // top of batch appends still reconstructs df/scalars exactly
+    val fresh = docs.where($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 200000L).as("doc_id"), $"text")
+    Bm25Index.appendDocs(idx, fresh, "doc_id", "text")
+    Bm25Index.appendDocs(wholeReopened, fresh, "doc_id", "text")
+    val am = asTuples(Bm25Index.search(idx, queries, "doc_id", "text",
+      topK = 50))
+    val bm = asTuples(Bm25Index.search(wholeReopened, queries, "doc_id",
+      "text", topK = 50))
+    assert(am == bm, s"mixed=${am.take(3)} whole+plain=${bm.take(3)}")
+    // compaction folds BOTH delta paths into a clean version
+    val compacted = Bm25Index.compactDeltas(idx, filesPerBucket = 2)
+    val ac = asTuples(Bm25Index.search(compacted, queries, "doc_id",
+      "text", topK = 50))
+    assert(ac == am, "compaction must preserve mixed-append results")
+    val root = new java.io.File(dirA)
+    val v = compacted.version
+    assert(!new java.io.File(root, s"postings_batches.v$v").exists())
+    assert(!new java.io.File(root, s"df_delta_batches.v$v").exists())
+    assert(!new java.io.File(root, s"meta_delta_batches.v$v").exists())
+    // vacuum reclaims the superseded batch dirs too
+    Bm25Index.vacuum(compacted)
+    assert(!new java.io.File(root,
+      s"postings_batches.v${idx.version}").exists())
+  }
+
   test("compactDeltas: folds appends + deletes into a fresh version " +
       "with identical search results and no delta/tombstone residue") {
     val p0 = docs.where($"doc_id" % 3 === 0)

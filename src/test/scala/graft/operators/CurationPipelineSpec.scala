@@ -126,6 +126,67 @@ class CurationPipelineSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("pipeline v2 stage -1: raw HTML is extracted before every " +
+      "screen, so a nav LIST drops via F10 after extraction (r13)") {
+    // the crawl shape: a <ul> nav whose <li> items only become LINES
+    // once htmlToText turns block tags into newlines — F10 over the
+    // raw HTML sees no line structure at all. Doc 60 clears the 5-word
+    // gopher gate ONLY via nav padding; doc 61 is pure nav.
+    val nav = "<ul><li>Home</li><li>About Us</li>" +
+      "<li>Contact &amp; Help</li></ul>"
+    def body(i: Long) = s"<p>the cat sat on the mat and it ate fish " +
+      s"&amp; chips by the door number $i</p>"
+    val planted = (0L until 60L).map(i => (i, s"$nav${body(i)}", "en")) ++
+      Seq((60L, s"$nav<p>only three words</p>", "en"), (61L, nav, "en"))
+    val pdocs = planted.toDF("doc_id", "text", "lang")
+    // train-time artifacts over EXTRACTED text — the same train/serve
+    // discipline as the model and merges
+    val extracted = pdocs.withColumn("text",
+      TextAnalysis.htmlToText($"text"))
+    val model = QualityClassifier.train(extracted, "text",
+      length($"text") > 40, buckets = 128, maxIter = 5)
+    val merges = TextAnalysis.bpeTrain(extracted, "text", numMerges = 20)
+    val mined = Dedup.frequentLines(extracted, "doc_id", "text",
+      minDocs = 30).persist()
+    try {
+      // exactly the three nav <li> lines are corpus-frequent — and the
+      // entity decoded, so the mined hash is of "Contact & Help"
+      assert(mined.count() == 3, "the three nav list items mine as lines")
+      def run(html: Boolean) = Curation.curationPipelineV2(pdocs,
+        "doc_id", "text", model, merges,
+        dsirTargetPred = $"lang" === "en", minQuality = 0.0,
+        gopherMinWords = 5L, gopherMinStop = 1L,
+        boilerplate = Some(mined), htmlInput = html)
+      val out = run(html = true).persist()
+      try {
+        val ids = out.select("doc_id").as[Long].collect().toSet
+        assert(!ids.contains(60L),
+          "nav-padding-dependent doc must fail the gate after stage -1+0")
+        assert(!ids.contains(61L), "pure-nav doc must vanish")
+        assert(ids.nonEmpty)
+        // survivors: no tags, no nav lines, entity decoded, body intact
+        val bad = out.where($"text".contains("<") ||
+          $"text".contains("Home") || $"text".contains("About Us") ||
+          !$"text".contains("fish & chips") ||
+          !$"text".contains("the cat sat") || $"lang" =!= "en").count()
+        assert(bad == 0, "extracted survivor text malformed")
+      } finally out.unpersist()
+      // stage -1 is one narrow map: the plan gains ZERO exchanges and
+      // ZERO scans over the html-free stage-0 plan (PipelineBench's
+      // budget discipline, asserted here at spec scale — same-session
+      // comparison, so AQE wrapping cancels out)
+      def counts(html: Boolean) = {
+        val p = run(html).queryExecution.executedPlan.toString
+        val lines = p.linesIterator
+          .filterNot(_.contains("ReusedExchange")).toSeq
+        (lines.count(_.contains("Exchange hashpartitioning")),
+          lines.count(_.contains("Scan ")))
+      }
+      assert(counts(html = true) == counts(html = false),
+        "stage -1 must add no exchange and no scan")
+    } finally mined.unpersist()
+  }
+
   test("sharded write is complete, disjoint, and deterministic") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe-shards").toString
     Curation.writeSharded(out, "doc_id", 16, dir)

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.operators.{AnnIndex, Dedup, DedupIndex, TextAnalysis}
+import graft.operators.{AnnIndex, Bm25Index, Dedup, DedupIndex, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -24,12 +24,15 @@ class IngestPipelineSpec extends SparkSpec {
     val t4 = "novel streaming document number four carries enough ordinary words to pass the gate"
     val t6 = "batch two ships an unrelated report about harvest yields across the northern valley"
 
-    // seed both indexes (batch_id 0 is the dedup seed build)
+    // seed all three indexes (batch_id 0 is the dedup seed build)
+    val bm25Dir = s"$root/bm25"
     DedupIndex.write(Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"),
       "doc_id", "text", dedupDir, numPerm = 64, bands = 16,
       nBuckets = 64, nSigBuckets = 16, filesPerBucket = 1)
     AnnIndex.write(Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding"),
       annDir, dim = 8, nCells = 2, stride = 1, m = 2, ncodes = 2)
+    Bm25Index.write(Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"),
+      "doc_id", "text", bm25Dir, nBuckets = 8)
 
     val input = MemoryStream[(Long, String, Array[Float])]
     val gate: DataFrame => DataFrame =
@@ -38,7 +41,8 @@ class IngestPipelineSpec extends SparkSpec {
     def startQ() = IngestPipeline.start(
       input.toDF().toDF("doc_id", "text", "embedding"),
       "doc_id", "text", gate, dedupDir, annDir, outDir,
-      threshold = 0.8, checkpointDir = ckpt)
+      threshold = 0.8, checkpointDir = ckpt,
+      bm25IndexDir = Some(bm25Dir))
 
     // ---- batch 0: doc 3 = exact copy of seed t1 (dedup-dropped),
     // doc 4 novel (passes everything), doc 5 gate-fail (2 words)
@@ -64,6 +68,10 @@ class IngestPipelineSpec extends SparkSpec {
     DedupIndex.appendBatch(DedupIndex.open(spark, dedupDir),
       Dedup.minhashSignature(Seq((6L, t6)).toDF("doc_id", "text"),
         "doc_id", "text"), 2L)
+    //  (d) the crashed BM25 append of doc 6 at stream batch 1 — the
+    //      replay must REPLACE these partitions, not double them
+    Bm25Index.appendDocsBatch(Bm25Index.open(spark, bm25Dir),
+      Seq((6L, t6)).toDF("doc_id", "text"), "doc_id", "text", 1L)
 
     // ---- restart from the checkpoint: batch 1 = doc 6 (novel — it
     // must SURVIVE its own crashed append, beforeBatch excludes it)
@@ -103,5 +111,26 @@ class IngestPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(b2 == Seq(6L), s"replayed append must replace the forged " +
       s"partition with exactly doc 6: $b2")
+
+    // lexical leg (r13): the maintained BM25 index serves EXACTLY as
+    // an index built whole over the final clean corpus {1, 2, 4, 6} —
+    // the crashed batch-1 append was replaced, never double-counted
+    // (postings, df deltas, AND the meta scalar deltas all replayed
+    // exactly once; a doubled copy would shift tf, df, and idf)
+    val maintained = Bm25Index.open(spark, bm25Dir)
+    val wholeDir = s"$root/bm25_whole"
+    val whole = Bm25Index.write(
+      Seq((1L, t1), (2L, t2), (4L, t4), (6L, t6)).toDF("doc_id", "text"),
+      "doc_id", "text", wholeDir, nBuckets = 8)
+    val qdocs = Seq(
+      (100L, "harvest report across the northern valley"),
+      (101L, "ordinary streaming document words")).toDF("doc_id", "text")
+    def sig(ix: Bm25Index.Index) =
+      Bm25Index.search(ix, qdocs, "doc_id", "text", topK = 10)
+        .collect().map(_.toString).sorted.toSeq
+    val servedBm25 = sig(maintained)
+    assert(servedBm25.nonEmpty, "bm25 leg must serve the streamed docs")
+    assert(servedBm25 == sig(whole),
+      "search-after-restart must equal an index built whole")
   }
 }
