@@ -711,8 +711,30 @@ object Dedup {
     */
   def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
                        minLen: Int = 8,
-                       keepFirst: Boolean = true): DataFrame = {
+                       keepFirst: Boolean = true): DataFrame =
+    // binary gram key (r13): settled on SHUFFLE BYTES, which are
+    // bit-deterministic where this box's wall time is not — at 1.5M
+    // docs / 81M tokens the 16-byte digest writes 6.86 GB vs the hex
+    // form's 8.72 GB, a 21% cut of the operator's total shuffle,
+    // identical on every rep (EXACTSUBSTR_r13). At 10^13 tokens that
+    // is ~230 TB of avoided shuffle width. Results are identical (the
+    // digest never reaches the output).
+    exactSubstrDedupImpl(docs, idCol, textCol, minLen, keepFirst,
+      binaryGramKey = true)
+
+  /** [[exactSubstrDedup]] with the gram-key width exposed for the
+    * shuffle-bytes A/B (EXACTSUBSTR_r13): `binaryGramKey` shuffles the
+    * internal digest as unhex(md5) — 16 bytes — instead of the 32-char
+    * hex string. The digest never reaches the output, so results are
+    * identical either way (spec-pinned); only shuffle width differs.
+    */
+  private[graft] def exactSubstrDedupImpl(
+      docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, keepFirst: Boolean,
+      binaryGramKey: Boolean): DataFrame = {
     require(minLen >= 2, s"minLen must be at least 2: $minLen")
+    def gramHash(c: Column): Column =
+      if (binaryGramKey) unhex(md5(c)) else md5(c)
     // NULL text coalesces to '' (r13 ADVICE): tokens(null) is a null
     // array, whose posexplode would silently DROP the row — breaking
     // the every-document-stays contract above. With the coalesce such
@@ -733,7 +755,7 @@ object Dedup {
       .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(col("t")) - minLen + 1),
           s => struct(s.cast(LongType).as("s"),
-            md5(concat_ws(" ", slice(col("t"), s, lit(minLen)))).as("h"))))
+            gramHash(concat_ws(" ", slice(col("t"), s, lit(minLen)))).as("h"))))
         .as("g"))
       .select(col("doc_id"), col("g.s").as("s"), col("g.h").as("h"))
     val dup = gr.groupBy("h")

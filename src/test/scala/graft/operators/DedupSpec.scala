@@ -478,6 +478,16 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((5L, 8L, 0L, "")))
   }
 
+  test("exactSubstrDedup: the 16-byte binary gram key (the r13 " +
+      "shuffle-width default) is result-identical to the hex form") {
+    def run(bin: Boolean) =
+      Dedup.exactSubstrDedupImpl(substrDocs, "doc_id", "text",
+          minLen = 8, keepFirst = true, binaryGramKey = bin)
+        .select("doc_id", "n_tokens", "n_kept", "clean_text")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(run(bin = true) == run(bin = false))
+  }
+
   test("exactSubstrDedup: NULL text passes through as the empty-text " +
       "degenerate case, never silently dropped (r13 ADVICE)") {
     val withNull = Seq((0L, Option("a b c d e f g h i")),
