@@ -104,17 +104,35 @@ object Bm25Index {
     * (DISK_ONLY) because both the df aggregate and the join consume
     * it — without the persist each branch would re-tokenize the
     * corpus; with it the build pays exactly one tokenize pass plus one
-    * read of the compact post-aggregate relation.
+    * read of the compact post-aggregate relation. Set
+    * `persistRelation = false` when the corpus is a GENERATED or
+    * otherwise IO-free relation (the AnnGenServe discipline): two
+    * cheap recomputes beat materializing a corpus-sized relation to
+    * local disk.
     *
     * The salted repartition before the write is the AnnIndex
     * `filesPerCell` pattern: `filesPerBucket` writer tasks per bucket,
     * so the bucket holding the hottest vocabulary slice doesn't
     * serialize one giant writer (with the D7 bound still in force —
     * nBuckets × filesPerBucket files total, never tasks × buckets).
+    *
+    * MEMORY SIZING (r13, the 48 GB attribution — BM25_SERVE_r13): the
+    * build's heap demand is per-task EXECUTION memory in the tf
+    * aggregate and df join — it scales with tokens-per-shuffle-
+    * partition, not with any driver-held state (there is none: the
+    * only collects are the 1-row corpus stats and the version
+    * pointer). At 15M docs / 812M tokens, 32 shuffle partitions
+    * GC-thrashed an 8 GB heap into a 630 s build needing 48 GB to run
+    * smoothly, while 256 partitions ran the SAME build in 194-209 s
+    * inside the 8 GB DEFAULT heap. Size
+    * `spark.sql.shuffle.partitions` so a partition holds ≲5M token
+    * rows; on a real cluster this is the ordinary per-executor
+    * sizing, conflated into one JVM only under local[*].
     */
   def write(corpus: DataFrame, idCol: String, textCol: String,
             dir: String, nBuckets: Int = 64,
-            filesPerBucket: Int = 4): Index = {
+            filesPerBucket: Int = 4,
+            persistRelation: Boolean = true): Index = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
     require(filesPerBucket >= 1,
       s"filesPerBucket must be >= 1: $filesPerBucket")
@@ -126,8 +144,11 @@ object Bm25Index {
     // directories, readers stay on .vN, and the atomic flip below
     // publishes; a crashed rebuild leaves the old version live
     val v = IndexVersions.current(spark, dir).getOrElse(0L) + 1L
-    val rel = tfRelation(corpus, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val relRaw = tfRelation(corpus, idCol, textCol)
+    val rel =
+      if (persistRelation)
+        relRaw.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else relRaw
     try {
       withDf(rel, nBuckets)
         .repartition(nBuckets * filesPerBucket, col("term_bucket"),
@@ -137,7 +158,7 @@ object Bm25Index {
       TextAnalysis.corpusStats(corpus, textCol)
         .withColumn("n_buckets", lit(nBuckets))
         .write.mode("overwrite").parquet(s"$dir/meta.v$v")
-    } finally rel.unpersist()
+    } finally if (persistRelation) rel.unpersist()
     IndexVersions.publish(spark, dir, v)
     open(spark, dir)
   }
