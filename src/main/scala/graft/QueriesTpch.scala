@@ -137,6 +137,17 @@ object QueriesTpch {
         // customer before it reaches the fact join. part/customer/
         // supplier scale with sf — no forced broadcast; AQE picks the
         // join strategy from runtime sizes.
+        //
+        // r13 (VERDICT r12 item 8): orders is restricted to ASIA
+        // customers BEFORE the fact join — a left-semi that keeps ~1/5
+        // of orders, so the lineitem⋈orders leg carries a 5×-lighter
+        // side (small enough for AQE to broadcast at bench scales).
+        // Catalyst does not reorder user joins without CBO stats, so
+        // the filter-first order DuckDB's optimizer picks is written
+        // out here. Interleaved same-sitting A/B at sf3 (tools/
+        // Q8Probe, results identical): 2.05 vs 3.43 s median — the
+        // 2.7× warm-slope ratio the r13 gap fit flagged drops to the
+        // core's structural band.
         val nCust = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
           col("n_regionkey").as("c_rk"))
         val nSupp = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"),
@@ -149,11 +160,13 @@ object QueriesTpch {
         val supp = Tables.supplier(s, d)
           .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
           .select(col("s_suppkey"), col("supp_nation"))
+        val ordersAsia = Tables.orders(s, d)
+          .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_orderdate"))
         val base = Tables.lineitem(s, d)
           .join(Tables.part(s, d).where(col("p_type") === "PROMO"),
             col("l_partkey") === col("p_partkey"))
-          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(custAsia, col("o_custkey") === col("c_custkey"))
+          .join(ordersAsia, col("l_orderkey") === col("o_orderkey"))
           .join(supp, col("l_suppkey") === col("s_suppkey"))
         base.groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
           .agg((sum(when(col("supp_nation") === "NATION_3",
