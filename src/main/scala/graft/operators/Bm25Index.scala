@@ -150,7 +150,26 @@ object Bm25Index {
         relRaw.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       else relRaw
     try {
-      withDf(rel, nBuckets)
+      // term-stats sidecar FIRST (r13): the (term, df) relation —
+      // one row per vocabulary term, bucket-partitioned like the
+      // postings — materialized from the df aggregate the build
+      // needs anyway. Searches that must learn df (the maxDfShare
+      // head-elision probe, the post-append reconstruction) read
+      // THIS vocabulary-sized table instead of scanning the
+      // corpus-sized postings: at 30M generated docs the probe
+      // against postings cost more than the elision saved
+      // (BM25_SERVE_r13). The postings df column then comes from
+      // reading the sidecar back — the aggregate is computed once.
+      val dfAgg = rel.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("term_bucket", bucketOf(col("term"), nBuckets))
+      dfAgg.repartition(col("term_bucket"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$dir/term_stats.v$v")
+      val stats = spark.read.parquet(s"$dir/term_stats.v$v")
+        .select("term", "df")
+      rel.join(stats, "term")
+        .withColumn("term_bucket", bucketOf(col("term"), nBuckets))
+        .select("term", "doc_id", "tf", "dl", "df", "term_bucket")
         .repartition(nBuckets * filesPerBucket, col("term_bucket"),
           pmod(hash(col("doc_id")), lit(filesPerBucket)))
         .write.mode("overwrite").partitionBy("term_bucket")
@@ -178,7 +197,7 @@ object Bm25Index {
     IndexVersions.vacuum(index.spark, index.dir, index.version,
       Seq("postings", "meta", "doc_tombstones", "df_deltas",
         "meta_deltas", "postings_batches", "df_delta_batches",
-        "meta_delta_batches"))
+        "meta_delta_batches", "term_stats"))
 
   // ---------------------------------------------- r9: exact appends
   //
@@ -384,9 +403,18 @@ object Bm25Index {
               coalesce(col("df_add"), lit(0L))).as("df_eff"))
     }
     val (nDocs, sumDl) = effectiveScalars(index)
+    // the compacted version's term-stats sidecar: the folded dfEff,
+    // materialized FIRST and read back for the postings join (the
+    // write() discipline — one aggregate, two consumers)
+    dfEff.select(col("term"), col("df_eff").as("df"))
+      .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"${index.dir}/term_stats.v$v")
+    val stats = spark.read.parquet(s"${index.dir}/term_stats.v$v")
+      .select("term", "df")
     aliveDocs(index, postings)
-      .drop("df").join(dfEff, "term")
-      .withColumnRenamed("df_eff", "df")
+      .drop("df").join(stats, "term")
       // recompute the bucket so its type stays canonical regardless of
       // what partition-column inference produced on the read
       .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
@@ -454,6 +482,44 @@ object Bm25Index {
     * bm25Retrieve exactly: same rounded-decimal term scores, same
     * (bm25 desc, nid) tie-break.
     */
+  private def statsDir(index: Index): String =
+    if (index.version == 0L) s"${index.dir}/term_stats"
+    else s"${index.dir}/term_stats.v${index.version}"
+
+  /** Effective df for a bounded term relation: the build-time df
+    * (from the vocabulary-sized term-stats sidecar when the version
+    * has one — r13; the corpus-sized postings max-scan on legacy
+    * layouts) plus any accumulated delta sums — bounded by the
+    * queried vocabulary. Shared by the appended-path scoring and the
+    * `maxDfShare` head-elision probe; the sidecar is what makes the
+    * probe cheaper than the head postings it elides.
+    */
+  private def dfForTerms(index: Index, qTerms: DataFrame,
+                         inBuckets: Column): DataFrame = {
+    val sd = statsDir(index)
+    val baseDf =
+      if (exists(index.spark, sd))
+        index.spark.read.parquet(sd).where(inBuckets)
+          .join(broadcast(qTerms), "term")
+          .groupBy("term").agg(max(col("df")).as("df_base"))
+      else index.postings.where(inBuckets)
+        .join(broadcast(qTerms), "term")
+        .groupBy("term").agg(max(col("df")).as("df_base"))
+    dfDeltas(index) match {
+      case None =>
+        baseDf.select(col("term"), col("df_base").as("df_eff"))
+      case Some(allDeltas) =>
+        val deltas = allDeltas
+          .where(inBuckets)
+          .join(broadcast(qTerms), "term")
+          .groupBy("term").agg(sum(col("df_delta")).as("df_add"))
+        baseDf.join(deltas, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df_base"), lit(0L)) +
+              coalesce(col("df_add"), lit(0L))).as("df_eff"))
+    }
+  }
+
   /** `allowed` (r9): restrict results to a (doc_id) relation — the
     * multi-tenant / per-collection serving filter, the positive twin
     * of the [[deleteDocs]] tombstone anti-join, applied identically:
@@ -462,14 +528,49 @@ object Bm25Index {
     * the allowed set — brute-force-within-filter semantics, matching
     * the AnnIndex `allowed` contract so the fused RRF/MMR serving
     * chain composes filtered end-to-end.
+    *
+    * `maxDfShare` (r13): drop query terms whose effective df exceeds
+    * `maxDfShare · N` BEFORE retrieval — the Zipf/stopword head. Such
+    * terms carry idf ≈ 0 (BM25's (N − df + ½)/(df + ½) log is ~0 at
+    * df ≈ N) yet drag corpus-scale posting lists through the score
+    * aggregate: BM25_SERVE_r13 measured the warm search LINEAR in
+    * matched postings precisely because the generated head words
+    * defeat the fixed English stopword list. Measured-df elision is
+    * the Lucene/ES stopword discipline made corpus-adaptive. EXACT
+    * contract: results equal a search whose query bag simply lacks
+    * the elided terms (spec-pinned); a query whose entire bag elides
+    * matches nothing and returns no rows. Cost: one extra BOUNDED df
+    * probe (a narrow (term, df) aggregate over the pruned slice) —
+    * paid to avoid the head terms' join fan-out and agg shuffle,
+    * which at 10^10 docs is the difference between reading posting
+    * lists for the discriminative vocabulary and reading the corpus.
     */
   def search(index: Index, queries: DataFrame, idCol: String,
              textCol: String, topK: Int = 20,
              k1: Double = 1.2, b: Double = 0.75,
-             allowed: Option[DataFrame] = None): DataFrame = {
-    val qt = TextAnalysis.tokenStream(queries, idCol, textCol)
+             allowed: Option[DataFrame] = None,
+             maxDfShare: Option[Double] = None): DataFrame = {
+    val qtAll = TextAnalysis.tokenStream(queries, idCol, textCol)
       .select(col("doc_id").as("qid"), col("term")).distinct()
       .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
+    // corpus scalars: base meta + (if appended) the meta delta rows —
+    // a bounded driver read per search, the probe-set sanction
+    val (nDocs, sumDl) = effectiveScalars(index)
+    val qt = maxDfShare match {
+      case None => qtAll
+      case Some(share) =>
+        require(share > 0.0 && share <= 1.0,
+          s"maxDfShare must be in (0, 1]: $share")
+        val bucketsAll = qtAll.select("term_bucket").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val inAll =
+          col("term_bucket").isin(bucketsAll.map(_.asInstanceOf[Any]): _*)
+        val keep = dfForTerms(index, qtAll.select("term").distinct(), inAll)
+          .where(col("df_eff") <= lit(share * nDocs))
+          .select("term")
+        qtAll.join(broadcast(keep), "term")
+          .select("qid", "term", "term_bucket")
+    }
     val buckets = qt.select("term_bucket").distinct()
       .collect().map(_.getLong(0)).sorted
     val inBuckets =
@@ -478,34 +579,19 @@ object Bm25Index {
     val sliced = aliveDocs(index, slicedRaw)
     val pruned = allowed.fold(sliced)(a =>
       sliced.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi"))
-    // corpus scalars: base meta + (if appended) the meta delta rows —
-    // a bounded driver read per search, the probe-set sanction
-    val (nDocs, sumDl) = effectiveScalars(index)
     val matched = pruned
       .join(broadcast(qt.select("qid", "term")), "term")
       .where(col("doc_id") =!= col("qid"))
     // effective df: on a never-appended index it is the row's own
-    // denormalized value; after appends it is max(build df) over the
-    // BUCKET-pruned slice (append rows carry 0; filters must not
-    // perturb df, so the agg runs on the raw slice) + the pruned
-    // delta sum (both append paths) — bounded by the queried
-    // vocabulary either way
+    // denormalized value; after appends it is reconstructed by
+    // [[dfForTerms]] — bounded by the queried vocabulary either way
     val scoredBase = dfDeltas(index) match {
       case None => matched
-      case Some(allDeltas) =>
-        val qTerms = qt.select("term").distinct()
-        val baseDf = slicedRaw.join(broadcast(qTerms), "term")
-          .groupBy("term").agg(max(col("df")).as("df_base"))
-        val deltas = allDeltas
-          .where(inBuckets)
-          .join(broadcast(qTerms), "term")
-          .groupBy("term").agg(sum(col("df_delta")).as("df_add"))
-        val dfEff = baseDf.join(deltas, Seq("term"), "full_outer")
-          .select(col("term"),
-            (coalesce(col("df_base"), lit(0L)) +
-              coalesce(col("df_add"), lit(0L))).as("df_eff"))
+      case Some(_) =>
         matched.drop("df")
-          .join(broadcast(dfEff), "term")
+          .join(broadcast(
+            dfForTerms(index, qt.select("term").distinct(), inBuckets)),
+            "term")
           .withColumnRenamed("df_eff", "df")
     }
     val scored = scoredBase

@@ -396,6 +396,54 @@ class Bm25IndexSpec extends SparkSpec {
     assert(new java.io.File(root, s"postings.v$v").exists())
   }
 
+  test("maxDfShare elides Zipf-head query terms with the exact " +
+      "drop-from-the-bag contract (r13)") {
+    // plant a universal token: df = N, idf ~ 0 — real signal lives in
+    // the discriminative tail
+    val planted = docs.limit(60)
+      .select($"doc_id", concat(lit("zzcommon "), $"text").as("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-dfshare").toString
+    val idx = Bm25Index.write(planted, "doc_id", "text", dir, nBuckets = 8)
+    // fresh-id queries carrying the universal token plus tail terms
+    val qWith = planted.where($"doc_id" < 3)
+      .select(($"doc_id" + 5000L).as("doc_id"), $"text")
+    // the reference: the SAME queries with the universal token removed
+    // from the bag by hand
+    val qWithout = qWith.select($"doc_id",
+      regexp_replace($"text", "zzcommon ", "").as("text"))
+    def sig(q: org.apache.spark.sql.DataFrame, share: Option[Double]) =
+      Bm25Index.search(idx, q, "doc_id", "text", topK = 50,
+          maxDfShare = share)
+        .select("qid", "nid", "bm25", "rank")
+        .as[(Long, Long, Double, Long)].collect()
+        .sortBy(t => (t._1, t._4)).toSeq
+    val elided = sig(qWith, Some(0.9))
+    val handDropped = sig(qWithout, None)
+    assert(elided.nonEmpty && elided == handDropped,
+      s"elision must equal dropping the term from the bag: " +
+        s"${elided.take(3)} vs ${handDropped.take(3)}")
+    // default None is unchanged by the refactor, and differs from the
+    // elided form (the universal term contributes small scores)
+    assert(sig(qWith, None) != elided,
+      "fixture must make the universal term matter without elision")
+    // a query whose whole bag elides matches nothing
+    val qAllCommon = Seq((9000L, "zzcommon zzcommon")).toDF("doc_id", "text")
+    assert(sig(qAllCommon, Some(0.9)).isEmpty)
+    intercept[IllegalArgumentException] {
+      Bm25Index.search(idx, qWith, "doc_id", "text",
+        maxDfShare = Some(0.0))
+    }
+    // composes with the append path: elision after appendDocs still
+    // equals the hand-dropped bag on the grown index
+    Bm25Index.appendDocs(idx,
+      docs.where($"doc_id" >= 60 && $"doc_id" < 90)
+        .select($"doc_id", concat(lit("zzcommon "), $"text").as("text")),
+      "doc_id", "text")
+    assert(sig(qWith, Some(0.9)) == sig(qWithout, None),
+      "elision must hold across the delta-reconstruction path")
+  }
+
   test("postings are denormalized: df/dl on rows match corpus stats") {
     // hand-check one term: its df must equal the number of distinct
     // docs containing it, dl the containing doc's token count
