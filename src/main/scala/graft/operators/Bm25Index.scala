@@ -233,10 +233,54 @@ object Bm25Index {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** True when this version has ANY appended rows (plain or batch). */
-  private def hasAppends(index: Index): Boolean =
-    exists(index.spark, deltaDir(index)) ||
-      exists(index.spark, batchDeltaDir(index))
+  // r14: the batch ledger — the UNVERSIONED (batch_id, version, state)
+  // record of every appendDocsBatch, state ∈ {intent, done}, intent
+  // written BEFORE the data writes and done after all three commit.
+  // It closes the replay-across-republish hole (r13 ADVICE):
+  // appendDocsBatch resolves CURRENT at call time, so without a ledger
+  // a batch that crashed under version v and replays after a
+  // compactDeltas publish lands a SECOND copy in v+1's batch dirs
+  // while its crashed rows sit folded in the compacted base.
+  // With the ledger:
+  //  - a replay whose batch is DONE under an OLDER version SKIPS (its
+  //    rows are complete in the old version's lineage, which the
+  //    compacted base folded in);
+  //  - [[compactDeltas]] REFUSES to run while any of the current
+  //    version's batches is intent-without-done (folding a possibly
+  //    partial batch is the unrecoverable half of the race);
+  //  - a replay at the SAME version proceeds — dynamic partition
+  //    overwrite replaces the crashed attempt exactly as before;
+  //  - intent-without-done under an OLDER version throws: someone
+  //    republished (write()) underneath an uncommitted stream batch,
+  //    which no replay can reconcile — loud beats silently wrong.
+  // The ledger is bounded (≤ 2 tiny rows per batch) and read as a
+  // driver-side map; it survives compaction/vacuum by design.
+  private def ledgerDir(dir: String): String = s"$dir/batch_ledger"
+
+  private def ledgerAppend(index: Index, batchId: Long,
+                           state: String): Unit = {
+    val spark = index.spark
+    spark.range(1)
+      .select(lit(batchId).cast(LongType).as("batch_id"),
+        lit(index.version).cast(LongType).as("version"),
+        lit(state).as("state"))
+      .coalesce(1)
+      .write.mode("append").parquet(ledgerDir(index.dir))
+  }
+
+  /** (version, done?) per recorded batch — bounded driver read. */
+  private def ledgerEntries(index: Index): Map[Long, (Long, Boolean)] = {
+    val ld = ledgerDir(index.dir)
+    if (!exists(index.spark, ld)) Map.empty
+    else index.spark.read.parquet(ld)
+      .groupBy("batch_id")
+      .agg(max("version").as("version"),
+        max(when(col("state") === "done", lit(1)).otherwise(lit(0)))
+          .as("done"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2) == 1))
+      .toMap
+  }
 
   /** The (term, df_delta, term_bucket) delta relation across both
     * append paths, or None when this version was never appended to.
@@ -268,7 +312,11 @@ object Bm25Index {
     metaDeltas(index) match {
       case None => (index.nDocs, index.sumDl)
       case Some(md) =>
-        val d = md.agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+        // coalesce: a delta dir can exist with zero readable rows (a
+        // crashed append's partial landing) — nulls here must read as
+        // "no delta", never NPE (r14 ADVICE)
+        val d = md.agg(coalesce(sum("n_docs"), lit(0L)),
+          coalesce(sum("sum_dl"), lit(0L))).collect()(0)
         (index.nDocs + d.getLong(0), index.sumDl + d.getLong(1))
     }
 
@@ -286,6 +334,14 @@ object Bm25Index {
     val rel = tfRelation(newDocs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
+      // token-empty batch guard (r14 ADVICE): a batch whose docs all
+      // tokenize to nothing contributes NO postings, NO df deltas and —
+      // because corpusStats counts only docs with >= 1 token — NO meta
+      // delta either; writing the empty partitioned datasets anyway
+      // would leave file-less dirs that poison every later
+      // spark.read.parquet (schema inference has nothing to read).
+      // Skipping all three writes keeps search == built-whole exactly.
+      if (rel.isEmpty) return
       rel.withColumn("df", lit(0L))
         .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
         .select("term", "doc_id", "tf", "dl", "df", "term_bucket")
@@ -325,15 +381,46 @@ object Bm25Index {
     * corpus (spec-pinned), exactly as for [[appendDocs]]: search and
     * compaction read both append paths through one unioned relation,
     * with bucket pruning pushed into each leg.
+    *
+    * Versions (r14): replay idempotency is per index VERSION — the
+    * batch dirs are version-keyed, so a republish between a crashed
+    * batch and its replay would otherwise double-count. The batch
+    * ledger (see [[ledgerDir]]) makes the composition safe: a batch
+    * already DONE under an older version is skipped (its rows live in
+    * that version's lineage, folded forward by compaction), an
+    * in-flight batch blocks [[compactDeltas]], and an in-flight batch
+    * stranded under an older version throws.
     */
   def appendDocsBatch(index: Index, newDocs: DataFrame, idCol: String,
                       textCol: String, batchId: Long,
                       filesPerBucket: Int = 1): Unit = {
     require(filesPerBucket >= 1,
       s"filesPerBucket must be >= 1: $filesPerBucket")
+    ledgerEntries(index).get(batchId) match {
+      case Some((v, true)) if v < index.version =>
+        // complete under an older version: the compacted/republished
+        // lineage already contains this batch exactly once — replaying
+        // it into the current version's batch dirs would double-count
+        return
+      case Some((v, false)) if v < index.version =>
+        throw new IllegalStateException(
+          s"appendDocsBatch(batch_id=$batchId): batch is in-flight " +
+            s"(intent without done) under older index version $v, but " +
+            s"CURRENT is ${index.version}. A republish ran underneath " +
+            "an uncommitted stream batch; its partial rows cannot be " +
+            "reconciled by replay. Do not write()/compactDeltas() " +
+            "while the ingest stream has an uncommitted batch.")
+      case _ => // new batch, or a same-version replay: proceed —
+        // dynamic partition overwrite replaces the crashed attempt
+    }
     val rel = tfRelation(newDocs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
+      // token-empty batch guard (r14 ADVICE): see [[appendDocs]] — a
+      // file-less partitioned dir breaks every later read, and
+      // corpusStats would emit an (n_docs=0, sum_dl=null) delta row
+      if (rel.isEmpty) return
+      ledgerAppend(index, batchId, "intent")
       rel.withColumn("df", lit(0L))
         .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
         .withColumn("batch_id", lit(batchId))
@@ -360,6 +447,7 @@ object Bm25Index {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(batchMetaDeltaDir(index))
+      ledgerAppend(index, batchId, "done")
       IndexVersions.bumpGeneration(index.spark, index.dir)
     } finally rel.unpersist()
   }
@@ -384,6 +472,18 @@ object Bm25Index {
     require(filesPerBucket >= 1,
       s"filesPerBucket must be >= 1: $filesPerBucket")
     val spark = index.spark
+    // r14: refuse to fold an in-flight stream batch (intent without
+    // done in the ledger) — its partitions may be partial, and once
+    // compacted into the base the replay can no longer replace them,
+    // only double them. The one-sided race from the r13 ADVICE.
+    val inflight = ledgerEntries(index).collect {
+      case (b, (ver, false)) if ver == index.version => b
+    }
+    require(inflight.isEmpty,
+      s"compactDeltas: append batch(es) ${inflight.toSeq.sorted.mkString(",")} " +
+        s"are in-flight on version ${index.version}; compacting now would " +
+        "make their checkpoint replay double-count. Let the stream commit " +
+        "(or clean up the crashed batch) first.")
     val v = IndexVersions.current(spark, index.dir).getOrElse(0L) + 1L
     val postings = index.postings
     // effective df per term from the RAW rows (deletes must not
@@ -556,18 +656,29 @@ object Bm25Index {
     // corpus scalars: base meta + (if appended) the meta delta rows —
     // a bounded driver read per search, the probe-set sanction
     val (nDocs, sumDl) = effectiveScalars(index)
-    val qt = maxDfShare match {
+    // maxDfShare probe (r13), evaluated ONCE (r14 ADVICE): the bounded
+    // (term, df_eff) relation over the full query vocabulary is
+    // collected — it is query-vocabulary-sized, the same probe-set
+    // sanction as the bucket list — and BOTH the keep set and the
+    // post-append scoring df derive from those rows, instead of
+    // re-running the sidecar/delta probe jobs a second time on the hot
+    // serving path.
+    val probedDf: Option[Array[(String, Long)]] = maxDfShare.map { share =>
+      require(share > 0.0 && share <= 1.0,
+        s"maxDfShare must be in (0, 1]: $share")
+      val bucketsAll = qtAll.select("term_bucket").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val inAll =
+        col("term_bucket").isin(bucketsAll.map(_.asInstanceOf[Any]): _*)
+      dfForTerms(index, qtAll.select("term").distinct(), inAll)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .filter { case (_, dfEff) => dfEff <= share * nDocs }
+    }
+    val qt = probedDf match {
       case None => qtAll
-      case Some(share) =>
-        require(share > 0.0 && share <= 1.0,
-          s"maxDfShare must be in (0, 1]: $share")
-        val bucketsAll = qtAll.select("term_bucket").distinct()
-          .collect().map(_.getLong(0)).sorted
-        val inAll =
-          col("term_bucket").isin(bucketsAll.map(_.asInstanceOf[Any]): _*)
-        val keep = dfForTerms(index, qtAll.select("term").distinct(), inAll)
-          .where(col("df_eff") <= lit(share * nDocs))
-          .select("term")
+      case Some(kept) =>
+        import index.spark.implicits._
+        val keep = kept.toSeq.map(_._1).toDF("term")
         qtAll.join(broadcast(keep), "term")
           .select("qid", "term", "term_bucket")
     }
@@ -588,10 +699,18 @@ object Bm25Index {
     val scoredBase = dfDeltas(index) match {
       case None => matched
       case Some(_) =>
-        matched.drop("df")
-          .join(broadcast(
-            dfForTerms(index, qt.select("term").distinct(), inBuckets)),
-            "term")
+        // reuse the already-collected probe rows when maxDfShare ran
+        // (kept terms' df_eff values are exactly what a re-probe over
+        // the narrower bucket set would return); probe only when no
+        // elision pass paid for them
+        val dfRel = probedDf match {
+          case Some(kept) =>
+            import index.spark.implicits._
+            kept.toSeq.toDF("term", "df_eff")
+          case None =>
+            dfForTerms(index, qt.select("term").distinct(), inBuckets)
+        }
+        matched.drop("df").join(broadcast(dfRel), "term")
           .withColumnRenamed("df_eff", "df")
     }
     val scored = scoredBase

@@ -48,6 +48,16 @@ object IngestPipeline {
     * `appendDocs`'s append mode would double-count every replay).
     * The index must exist (seed it with `Bm25Index.write`); the GEN
     * bump inside the append keeps watching servers fresh per batch.
+    *
+    * Republish discipline (r14): appendDocsBatch resolves CURRENT at
+    * call time, so its replay idempotency is per index VERSION. The
+    * batch ledger inside Bm25Index enforces the composition:
+    * `compactDeltas` refuses to run while a stream batch is in-flight
+    * (intent without done), a replay of a batch already complete under
+    * an older version is skipped (its rows are folded into the
+    * compacted base), and a batch stranded in-flight under an older
+    * version throws — so run `Bm25Index.write` (a full republish) only
+    * while the stream is stopped or between committed batches.
     */
   def start(docs: DataFrame, idCol: String, textCol: String,
             gate: DataFrame => DataFrame,

@@ -444,6 +444,101 @@ class Bm25IndexSpec extends SparkSpec {
       "elision must hold across the delta-reconstruction path")
   }
 
+  test("token-empty append batches are no-ops: no file-less dirs, " +
+      "search == built whole (r14 ADVICE)") {
+    val p0 = docs.where($"doc_id" % 2 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-empty").toString
+    val idx = Bm25Index.write(p0, "doc_id", "text", dir, nBuckets = 8)
+    val before = asTuples(
+      Bm25Index.search(idx, queries, "doc_id", "text", topK = 20))
+    // rows that PASS a row-count guard but tokenize to nothing — the
+    // permissive-gate shape from the ADVICE scenario
+    val blank = Seq((900001L, "   "), (900002L, ""), (900003L, "\t\n"))
+      .toDF("doc_id", "text")
+    Bm25Index.appendDocsBatch(idx, blank, "doc_id", "text", batchId = 0L)
+    Bm25Index.appendDocs(idx, blank, "doc_id", "text")
+    val root = new java.io.File(dir)
+    val v = idx.version
+    assert(!new java.io.File(root, s"postings_batches.v$v").exists(),
+      "empty batch must not create a file-less batch-postings dir")
+    assert(!new java.io.File(root, s"df_delta_batches.v$v").exists())
+    assert(!new java.io.File(root, s"meta_delta_batches.v$v").exists())
+    assert(!new java.io.File(root, s"df_deltas.v$v").exists())
+    assert(!new java.io.File(root, s"meta_deltas.v$v").exists())
+    // the index still opens and serves, results unchanged: corpusStats
+    // counts only docs with >= 1 token, so built-whole parity holds
+    val after = asTuples(Bm25Index.search(Bm25Index.open(spark, dir),
+      queries, "doc_id", "text", topK = 20))
+    assert(after == before)
+    // and a later REAL batch-append on the same index works end-to-end
+    Bm25Index.appendDocsBatch(idx, docs.where($"doc_id" % 2 === 1),
+      "doc_id", "text", batchId = 1L)
+    val dirW = java.nio.file.Files
+      .createTempDirectory("graft-bm25-empty-whole").toString
+    val whole = Bm25Index.write(docs, "doc_id", "text", dirW, nBuckets = 8)
+    assert(asTuples(Bm25Index.search(idx, queries, "doc_id", "text",
+        topK = 20)) ==
+      asTuples(Bm25Index.search(whole, queries, "doc_id", "text",
+        topK = 20)))
+  }
+
+  test("batch ledger: replay across a republish is skipped when done, " +
+      "in-flight batches block compaction, stranded batches throw (r14)") {
+    import org.apache.spark.sql.types._
+    val p0 = docs.where($"doc_id" % 3 === 0)
+    val p1 = docs.where($"doc_id" % 3 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-ledger").toString
+    val idx = Bm25Index.write(p0, "doc_id", "text", dir, nBuckets = 8)
+    Bm25Index.appendDocsBatch(idx, p1, "doc_id", "text", batchId = 7L)
+    def plantIntent(batchId: Long, version: Long): Unit =
+      spark.range(1).select(lit(batchId).cast(LongType).as("batch_id"),
+          lit(version).cast(LongType).as("version"),
+          lit("intent").as("state"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/batch_ledger")
+    // a crashed (intent-without-done) batch on the CURRENT version
+    // blocks compaction — folding its possibly-partial partitions into
+    // the base would make the replay double-count
+    plantIntent(8L, idx.version)
+    val ex = intercept[IllegalArgumentException] {
+      Bm25Index.compactDeltas(idx)
+    }
+    assert(ex.getMessage.contains("in-flight"))
+    // the checkpoint replay of that crashed batch proceeds (same
+    // version: dynamic overwrite replaces), completes the ledger, and
+    // compaction is unblocked
+    val extra = docs.where($"doc_id" % 3 === 2)
+    Bm25Index.appendDocsBatch(idx, extra, "doc_id", "text", batchId = 8L)
+    val compacted = Bm25Index.compactDeltas(idx)
+    val served = asTuples(Bm25Index.search(compacted, queries, "doc_id",
+      "text", topK = 50))
+    val dirW = java.nio.file.Files
+      .createTempDirectory("graft-bm25-ledger-whole").toString
+    val whole = Bm25Index.write(docs, "doc_id", "text", dirW, nBuckets = 8)
+    assert(served.nonEmpty && served ==
+      asTuples(Bm25Index.search(whole, queries, "doc_id", "text",
+        topK = 50)))
+    // a batch DONE under the old version replays after the republish:
+    // the ledger skips it — its rows are already folded into the
+    // compacted base, so nothing lands in the new version's batch dirs
+    Bm25Index.appendDocsBatch(compacted, p1, "doc_id", "text",
+      batchId = 7L)
+    assert(!new java.io.File(dir,
+      s"postings_batches.v${compacted.version}").exists(),
+      "done-under-older-version replay must be skipped")
+    assert(asTuples(Bm25Index.search(Bm25Index.open(spark, dir), queries,
+      "doc_id", "text", topK = 50)) == served)
+    // a batch stranded IN-FLIGHT under an older version is
+    // unreconcilable — the replay must fail loudly, not double-count
+    plantIntent(11L, compacted.version)
+    val re = Bm25Index.write(docs, "doc_id", "text", dir, nBuckets = 8)
+    val ex2 = intercept[IllegalStateException] {
+      Bm25Index.appendDocsBatch(re, p1, "doc_id", "text", batchId = 11L)
+    }
+    assert(ex2.getMessage.contains("older index version"))
+  }
+
   test("postings are denormalized: df/dl on rows match corpus stats") {
     // hand-check one term: its df must equal the number of distinct
     // docs containing it, dl the containing doc's token count
