@@ -1163,6 +1163,74 @@ object QueriesPipeline {
           ON t.doc_id = c.doc_id AND t.pos = c.pos
         GROUP BY t.doc_id ORDER BY t.doc_id""")),
 
+    // --------------------- K37 cross-corpus ExactSubstr decontamination
+    // the PaLM/GPT-4-era SUBSEQUENCE decontamination: scrub from every
+    // training doc each >= 8-token span that appears verbatim in the
+    // eval suite, keeping the rest of the document (K5/K36 drop whole
+    // docs; F13 scrubs only training-internal repeats). Eval docs =
+    // doc_id % 17 == 0. A planted 10-token benchmark sentence is
+    // appended to every eval doc and to the % 11 == 5 training slice,
+    // so the gate exercises guaranteed end-of-doc span excision at
+    // every SF on top of the corpus's natural cross-split 8-gram
+    // overlap; training docs without any eval-matching span pass
+    // through byte-identical, and the scrub is per-span, not per-doc
+    // (n_kept > 0 on planted docs). The oracle mirrors tokenizer,
+    // gram hashing, eval gram set, coverage union, and rebuild
+    // digit-for-digit; windows on the DuckDB side only.
+    QueryDef("q_decontam_scrub",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+        val leak =
+          lit(" the quick brown fox jumps over the lazy benchmark sentence")
+        val train = doc.where(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 5, concat(col("text"), leak))
+              .otherwise(col("text")).as("text"))
+        val ev = doc.where(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), concat(col("text"), leak).as("text"))
+        Dedup.exactSubstrDecontaminate(train, "doc_id", "text",
+            ev, "text", minLen = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 17 = 0 OR doc_id % 11 = 5 THEN text ||
+              ' the quick brown fox jumps over the lazy benchmark sentence'
+            ELSE text END AS text,
+            (doc_id % 17 = 0) AS is_eval
+          FROM documents
+        ), tk AS (
+          SELECT doc_id, is_eval,
+            string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
+          FROM base
+        ), tok AS (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+            CAST(s AS BIGINT) AS pos, t[s] AS tok
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS s
+            FROM tk WHERE NOT is_eval)
+        ), gr AS (
+          SELECT doc_id, CAST(s AS BIGINT) AS s,
+            md5(array_to_string(t[s : s + 7], ' ')) AS h
+          FROM (SELECT doc_id, t,
+              unnest(range(1, greatest(len(t) - 6, 1))) AS s
+            FROM tk WHERE NOT is_eval)
+        ), ev AS (
+          SELECT DISTINCT md5(array_to_string(t[s : s + 7], ' ')) AS h
+          FROM (SELECT t, unnest(range(1, greatest(len(t) - 6, 1))) AS s
+            FROM tk WHERE is_eval)
+        ), cov AS (
+          SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos FROM (
+            SELECT g.doc_id, g.s + unnest(range(0, 8)) AS p
+            FROM gr g JOIN ev ON g.h = ev.h)
+        )
+        SELECT t.doc_id AS doc_id, MAX(t.n_tokens) AS n_tokens,
+          COUNT(*) FILTER (c.pos IS NULL) AS n_kept,
+          COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+            FILTER (c.pos IS NULL), '') AS clean_text
+        FROM tok t LEFT JOIN cov c
+          ON t.doc_id = c.doc_id AND t.pos = c.pos
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
     // ------------------------------------------------------ G8 L2 ANN
     // Euclidean-metric twin of q_ann_bruteforce: native l2_distance
     // kernel (sequential accumulation = DuckDB list_distance), rank

@@ -742,22 +742,9 @@ object Dedup {
     // tokenizer yields [''] on empty input, so n_tokens = n_kept = 1
     // and clean_text = '' — identical to a doc whose text IS '');
     // the oracle mirrors the coalesce.
-    val toks = fanOut(docs).select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("t"))
-    val tok = toks
-      .select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"),
-        posexplode(col("t")))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("pos") + 1).cast(LongType).as("pos"), col("col").as("tok"))
-    // minLen-gram starts (1-based), hashed; docs shorter than minLen
-    // contribute no grams and pass through untouched
-    val gr = toks.where(size(col("t")) >= minLen)
-      .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("t")) - minLen + 1),
-          s => struct(s.cast(LongType).as("s"),
-            gramHash(concat_ws(" ", slice(col("t"), s, lit(minLen)))).as("h"))))
-        .as("g"))
-      .select(col("doc_id"), col("g.s").as("s"), col("g.h").as("h"))
+    val toks = esTokens(docs, idCol, textCol)
+    val tok = esTokPos(toks)
+    val gr = esGramStarts(toks, minLen, gramHash)
     val dup = gr.groupBy("h")
       .agg(count(lit(1)).as("c"),
         min(struct(col("doc_id"), col("s"))).as("f"))
@@ -768,13 +755,109 @@ object Dedup {
       if (keepFirst)
         starts.where(!(col("doc_id") === col("f_doc") && col("s") === col("f_s")))
       else starts
+    esScrubRebuild(tok, removable, minLen)
+  }
+
+  /** Cross-corpus ExactSubstr span decontamination (K37): remove from
+    * every TRAINING document each token span of >= `minLen` tokens
+    * that occurs verbatim anywhere in the EVAL corpus, and rebuild the
+    * document from its surviving tokens in original order — the
+    * PaLM/GPT-4-era SUBSEQUENCE decontamination (e.g. Chowdhery et al.
+    * 2022 §6.2's contamination analysis made surgical), sitting
+    * between K5/K36 (drop or keep WHOLE training docs on eval overlap)
+    * and F13 (scrub only self-repeats within the training corpus):
+    * the leaked benchmark sentence is excised, the rest of the
+    * document survives. Same gram-anchor identity as F13: a span of
+    * >= minLen tokens matches the eval corpus iff every one of its
+    * minLen-token windows does, so scrubbing all tokens covered by an
+    * eval-matching window removes exactly the maximal eval-matching
+    * spans (no keepFirst here — the protected copy lives in the eval
+    * suite, so EVERY training occurrence scrubs, F13's
+    * keepFirst=false policy).
+    *
+    * Returns (doc_id, n_tokens, n_kept, clean_text) over the TRAINING
+    * docs only — the F13 shape; a fully-covered document stays in the
+    * output with n_kept = 0 and clean_text = "" (callers decide
+    * whether to drop empties). NULL text coalesces to '' on both
+    * sides (the F13/K5 contract).
+    *
+    * Scale shape: the eval side is a fixed benchmark suite (MBs), so
+    * its distinct gram-hash set is bounded and the probe join is
+    * AQE-broadcastable — K5's broadcast-probe shape with F13's
+    * coverage/rebuild lineage; the training side pays one gram explode
+    * (rows = training tokens) and the (doc_id, pos)-keyed rebuild
+    * aggregate bounded by tokens-per-document. No corpus-sized gram
+    * aggregate at all (F13's dup-gram count is replaced by the eval
+    * set), no window anywhere; cost O(training tokens) + O(eval
+    * tokens). The gram key is the 16-byte binary digest
+    * (EXACTSUBSTR_r13's settled shuffle-width choice).
+    */
+  def exactSubstrDecontaminate(docs: DataFrame, idCol: String,
+                               textCol: String, evalDocs: DataFrame,
+                               evalTextCol: String,
+                               minLen: Int = 8): DataFrame = {
+    require(minLen >= 2, s"minLen must be at least 2: $minLen")
+    def gramHash(c: Column): Column = unhex(md5(c))
+    val toks = esTokens(docs, idCol, textCol)
+    val tok = esTokPos(toks)
+    val gr = esGramStarts(toks, minLen, gramHash)
+    // the bounded eval gram set: distinct minLen-gram hashes over the
+    // suite — no fanOut (the eval side is small by contract), distinct
+    // BEFORE the join so a gram repeated across eval docs probes once
+    val evalGrams = evalDocs
+      .select(TextAnalysis.tokens(coalesce(col(evalTextCol), lit("")))
+        .as("t"))
+      .where(size(col("t")) >= minLen)
+      .select(explode(transform(
+        sequence(lit(1), size(col("t")) - minLen + 1),
+        s => gramHash(concat_ws(" ", slice(col("t"), s, lit(minLen))))))
+        .as("h"))
+      .distinct()
+    esScrubRebuild(tok, gr.join(evalGrams, "h"), minLen)
+  }
+
+  /** The shared F13/K37 token relation: (doc_id, n_tokens, pos, tok),
+    * pos 1-based, NULL text coalesced to '' (see exactSubstrDedupImpl).
+    */
+  private def esTokens(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    fanOut(docs).select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("t"))
+
+  private def esTokPos(toks: DataFrame): DataFrame =
+    toks
+      .select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"),
+        posexplode(col("t")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).cast(LongType).as("pos"), col("col").as("tok"))
+
+  /** minLen-gram starts (1-based), hashed; docs shorter than minLen
+    * contribute no grams and pass through untouched.
+    */
+  private def esGramStarts(toks: DataFrame, minLen: Int,
+                           gramHash: Column => Column): DataFrame =
+    toks.where(size(col("t")) >= minLen)
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - minLen + 1),
+          s => struct(s.cast(LongType).as("s"),
+            gramHash(concat_ws(" ", slice(col("t"), s, lit(minLen)))).as("h"))))
+        .as("g"))
+      .select(col("doc_id"), col("g.s").as("s"), col("g.h").as("h"))
+
+  /** Coverage + rebuild shared by F13/K37: expand each removable gram
+    * start to its minLen positions, distinct on (doc_id, pos), then
+    * one left join + doc-keyed aggregation bounded by
+    * tokens-per-document. One pass keeps fully-scrubbed docs:
+    * collect_list skips the null-marked (covered) tokens, count(when)
+    * counts the survivors.
+    */
+  private def esScrubRebuild(tok: DataFrame, removable: DataFrame,
+                             minLen: Int): DataFrame = {
     val covered = removable
       .select(col("doc_id"),
         explode(sequence(col("s"), col("s") + minLen - 1)).as("pos"))
       .distinct()
       .withColumn("rm", lit(true))
-    // one pass keeps fully-scrubbed docs: collect_list skips the
-    // null-marked (covered) tokens, count(when) counts the survivors
     tok.join(covered, Seq("doc_id", "pos"), "left")
       .groupBy("doc_id")
       .agg(max(col("n_tokens")).as("n_tokens"),

@@ -122,6 +122,12 @@ class PlanBudgetSpec extends SparkSpec {
     // + the gram lineage feeding both the aggregate and the join-back
     // (the F10/dsir trade: pipelined re-scans beat persisting an
     // exploded gram relation)
+    "q_decontam_scrub" -> (3, 1, 3), // K37: F13's coverage/rebuild
+    // lineage with the dup-gram aggregate REPLACED by the bounded
+    // eval gram set — eval-gram distinct + coverage distinct + doc
+    // rebuild agg; the probe join and the (doc_id,pos) join broadcast
+    // (eval suite and covered set are bounded); 3 scans = token pass
+    // + train-gram pass + the eval branch's one scan
     "q_dedup_lines_doc" -> (0, 1, 1), // F11 is strictly map-only: one
     // corpus scan, zero hash exchanges; the range exchange is the
     // gate's output orderBy

@@ -567,6 +567,110 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  // K37 cross-corpus ExactSubstr decontamination: eval-matching spans
+  // scrubbed at any offset, everything else — including
+  // training-INTERNAL duplicates, which are F13's job — untouched.
+  private lazy val decontamEval = Seq(
+    (100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10")
+  ).toDF("doc_id", "text")
+
+  private lazy val decontamTrain = Seq(
+    // an 8-token eval suffix embedded at offset 3: span excised, the
+    // doc's own tokens survive — per-SPAN, not per-doc
+    (0L, "u1 u2 e3 e4 e5 e6 e7 e8 e9 e10 u3"),
+    // no eval overlap: byte-identical passthrough
+    (1L, "f1 f2 f3 f4 f5 f6 f7 f8 f9"),
+    // below minLen: no grams, untouched
+    (2L, "tiny doc"),
+    // verbatim eval copy: fully covered, stays in output at n_kept = 0
+    (3L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),
+    // training-internal duplicate of doc 1: NOT scrubbed (the
+    // protected-copy logic lives in F13; eval is the only reference)
+    (4L, "f1 f2 f3 f4 f5 f6 f7 f8 f9"),
+    // eval tokens interrupted mid-span: no contiguous 8-window matches
+    (5L, "e1 e2 e3 e4 e5 e6 e7 x e8 e9 e10")
+  ).toDF("doc_id", "text")
+
+  test("exactSubstrDecontaminate: eval-matching spans excised at any " +
+      "offset, non-matching and train-internal dups survive, fully " +
+      "covered docs stay at n_kept=0 (K37)") {
+    val out = Dedup.exactSubstrDecontaminate(decontamTrain, "doc_id",
+        "text", decontamEval, "text", minLen = 8)
+      .select("doc_id", "n_tokens", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // training docs only — the eval suite never reaches the output
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(out(0L) == ((0L, 11L, 3L, "u1 u2 u3")))
+    assert(out(1L) == ((1L, 9L, 9L, "f1 f2 f3 f4 f5 f6 f7 f8 f9")))
+    assert(out(2L) == ((2L, 2L, 2L, "tiny doc")))
+    assert(out(3L) == ((3L, 10L, 0L, "")))
+    assert(out(4L) == ((4L, 9L, 9L, "f1 f2 f3 f4 f5 f6 f7 f8 f9")))
+    assert(out(5L) == ((5L, 11L, 11L, "e1 e2 e3 e4 e5 e6 e7 x e8 e9 e10")))
+  }
+
+  test("exactSubstrDecontaminate: NULL text on either side is the " +
+      "empty-text degenerate case; plans no Window; rejects minLen < 2") {
+    val train = Seq((0L, Option("e1 e2 e3 e4 e5 e6 e7 e8 e9 e10")),
+      (1L, Option.empty[String])).toDF("doc_id", "text")
+    val evalN = Seq((9L, Option("e1 e2 e3 e4 e5 e6 e7 e8 e9 e10")),
+      (10L, Option.empty[String])).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDecontaminate(train, "doc_id", "text",
+        evalN, "text", minLen = 8)
+      .select("doc_id", "n_tokens", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0L, 1L), s"docs lost: ${out.keySet}")
+    assert(out(0L) == ((0L, 10L, 0L, "")))
+    assert(out(1L) == ((1L, 1L, 1L, "")))
+    val plan = Dedup.exactSubstrDecontaminate(decontamTrain, "doc_id",
+        "text", decontamEval, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"decontaminate must not window on the gram hash:\n$plan")
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstrDecontaminate(decontamTrain, "doc_id", "text",
+        decontamEval, "text", minLen = 1)
+    }
+  }
+
+  test("exactSubstrDecontaminate fuzz: 60 train + 20 eval generated " +
+      "docs match an independent scalar reference") {
+    def reference(train: Seq[(Long, String)], eval: Seq[String],
+                  minLen: Int): Map[Long, (Long, Long, String)] = {
+      def toks(t: String) = t.trim.toLowerCase.split("\\s+").toVector
+      val evalGrams = eval.map(toks).flatMap(ts =>
+        (0 to ts.length - minLen).map(s =>
+          ts.slice(s, s + minLen).mkString(" "))).toSet
+      train.map { case (id, t) =>
+        val ts = toks(t)
+        val covered = (0 to ts.length - minLen)
+          .filter(s => evalGrams(ts.slice(s, s + minLen).mkString(" ")))
+          .flatMap(s => s until s + minLen).toSet
+        val kept = ts.indices.filterNot(covered).map(ts)
+        id -> ((ts.length.toLong, kept.length.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def gen() = Vector.fill(3 + rnd.nextInt(20))(
+      vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val evalTexts = (0 until 20).map(_ => gen())
+    val train = (0 until 40).map(id => id.toLong -> gen()) ++
+      // replant eval text (sometimes embedded) to force real hits
+      (40 until 60).map { id =>
+        val ev = evalTexts(rnd.nextInt(evalTexts.length))
+        id.toLong -> (if (rnd.nextBoolean()) ev else s"${gen()} $ev")
+      }
+    val expect = reference(train, evalTexts, minLen = 4)
+    val got = Dedup.exactSubstrDecontaminate(
+        train.toDF("doc_id", "text"), "doc_id", "text",
+        evalTexts.zipWithIndex.map { case (t, i) => (i + 1000L, t) }
+          .toDF("doc_id", "text"), "text", minLen = 4)
+      .select("doc_id", "n_tokens", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expect, "decontaminate diverged from reference")
+  }
+
   test("exactSubstrDedup plans no Window and rejects minLen < 2") {
     // the duplicated-gram side is Zipf-headed by definition (corpus
     // boilerplate): the keep-first choice must stay an aggregate, not
