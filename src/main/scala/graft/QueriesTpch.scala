@@ -225,21 +225,38 @@ object QueriesTpch {
     // ---------------------------------------------------------- TPC-H Q10
     // returned-item reporting: top customers by lost revenue
     QueryDef("q_tpch10",
-      (s, d) => Tables.lineitem(s, d)
-        .where(col("l_returnflag") === "R")
-        .join(Tables.orders(s, d)
-            .where(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
-                   col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
-          col("l_orderkey") === col("o_orderkey"))
-        // customer scales with sf → no forced broadcast; nation (25
-        // rows) keeps its hint.
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
-          .cast(DoubleType).as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(20),
+      // r14 census fix: the classic form groups by (c_custkey, c_name,
+      // c_acctbal, n_name) — every wide customer attribute rides the
+      // fact-scale aggregation exchange for nothing, since they are
+      // functionally dependent on c_custkey. Aggregate the fact join
+      // by o_custkey alone (a NARROW (key, revenue) shuffle), take the
+      // top 20 on the narrow relation (same (revenue desc, custkey)
+      // order and tie-break), then attach customer/nation attributes
+      // to the 20 survivors via a broadcast of the bounded top — the
+      // customer table is probed map-side, never shuffled, and the
+      // wide strings never enter an exchange. 1.44 → 1.27 s sf3
+      // median, identity-require()d (tools/CensusProbe); at 100 TB the
+      // agg exchange carries 16 bytes instead of ~200 per surviving
+      // fact row.
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .where(col("l_returnflag") === "R")
+          .join(Tables.orders(s, d)
+              .where(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
+                     col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+            .cast(DoubleType).as("revenue"))
+        val top = rev.orderBy(col("revenue").desc, col("o_custkey")).limit(20)
+        Tables.customer(s, d)
+          .join(broadcast(top), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"), col("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+      },
       Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
         ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue
         FROM lineitem
@@ -311,9 +328,20 @@ object QueriesTpch {
     // top supplier(s) by revenue over a quarter
     QueryDef("q_tpch15",
       (s, d) => {
+        // the revenue aggregate feeds BOTH the supplier join and the
+        // global max; ReuseExchange collapses the two consumers onto
+        // ONE lineitem scan + ONE agg exchange only if the branch
+        // subtrees are canonically identical — the join branch infers
+        // isnotnull(l_suppkey), so it is written here on the SHARED
+        // relation (r14 census fix: without it lineitem scanned and
+        // aggregated twice; 1.51 → 1.04 s sf3 median, identity-
+        // require()d in tools/CensusProbe). No semantic change:
+        // l_suppkey is a non-null FK and a null-key group could never
+        // join supplier.
         val rev = Tables.lineitem(s, d)
           .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
-                 col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+                 col("l_shipdate") < to_timestamp(lit("1996-04-01")) &&
+                 col("l_suppkey").isNotNull)
           .groupBy(col("l_suppkey").as("supplier_no"))
           .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
             .cast(DoubleType).as("total_revenue"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{AnnIndex, Bm25Index, DedupIndex}
+import graft.operators.{AnnIndex, Bm25Index, Dedup, DedupIndex}
 
 /** The composed streaming ingest story (VERDICT r10 item 7): one
   * micro-batch loop running the full production intake —
@@ -58,13 +58,29 @@ object IngestPipeline {
     * compacted base), and a batch stranded in-flight under an older
     * version throws — so run `Bm25Index.write` (a full republish) only
     * while the stream is stopped or between committed batches.
+    *
+    * `frequentLinesDir` (r14, VERDICT r13 item 7): when set, the F10
+    * mined-boilerplate screen ([[Dedup.dropListedLines]] against the
+    * pre-mined (h, line_df) table — mine it once with
+    * `Dedup.frequentLines` over a pilot corpus) runs BETWEEN the
+    * quality gate and the dedup screen: each surviving doc's text is
+    * REPLACED by its boilerplate-stripped rebuild, so the dedup
+    * signatures, the clean sink, and both index appends all see
+    * clean_text — boilerplate never pollutes near-dup signatures or
+    * the lexical postings. A doc whose every line is mined boilerplate
+    * vanishes at this stage (nothing content-bearing to ingest), the
+    * F10 contract. Replay-safe because the screen is a deterministic
+    * function of (batch, mined table); the mined table must therefore
+    * stay IMMUTABLE while the stream runs — republish it only between
+    * committed batches, like the BM25 index above.
     */
   def start(docs: DataFrame, idCol: String, textCol: String,
             gate: DataFrame => DataFrame,
             dedupIndexDir: String, annIndexDir: String, outDir: String,
             threshold: Double = 0.8,
             checkpointDir: String,
-            bm25IndexDir: Option[String] = None): StreamingQuery = {
+            bm25IndexDir: Option[String] = None,
+            frequentLinesDir: Option[String] = None): StreamingQuery = {
     // the checkpoint is REQUIRED, not optional: every exactly-once
     // guarantee above keys the dynamic overwrites by batchId, and an
     // uncheckpointed restart renumbers batches from 0 — batch_id=0
@@ -75,7 +91,21 @@ object IngestPipeline {
     val writer = docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val gated = gate(batch).persist()
+        // F10 leg (r14): after the cheap map-only gate, strip mined
+        // boilerplate lines — the doc's text column is replaced by the
+        // rebuild, so the dedup signatures, the sink, and both index
+        // legs all consume clean_text; all-boilerplate docs vanish
+        // here (see scaladoc). The screen's doc-keyed rebuild
+        // aggregate runs on gate SURVIVORS only.
+        val gatedRaw = gate(batch)
+        val gated = frequentLinesDir.fold(gatedRaw) { fdir =>
+          val mined = spark.read.parquet(fdir).select("h")
+          gatedRaw.drop(textCol).join(
+            Dedup.dropListedLines(gatedRaw, idCol, textCol, mined)
+              .select(col("doc_id").as(idCol),
+                col("clean_text").as(textCol)),
+            idCol)
+        }.persist()
         try {
           val idx = DedupIndex.open(spark, dedupIndexDir)
           val b = batchId + 1L // batch_id 0 is the dedup seed build

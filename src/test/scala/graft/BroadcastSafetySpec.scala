@@ -29,10 +29,12 @@ class BroadcastSafetySpec extends SparkSpec {
       "orders.parquet", "lineitem.parquet")
 
   /** Leaves under each BroadcastExchange in the physical plan.
-    * Exchanges whose subtree is a grouping-free (scalar) aggregate are
-    * skipped: they produce at most one row regardless of what table
-    * feeds them — the "provably-tiny aggregate" carve-out above
-    * (q_tpch15's max-revenue row, q_tpch22's average balance).
+    * Exchanges whose subtree is PROVABLY BOUNDED are skipped: a
+    * grouping-free (scalar) aggregate produces at most one row
+    * regardless of what table feeds it (q_tpch15's max-revenue row,
+    * q_tpch22's average balance), and a GlobalLimit bounds its subtree
+    * at the literal limit (q_tpch10's top-20 reattach, r14) — neither
+    * can OOM a broadcast no matter the sf.
     */
   private def broadcastLeaves(name: String): Seq[(String, Seq[String])] = {
     val df = SparkEntry.queries(name)(noAutoBc, sfDir)
@@ -42,6 +44,9 @@ class BroadcastSafetySpec extends SparkSpec {
         !b.exists {
           case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
             a.groupingExpressions.isEmpty
+          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+            true // orderBy+limit plans as TakeOrdered, same bound
           case _ => false
         } =>
         name -> b.collectLeaves().map(_.toString)

@@ -204,6 +204,45 @@ class GraftServerSpec extends SparkSpec {
     assert(b3 == 2 && h3 == 2)
   }
 
+  test("interleaved concurrent serves: every request gets its own " +
+      "query's rows, no rebuilds, counters consistent (r14)") {
+    // the concurrency half of the serving story (fusedConcurrentMain
+    // measures latency; this pins correctness): 8 threads × 3 queries,
+    // all hammering one server after a serial cache fill — any
+    // cross-request cache mixup or torn entry returns the WRONG rows
+    val server = new GraftServer(spark)
+    val names = Vector("q1_agg", "q_tpch3", "q_tpch1")
+    val refs = names.map { n =>
+      n -> server.serveRows(n, sfDir).map(_.toString).sorted.toSeq
+    }.toMap
+    val (_, bSerial) = server.counters
+    assert(bSerial == names.size)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 8).map { t =>
+      val name = names(t % names.size)
+      val th = new Thread(() => {
+        start.await()
+        var i = 0
+        while (i < 6) {
+          val got = server.serveRows(name, sfDir)
+            .map(_.toString).sorted.toSeq
+          if (got != refs(name))
+            errs.add(s"thread $t rep $i: $name served foreign rows")
+          i += 1
+        }
+      })
+      th.start(); th
+    }
+    start.countDown()
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"plan-cache corruption: ${errs.peek()}")
+    val (hits, builds) = server.counters
+    assert(builds == names.size,
+      s"concurrent serves must never rebuild: $builds")
+    assert(hits == 8L * 6L, s"hit accounting: $hits")
+  }
+
   test("two sfDirs cache independently") {
     val server = new GraftServer(spark)
     val a = server.serveRows("q1_agg", sfDir)
