@@ -32,3 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // (profiling hook for perf attributions; off unless the env var is set)
 javaOptions ++= sys.env.get("GRAFT_JFR").toSeq.map(f =>
   s"-XX:StartFlightRecording=filename=$f,settings=profile,dumponexit=true,maxsize=512m")
+// GRAFT_JVM_OPTS="<flags>" appends ad-hoc JVM flags to the forked run
+// (r14: the -Xbatch / tiered-compilation A/B for the q_embed_neardup
+// per-launch JIT bimodality; off unless set)
+javaOptions ++= sys.env.get("GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -134,17 +134,42 @@ object DedupIndex {
     * matched_id count of a screening). Capped at `maxBuckets` —
     * buckets are directories; a million tiny partitions costs more in
     * listing than pruning saves (the listing the Index now caches).
+    *
+    * `storeDocs` (r14, VERDICT r13 item 5): the match footprint alone
+    * mis-sizes the sig side when matches are a large share of the
+    * store. The verify read opens ~min(matches, nSigBuckets) files and
+    * skips ~storeDocs·(1 − coverage) rows, so pruning pays only while
+    * rows-saved-per-file-opened ≈ storeDocs / matches exceeds the
+    * file-open cost expressed in row-reads — measured on this FS at
+    * ~8k rows/open (tools/DedupServeProbe at the 5M decade: 65536
+    * buckets read 7× fewer rows yet took 17× longer — 9258 tiny files
+    * at ~0.36 ms/open vs 5M rows streaming through 256 files in
+    * 0.19 s). When the observed store size says pruning can't pay
+    * (storeDocs / matches < `fileCostRows`), size for the FULL read
+    * instead: few big files (~2·fileCostRows rows each), clamped to
+    * [256, 4096]. storeDocs = 0 (unobserved) keeps the match-only
+    * rule.
     */
   def autoSize(batchDocs: Long, matchesPerBatch: Long, bands: Int = 16,
-               headroom: Int = 16, maxBuckets: Int = 1 << 16): (Int, Int) = {
+               headroom: Int = 16, maxBuckets: Int = 1 << 16,
+               storeDocs: Long = 0L,
+               fileCostRows: Long = 8192L): (Int, Int) = {
     require(batchDocs >= 1 && matchesPerBatch >= 0 && headroom >= 1,
       s"autoSize inputs out of range: $batchDocs/$matchesPerBatch/$headroom")
+    require(storeDocs >= 0L && fileCostRows >= 1L,
+      s"autoSize store inputs out of range: $storeDocs/$fileCostRows")
     def pow2Above(x: Long): Int =
       if (x >= maxBuckets) maxBuckets
       else math.max(1, java.lang.Long.highestOneBit(math.max(1L, x)).toInt
         * (if (java.lang.Long.bitCount(math.max(1L, x)) == 1) 1 else 2))
-    (pow2Above(batchDocs * bands * headroom),
-      pow2Above(math.max(matchesPerBatch, 1L) * headroom))
+    val m = math.max(matchesPerBatch, 1L)
+    val nSig =
+      if (storeDocs <= 0L || storeDocs / m >= fileCostRows)
+        pow2Above(m * headroom) // pruning pays (or store unobserved)
+      else // matches cover the store: full read, minimize file count
+        math.min(4096, math.max(256,
+          pow2Above(storeDocs / (2L * fileCostRows))))
+    (pow2Above(batchDocs * bands * headroom), nSig)
   }
 
   /** Build from a corpus and publish as the next version. One

@@ -43,7 +43,7 @@ object Bm25GenServe {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: Bm25GenServe <millions> [reps] [wordsPerDoc] [vocab] [maxDfShare] [nBuckets] [filesPerBucket]")
+      "usage: Bm25GenServe <millions> [reps] [wordsPerDoc] [vocab] [maxDfShare] [nBuckets] [filesPerBucket] [slices]")
     val millions = args(0).toInt
     val reps = if (args.length > 1) args(1).toInt else 3
     val wpd = if (args.length > 2) args(2).toInt else 12
@@ -78,8 +78,48 @@ object Bm25GenServe {
     val t0 = System.nanoTime()
     val nBuckets = if (args.length > 5) args(5).toInt else 64
     val fpb = if (args.length > 6) args(6).toInt else 4
-    val index = Bm25Index.write(corpus, "doc_id", "text", dir,
-      nBuckets = nBuckets, filesPerBucket = fpb, persistRelation = false)
+    // `slices` (r14, VERDICT r13 item 3): the 100M one-shot build DNFs
+    // on this box's local disk — ~90 GB of transient shuffle vs ~35
+    // free — so the build goes through the index's own incremental
+    // machinery: write() the first doc-range slice, appendDocsBatch
+    // the rest (batch-keyed, replay-idempotent — the streaming path),
+    // so no single job's token shuffle exceeds slices⁻¹ of the
+    // one-shot budget. Between slices a GC nudge lets Spark's
+    // ContextCleaner reclaim the previous slice's shuffle files (they
+    // free when their ShuffleDependency is collected — without the
+    // nudge the transients accumulate and the slicing buys nothing).
+    // Search reconstructs df from the delta tables exactly
+    // (Bm25IndexSpec pins search-after-append == built-whole), so the
+    // serving legs below measure the honest post-append plan.
+    val slices = if (args.length > 7) args(7).toInt else 1
+    def sliceCorpus(i: Int): DataFrame = {
+      val per = n / slices
+      val hi = if (i == slices - 1) n else (i + 1) * per
+      spark.range(i * per, hi)
+        .repartition(Integer.parseInt(cpus) * 8)
+        .select(col("id").as("doc_id"), genText(col("id")).as("text"))
+    }
+    def freeGb: Double =
+      new java.io.File("/tmp").getUsableSpace / 1e9
+    val index =
+      if (slices <= 1)
+        Bm25Index.write(corpus, "doc_id", "text", dir,
+          nBuckets = nBuckets, filesPerBucket = fpb,
+          persistRelation = false)
+      else {
+        val seed = Bm25Index.write(sliceCorpus(0), "doc_id", "text", dir,
+          nBuckets = nBuckets, filesPerBucket = fpb,
+          persistRelation = false)
+        (1 until slices).foreach { i =>
+          Bm25Index.appendDocsBatch(seed, sliceCorpus(i), "doc_id",
+            "text", batchId = i.toLong, filesPerBucket = fpb)
+          System.gc() // let ContextCleaner drop the slice's shuffles
+          Thread.sleep(2000)
+          println(f"[bm25genserve] slice $i/${slices - 1} done, " +
+            f"free_disk_gb=$freeGb%.1f")
+        }
+        Bm25Index.open(spark, dir)
+      }
     val buildWall = (System.nanoTime() - t0) / 1e9
     val idxBytes = {
       def du(f: java.io.File): Long =

@@ -28,9 +28,13 @@ object DedupServeSmoke {
     val mult = if (args.length > 1) args(1).toInt else 1
     val reps = if (args.length > 2) args(2).toInt else 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE: the BM25_SERVE_r13 sizing rule — at 15M
+    // docs the minhash build's per-partition token rows outgrow the
+    // default heap at 32 partitions; 256 keeps each partition small
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -100,7 +104,7 @@ object DedupServeSmoke {
     // saturates (the DEDUP_SERVE_r09 finding) while the auto-sized
     // verify read stays a slice
     val (autoB, autoS) = DedupIndex.autoSize(
-      batchDocs = 10L, matchesPerBatch = nMatched)
+      batchDocs = 10L, matchesPerBatch = nMatched, storeDocs = nStore)
     val (autoIndexMed, autoBuildWall) =
       if (autoB == 1024 && autoS == 256) (-1.0, -1.0)
       else {

@@ -188,6 +188,22 @@ class DedupIndexSpec extends SparkSpec {
     // cap: bucket counts are directories, not free
     assert(DedupIndex.autoSize(1000000L, 1000000L) == ((65536, 65536)))
     intercept[IllegalArgumentException] { DedupIndex.autoSize(0L, 1L) }
+    // r14 store-aware sig sizing: pruning pays only while rows saved
+    // per file opened (storeDocs / matches) exceeds the measured
+    // file-open cost (~8k row-reads on this FS, DedupServeProbe)
+    // — a real-world footprint (50 matches in a 10^9 store) prunes:
+    assert(DedupIndex.autoSize(10L, 50L, storeDocs = 1000000000L)._2
+      == 1024) // 50*16 -> 1024, store/m = 2e7 >> 8192
+    // — the replica-heavy fixture (10k matches in a 5M store) cannot
+    //   pay for 10k file opens: size for the full read, few big files
+    assert(DedupIndex.autoSize(10L, 10000L, storeDocs = 5000000L)._2
+      == 512) // 5M/(2*8192) = 305 -> 512
+    assert(DedupIndex.autoSize(10L, 10000L, storeDocs = 500000L)._2
+      == 256) // clamp floor
+    assert(DedupIndex.autoSize(10L, 1000000L, storeDocs = 200000000L)._2
+      == 4096) // clamp ceiling in the full-read branch
+    // storeDocs = 0 (unobserved) keeps the legacy match-only rule
+    assert(DedupIndex.autoSize(10L, 10000L)._2 == 65536)
   }
 
   test("appendBatch invalidates the cached listing: the same Index " +
