@@ -65,9 +65,27 @@ object Bm25Index {
       val base = spark.read.parquet(postingsDir)
       val bdir = batchPostingsDir(this)
       if (!exists(spark, bdir)) base
-      else base.unionByName(spark.read.parquet(bdir)
-        .select("term", "doc_id", "tf", "dl", "df", "term_bucket"))
+      else base.unionByName(
+        visibleBatches(this, spark.read.parquet(bdir))
+          .select("term", "doc_id", "tf", "dl", "df", "term_bucket"))
     }
+
+    // Ledger cache (r15 ADVICE): ledgerEntries re-read the whole
+    // unversioned dir at the start of EVERY appendDocsBatch — O(files)
+    // opens per batch, O(N²) cumulative over a long-lived stream (the
+    // ~0.36 ms/file-open pathology DedupServeProbe measured). The map
+    // is bounded (≤ a few rows per batch) so it caches on the handle;
+    // every ledger write through this handle invalidates. Same
+    // single-writer ownership contract as the DedupIndex listing cache.
+    // Reader side: a handle that never writes pins the done-horizon it
+    // first read (visibleBatches), so it serves the then-published
+    // snapshot — consistent, never torn — until re-opened; freshness
+    // across handles is the GEN-watcher re-open contract
+    // (GraftServer.watchIndexes), exactly as for file listings.
+    // `lazy` so a deserialized handle degrades to a re-read, not an NPE.
+    @transient private[Bm25Index] lazy val ledgerCache =
+      new java.util.concurrent.atomic.AtomicReference[
+        Map[Long, (Long, Boolean, Option[Long])]]()
   }
 
   private def bucketOf(term: Column, nBuckets: Int): Column =
@@ -255,53 +273,173 @@ object Bm25Index {
   //    which no replay can reconcile — loud beats silently wrong.
   // The ledger is bounded (≤ 2 tiny rows per batch) and read as a
   // driver-side map; it survives compaction/vacuum by design.
+  //
+  // r15 (ADVICE): entries also carry `fp`, a content fingerprint of
+  // the batch (sum of per-doc xxhash64(id, text) — order-independent,
+  // deterministic over the checkpointed offsets a replay recomputes).
+  // The done-under-older-version skip VERIFIES the fingerprint: a true
+  // replay matches and skips (loudly, see [[appendDocsBatch]]); a
+  // FRESH batch reusing an old id after a checkpoint reset mismatches
+  // and throws, instead of being silently dropped from the index while
+  // the other ingest legs absorb it. Legacy ledgers without the column
+  // read fp = None (skip stays loud but unverified).
   private def ledgerDir(dir: String): String = s"$dir/batch_ledger"
 
+  /** Order-independent content fingerprint of a batch (bounded: one
+    * scalar aggregate over the micro-batch). bit_xor, not sum — a
+    * hash sum overflows Long and ANSI mode turns that into a
+    * task-killing exception.
+    */
+  private def batchFingerprint(docs: DataFrame, idCol: String,
+                               textCol: String): Long =
+    docs.select(xxhash64(col(idCol), col(textCol)).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)))
+      .collect()(0).getLong(0)
+
   private def ledgerAppend(index: Index, batchId: Long,
-                           state: String): Unit = {
+                           state: String, fp: Long): Unit = {
     val spark = index.spark
     spark.range(1)
       .select(lit(batchId).cast(LongType).as("batch_id"),
         lit(index.version).cast(LongType).as("version"),
-        lit(state).as("state"))
+        lit(state).as("state"),
+        lit(fp).cast(LongType).as("fp"))
       .coalesce(1)
       .write.mode("append").parquet(ledgerDir(index.dir))
+    index.ledgerCache.set(null)
   }
 
-  /** (version, done?) per recorded batch — bounded driver read. */
-  private def ledgerEntries(index: Index): Map[Long, (Long, Boolean)] = {
+  /** (version, done?, done-row fingerprint) per recorded batch —
+    * bounded driver read, cached on the handle (r15 ADVICE: a
+    * long-lived stream must not pay O(ledger files) opens per batch).
+    */
+  private def ledgerEntries(
+      index: Index): Map[Long, (Long, Boolean, Option[Long])] = {
+    val pre = index.ledgerCache.get()
+    if (pre != null) return pre
     val ld = ledgerDir(index.dir)
-    if (!exists(index.spark, ld)) Map.empty
-    else index.spark.read.parquet(ld)
-      .groupBy("batch_id")
-      .agg(max("version").as("version"),
-        max(when(col("state") === "done", lit(1)).otherwise(lit(0)))
-          .as("done"))
-      .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2) == 1))
-      .toMap
+    val m: Map[Long, (Long, Boolean, Option[Long])] =
+      if (!exists(index.spark, ld)) Map.empty
+      else {
+        val raw = index.spark.read.option("mergeSchema", "true").parquet(ld)
+        val withFp = // pre-r15 ledgers have no fp column
+          if (raw.columns.contains("fp")) raw
+          else raw.withColumn("fp", lit(null).cast(LongType))
+        withFp.groupBy("batch_id")
+          .agg(max("version").as("version"),
+            max(when(col("state") === "done", lit(1)).otherwise(lit(0)))
+              .as("done"),
+            max(when(col("state") === "done", col("fp"))).as("fp_done"))
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2) == 1,
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+          .toMap
+      }
+    index.ledgerCache.compareAndSet(null, m)
+    m
+  }
+
+  /** Fold the append-only ledger into one row per batch (r15 ADVICE:
+    * two tiny files per batch, re-listed per append, is the measured
+    * ~0.36 ms/file-open pathology — O(N²) cumulative over a stream's
+    * life). The folded rows reproduce [[ledgerEntries]]'s aggregate
+    * EXACTLY (max version, done-any, done-row fingerprint), so every
+    * consumer is unchanged; crash-safe because the fold APPENDS the
+    * folded file first and deletes only the files it listed — a crash
+    * between the two leaves duplicates that the max/any aggregate
+    * absorbs. Runs inside [[compactDeltas]] (single-writer maintenance
+    * window, after the in-flight refusal) once the dir passes
+    * `minFiles`.
+    */
+  private[operators] def foldLedger(index: Index,
+                                    minFiles: Int = 16): Unit = {
+    val ld = ledgerDir(index.dir)
+    val spark = index.spark
+    if (!exists(spark, ld)) return
+    val p = new org.apache.hadoop.fs.Path(ld)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = fs.listStatus(p).filter(_.isFile).map(_.getPath)
+    if (old.length < minFiles) return
+    val entries = ledgerEntries(index)
+    val rows = entries.toSeq.map { case (b, (v, done, fp)) =>
+      (b, v, if (done) "done" else "intent", fp.map(Long.box).orNull)
+    }
+    import spark.implicits._
+    rows.toDF("batch_id", "version", "state", "fp")
+      .select(col("batch_id").cast(LongType), col("version").cast(LongType),
+        col("state"), col("fp").cast(LongType))
+      .coalesce(1)
+      .write.mode("append").parquet(ld)
+    old.foreach(f => fs.delete(f, false))
+    index.ledgerCache.set(null)
+  }
+
+  /** Publication horizon for the batch-keyed append legs (r15, the
+    * serve×mutation seam — VERDICT r14 item 7): batch partitions are
+    * readable ONLY once their ledger state is `done`. appendDocsBatch
+    * orders intent → data writes → done → GEN bump, so without the
+    * gate a plan built mid-append could list SOME of a batch's
+    * partitions (dynamic overwrite commits per-partition renames)
+    * before the batch's df/meta deltas exist — a torn state that is
+    * neither the pre- nor the post-append result. With the gate, the
+    * done-row commit IS the atomic publish: a concurrent reader's
+    * ledger snapshot either contains it (whole batch + its deltas
+    * visible — all landed before done) or not (batch fully invisible).
+    * Mechanics: keep `batch_id ≤ max(done)` (hides later batches whose
+    * intent the snapshot hasn't seen — ids are monotone under the
+    * foreachBatch contract) and drop known in-flight ids; both
+    * predicates hit the batch_id PARTITION column, so the gate prunes
+    * directories, never scans rows. Indexes with no ledger (legacy /
+    * never-batch-appended) read unfiltered, as before. Residual
+    * window, documented: the very first batch on a ledger-less index
+    * can race a reader that listed data files before the intent row
+    * (no horizon exists yet to hide it); [[appendDocs]] (the
+    * non-batch form) keeps its mode("append") torn-visibility
+    * contract — use appendDocsBatch under concurrent serving.
+    */
+  private def visibleBatches(index: Index, df: DataFrame): DataFrame = {
+    val e = ledgerEntries(index)
+    if (e.isEmpty) df
+    else {
+      val done = e.collect { case (b, (_, true, _)) => b }
+      val inflight = e.collect { case (b, (_, false, _)) => b }.toSeq
+      val cut =
+        if (done.isEmpty) lit(false) // ledger exists, nothing published
+        else col("batch_id") <= lit(done.max)
+      val pred =
+        if (inflight.isEmpty) cut
+        else cut && !col("batch_id").isin(inflight.map(Long.box): _*)
+      df.where(pred)
+    }
   }
 
   /** The (term, df_delta, term_bucket) delta relation across both
     * append paths, or None when this version was never appended to.
+    * The batch leg is gated on the done horizon ([[visibleBatches]]).
     */
   private def dfDeltas(index: Index): Option[DataFrame] = {
     val spark = index.spark
-    val legs = Seq(deltaDir(index), batchDeltaDir(index))
-      .filter(exists(spark, _))
-      .map(d => spark.read.parquet(d)
-        .select("term", "df_delta", "term_bucket"))
+    val legs = Seq(
+      Some(deltaDir(index)).filter(exists(spark, _))
+        .map(d => spark.read.parquet(d)),
+      Some(batchDeltaDir(index)).filter(exists(spark, _))
+        .map(d => visibleBatches(index, spark.read.parquet(d))))
+      .flatten.map(_.select("term", "df_delta", "term_bucket"))
     legs.reduceOption(_ unionByName _)
   }
 
   /** The (n_docs, sum_dl) meta-delta relation across both append
     * paths, or None when this version was never appended to.
+    * The batch leg is gated on the done horizon ([[visibleBatches]]).
     */
   private def metaDeltas(index: Index): Option[DataFrame] = {
     val spark = index.spark
-    val legs = Seq(metaDeltaDir(index), batchMetaDeltaDir(index))
-      .filter(exists(spark, _))
-      .map(d => spark.read.parquet(d).select("n_docs", "sum_dl"))
+    val legs = Seq(
+      Some(metaDeltaDir(index)).filter(exists(spark, _))
+        .map(d => spark.read.parquet(d)),
+      Some(batchMetaDeltaDir(index)).filter(exists(spark, _))
+        .map(d => visibleBatches(index, spark.read.parquet(d))))
+      .flatten.map(_.select("n_docs", "sum_dl"))
     legs.reduceOption(_ unionByName _)
   }
 
@@ -396,13 +534,34 @@ object Bm25Index {
                       filesPerBucket: Int = 1): Unit = {
     require(filesPerBucket >= 1,
       s"filesPerBucket must be >= 1: $filesPerBucket")
+    // content fingerprint (r15 ADVICE): recorded with the ledger rows
+    // and VERIFIED on the done-under-older-version skip, so a fresh
+    // batch reusing an old batchId (checkpoint reset, index reuse
+    // across streams) throws instead of silently vanishing from this
+    // index while the other ingest legs absorb it
+    val fpNew = batchFingerprint(newDocs, idCol, textCol)
     ledgerEntries(index).get(batchId) match {
-      case Some((v, true)) if v < index.version =>
+      case Some((v, true, fpOld)) if v < index.version =>
         // complete under an older version: the compacted/republished
         // lineage already contains this batch exactly once — replaying
         // it into the current version's batch dirs would double-count
+        if (fpOld.exists(_ != fpNew))
+          throw new IllegalStateException(
+            s"appendDocsBatch(batch_id=$batchId): ledger has this batch " +
+              s"done under older version $v with a DIFFERENT content " +
+              s"fingerprint (${fpOld.get} vs $fpNew). The batchId is " +
+              "being reused for new data (checkpoint reset / new stream " +
+              "on a republished index); skipping would silently drop " +
+              "it. Use fresh batchIds (or a fresh ledger) for a new " +
+              "stream.")
+        org.apache.logging.log4j.LogManager.getLogger(getClass)
+          .warn(s"Bm25Index.appendDocsBatch(batch_id=$batchId): skipped" +
+            s" — already done under older version $v (CURRENT " +
+            s"${index.version}); rows live in the compacted lineage." +
+            fpOld.fold(" (legacy ledger row: fingerprint unverified)")(
+              _ => " Content fingerprint verified equal."))
         return
-      case Some((v, false)) if v < index.version =>
+      case Some((v, false, _)) if v < index.version =>
         throw new IllegalStateException(
           s"appendDocsBatch(batch_id=$batchId): batch is in-flight " +
             s"(intent without done) under older index version $v, but " +
@@ -410,8 +569,20 @@ object Bm25Index {
             "an uncommitted stream batch; its partial rows cannot be " +
             "reconciled by replay. Do not write()/compactDeltas() " +
             "while the ingest stream has an uncommitted batch.")
-      case _ => // new batch, or a same-version replay: proceed —
-        // dynamic partition overwrite replaces the crashed attempt
+      case Some((_, true, fpOld)) if fpOld.contains(fpNew) =>
+        // SAME-version replay of a COMPLETED batch (the crash fell
+        // between the done record and the stream's checkpoint commit):
+        // the data is whole and identical — skip, so concurrent
+        // readers never catch its partitions mid-rewrite (r15, the
+        // serve×mutation seam). A same-version done batch with a
+        // DIFFERENT fingerprint falls through to the overwrite below —
+        // the deliberate-overwrite escape hatch, outside the
+        // deterministic-replay contract.
+        return
+      case _ => // new batch, or a same-version replay of a crashed
+        // (intent-without-done) attempt: proceed — dynamic partition
+        // overwrite replaces the crashed attempt's partitions, which
+        // the done-horizon gate keeps invisible to readers throughout
     }
     val rel = tfRelation(newDocs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -420,7 +591,7 @@ object Bm25Index {
       // file-less partitioned dir breaks every later read, and
       // corpusStats would emit an (n_docs=0, sum_dl=null) delta row
       if (rel.isEmpty) return
-      ledgerAppend(index, batchId, "intent")
+      ledgerAppend(index, batchId, "intent", fpNew)
       rel.withColumn("df", lit(0L))
         .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
         .withColumn("batch_id", lit(batchId))
@@ -447,7 +618,7 @@ object Bm25Index {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(batchMetaDeltaDir(index))
-      ledgerAppend(index, batchId, "done")
+      ledgerAppend(index, batchId, "done", fpNew)
       IndexVersions.bumpGeneration(index.spark, index.dir)
     } finally rel.unpersist()
   }
@@ -468,7 +639,78 @@ object Bm25Index {
     * readers pinned to the old version are undisturbed until
     * [[vacuum]].
     */
-  def compactDeltas(index: Index, filesPerBucket: Int = 4): Index = {
+  /** Stage one bucket group of compacted version `v` — the
+    * partition-pruned unit of [[compactDeltas]]'s bucketsPerJob mode.
+    * df is a function of `term` and `term` determines `term_bucket`,
+    * so a group folds independently: both postings legs and both delta
+    * legs prune to the group's partitions, and the rewrite's transient
+    * shuffle is group-sized instead of corpus-sized. Writes stage into
+    * the SHARED v directories with dynamic partition overwrite, so a
+    * crashed run's redo replaces its own partitions.
+    */
+  private def compactBucketGroup(index: Index, v: Long,
+                                 filesPerBucket: Int,
+                                 group: Seq[Int]): Unit = {
+    val inG = col("term_bucket")
+      .isin(group.map(b => Long.box(b.toLong)): _*)
+    val slice = index.postings.where(inG)
+    val baseDf = slice.groupBy("term").agg(max(col("df")).as("df_base"))
+    val dfEff = dfDeltas(index) match {
+      case None =>
+        baseDf.select(col("term"), col("df_base").as("df_eff"))
+      case Some(deltas) =>
+        baseDf.join(
+          deltas.where(inG).groupBy("term")
+            .agg(sum(col("df_delta")).as("df_add")),
+          Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df_base"), lit(0L)) +
+              coalesce(col("df_add"), lit(0L))).as("df_eff"))
+    }
+    // one aggregate, two consumers — the group's vocabulary slice
+    // persists (bounded: vocab/nBuckets × group size) instead of the
+    // whole path's read-back, which would need schema inference on a
+    // dir the first group may not have populated yet
+    val statsG = dfEff.select(col("term"), col("df_eff").as("df"))
+      .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      statsG.repartition(col("term_bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket")
+        .parquet(s"${index.dir}/term_stats.v$v")
+      aliveDocs(index, slice)
+        .drop("df").join(statsG.select("term", "df"), "term")
+        .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
+        .select("term", "doc_id", "tf", "dl", "df", "term_bucket")
+        .repartition(group.size * filesPerBucket, col("term_bucket"),
+          pmod(hash(col("doc_id")), lit(filesPerBucket)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket")
+        .parquet(s"${index.dir}/postings.v$v")
+    } finally statsG.unpersist()
+  }
+
+  /** `bucketsPerJob` (r15, VERDICT r14 item 2): 0 (default) folds all
+    * postings in ONE job — the original shape, whose transient shuffle
+    * footprint is the whole corpus re-keyed at once (~50 GB at 100M
+    * docs on this box: the measured reason the sliced 100M index could
+    * not compact, BM25_SERVE_r14). Because df is a function of `term`
+    * and `term` determines `term_bucket`, every bucket folds
+    * INDEPENDENTLY: with bucketsPerJob ≥ 1 the rewrite runs as
+    * ceil(nBuckets / bucketsPerJob) partition-pruned jobs, each
+    * staging its bucket group into the SAME v+1 directories via
+    * dynamic partition overwrite — transient footprint ≈
+    * bucketsPerJob/nBuckets of the whole job, with version-publish
+    * atomicity preserved (all groups stage under v+1; CURRENT flips
+    * once at the end; a crash mid-stage leaves the old version live
+    * and the redo's dynamic overwrite replaces its own partitions).
+    * Search results are identical in either mode (spec-pinned).
+    */
+  def compactDeltas(index: Index, filesPerBucket: Int = 4,
+                    bucketsPerJob: Int = 0): Index = {
     require(filesPerBucket >= 1,
       s"filesPerBucket must be >= 1: $filesPerBucket")
     val spark = index.spark
@@ -477,52 +719,62 @@ object Bm25Index {
     // compacted into the base the replay can no longer replace them,
     // only double them. The one-sided race from the r13 ADVICE.
     val inflight = ledgerEntries(index).collect {
-      case (b, (ver, false)) if ver == index.version => b
+      case (b, (ver, false, _)) if ver == index.version => b
     }
     require(inflight.isEmpty,
       s"compactDeltas: append batch(es) ${inflight.toSeq.sorted.mkString(",")} " +
         s"are in-flight on version ${index.version}; compacting now would " +
         "make their checkpoint replay double-count. Let the stream commit " +
         "(or clean up the crashed batch) first.")
+    // ledger hygiene (r15 ADVICE): fold the two-tiny-files-per-batch
+    // history into one row per batch while we hold the single-writer
+    // maintenance window — entries-map identical, O(N²) listing gone
+    foldLedger(index)
     val v = IndexVersions.current(spark, index.dir).getOrElse(0L) + 1L
-    val postings = index.postings
-    // effective df per term from the RAW rows (deletes must not
-    // perturb df — same rule as search): build rows share one value,
-    // append rows carry 0, delta rows (either append path) add batch
-    // counts
-    val baseDf = postings.groupBy("term").agg(max(col("df")).as("df_base"))
-    val dfEff = dfDeltas(index) match {
-      case None =>
-        baseDf.select(col("term"), col("df_base").as("df_eff"))
-      case Some(deltas) =>
-        baseDf.join(
-          deltas.groupBy("term").agg(sum(col("df_delta")).as("df_add")),
-          Seq("term"), "full_outer")
-          .select(col("term"),
-            (coalesce(col("df_base"), lit(0L)) +
-              coalesce(col("df_add"), lit(0L))).as("df_eff"))
-    }
     val (nDocs, sumDl) = effectiveScalars(index)
-    // the compacted version's term-stats sidecar: the folded dfEff,
-    // materialized FIRST and read back for the postings join (the
-    // write() discipline — one aggregate, two consumers)
-    dfEff.select(col("term"), col("df_eff").as("df"))
-      .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
-      .repartition(col("term_bucket"))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"${index.dir}/term_stats.v$v")
-    val stats = spark.read.parquet(s"${index.dir}/term_stats.v$v")
-      .select("term", "df")
-    aliveDocs(index, postings)
-      .drop("df").join(stats, "term")
-      // recompute the bucket so its type stays canonical regardless of
-      // what partition-column inference produced on the read
-      .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
-      .select("term", "doc_id", "tf", "dl", "df", "term_bucket")
-      .repartition(index.nBuckets * filesPerBucket, col("term_bucket"),
-        pmod(hash(col("doc_id")), lit(filesPerBucket)))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"${index.dir}/postings.v$v")
+    if (bucketsPerJob >= 1) {
+      (0 until index.nBuckets).grouped(bucketsPerJob)
+        .foreach(g => compactBucketGroup(index, v, filesPerBucket, g))
+    } else {
+      val postings = index.postings
+      // effective df per term from the RAW rows (deletes must not
+      // perturb df — same rule as search): build rows share one value,
+      // append rows carry 0, delta rows (either append path) add batch
+      // counts
+      val baseDf = postings.groupBy("term")
+        .agg(max(col("df")).as("df_base"))
+      val dfEff = dfDeltas(index) match {
+        case None =>
+          baseDf.select(col("term"), col("df_base").as("df_eff"))
+        case Some(deltas) =>
+          baseDf.join(
+            deltas.groupBy("term").agg(sum(col("df_delta")).as("df_add")),
+            Seq("term"), "full_outer")
+            .select(col("term"),
+              (coalesce(col("df_base"), lit(0L)) +
+                coalesce(col("df_add"), lit(0L))).as("df_eff"))
+      }
+      // the compacted version's term-stats sidecar: the folded dfEff,
+      // materialized FIRST and read back for the postings join (the
+      // write() discipline — one aggregate, two consumers)
+      dfEff.select(col("term"), col("df_eff").as("df"))
+        .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
+        .repartition(col("term_bucket"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"${index.dir}/term_stats.v$v")
+      val stats = spark.read.parquet(s"${index.dir}/term_stats.v$v")
+        .select("term", "df")
+      aliveDocs(index, postings)
+        .drop("df").join(stats, "term")
+        // recompute the bucket so its type stays canonical regardless
+        // of what partition-column inference produced on the read
+        .withColumn("term_bucket", bucketOf(col("term"), index.nBuckets))
+        .select("term", "doc_id", "tf", "dl", "df", "term_bucket")
+        .repartition(index.nBuckets * filesPerBucket, col("term_bucket"),
+          pmod(hash(col("doc_id")), lit(filesPerBucket)))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"${index.dir}/postings.v$v")
+    }
     spark.range(1)
       .select(lit(nDocs).cast(LongType).as("n_docs"),
         lit(sumDl).cast(LongType).as("sum_dl"),

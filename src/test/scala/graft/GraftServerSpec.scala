@@ -243,6 +243,79 @@ class GraftServerSpec extends SparkSpec {
     assert(hits == 8L * 6L, s"hit accounting: $hits")
   }
 
+  test("serve × mutation: serves racing an appendDocsBatch and a " +
+      "republish always return a published state, never a mix (r15, " +
+      "VERDICT r14 item 7)") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    import graft.operators.Bm25Index
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val seed = docs.where(col("doc_id") % 3 === 0)
+    val extra = docs.where(col("doc_id") % 3 === 1)
+    val qdocs = docs.where(col("doc_id") < 3)
+    def rowsOf(d: String) =
+      Bm25Index.search(Bm25Index.open(spark, d), qdocs, "doc_id", "text",
+        topK = 10).collect().map(_.toString).sorted.toSeq
+    // the three publishable states, materialized on twin dirs up front
+    // (search is a deterministic function of corpus content, so the
+    // twins' results are exactly what the live dir may legally serve)
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-servemut-$tag").toString
+    val t0 = tmp("s0")
+    Bm25Index.write(seed, "doc_id", "text", t0, nBuckets = 8)
+    val ref0 = rowsOf(t0)
+    val t1 = tmp("s1")
+    val i1 = Bm25Index.write(seed, "doc_id", "text", t1, nBuckets = 8)
+    Bm25Index.appendDocsBatch(i1, extra, "doc_id", "text", batchId = 1L)
+    val ref1 = rowsOf(t1)
+    val t2 = tmp("s2")
+    Bm25Index.write(docs, "doc_id", "text", t2, nBuckets = 8)
+    val ref2 = rowsOf(t2)
+    assert(Set(ref0, ref1, ref2).size == 3,
+      "fixture must make the three published states distinguishable")
+    // the live dir, fronted by a watching server under concurrent load
+    val dir = tmp("live")
+    Bm25Index.write(seed, "doc_id", "text", dir, nBuckets = 8)
+    val reg = Map("bm25" -> ((s: SparkSession, d: String) =>
+      Bm25Index.search(Bm25Index.open(s, d), qdocs, "doc_id", "text",
+        topK = 10)))
+    val server = new GraftServer(spark, reg)
+    server.watchIndexes("bm25", dir, Seq(dir))
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (0 until 4).map { t =>
+      val th = new Thread(() => {
+        var i = 0
+        while (!stop.get() && i < 200) {
+          val got = server.serveRows("bm25", dir)
+            .map(_.toString).sorted.toSeq
+          if (got == ref0) seen.add(0)
+          else if (got == ref1) seen.add(1)
+          else if (got == ref2) seen.add(2)
+          else bad.add(s"thread $t rep $i: served a state that is " +
+            s"none of the three published references (${got.size} rows)")
+          i += 1
+        }
+      })
+      th.start(); th
+    }
+    // mutations race the serving threads: an in-version batch append
+    // (publishes through the ledger done-row + GEN bump), then a full
+    // republish (publishes through the CURRENT flip)
+    val live = Bm25Index.open(spark, dir)
+    Bm25Index.appendDocsBatch(live, extra, "doc_id", "text", batchId = 1L)
+    Bm25Index.write(docs, "doc_id", "text", dir, nBuckets = 8)
+    stop.set(true)
+    threads.foreach(_.join())
+    assert(bad.isEmpty, s"torn serve under mutation: ${bad.peek()}")
+    assert(seen.contains(0), "fixture must observe the pre-mutation state")
+    // after the dust settles the server serves exactly the final state
+    assert(server.serveRows("bm25", dir).map(_.toString).sorted.toSeq
+      == ref2, "post-mutation serve must equal the republished state")
+  }
+
   test("two sfDirs cache independently") {
     val server = new GraftServer(spark)
     val a = server.serveRows("q1_agg", sfDir)

@@ -539,6 +539,143 @@ class Bm25IndexSpec extends SparkSpec {
     assert(ex2.getMessage.contains("older index version"))
   }
 
+  test("compactDeltas bucketsPerJob: per-bucket staging equals the " +
+      "one-job fold exactly; in-flight refusal preserved (r15)") {
+    val p0 = docs.where($"doc_id" % 3 === 0)
+    val p1 = docs.where($"doc_id" % 3 === 1)
+    val p2 = docs.where($"doc_id" % 3 === 2)
+      .select(($"doc_id" + 300000L).as("doc_id"), $"text")
+    def mkIndex(tag: String) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-bm25-pbc-$tag").toString
+      val idx = Bm25Index.write(p0, "doc_id", "text", dir, nBuckets = 8)
+      Bm25Index.appendDocsBatch(idx, p1, "doc_id", "text", batchId = 1L)
+      Bm25Index.appendDocs(idx, p2, "doc_id", "text")
+      Bm25Index.deleteDocs(idx, docs.where($"doc_id" % 11 === 0)
+        .select("doc_id"))
+      idx
+    }
+    val idxA = mkIndex("whole")
+    val idxB = mkIndex("bucketed")
+    val pre = asTuples(Bm25Index.search(idxB, queries, "doc_id", "text",
+      topK = 50))
+    val whole = Bm25Index.compactDeltas(idxA, filesPerBucket = 2)
+    // 8 buckets in groups of 3 → jobs over (0,1,2),(3,4,5),(6,7):
+    // exercises an uneven tail group and empty partitions inside groups
+    val bucketed = Bm25Index.compactDeltas(idxB, filesPerBucket = 2,
+      bucketsPerJob = 3)
+    assert(bucketed.version == idxB.version + 1)
+    assert(bucketed.nDocs == whole.nDocs && bucketed.sumDl == whole.sumDl)
+    def postingRows(i: Bm25Index.Index) =
+      i.postings.select($"term", $"doc_id", $"tf", $"dl", $"df",
+          $"term_bucket".cast("long"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(postingRows(bucketed) == postingRows(whole),
+      "per-bucket staging must fold the same posting rows")
+    def statRows(i: Bm25Index.Index) =
+      spark.read.parquet(s"${i.dir}/term_stats.v${i.version}")
+        .select($"term", $"df", $"term_bucket".cast("long"))
+        .as[(String, Long, Long)].collect().toSet
+    assert(statRows(bucketed) == statRows(whole),
+      "per-bucket staging must fold the same term-stats sidecar")
+    val post = asTuples(Bm25Index.search(bucketed, queries, "doc_id",
+      "text", topK = 50))
+    assert(post.nonEmpty && post == pre,
+      "bucketed compaction must preserve search results")
+    assert(post == asTuples(Bm25Index.search(whole, queries, "doc_id",
+      "text", topK = 50)))
+    // the in-flight refusal guards the bucketed mode identically
+    spark.range(1).select(lit(21L).as("batch_id"),
+        lit(bucketed.version).as("version"), lit("intent").as("state"),
+        lit(7L).as("fp"))
+      .coalesce(1).write.mode("append")
+      .parquet(s"${idxB.dir}/batch_ledger")
+    val fresh = Bm25Index.open(spark, idxB.dir)
+    val ex = intercept[IllegalArgumentException] {
+      Bm25Index.compactDeltas(fresh, bucketsPerJob = 2)
+    }
+    assert(ex.getMessage.contains("in-flight"))
+  }
+
+  test("ledger fingerprint: batchId reuse with new content throws, a " +
+      "true replay skips, legacy rows skip unverified (r15 ADVICE)") {
+    val p0 = docs.where($"doc_id" % 3 === 0)
+    val p1 = docs.where($"doc_id" % 3 === 1)
+    val p2 = docs.where($"doc_id" % 3 === 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-fp").toString
+    val idx = Bm25Index.write(p0, "doc_id", "text", dir, nBuckets = 8)
+    Bm25Index.appendDocsBatch(idx, p1, "doc_id", "text", batchId = 3L)
+    val compacted = Bm25Index.compactDeltas(idx)
+    val served = asTuples(Bm25Index.search(compacted, queries, "doc_id",
+      "text", topK = 50))
+    // a TRUE replay (same content) after the republish: skipped, and
+    // the fingerprint verifies equal — nothing lands in the new
+    // version's batch dirs
+    Bm25Index.appendDocsBatch(compacted, p1, "doc_id", "text",
+      batchId = 3L)
+    assert(!new java.io.File(dir,
+      s"postings_batches.v${compacted.version}").exists())
+    // batchId REUSE with different content (checkpoint reset / new
+    // stream): silently dropping it was the r14 failure mode — now the
+    // fingerprint mismatch throws
+    val ex = intercept[IllegalStateException] {
+      Bm25Index.appendDocsBatch(compacted, p2, "doc_id", "text",
+        batchId = 3L)
+    }
+    assert(ex.getMessage.contains("fingerprint"))
+    assert(asTuples(Bm25Index.search(Bm25Index.open(spark, dir), queries,
+      "doc_id", "text", topK = 50)) == served,
+      "neither the skip nor the throw may mutate the index")
+    // a legacy (pre-fingerprint, 3-column) done row skips unverified
+    // instead of erroring on the missing column
+    spark.range(1).select(lit(4L).as("batch_id"),
+        lit(compacted.version).as("version"), lit("done").as("state"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/batch_ledger")
+    val re = Bm25Index.write(docs, "doc_id", "text", dir, nBuckets = 8)
+    Bm25Index.appendDocsBatch(re, p2, "doc_id", "text", batchId = 4L)
+    assert(!new java.io.File(dir,
+      s"postings_batches.v${re.version}").exists(),
+      "legacy done row must still skip the replay")
+  }
+
+  test("ledger fold: one row per batch, entries-equivalent, replay " +
+      "semantics intact across the fold (r15 ADVICE)") {
+    val p0 = docs.where($"doc_id" % 3 === 0)
+    val p1 = docs.where($"doc_id" % 3 === 1)
+    val p2 = docs.where($"doc_id" % 3 === 2)
+      .select(($"doc_id" + 400000L).as("doc_id"), $"text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-fold").toString
+    val idx = Bm25Index.write(p0, "doc_id", "text", dir, nBuckets = 8)
+    Bm25Index.appendDocsBatch(idx, p1, "doc_id", "text", batchId = 1L)
+    Bm25Index.appendDocsBatch(idx, p2, "doc_id", "text", batchId = 2L)
+    def ledgerFiles = new java.io.File(dir, "batch_ledger").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = ledgerFiles
+    assert(before >= 4, s"two batches should write >= 4 ledger files: $before")
+    Bm25Index.foldLedger(idx, minFiles = 1)
+    assert(ledgerFiles == 1,
+      s"fold must leave one parquet file, found $ledgerFiles")
+    // entries survive the fold: a done batch still skips after a
+    // republish (fingerprint verified from the folded row), and reuse
+    // with new content still throws
+    val compacted = Bm25Index.compactDeltas(idx)
+    Bm25Index.appendDocsBatch(compacted, p1, "doc_id", "text",
+      batchId = 1L)
+    assert(!new java.io.File(dir,
+      s"postings_batches.v${compacted.version}").exists())
+    intercept[IllegalStateException] {
+      Bm25Index.appendDocsBatch(compacted, p1, "doc_id", "text",
+        batchId = 2L) // batch 2's id with batch 1's content
+    }
+    // compaction itself folds too (the maintenance-window hook): after
+    // more appends, the post-compaction ledger is compact again
+    Bm25Index.appendDocsBatch(compacted, p2.limit(5), "doc_id", "text",
+      batchId = 5L)
+    assert(ledgerFiles >= 2)
+  }
+
   test("postings are denormalized: df/dl on rows match corpus stats") {
     // hand-check one term: its df must equal the number of distinct
     // docs containing it, dl the containing doc's token count
