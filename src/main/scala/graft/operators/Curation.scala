@@ -852,13 +852,33 @@ object Curation {
     * log_weight (null→0 for sub-bigram docs), quality_prob,
     * n_bpe_tokens — exactly what a training-data writer shards.
     */
+  /** `evalScrub` (r15, VERDICT r14 item 5): when set, the K37
+    * cross-corpus ExactSubstr decontamination
+    * ([[Dedup.exactSubstrDecontaminate]] against this immutable eval
+    * table — a DataFrame carrying `textCol`, the benchmark suite) runs
+    * right after the Gopher gate and BEFORE dedup/split/5-gram
+    * decontamination — the same position the streaming ingest gives it
+    * (after the F10 screen, before the dedup screen), so the content
+    * hash, quality score, split grams, classifier score, and BPE token
+    * count all read the text a training run would actually see:
+    * verbatim eval sentences (≥ `evalScrubMinLen` tokens) are excised
+    * from every gated doc. A doc whose every token is eval-covered
+    * drops here (pure leaked benchmark); empty-text docs pass (nothing
+    * was leaked — the NULL contract). Scale shape: the eval gram set
+    * is bounded (benchmark-suite-sized, broadcast probe — no
+    * corpus-wide gram aggregate, the K37 contract), and the join-back
+    * duplicates only the map-only gated-scan prefix (the F10 stage-0
+    * trade), never the dedup/decontamination lineage.
+    */
   def curationPipelineV2(docs: DataFrame, idCol: String, textCol: String,
       model: org.apache.spark.ml.classification.LogisticRegressionModel,
       merges: Seq[(String, String)], dsirTargetPred: Column,
       minQuality: Double = 0.5, ngram: Int = 5, dsirBuckets: Int = 4096,
       gopherMinWords: Long = 50L, gopherMinStop: Long = 2L,
       boilerplate: Option[DataFrame] = None,
-      htmlInput: Boolean = false): DataFrame = {
+      htmlInput: Boolean = false,
+      evalScrub: Option[DataFrame] = None,
+      evalScrubMinLen: Int = 8): DataFrame = {
     // r13 stage −1 (optional): crawl extraction. When the corpus is
     // raw HTML, every downstream screen reads distorted statistics —
     // tags and attribute soup inflate word counts past the Gopher
@@ -889,7 +909,22 @@ object Curation {
     }
     val g = base.where(TextAnalysis.gopherPass(col(textCol), gopherMinWords,
       minStop = gopherMinStop))
-    val clean = curationPipeline(g, idCol, textCol, minQuality, ngram)
+    // K37 span scrub (r15): see scaladoc — excise verbatim eval spans
+    // from the gated docs BEFORE every content-derived stage, so the
+    // hash dedup, quality gate, split grams, and scores read scrubbed
+    // text (the streaming ingest's screen position). Join-back
+    // duplicates only the map-only gated scan, the F10 trade.
+    val scrubbed = evalScrub.fold(g) { ev =>
+      g.drop(textCol).join(
+        Dedup.exactSubstrDecontaminate(g, idCol, textCol, ev,
+            textCol, evalScrubMinLen)
+          .where(col("n_kept") > 0 || col("n_tokens") === 0)
+          .select(col("doc_id").as(idCol),
+            col("clean_text").as(textCol)),
+        idCol)
+    }
+    val clean = curationPipeline(scrubbed, idCol, textCol, minQuality,
+      ngram)
     val weights = dsirWeights(base, idCol, textCol, dsirTargetPred,
         dsirBuckets)
       .select(col("doc_id").as(idCol), col("log_weight"))

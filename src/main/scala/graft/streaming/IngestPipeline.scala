@@ -74,13 +74,29 @@ object IngestPipeline {
     * stay IMMUTABLE while the stream runs — republish it only between
     * committed batches, like the BM25 index above.
     */
+  /** `evalScrubDir` (r15, VERDICT r14 item 5): when set, the K37
+    * cross-corpus ExactSubstr decontamination
+    * ([[Dedup.exactSubstrDecontaminate]] against the immutable eval
+    * table at this path — (doc_id, `textCol`) parquet, the benchmark
+    * suite) runs AFTER the F10 screen and before the dedup screen:
+    * each surviving doc's text is replaced by its scrubbed rebuild, so
+    * the dedup signatures, the clean sink, and both index appends
+    * never carry a verbatim eval span. A doc whose every token is
+    * eval-covered (n_kept = 0 with n_tokens > 0 — pure leaked
+    * benchmark) vanishes here, the F10 all-boilerplate rule applied to
+    * contamination; empty/NULL-text survivors flow through as
+    * empty-text (nothing was leaked). Replay-safe for the same reason
+    * as F10: a deterministic function of (batch, eval table) — keep
+    * the eval table IMMUTABLE while the stream runs.
+    */
   def start(docs: DataFrame, idCol: String, textCol: String,
             gate: DataFrame => DataFrame,
             dedupIndexDir: String, annIndexDir: String, outDir: String,
             threshold: Double = 0.8,
             checkpointDir: String,
             bm25IndexDir: Option[String] = None,
-            frequentLinesDir: Option[String] = None): StreamingQuery = {
+            frequentLinesDir: Option[String] = None,
+            evalScrubDir: Option[String] = None): StreamingQuery = {
     // the checkpoint is REQUIRED, not optional: every exactly-once
     // guarantee above keys the dynamic overwrites by batchId, and an
     // uncheckpointed restart renumbers batches from 0 — batch_id=0
@@ -98,14 +114,35 @@ object IngestPipeline {
         // here (see scaladoc). The screen's doc-keyed rebuild
         // aggregate runs on gate SURVIVORS only.
         val gatedRaw = gate(batch)
-        val gated = frequentLinesDir.fold(gatedRaw) { fdir =>
+        val deboiled = frequentLinesDir.fold(gatedRaw) { fdir =>
           val mined = spark.read.parquet(fdir).select("h")
-          gatedRaw.drop(textCol).join(
-            Dedup.dropListedLines(gatedRaw, idCol, textCol, mined)
+          // NULL contract (r15 ADVICE): split(NULL) explodes to zero
+          // rows, so a gate-surviving NULL-text doc would emit no
+          // rebuild group and silently vanish in the inner join below —
+          // coalesce to '' (the F13/K5 rule) so it flows through as
+          // empty-text, same as when the screen is off
+          val norm = gatedRaw.withColumn(textCol,
+            coalesce(col(textCol), lit("")))
+          norm.drop(textCol).join(
+            Dedup.dropListedLines(norm, idCol, textCol, mined)
               .select(col("doc_id").as(idCol),
                 col("clean_text").as(textCol)),
             idCol)
-        }.persist()
+        }
+        // K37 leg (r15): excise verbatim eval spans from the survivors
+        // (see scaladoc) — pure-leak docs (had tokens, kept none) drop;
+        // empty-text docs pass (nothing was leaked, the NULL contract)
+        val screened = evalScrubDir.fold(deboiled) { edir =>
+          val evalDocs = spark.read.parquet(edir)
+          deboiled.drop(textCol).join(
+            Dedup.exactSubstrDecontaminate(deboiled, idCol, textCol,
+                evalDocs, textCol)
+              .where(col("n_kept") > 0 || col("n_tokens") === 0)
+              .select(col("doc_id").as(idCol),
+                col("clean_text").as(textCol)),
+            idCol)
+        }
+        val gated = screened.persist()
         try {
           val idx = DedupIndex.open(spark, dedupIndexDir)
           val b = batchId + 1L // batch_id 0 is the dedup seed build

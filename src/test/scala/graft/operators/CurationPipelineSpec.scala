@@ -187,6 +187,72 @@ class CurationPipelineSpec extends SparkSpec {
     } finally mined.unpersist()
   }
 
+  test("pipeline v2 K37 leg: eval spans excised before every " +
+      "content-derived stage, pure-leak docs drop (r15)") {
+    // per-doc UNIQUE vocabulary so the pipeline's own 5-gram test-split
+    // decontamination never fires — isolating the external-eval scrub
+    def uniq(i: Long) = (0 until 14).map(j => s"tok${i}x$j").mkString(" ")
+    // two DISTINCT eval sentences so docs 30/31 share no grams with
+    // each other (or any corpus doc) — the internal test-split
+    // decontamination stays a no-op whatever splitAssign dealt them
+    val leakA =
+      "the secret benchmark answer is forty two as printed right here"
+    val leakB =
+      "another benchmark item states nine hundred answers exactly as shown today"
+    val c30 = uniq(30L)
+    val planted = (0L until 20L).map(i => (i, uniq(i), "en")) ++
+      Seq((30L, s"$c30 $leakA", "en"), // content + leaked eval sentence
+        (31L, leakB, "en"))            // pure leak
+    val pdocs = planted.toDF("doc_id", "text", "lang")
+    val evalTab = Seq((900L, leakA), (901L, leakB)).toDF("doc_id", "text")
+    val model = QualityClassifier.train(pdocs, "text",
+      length($"text") > 40, buckets = 128, maxIter = 5)
+    val merges = TextAnalysis.bpeTrain(pdocs, "text", numMerges = 20)
+    def run(scrub: Option[org.apache.spark.sql.DataFrame]) =
+      Curation.curationPipelineV2(pdocs, "doc_id", "text", model, merges,
+        dsirTargetPred = $"lang" === "en", minQuality = 0.0,
+        gopherMinWords = 5L, gopherMinStop = 0L, evalScrub = scrub)
+    // without the leg both leak carriers survive with the leak intact
+    val off = run(None).persist()
+    val on = run(Some(evalTab)).persist()
+    try {
+      val offTexts = off.select("doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      assert(offTexts.contains(31L) && offTexts(30L).contains("benchmark"),
+        "fixture: without the leg the leak must survive the pipeline")
+      val onTexts = on.select("doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      assert(!onTexts.contains(31L), "pure-leak doc must drop")
+      assert(onTexts(30L) == c30,
+        s"leaked span must be excised exactly: '${onTexts(30L)}'")
+      assert(onTexts.keySet == offTexts.keySet - 31L,
+        "the scrub leg must change nothing else about membership")
+      // enrichment columns are computed on the SCRUBBED text
+      val w = filter(TextAnalysis.tokens($"text"), t => t =!= "")
+      assert(on.where($"n_bpe_tokens" < size(w)).count() == 0)
+      assert(on.where($"quality_prob".isNull || $"log_weight".isNull)
+        .count() == 0)
+      // composed plan budget (same-session comparison, so AQE wrapping
+      // cancels): the STATIC view multiplies the scrub subtree across
+      // the pipeline's downstream consumers (dedup/split/gram branches
+      // each re-reference the scrubbed input — the same static-view
+      // duplication the F10 stage-0 leg and q_dedup_simhash's budget
+      // row document; production materializes a scrubbed corpus once
+      // when consumers would re-execute it, the versioned-input
+      // discipline). Ceiling pinned at today's count — a failure means
+      // the leg grew a NEW shuffle per consumer. Never a cartesian.
+      def planOf(scrub: Option[org.apache.spark.sql.DataFrame]) =
+        run(scrub).queryExecution.executedPlan.toString
+      def hashEx(p: String) = p.linesIterator
+        .filterNot(_.contains("ReusedExchange"))
+        .count(_.contains("Exchange hashpartitioning"))
+      val pOn = planOf(Some(evalTab))
+      assert(!pOn.contains("CartesianProduct"))
+      assert(hashEx(pOn) - hashEx(planOf(None)) <= 17,
+        s"scrub leg grew more than its static-view exchanges:\n$pOn")
+    } finally { off.unpersist(); on.unpersist() }
+  }
+
   test("sharded write is complete, disjoint, and deterministic") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe-shards").toString
     Curation.writeSharded(out, "doc_id", 16, dir)

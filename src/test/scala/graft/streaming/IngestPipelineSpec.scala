@@ -243,4 +243,108 @@ class IngestPipelineSpec extends SparkSpec {
     assert(Bm25Index.search(maintained, bq, "doc_id", "text", topK = 10)
       .isEmpty, "banner vocabulary must not reach the postings")
   }
+
+  test("composed ingest with the K37 eval-span scrub: leaked benchmark " +
+      "spans excised before the dedup/sink/index legs, pure-leak docs " +
+      "vanish, replay identity preserved (r15, VERDICT r14 item 5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-k37")
+    val dedupDir = s"$root/dedup"; val annDir = s"$root/ann"
+    val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    val bm25Dir = s"$root/bm25"; val evalDir = s"$root/eval"
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 17 + i * 3).toFloat)
+    val leak =
+      "the benchmark answer is forty two exactly as printed right here"
+    val c1 = "the quick brown fox jumps over the lazy dog and naps in the warm sun"
+    val c2 = "a completely different second seed document with many plain english words"
+    val c4 = "novel streaming document number four carries enough ordinary words to pass the gate"
+    val c6 = "batch two ships an unrelated report about harvest yields across the northern valley"
+
+    // the immutable eval table (the benchmark suite)
+    Seq((800L, leak)).toDF("doc_id", "text").write.parquet(evalDir)
+
+    // seed all three indexes with CLEAN content (batch_id 0 = seed)
+    DedupIndex.write(Seq((1L, c1), (2L, c2)).toDF("doc_id", "text"),
+      "doc_id", "text", dedupDir, numPerm = 64, bands = 16,
+      nBuckets = 64, nSigBuckets = 16, filesPerBucket = 1)
+    AnnIndex.write(Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding"),
+      annDir, dim = 8, nCells = 2, stride = 1, m = 2, ncodes = 2)
+    Bm25Index.write(Seq((1L, c1), (2L, c2)).toDF("doc_id", "text"),
+      "doc_id", "text", bm25Dir, nBuckets = 8)
+
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val gate: DataFrame => DataFrame =
+      df => df.where(TextAnalysis.gopherPass(col("text"),
+        minWords = 5L, minStop = 1L))
+    def startQ() = IngestPipeline.start(
+      input.toDF().toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", gate, dedupDir, annDir, outDir,
+      threshold = 0.8, checkpointDir = ckpt,
+      bm25IndexDir = Some(bm25Dir), evalScrubDir = Some(evalDir))
+
+    // batch 0: doc 3 = novel content with the leaked benchmark
+    // sentence appended — kept, sink must carry the EXCISED rebuild;
+    // doc 5 = the leak verbatim and nothing else — passes the gate,
+    // then vanishes at the scrub (pure contamination)
+    val q1 = startQ()
+    try {
+      input.addData((3L, s"$c4 $leak", vec(3)), (5L, leak, vec(5)))
+      q1.processAllAvailable()
+    } finally q1.stop() // the KILL
+    val sink0 = spark.read.parquet(outDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(sink0.keySet == Set(3L), s"batch 0 accounting: ${sink0.keySet}")
+    assert(sink0(3L) == c4, s"sink must carry the scrubbed text: " +
+      s"'${sink0(3L)}'")
+
+    // forge a crashed batch-1 sink partition: the replay must REPLACE
+    // it, proving the scrub is deterministic across the restart
+    Seq((999L, "forged partial row", vec(99)))
+      .toDF("doc_id", "text", "embedding")
+      .write.parquet(s"$outDir/batch_id=1")
+
+    // batch 1 after restart: doc 6 = novel content with the leak
+    // embedded — kept scrubbed; doc 7 = doc 3's SCRUBBED text plus the
+    // leak again — its post-scrub signature equals doc 3's appended
+    // clean signature, so it dedup-drops (proof the dedup index
+    // consumed scrubbed text)
+    val q2 = startQ()
+    try {
+      input.addData((6L, s"$c6 $leak", vec(6)), (7L, s"$leak $c4", vec(7)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val byBatch = spark.read.parquet(outDir)
+      .groupBy("batch_id").agg(collect_set("doc_id").as("ids"))
+      .collect()
+      .map(r => r.getAs[Number]("batch_id").longValue() ->
+        r.getSeq[Long](1).toSet).toMap
+    assert(byBatch == Map(0L -> Set(3L), 1L -> Set(6L)),
+      s"clean-sink accounting diverged: $byBatch")
+    val texts = spark.read.parquet(outDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(texts == Map(3L -> c4, 6L -> c6),
+      s"sink must hold exactly the scrubbed texts: $texts")
+
+    // the lexical leg consumed scrubbed text: the maintained index
+    // equals one built whole over the final SCRUBBED corpus, and a
+    // leak-vocabulary query matches nothing
+    val maintained = Bm25Index.open(spark, bm25Dir)
+    val whole = Bm25Index.write(
+      Seq((1L, c1), (2L, c2), (3L, c4), (6L, c6)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/bm25_whole", nBuckets = 8)
+    val qdocs = Seq(
+      (100L, "harvest report across the northern valley"),
+      (101L, "ordinary streaming document words")).toDF("doc_id", "text")
+    def sig(ix: Bm25Index.Index) =
+      Bm25Index.search(ix, qdocs, "doc_id", "text", topK = 10)
+        .collect().map(_.toString).sorted.toSeq
+    assert(sig(maintained).nonEmpty && sig(maintained) == sig(whole),
+      "maintained index must equal an index built whole over scrubbed text")
+    val lq = Seq((102L, "benchmark printed forty"))
+      .toDF("doc_id", "text")
+    assert(Bm25Index.search(maintained, lq, "doc_id", "text", topK = 10)
+      .isEmpty, "leaked benchmark vocabulary must not reach the postings")
+  }
 }
