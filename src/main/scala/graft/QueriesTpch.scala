@@ -238,6 +238,14 @@ object QueriesTpch {
       // median, identity-require()d (tools/CensusProbe); at 100 TB the
       // agg exchange carries 16 bytes instead of ~200 per surviving
       // fact row.
+      // FK PRECONDITION (r15 ADVICE, mirroring q_tpch15's isNotNull
+      // note): taking the top 20 BEFORE the customer join assumes
+      // customer's PK is complete over orders.o_custkey (TPC-H
+      // referential integrity). A top-20 o_custkey missing from
+      // customer would yield <20 rows and displace a qualifying
+      // customer, where the classic join-first form would have
+      // filtered that fact pre-aggregation. CensusProbe
+      // identity-require()s the two forms equal on this data.
       (s, d) => {
         val rev = Tables.lineitem(s, d)
           .where(col("l_returnflag") === "R")

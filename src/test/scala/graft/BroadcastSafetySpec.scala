@@ -35,20 +35,38 @@ class BroadcastSafetySpec extends SparkSpec {
     * q_tpch22's average balance), and a GlobalLimit bounds its subtree
     * at the literal limit (q_tpch10's top-20 reattach, r14) — neither
     * can OOM a broadcast no matter the sf.
+    *
+    * r15 (ADVICE): the bound must hold at the subtree ROOT, reached
+    * only through row-preserving unary nodes — the previous `b.exists`
+    * accepted a limit ANYWHERE in the subtree, so a future
+    * broadcast(join(limit(k), hugeTable)), where the join above the
+    * limit multiplies rows unboundedly, would have passed the gate.
     */
+  private def provablyBounded(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    p match {
+      case a: aggregate.BaseAggregateExec
+          if a.groupingExpressions.isEmpty => true
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      // row-preserving (never row-multiplying) unary pass-throughs
+      // only: a join/generate/expand between the bounding node and the
+      // exchange root voids the bound
+      case _: ProjectExec | _: FilterExec | _: SortExec | _: CoalesceExec |
+           _: LocalLimitExec | _: ColumnarToRowExec | _: InputAdapter |
+           _: WholeStageCodegenExec | _: ShuffleExchangeExec =>
+        provablyBounded(p.children.head)
+      case _ => false
+    }
+  }
+
   private def broadcastLeaves(name: String): Seq[(String, Seq[String])] = {
     val df = SparkEntry.queries(name)(noAutoBc, sfDir)
     val plan = df.queryExecution.executedPlan
     plan.collect {
       case b if b.nodeName.contains("BroadcastExchange") &&
-        !b.exists {
-          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
-            a.groupingExpressions.isEmpty
-          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
-            true // orderBy+limit plans as TakeOrdered, same bound
-          case _ => false
-        } =>
+        !b.children.headOption.exists(provablyBounded) =>
         name -> b.collectLeaves().map(_.toString)
     }
   }
