@@ -129,9 +129,16 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // the HONEST PAIR (r15, VERDICT r14 item 6): warm medians amortize
+    // the one-time memoized index/model builds; the first-rep total is
+    // the cold-session bound. Both totals ride the artifact so the
+    // cross-engine ratio can be stated both ways every round, instead
+    // of the memo asterisk living only in prose.
+    val totalFirst = firsts.collect {
+      case (_, v) if !v.isNaN => v }.sum
     val ts = java.time.Instant.now().toString
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"stat":"median","n_queries":${results.size},"n_errors":${errors.size},"cpus":"$cpus","load_start":"$loadStart","load_end":"$loadEnd","ts":"$ts","errors":$errs,"queries":$qs,"first_rep":$fs,"memo_build":$mb,"memo_hit":$mh,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_first_rep":$totalFirst%.3f,"reps":$reps,"stat":"median","n_queries":${results.size},"n_errors":${errors.size},"cpus":"$cpus","load_start":"$loadStart","load_end":"$loadEnd","ts":"$ts","errors":$errs,"queries":$qs,"first_rep":$fs,"memo_build":$mb,"memo_hit":$mh,"sf":"$sfDir"}"""
     // the full JSON also lands in a file, immune to stdout tail-clipping
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     scala.util.Try {
@@ -147,7 +154,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"stat":"median","queries":$slowest,"note":"slowest5_of_${results.size}_full_map_in_target/bench.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_first_rep":$totalFirst%.3f,"n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"stat":"median","queries":$slowest,"note":"slowest5_of_${results.size}_full_map_in_target/bench.json","sf":"$sfDir"}"""
     // summary, full line, summary again: the full per-query line stays
     // whole in the tail when it fits, and when it doesn't (clipped
     // mid-JSON at the window head) the trailing summary is still a
