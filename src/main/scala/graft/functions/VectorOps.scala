@@ -195,6 +195,26 @@ object VectorRuntime {
   }
 }
 
+/** r15 A/B switch (VERDICT r14 item 4): when -Dgraft.vec.split=true,
+  * DotProduct/L2Distance emit their loop as a SMALL PRIVATE METHOD of
+  * the generated class (ctx.addNewFunction) instead of inline in the
+  * fused join method. Rationale: the r12 inline emission made escape
+  * analysis local, but it ties the multiply-accumulate's compiled
+  * quality to the ENCLOSING method's compilation fate — a fused join
+  * method large enough to degrade C2's treatment leaves the loop at
+  * C1/interpreter quality for the whole launch (the surviving
+  * 1.98–3.28 s cross-launch spread, EMBED_BIMODAL_r14). With the loop
+  * in a ~70-bytecode same-class method, C2 compiles it on its own
+  * profile regardless of caller size, and a compiled caller inlines it
+  * back (far under FreqInlineSize) to exactly the r12 shape.
+  * Accumulation order is identical in every path — bit-identity
+  * pinned by SimilaritySpec. Flag-gated for the interleaved-launch
+  * A/B; the measured winner becomes the default (EMBED_BIMODAL_r15).
+  */
+private[functions] object VecCodegen {
+  def splitEnabled: Boolean = java.lang.Boolean.getBoolean("graft.vec.split")
+}
+
 /** dot_product(array<float|double>, array<float|double>) → double.
   * Both children must share the element type.
   */
@@ -251,31 +271,62 @@ case class DotProduct(left: Expression, right: Expression)
   // (bit-identical results; the interpreted path still uses them).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      val ua = ctx.freshName("ua")
-      val ub = ctx.freshName("ub")
       val U = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
-      s"""
-      if ($a.numElements() != $b.numElements()) {
-        ${ev.isNull} = true;
-      } else {
-        int $n = $a.numElements();
-        double $acc = 0.0;
-        if ($a instanceof $U && $b instanceof $U) {
-          $U $ua = ($U) $a;
-          $U $ub = ($U) $b;
-          for (int $i = 0; $i < $n; $i++) {
-            $acc += (double) $ua.$getter($i) * (double) $ub.$getter($i);
-          }
+      if (VecCodegen.splitEnabled) {
+        // split emission (r15 A/B — see VecCodegen): same loop, own
+        // small method of the generated class
+        val AD = "org.apache.spark.sql.catalyst.util.ArrayData"
+        val name = ctx.freshName("dotLoop")
+        val fn = ctx.addNewFunction(name,
+          s"""
+          private double $name($AD a, $AD b) {
+            int n = a.numElements();
+            double acc = 0.0;
+            if (a instanceof $U && b instanceof $U) {
+              $U ua = ($U) a;
+              $U ub = ($U) b;
+              for (int i = 0; i < n; i++) {
+                acc += (double) ua.$getter(i) * (double) ub.$getter(i);
+              }
+            } else {
+              for (int i = 0; i < n; i++) {
+                acc += (double) a.$getter(i) * (double) b.$getter(i);
+              }
+            }
+            return acc;
+          }""")
+        s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
         } else {
-          for (int $i = 0; $i < $n; $i++) {
-            $acc += (double) $a.$getter($i) * (double) $b.$getter($i);
+          ${ev.value} = $fn($a, $b);
+        }"""
+      } else {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val ua = ctx.freshName("ua")
+        val ub = ctx.freshName("ub")
+        s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          if ($a instanceof $U && $b instanceof $U) {
+            $U $ua = ($U) $a;
+            $U $ub = ($U) $b;
+            for (int $i = 0; $i < $n; $i++) {
+              $acc += (double) $ua.$getter($i) * (double) $ub.$getter($i);
+            }
+          } else {
+            for (int $i = 0; $i < $n; $i++) {
+              $acc += (double) $a.$getter($i) * (double) $b.$getter($i);
+            }
           }
-        }
-        ${ev.value} = $acc;
-      }"""
+          ${ev.value} = $acc;
+        }"""
+      }
     })
 
   override protected def withNewChildrenInternal(
@@ -321,34 +372,66 @@ case class L2Distance(left: Expression, right: Expression)
   // VectorRuntime.l2F/l2D, so results stay bit-identical
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      val d = ctx.freshName("d")
-      val ua = ctx.freshName("ua")
-      val ub = ctx.freshName("ub")
       val U = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
-      s"""
-      if ($a.numElements() != $b.numElements()) {
-        ${ev.isNull} = true;
-      } else {
-        int $n = $a.numElements();
-        double $acc = 0.0;
-        if ($a instanceof $U && $b instanceof $U) {
-          $U $ua = ($U) $a;
-          $U $ub = ($U) $b;
-          for (int $i = 0; $i < $n; $i++) {
-            double $d = (double) $ua.$getter($i) - (double) $ub.$getter($i);
-            $acc += $d * $d;
-          }
+      if (VecCodegen.splitEnabled) {
+        // split emission (r15 A/B — see VecCodegen)
+        val AD = "org.apache.spark.sql.catalyst.util.ArrayData"
+        val name = ctx.freshName("l2Loop")
+        val fn = ctx.addNewFunction(name,
+          s"""
+          private double $name($AD a, $AD b) {
+            int n = a.numElements();
+            double acc = 0.0;
+            if (a instanceof $U && b instanceof $U) {
+              $U ua = ($U) a;
+              $U ub = ($U) b;
+              for (int i = 0; i < n; i++) {
+                double d = (double) ua.$getter(i) - (double) ub.$getter(i);
+                acc += d * d;
+              }
+            } else {
+              for (int i = 0; i < n; i++) {
+                double d = (double) a.$getter(i) - (double) b.$getter(i);
+                acc += d * d;
+              }
+            }
+            return java.lang.Math.sqrt(acc);
+          }""")
+        s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
         } else {
-          for (int $i = 0; $i < $n; $i++) {
-            double $d = (double) $a.$getter($i) - (double) $b.$getter($i);
-            $acc += $d * $d;
+          ${ev.value} = $fn($a, $b);
+        }"""
+      } else {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        val ua = ctx.freshName("ua")
+        val ub = ctx.freshName("ub")
+        s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          if ($a instanceof $U && $b instanceof $U) {
+            $U $ua = ($U) $a;
+            $U $ub = ($U) $b;
+            for (int $i = 0; $i < $n; $i++) {
+              double $d = (double) $ua.$getter($i) - (double) $ub.$getter($i);
+              $acc += $d * $d;
+            }
+          } else {
+            for (int $i = 0; $i < $n; $i++) {
+              double $d = (double) $a.$getter($i) - (double) $b.$getter($i);
+              $acc += $d * $d;
+            }
           }
-        }
-        ${ev.value} = java.lang.Math.sqrt($acc);
-      }"""
+          ${ev.value} = java.lang.Math.sqrt($acc);
+        }"""
+      }
     })
 
   override protected def withNewChildrenInternal(
