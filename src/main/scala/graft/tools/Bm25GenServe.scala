@@ -192,6 +192,45 @@ object Bm25GenServe {
       df.count()
       time(df.count())
     }
+    // r15 per-bucket compaction leg (VERDICT r14 item 2): fold the
+    // slice deltas in bucket GROUPS (compactDeltas bucketsPerJob) —
+    // the one-job fold's ~50 GB transient is this box's hard bound;
+    // per-group staging bounds it at ~groups/nBuckets of that. A
+    // monitor thread samples free disk through the fold (the flat-disk
+    // proof the sliced build carried). Then the serving legs re-run on
+    // the compacted index: search is single-relation row-local again
+    // and the maxDfShare probe pays one sidecar read instead of
+    // 1 + slices delta legs (the r14 elision negative's named cause).
+    val compactGroups = if (args.length > 8) args(8).toInt else 0
+    var minFreeGb = Double.MaxValue
+    val compacted = if (compactGroups <= 0) None else {
+      val mon = new Thread(() => {
+        try while (true) {
+          minFreeGb = math.min(minFreeGb, freeGb); Thread.sleep(2000)
+        } catch { case _: InterruptedException => }
+      })
+      mon.setDaemon(true); mon.start()
+      val fd0 = freeGb
+      val t = System.nanoTime()
+      val c = Bm25Index.compactDeltas(index, filesPerBucket = fpb,
+        bucketsPerJob = compactGroups)
+      val wall = (System.nanoTime() - t) / 1e9
+      mon.interrupt()
+      println(f"[bm25genserve] compacted in $wall%.1f s, free_disk_gb " +
+        f"$fd0%.1f -> $freeGb%.1f (min $minFreeGb%.1f)")
+      Some((c, wall))
+    }
+    val warmCompacted = compacted.map { case (c, _) =>
+      time(Bm25Index.search(c, queries, "doc_id", "text",
+        topK = 20).count())
+    }
+    val warmCompactedElided = (compacted, dfShare) match {
+      case (Some((c, _)), Some(sh)) =>
+        Some(time(Bm25Index.search(c, queries, "doc_id", "text",
+          topK = 20, maxDfShare = Some(sh)).count()))
+      case _ => None
+    }
+
     // IO-free recompute: one rep is enough to bound the contrast at
     // the big decades; it re-generates + re-tokenizes the corpus
     val recompute = time(TextAnalysis.bm25Retrieve(
@@ -203,8 +242,13 @@ object Bm25GenServe {
         f""""max_df_share":$sh,"warm_elided_med":${med(we)}%.3f,"resident_elided_med":${residentElided.map(med).getOrElse(-1.0)}%.3f,"""
       case _ => ""
     }
+    val compactJson = compacted match {
+      case Some((_, wall)) =>
+        f""""compact_groups":$compactGroups,"compact_wall":$wall%.3f,"compact_min_free_gb":$minFreeGb%.1f,"warm_compacted_med":${warmCompacted.map(med).getOrElse(-1.0)}%.3f,"warm_compacted_elided_med":${warmCompactedElided.map(med).getOrElse(-1.0)}%.3f,"""
+      case None => ""
+    }
     val ts = java.time.Instant.now().toString
-    println(f"""{"metric":"bm25_gen_serve","n_docs":$n,"words_per_doc":$wpd,"vocab":$vocab,"build_wall":$buildWall%.3f,"index_gb":${idxBytes / 1e9}%.2f,"cold":$coldWall%.3f,"warm_med":${med(warm)}%.3f,"recompute_med":${med(recompute)}%.3f,"speedup_vs_recompute":${med(recompute) / med(warm)}%.1f,"warm_resident_med":${med(warmResident)}%.3f,"n_cold_rows":$nCold,"page_cache_dropped":$dropped,"files_read":${readFiles.size},"files_total":$totalFiles,"n_buckets":$nBuckets,"files_per_bucket":$fpb,"reps":$reps,"shuffle_partitions":"$shuf","cpus":"$cpus","driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$elidedJson"utc":"$ts"}""")
+    println(f"""{"metric":"bm25_gen_serve","n_docs":$n,"words_per_doc":$wpd,"vocab":$vocab,"build_wall":$buildWall%.3f,"index_gb":${idxBytes / 1e9}%.2f,"cold":$coldWall%.3f,"warm_med":${med(warm)}%.3f,"recompute_med":${med(recompute)}%.3f,"speedup_vs_recompute":${med(recompute) / med(warm)}%.1f,"warm_resident_med":${med(warmResident)}%.3f,"n_cold_rows":$nCold,"page_cache_dropped":$dropped,"files_read":${readFiles.size},"files_total":$totalFiles,"n_buckets":$nBuckets,"files_per_bucket":$fpb,"reps":$reps,"shuffle_partitions":"$shuf","cpus":"$cpus","driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",$elidedJson$compactJson"utc":"$ts"}""")
     spark.stop()
   }
 }

@@ -27,6 +27,20 @@ import graft.operators.{Dedup, DedupIndex}
   *                 encoded in DedupIndex.autoSize(storeDocs, ...).
   *   t_screen    — the full screen (the smoke's timed unit)
   *
+  * Round 15 (VERDICT r14 item 1) adds the BAND-side legs — the r14
+  * 15M smoke had auto (nB 4096, the unchanged r10 band rule) losing
+  * 14.2 vs 5.8 s with the sig read ≤ 0.34 s in every config, under
+  * loadavg 17–30, reversing at 5M; these legs localize that residue
+  * on a quiet box before anyone touches the band rule:
+  *
+  *   t_bands_plan — PLAN time of the bucket-pruned band read
+  *   t_bands_read — EXECUTION of the pruned band read, with
+  *                  rows_bands_read and n_band_files (input_file_name
+  *                  distinct — the file-open cost axis)
+  *   t_cand       — the store-candidate join (pruned bands ⋈ batch
+  *                  band keys on (band, bh)), the screen's band-side
+  *                  consumer
+  *
   * Usage: DedupServeProbe <sfDir> [mult] [reps] [nB1:nS1,nB2:nS2,...]
   */
 object DedupServeProbe {
@@ -101,9 +115,44 @@ object DedupServeProbe {
         val t = nowS; prunedSigs.queryExecution.executedPlan; nowS - t
       })
       val nRead = prunedSigs.count()
+      val nSigFiles = prunedSigs.select(input_file_name()).distinct().count()
       val tRead = med((1 to reps).map { _ =>
         val t = nowS; prunedSigs.count(); nowS - t
       })
+      // leg D (r15): the band side — batch band keys (screenBatch's nb)
+      // against the bucket-pruned band store, then the candidate join
+      import graft.functions.{exprs, LshBandKeys}
+      val batchSigs = Dedup.minhashSignature(batch, "doc_id", "text",
+          index.numPerm)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nbKeys = batchSigs.select(col("doc_id"),
+          posexplode(exprs.toColumn(
+            LshBandKeys(exprs.toExpr(col("sig")), index.bands)))
+            .as(Seq("band", "bh")))
+        .withColumn("bucket",
+          pmod(xxhash64(col("band"), col("bh")), lit(nB.toLong))
+            .cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val buckets = nbKeys.select("bucket").distinct()
+        .collect().map(_.getLong(0)).sorted
+      def prunedBands = index.bandRows
+        .where(col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*))
+      val tBandsPlan = med((1 to reps).map { _ =>
+        val t = nowS; prunedBands.queryExecution.executedPlan; nowS - t
+      })
+      val nBandRows = prunedBands.count()
+      val nBandFiles = prunedBands.select(input_file_name())
+        .distinct().count()
+      val tBandsRead = med((1 to reps).map { _ =>
+        val t = nowS; prunedBands.count(); nowS - t
+      })
+      def storeCand = nbKeys.as("n").join(prunedBands.as("o"),
+        col("n.band") === col("o.band") && col("n.bh") === col("o.bh") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      val tCand = med((1 to reps).map { _ =>
+        val t = nowS; storeCand.count(); nowS - t
+      })
+      batchSigs.unpersist(); nbKeys.unpersist()
       // leg C: the full screen (the smoke's timed unit)
       val tScreen = med((1 to reps).map { _ =>
         val t = nowS
@@ -115,7 +164,7 @@ object DedupServeProbe {
         new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/loadavg"))).trim
           .split(" ").take(3).mkString(",")).getOrElse("")
-      println(f"""{"metric":"dedup_serve_probe","mult":$mult,"n_buckets":$nB,"n_sig_buckets":$nS,"build_wall":$buildWall%.3f,"n_matched":${matchedIds.length},"n_sbuckets":${sbuckets.length},"rows_pruned_read":$nRead,"t_newsigs":$tSigs%.3f,"t_sigs_plan":$tPlan%.3f,"t_sigs_read":$tRead%.3f,"t_screen":$tScreen%.3f,"reps":$reps,"loadavg":"$loadavg"}""")
+      println(f"""{"metric":"dedup_serve_probe","mult":$mult,"n_buckets":$nB,"n_sig_buckets":$nS,"build_wall":$buildWall%.3f,"n_matched":${matchedIds.length},"n_sbuckets":${sbuckets.length},"rows_pruned_read":$nRead,"n_sig_files":$nSigFiles,"t_newsigs":$tSigs%.3f,"t_sigs_plan":$tPlan%.3f,"t_sigs_read":$tRead%.3f,"n_bkt_hit":${buckets.length},"rows_bands_read":$nBandRows,"n_band_files":$nBandFiles,"t_bands_plan":$tBandsPlan%.3f,"t_bands_read":$tBandsRead%.3f,"t_cand":$tCand%.3f,"t_screen":$tScreen%.3f,"reps":$reps,"loadavg":"$loadavg"}""")
     }
     spark.stop()
   }
