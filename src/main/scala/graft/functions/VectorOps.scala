@@ -208,8 +208,16 @@ object VectorRuntime {
   * profile regardless of caller size, and a compiled caller inlines it
   * back (far under FreqInlineSize) to exactly the r12 shape.
   * Accumulation order is identical in every path — bit-identity
-  * pinned by SimilaritySpec. Flag-gated for the interleaved-launch
-  * A/B; the measured winner becomes the default (EMBED_BIMODAL_r15).
+  * pinned by SimilaritySpec.
+  *
+  * MEASURED NEGATIVE (EMBED_BIMODAL_r15): the split emission lost all
+  * 5 interleaved paired launches (median-of-medians 3.39 vs 2.79 s,
+  * floor 3.36 vs 2.43) and AMPLIFIED the bad-launch tail — behind a
+  * call boundary the caller-allocated UnsafeArrayData wrappers only
+  * scalar-replace if C2 inlines the callee into the caller, so
+  * exactly the degraded launches this lever hoped to rescue pay
+  * escaping-wrapper allocation instead. Inline emission (default)
+  * stands as the optimum; the flag remains as the reproducible A/B.
   */
 private[functions] object VecCodegen {
   def splitEnabled: Boolean = java.lang.Boolean.getBoolean("graft.vec.split")
