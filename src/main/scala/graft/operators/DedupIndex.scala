@@ -324,6 +324,18 @@ object DedupIndex {
     * overwrite its own partitions (exactly-once under the foreachBatch
     * contract). Single-writer per batchId, like every maintenance op
     * here.
+    *
+    * KNOWN SEAM (r15, documented residual): a CONCURRENT reader
+    * (e.g. a GraftServer-fronted screen racing the ingest) that plans
+    * mid-append can list SOME of this batch's band partitions before
+    * its sig partitions land — the screen's own pipeline is immune
+    * (serial foreachBatch + the beforeBatch horizon), but a
+    * cross-process reader is not. Bm25Index closed the identical seam
+    * in r15 with ledger-gated batch visibility (the done-row commit as
+    * the atomic publish, see Bm25Index.visibleBatches); porting that
+    * pattern here is the named fix if concurrent dedup serving
+    * becomes a deployment shape. Until then: readers between batches
+    * (the watchIndexes GEN contract) see only complete appends.
     */
   def appendBatch(index: Index, sigs: DataFrame, batchId: Long): Unit = {
     require(batchId >= 1, s"batchId must be >= 1 (0 is the build): $batchId")
