@@ -1232,13 +1232,18 @@ object Curation {
       val bstats = bucketed.groupBy("bucket").agg(
         sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct"),
         sum(when(!col("is_target"), lit(1L)).otherwise(lit(0L))).as("cr"))
-      // corpus gram totals per side: narrow pass, no explode
-      val totals = docs
-        .select(targetPred.as("is_target"),
-          when(size(t) >= 2, (size(t) - 1).cast(LongType))
-            .otherwise(lit(0L)).as("n"))
-        .agg(sum(when(col("is_target"), col("n")).otherwise(lit(0L))).as("tt"),
-          sum(when(!col("is_target"), col("n")).otherwise(lit(0L))).as("tr"))
+      // corpus gram totals per side: every gram instance lands in
+      // exactly one bucket, so the side totals are bstats' column sums
+      // — a 4096-row aggregate. (r15, guide §1.2 "don't compute things
+      // twice": this was a THIRD full tokenize pass over the corpus
+      // computing numbers the bucket histogram already contains; the
+      // two bstats consumers share one exchange via ReuseExchange, so
+      // the corpus is now scanned twice — once for the histogram, once
+      // for scoring — instead of three times. Identity: ct/cr count
+      // gram instances per bucket per side with the same null-
+      // predicate-to-otherwise branch the old pass used, so
+      // sum(ct)=tt, sum(cr)=tr exactly.)
+      val totals = bstats.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
       val lr = round(
         log((col("ct") + a) / (col("tt") + ab)) -
           log((col("cr") + a) / (col("tr") + ab)), 6)

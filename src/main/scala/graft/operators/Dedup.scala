@@ -646,10 +646,26 @@ object Dedup {
       docs.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"maxIdGap needs a numeric id column; $idCol is " +
         s"${docs.schema(idCol).dataType.simpleString}")
+    // r15 counting filter (guide §1.2 — cheap screen before the
+    // expensive kernel): a 64-bucket character histogram per doc, L1
+    // per pair. L1 > 2·maxDist proves dist > maxDist (one edit moves
+    // the histogram by at most 2; bucketing/saturation only shrink
+    // L1), so the banded DP — O(len·maxDist) per pair — runs only on
+    // pairs whose character mix is already edit-close. Same surviving
+    // pairs, same dist values; the screen is ~64 byte ops vs ~len·21
+    // DP cells, and two random same-length-band texts fail it with
+    // high probability.
+    val hist = {
+      import graft.functions.{exprs, CharHist64}
+      exprs.toColumn(CharHist64(exprs.toExpr(col("t"))))
+    }
     val blocked = docs.select(col(idCol), col(textCol).as("t"),
       floor(col(lenCol) / blockWidth).as("blk"))
-    val a = blocked.select(col(idCol).as("id_a"), col("t").as("text_a"), col("blk"))
-    val b = blocked.select(col(idCol).as("id_b"), col("t").as("text_b"), col("blk"))
+      .withColumn("hst", hist)
+    val a = blocked.select(col(idCol).as("id_a"), col("t").as("text_a"),
+      col("blk"), col("hst").as("h_a"))
+    val b = blocked.select(col(idCol).as("id_b"), col("t").as("text_b"),
+      col("blk"), col("hst").as("h_b"))
     // maxIdGap > 0 bounds candidates to id-adjacent pairs — the
     // ingestion-window screen for replica-heavy corpora: pair LISTING
     // is inherently quadratic in copy multiplicity (a family of n
@@ -662,8 +678,13 @@ object Dedup {
     // Levenshtein DP only ever runs on gap-surviving pairs.
     val gapOk = if (maxIdGap > 0) col("id_b") - col("id_a") <= maxIdGap
                 else lit(true)
+    val histOk = {
+      import graft.functions.{exprs, HistL1}
+      exprs.toColumn(HistL1(exprs.toExpr(col("h_a")), exprs.toExpr(col("h_b")))) <=
+        2 * maxDist
+    }
     editDistanceVerify(
-      a.join(b, Seq("blk")).where(col("id_a") < col("id_b") && gapOk),
+      a.join(b, Seq("blk")).where(col("id_a") < col("id_b") && gapOk && histOk),
       maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }

@@ -73,7 +73,16 @@ object Similarity {
     */
   private[operators] def rankTopK(pairs: DataFrame, k: Int, desc: Boolean,
                                   scoreName: String): DataFrame = {
-    val pick = udaf(new graft.functions.BoundedTopK(k, desc))
+    // r15: native TypedImperativeAggregate (primitive arrays, direct
+    // InternalRow reads) instead of the udaf(BoundedTopK) Aggregator,
+    // whose per-row encoder round-trip + Vector append measured as 60%
+    // of q_mmr_rerank's brute-force ranking at sf3 (OptProbe r15).
+    // Ordering, tiebreaks and output schema are byte-identical
+    // (SkewSpec/SimilaritySpec pin them).
+    import graft.functions.exprs
+    def pick(s: Column, i: Column): Column = exprs.toColumn(
+      graft.functions.TopKAgg(exprs.toExpr(s), exprs.toExpr(i), k, desc)
+        .toAggregateExpression())
     pairs.where(col(scoreName).isNotNull && col("nid").isNotNull)
       .groupBy("qid").agg(pick(col(scoreName), col("nid")).as("_hits"))
       .select(col("qid"), posexplode(col("_hits")).as(Seq("_pos", "_h")))
@@ -851,7 +860,7 @@ object Similarity {
     // the single-table miss rate quadratically for ~2x the bucketing
     // cost (still one shuffle per probe table, each bucket-local).
     val fanned = fanOut(corpus).withColumn("nrm", norm(col("embedding")))
-    val candidate = if (planes <= 0) {
+    if (planes <= 0) {
       // exhaustive verify mode (planes=0): every unordered pair scored
       // once — O(n²) by construction, for ground-truth runs and the
       // exact-oracle gate on bounded corpora (the role ivfTopK's
@@ -860,24 +869,39 @@ object Similarity {
       // `probes` times over and pays a wide dedup shuffle; when the
       // intent is "all pairs", say so and pay one partition-pair pass.
       // Production near-dup stays at planes >= 4.
-      fanned.as("a").join(fanned.as("x"), col("a.vec_id") < col("x.vec_id"))
+      // r15 (guide §1/§2): the threshold test rides INSIDE the join
+      // condition, AFTER the id test, and the surviving pairs project
+      // the recomputed cosine directly. The previous shape left the
+      // threshold as a post-join filter, which Catalyst pushed into
+      // the BNLJ condition as the FIRST conjunct — the 64-dim dot ran
+      // for every ordered pair, including the half the cheap id
+      // compare rejects. Cheap-conjunct-first halves the pass
+      // (OptProbe r15: 27.9 → 13.3 s at sf3; rows identical — same
+      // conjunction, reordered). Survivors re-evaluate the dot once
+      // more in the projection (and the round), a vanishing cost at
+      // near-dup selectivity.
+      val cosAX = dot(col("a.embedding"), col("x.embedding")) /
+        (col("a.nrm") * col("x.nrm"))
+      fanned.as("a").join(fanned.as("x"),
+          col("a.vec_id") < col("x.vec_id") && cosAX >= threshold)
         .select(col("a.vec_id").as("id_a"), col("x.vec_id").as("id_b"),
-          col("a.embedding").as("e_a"), col("x.embedding").as("e_b"),
-          col("a.nrm").as("n_a"), col("x.nrm").as("n_b"))
-    } else (0 until probes).map { s =>
-      val b = fanned.withColumn("bucket",
-        hyperplaneBucket(col("embedding"), dim, planes, s))
-      b.as("a").join(b.as("x"),
-          col("a.bucket") === col("x.bucket") && col("a.vec_id") < col("x.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("x.vec_id").as("id_b"),
-          col("a.embedding").as("e_a"), col("x.embedding").as("e_b"),
-          col("a.nrm").as("n_a"), col("x.nrm").as("n_b"))
-    }.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
-    candidate
-      .withColumn("cos",
-        dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
-      .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+          round(cosAX, 6).as("cos"))
+    } else {
+      val candidate = (0 until probes).map { s =>
+        val b = fanned.withColumn("bucket",
+          hyperplaneBucket(col("embedding"), dim, planes, s))
+        b.as("a").join(b.as("x"),
+            col("a.bucket") === col("x.bucket") && col("a.vec_id") < col("x.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("x.vec_id").as("id_b"),
+            col("a.embedding").as("e_a"), col("x.embedding").as("e_b"),
+            col("a.nrm").as("n_a"), col("x.nrm").as("n_b"))
+      }.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
+      candidate
+        .withColumn("cos",
+          dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+        .where(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    }
   }
 
   /** Reciprocal-rank fusion (G10): combine N retriever rankings

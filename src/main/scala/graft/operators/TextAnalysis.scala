@@ -425,21 +425,25 @@ object TextAnalysis {
     // a bigram with a SEEN head but novel continuation must take c1
     // from a HEAD table (p = k/(c1+k·V)), not coalesce c1 to 0 — the
     // (w1,w2)-only join understated nll for docs mixing seen heads
-    // with new continuations. Only the pairs that MISS the (w1,w2)
-    // join re-shuffle on w1 (in-distribution docs send a small
-    // fraction through the head join, not the whole relation).
-    val heads = st.groupBy("w1").agg(max(col("c1")).as("c1"))
-    val scored0 = bigramPairs(docs, idCol, textCol)
-      .join(st.select("w1", "w2", "c12", "c1"), Seq("w1", "w2"), "left")
-    val seenCols = Seq("doc_id", "w1", "w2", "c12", "c1").map(col)
-    val seen = scored0.where(col("c12").isNotNull).select(seenCols: _*)
-    val unseen = scored0.where(col("c12").isNull).drop("c1")
+    // with new continuations.
+    // r15 (guide §1.2): ONE scoring pass. The previous seen/unseen
+    // union recomputed the corpus tokenize+explode+probe for each
+    // branch (two full passes of the expensive half). Joining the
+    // vocab-bounded head table unconditionally costs one extra
+    // broadcast probe per bigram and drops the second pass. Identity:
+    // for a SEEN pair the head join returns the same c1 the pair join
+    // carried (both are the head total), so taking c1 from the head
+    // side everywhere — and c12 = 0 where the pair join missed — is
+    // row-for-row what the union produced (the final aggregate is
+    // count + an order-independent DECIMAL sum, so branch order never
+    // mattered).
+    val heads = st.groupBy("w1").agg(max(col("c1")).as("c1h"))
+    bigramPairs(docs, idCol, textCol)
+      .join(st.select("w1", "w2", "c12"), Seq("w1", "w2"), "left")
       .join(heads, Seq("w1"), "left")
-      .withColumn("c12", lit(0L))
-      .select(seenCols: _*)
-    seen.unionByName(unseen)
       .crossJoin(vScalar)
-      .withColumn("c1", coalesce(col("c1"), lit(0L)))
+      .withColumn("c12", coalesce(col("c12"), lit(0L)))
+      .withColumn("c1", coalesce(col("c1h"), lit(0L)))
       .withColumn("nll",
         round(-log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))), 6)
           .cast(DecimalType(28, 6)))

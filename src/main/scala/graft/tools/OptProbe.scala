@@ -69,6 +69,26 @@ object OptProbe {
     legs("mmr_full") = () => noop(
       Similarity.mmrRerank(emb, q37, k = 3, n = 8, lambda = 0.5))
 
+    // executed-plan reuse check: does ReuseExchange collapse the
+    // dual-consumer subtrees at runtime? (initial-plan dumps cannot
+    // show AQE-time reuse)
+    legs("peek_reuse") = () => {
+      val docs = graft.Tables.documents(spark, sfDir)
+      Seq(
+        "source_overlap" -> graft.operators.Curation
+          .sourceOverlap(docs, "source", "text", n = 3),
+        "dsir_weights" -> graft.operators.Curation.dsirWeights(docs,
+          "doc_id", "text", col("lang") === "en", buckets = 4096,
+          exactHash = true)
+      ).foreach { case (name, df) =>
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString()
+        val reused = p.linesIterator.count(_.contains("ReusedExchange"))
+        val scans = p.linesIterator.count(_.contains("Scan parquet"))
+        println(s"[optprobe] peek $name: ReusedExchange=$reused scans=$scans")
+      }
+    }
+
     // ---- run ------------------------------------------------------
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Array[Double]]
     for (r <- 0 until reps; (name, fn) <- legs if which(name)) {

@@ -354,7 +354,7 @@ class SkewSpec extends SparkSpec {
     def assertNoWindow(df: org.apache.spark.sql.DataFrame, what: String) = {
       val plan = df.queryExecution.executedPlan.toString()
       assert(!plan.contains("Window"), s"$what must not window:\n$plan")
-      assert(plan.toLowerCase.contains("boundedtopk"),
+      assert(plan.toLowerCase.replace("_", "").contains("boundedtopk"),
         s"expected the bounded aggregate in the $what plan:\n$plan")
     }
 
@@ -434,7 +434,7 @@ class SkewSpec extends SparkSpec {
     def assertNoWindow(df: org.apache.spark.sql.DataFrame, what: String) = {
       val plan = df.queryExecution.executedPlan.toString()
       assert(!plan.contains("Window"), s"$what must not window:\n$plan")
-      assert(plan.toLowerCase.contains("boundedtopk"),
+      assert(plan.toLowerCase.replace("_", "").contains("boundedtopk"),
         s"expected the bounded aggregate in the $what plan:\n$plan")
     }
     def windowRank(scored: org.apache.spark.sql.DataFrame, scoreCol: String,
