@@ -72,6 +72,68 @@ object DsirRuntime {
       i += 1
     }
   }
+
+  // ---- exact-md5 mode (r15): the oracle-mirrored hash ----
+  // bucket = conv(substring(md5(concat_ws(' ', w1, w2)), 1, 4), 16, 10)
+  //          % buckets
+  // i.e. the first 16 bits of the md5 of the space-joined bigram. The
+  // digest is streamed over the two tokens' UTF-8 bytes plus the
+  // joiner (digest(a ++ b) == update(a); update(b)), so no per-gram
+  // String/concat allocation. concat_ws semantics for null tokens
+  // (skip the null AND its joiner) are mirrored, though split() never
+  // produces null tokens in practice.
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val SPACE = " ".getBytes("UTF-8")
+
+  /** First 16 bits of md5(concat_ws(" ", a, b)) mod buckets. */
+  private def md5Bucket(a: UTF8String, b: UTF8String, buckets: Int): Int = {
+    val md = md5Local.get()
+    md.reset()
+    if (a != null) {
+      md.update(a.getBytes)
+      if (b != null) md.update(SPACE)
+    }
+    if (b != null) md.update(b.getBytes)
+    val d = md.digest()
+    (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % buckets
+  }
+
+  /** [[score]] under the exact-md5 bucket hash. Bigrams walk every
+    * adjacent pair (including null-token pairs, mirroring the exploded
+    * form, where concat_ws just skips nulls).
+    */
+  def scoreMd5(arr: ArrayData, lr: Array[Long], buckets: Int): Long = {
+    val n = arr.numElements()
+    if (n < 2) return 0L
+    var acc = 0L
+    var i = 1
+    while (i < n) {
+      val a = if (arr.isNullAt(i - 1)) null else arr.getUTF8String(i - 1)
+      val b = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      acc += lr(md5Bucket(a, b, buckets))
+      i += 1
+    }
+    acc
+  }
+
+  /** [[addToHistogram]] under the exact-md5 bucket hash. */
+  def addToHistogramMd5(hist: Array[Long], arr: ArrayData,
+                        isTarget: Boolean, buckets: Int): Unit = {
+    val n = arr.numElements()
+    if (n < 2) return
+    val off = if (isTarget) 0 else buckets
+    var i = 1
+    while (i < n) {
+      val a = if (arr.isNullAt(i - 1)) null else arr.getUTF8String(i - 1)
+      val b = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      hist(off + md5Bucket(a, b, buckets)) += 1L
+      i += 1
+    }
+  }
 }
 
 /** dsir_score(array<string>) → bigint: Σ over word bigrams of the
@@ -79,7 +141,8 @@ object DsirRuntime {
   * (≤ `buckets` entries) and rides into codegen as a reference
   * object, so scoring is a map-only projection.
   */
-case class DsirScore(child: Expression, lrScaled: Seq[Long], buckets: Int)
+case class DsirScore(child: Expression, lrScaled: Seq[Long], buckets: Int,
+                     md5Mode: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -92,13 +155,16 @@ case class DsirScore(child: Expression, lrScaled: Seq[Long], buckets: Int)
 
   @transient private lazy val tab: Array[Long] = lrScaled.toArray
 
+  private def fn: String = if (md5Mode) "scoreMd5" else "score"
+
   override protected def nullSafeEval(a: Any): Any =
-    DsirRuntime.score(a.asInstanceOf[ArrayData], tab, buckets)
+    if (md5Mode) DsirRuntime.scoreMd5(a.asInstanceOf[ArrayData], tab, buckets)
+    else DsirRuntime.score(a.asInstanceOf[ArrayData], tab, buckets)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val t = ctx.addReferenceObj("dsirLr", tab, "long[]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.DsirRuntime.score($a, $t, $buckets);")
+      s"${ev.value} = graft.functions.DsirRuntime.$fn($a, $t, $buckets);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): DsirScore =
@@ -116,6 +182,7 @@ case class DsirScore(child: Expression, lrScaled: Seq[Long], buckets: Int)
   * 1.5M docs.
   */
 case class DsirHistAgg(tokens: Expression, isTarget: Expression, buckets: Int,
+                       md5Mode: Boolean = false,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
@@ -141,8 +208,12 @@ case class DsirHistAgg(tokens: Expression, isTarget: Expression, buckets: Int,
     val arr = tokens.eval(input)
     if (arr != null) {
       val tgt = isTarget.eval(input)
-      DsirRuntime.addToHistogram(buffer, arr.asInstanceOf[ArrayData],
-        tgt != null && tgt.asInstanceOf[Boolean], buckets)
+      if (md5Mode)
+        DsirRuntime.addToHistogramMd5(buffer, arr.asInstanceOf[ArrayData],
+          tgt != null && tgt.asInstanceOf[Boolean], buckets)
+      else
+        DsirRuntime.addToHistogram(buffer, arr.asInstanceOf[ArrayData],
+          tgt != null && tgt.asInstanceOf[Boolean], buckets)
     }
     buffer
   }

@@ -1218,47 +1218,57 @@ object Curation {
     // mirrors digit-for-digit; both are deterministic everywhere, they
     // just draw different (equally uniform) bucket assignments.
     if (exactHash) {
+      // r15 (guide §1.2, measured): the exact-md5 path now runs the
+      // SAME two-narrow-scans shape as the fast path — the kernels
+      // gained an md5Mode that hashes each bigram exactly as the SQL
+      // form conv(substring(md5(concat_ws(' ', w1, w2)), 1, 4), 16,
+      // 10) % buckets. The previous shape exploded the corpus into an
+      // O(corpus tokens) bucket stream whose three consumers (bucket
+      // histogram, side totals, scoring join) did NOT share work at
+      // runtime (OptProbe r15 peek: ReusedExchange=0, six corpus scans
+      // in the executed plan) — the md5-per-gram pass ran three times.
+      // Now: one bounded histogram aggregate (O(tasks) buffers on the
+      // wire) + one map-only scoring projection; no explode, no joins,
+      // no doc-keyed shuffle. Scaled-long scoring == the DECIMAL(28,6)
+      // sum digit-for-digit (micro-unit integers, |sum| << 2^53 — the
+      // fast path's established argument), and the lr table is built
+      // by the SAME Spark expressions over the collected histogram
+      // (the centroid-sanctioned bounded collect), so round/Decimal
+      // semantics are unchanged. Oracle-gated (q_dsir_weights).
+      val spark = docs.sparkSession
+      import graft.functions.{exprs, DsirHistAgg, DsirScore}
       val base = docs
         .select(col(idCol).as("doc_id"), targetPred.as("is_target"), t.as("t"))
         .where(size(col("t")) >= 2)
-      val bucketed = base.select(col("doc_id"), col("is_target"),
-        explode(transform(sequence(lit(0), size(col("t")) - 2),
-          i => (conv(substring(md5(concat_ws(" ",
-            element_at(col("t"), i + 1), element_at(col("t"), i + 2))),
-            1, 4), 16, 10).cast(LongType) % buckets))).as("bucket"))
-      // Per-bucket side counts as a BOUNDED aggregate: map-side combine
-      // collapses each task to ≤ `buckets` rows before the shuffle, so
-      // the exchange carries O(buckets·tasks), never the gram stream.
-      val bstats = bucketed.groupBy("bucket").agg(
-        sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct"),
-        sum(when(!col("is_target"), lit(1L)).otherwise(lit(0L))).as("cr"))
-      // corpus gram totals per side: every gram instance lands in
-      // exactly one bucket, so the side totals are bstats' column sums
-      // — a 4096-row aggregate. (r15, guide §1.2 "don't compute things
-      // twice": this was a THIRD full tokenize pass over the corpus
-      // computing numbers the bucket histogram already contains; the
-      // two bstats consumers share one exchange via ReuseExchange, so
-      // the corpus is now scanned twice — once for the histogram, once
-      // for scoring — instead of three times. Identity: ct/cr count
-      // gram instances per bucket per side with the same null-
-      // predicate-to-otherwise branch the old pass used, so
-      // sum(ct)=tt, sum(cr)=tr exactly.)
-      val totals = bstats.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-      val lr = round(
-        log((col("ct") + a) / (col("tt") + ab)) -
-          log((col("cr") + a) / (col("tr") + ab)), 6)
+      val hist = base.where(col("is_target").isNotNull)
+        .agg(exprs.toColumn(
+          DsirHistAgg(exprs.toExpr(col("t")), exprs.toExpr(col("is_target")),
+            buckets, md5Mode = true).toAggregateExpression()).as("h"))
+        .head().getSeq[Long](0)
+      val tt = hist.view.slice(0, buckets).sum
+      val tr = hist.view.slice(buckets, 2 * buckets).sum
+      import scala.jdk.CollectionConverters._
+      val statsDf = spark.createDataFrame(
+        (0 until buckets).map(b => org.apache.spark.sql.Row(
+          b.toLong, hist(b), hist(buckets + b))).asJava,
+        StructType(Seq(StructField("bucket", LongType, nullable = false),
+          StructField("ct", LongType, nullable = false),
+          StructField("cr", LongType, nullable = false))))
+      val lrExpr = round(
+        log((col("ct") + a) / (lit(tt) + ab)) -
+          log((col("cr") + a) / (lit(tr) + ab)), 6)
         .cast(DecimalType(28, 6))
-      // Bounded (bucket, lr) table broadcasts into a SECOND pass over
-      // the gram stream, which aggregates straight to per-doc rows.
-      // Each gram instance contributes lr(bucket) once, so the exact-
-      // DECIMAL sum equals the Σ c_db·lr_b formulation bit-for-bit.
-      val lrTab = bstats.join(broadcast(totals)).select(col("bucket"),
-        lr.as("lr"))
-      return bucketed.join(broadcast(lrTab), "bucket")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("sw"))
-        .select(col("doc_id"), col("n_grams"),
-          round(col("sw").cast(DoubleType), 6).as("log_weight"))
+      val lrScaled = new Array[Long](buckets)
+      statsDf.select(col("bucket"), lrExpr.as("lr")).collect().foreach { r =>
+        lrScaled(r.getLong(0).toInt) =
+          r.getDecimal(1).movePointRight(6).longValueExact()
+      }
+      val sw = exprs.toColumn(
+        DsirScore(exprs.toExpr(col("t")), lrScaled.toSeq, buckets,
+          md5Mode = true))
+      return base.select(col("doc_id"),
+        (size(col("t")) - 1).cast(LongType).as("n_grams"),
+        round(sw.cast(DoubleType) / lit(1000000L), 6).as("log_weight"))
     }
     val spark = docs.sparkSession
     // a null target predicate row is SCORED but counted into NEITHER

@@ -69,6 +69,22 @@ object OptProbe {
     legs("mmr_full") = () => noop(
       Similarity.mmrRerank(emb, q37, k = 3, n = 8, lambda = 0.5))
 
+    // source_overlap decomposition: the gram→collect_set(source)
+    // aggregate alone vs the full operator (pair expansion + per-source
+    // denominators). If full ≈ bysrc the dual consumption is collapsed
+    // (or cheap); if ~2× the second consumer re-runs the shingle pass.
+    legs("so_bysrc") = () => {
+      val docs = graft.Tables.documents(spark, sfDir)
+      noop(docs.select(col("source"),
+          explode(graft.operators.Dedup.shingles(col("text"), 3)).as("gram"))
+        .groupBy("gram").agg(collect_set(col("source")).as("srcs")))
+    }
+    legs("so_full") = () => noop(graft.operators.Curation.sourceOverlap(
+      graft.Tables.documents(spark, sfDir), "source", "text", n = 3))
+    legs("dsir_full") = () => noop(graft.operators.Curation.dsirWeights(
+      graft.Tables.documents(spark, sfDir), "doc_id", "text",
+      col("lang") === "en", buckets = 4096, exactHash = true))
+
     // executed-plan reuse check: does ReuseExchange collapse the
     // dual-consumer subtrees at runtime? (initial-plan dumps cannot
     // show AQE-time reuse)
