@@ -709,13 +709,19 @@ object QueriesRelational {
         FROM part ORDER BY p_partkey""")),
 
     // ----------------------------------------- J2 salted join (oracle)
-    // salting is semantics-preserving, so the oracle is the plain join
+    // salting is semantics-preserving, so the oracle is the plain join.
+    // r16 (guide §2.5): hotCap engages the two-path split — only keys
+    // with >= 64k rows get the ×salts dim replication; l_orderkey tops
+    // out at 7 lines per order, so the demo pays one narrow key-count
+    // pass instead of replicating the whole orders side 8× (the r15
+    // unconditional form's dominant cost). SkewSpec pins two-path ==
+    // plain-join on a genuinely hot fixture.
     QueryDef("q_salted_join",
       (s, d) => {
         val orders = Tables.orders(s, d)
           .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
         graft.operators.Skew.saltedJoin(Tables.lineitem(s, d), orders,
-            "l_orderkey", salts = 8)
+            "l_orderkey", salts = 8, hotCap = 1L << 16)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
           .orderBy("o_orderstatus")

@@ -440,35 +440,34 @@ object QueriesTpch {
     // shape (one supplier late, no other supplier late).
     QueryDef("q_tpch21",
       (s, d) => {
-        // single lineitem scan + single fact shuffle: repartition by
-        // l_orderkey once, and BOTH aggregates (per-(order,supplier)
-        // ship-date max; per-order max) plan on top of the same
-        // exchange — ReuseExchange collapses the second branch, and
-        // HashPartitioning(l_orderkey) satisfies the (l_orderkey,
-        // l_suppkey) grouping, the per-order grouping, AND the join,
-        // so everything downstream of the one shuffle is co-located.
-        // Measured vs the previous window form (r8 gap study, sf3
-        // warm medians): 2.6 s vs 3.6 s — the window's partition-sort
-        // was the cost, not the logic. Supplier scales with sf → no
-        // forced broadcast.
+        // single lineitem scan + single fact shuffle, STRAIGHT-LINE
+        // (r16): repartition by l_orderkey once, then three CHAINED
+        // aggregates — per-(order,supplier) ship-date max, per-(order,
+        // ship-date) supplier count/min, and a per-order max_by that
+        // picks the latest date's (count, min supplier) while summing
+        // nsupp — all satisfied by HashPartitioning(l_orderkey), so
+        // there is no second branch at all. The r15 executed plan
+        // showed the intended ReuseExchange between the perSupp and
+        // per-order branches NOT firing (2 lineitem scans + 2 fact
+        // exchanges + an order-cardinality broadcast/SMJ of the
+        // max-of-maxes side); a self-join-free form needs none of it.
+        // nlast = suppliers whose max ship date equals the order max
+        // ⇔ the latest byDate group's supplier count; sole_supp = that
+        // group's min supplier (supp_mx is a group key → max_by sees
+        // no ordering ties, so the pick is deterministic).
         val base = Tables.lineitem(s, d)
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .repartition(col("l_orderkey"))
         val perSupp = base.groupBy("l_orderkey", "l_suppkey")
           .agg(max(col("l_shipdate")).as("supp_mx"))
-        // max-of-maxes FROM perSupp (not from base): keeps the two
-        // branches' scan+exchange subtrees canonically identical, so
-        // ReuseExchange collapses them — one lineitem scan, one fact
-        // shuffle (a perOrder straight off `base` prunes l_suppkey
-        // out of its branch and the differing ReadSchema defeats reuse)
-        val perOrder = perSupp.groupBy("l_orderkey")
-          .agg(max(col("supp_mx")).as("mx"))
-        val lastShippers = perSupp.join(perOrder, "l_orderkey")
-          .groupBy("l_orderkey")
-          .agg(count(lit(1)).as("nsupp"),
-            count(when(col("supp_mx") === col("mx"), 1)).as("nlast"),
-            min(when(col("supp_mx") === col("mx"), col("l_suppkey"))).as("sole_supp"))
-          .where(col("nsupp") >= 2 && col("nlast") === 1)
+        val byDate = perSupp.groupBy("l_orderkey", "supp_mx")
+          .agg(count(lit(1)).as("c"), min(col("l_suppkey")).as("ms"))
+        val lastShippers = byDate.groupBy("l_orderkey")
+          .agg(sum(col("c")).as("nsupp"),
+            max_by(struct(col("c").as("nlast"), col("ms").as("sole")),
+              col("supp_mx")).as("top"))
+          .where(col("nsupp") >= 2 && col("top.nlast") === 1)
+          .select(col("l_orderkey"), col("top.sole").as("sole_supp"))
         lastShippers
           .join(Tables.supplier(s, d), col("sole_supp") === col("s_suppkey"))
           .groupBy("s_name")

@@ -520,17 +520,33 @@ object Curation {
     * double at the end) so the score is bit-identical cross-engine.
     */
   def topBigramShare(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // r16 (guide §2.4, remove shuffles outright): the signal is
+    // strictly per-document — max bigram multiplicity over total
+    // bigram count — so it never needed the exploded (doc, gram)
+    // relation and its two corpus-scale exchanges (the r15 shape).
+    // Sort the row's own bigram array and take the longest equal run:
+    // identical integers (multiset of bigrams is unchanged), ONE
+    // map-only pass, zero shuffles at any corpus size.
     val t = TextAnalysis.tokens(col(textCol))
-    val bigrams = docs.select(col(idCol).as("doc_id"), t.as("t"))
+    docs.select(col(idCol).as("doc_id"), t.as("t"))
       .where(size(col("t")) >= 2)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("t")) - 2),
+        array_sort(transform(sequence(lit(0), size(col("t")) - 2),
           i => concat_ws(" ", element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)))).as("gram"))
-    bigrams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg((max("c").cast(DoubleType) / sum("c").cast(DoubleType))
-        .as("top_bigram_share"))
+            element_at(col("t"), i + 2)))).as("g"))
+      .select(col("doc_id"),
+        // run-length fold: (prev gram, current run, best run); null
+        // prev starts every array, <=> keeps the compare null-safe
+        (aggregate(col("g"),
+          struct(lit(null).cast(StringType).as("prev"),
+            lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x <=> acc("prev"), acc("run") + lit(1L))
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc("best"), run).as("best"))
+          })("best").cast(DoubleType) /
+          size(col("g")).cast(DoubleType)).as("top_bigram_share"))
   }
 
   /** Highest-TF-IDF term per document. IDF is the exact rational
@@ -565,11 +581,17 @@ object Curation {
       .join(broadcast(nDocs))
       .withColumn("tfidf",
         (col("tf") * col("n_docs")).cast(DoubleType) / col("df").cast(DoubleType))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("tfidf").desc, col("term").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("doc_id", "term", "tfidf")
+    // r16: the per-doc argmax is ONE hash aggregate, not a row_number
+    // window — the window form paid a full sort of the (doc, term)
+    // relation on (doc_id, tfidf, term) just to keep rank 1. min_by
+    // over the lexicographic (−tfidf, term) key picks the same row
+    // (highest tfidf, term-asc tiebreak; negate is an exact IEEE sign
+    // flip, and tfidf is never NaN — tf·N/df over positive integers).
+    scored.groupBy("doc_id")
+      .agg(min_by(struct(col("term"), col("tfidf")),
+        struct(negate(col("tfidf")), col("term"))).as("best"))
+      .select(col("doc_id"), col("best.term").as("term"),
+        col("best.tfidf").as("tfidf"))
   }
 
   /** Sequence packing: assign docs to fixed token-budget packs by
@@ -724,34 +746,47 @@ object Curation {
     * re-crawl/subset of src_a" and the source-level twin of
     * [[dupNgramFraction]]'s per-document signal.
     *
-    * Scale shape: the corpus is shingled ONCE into a gram-keyed
-    * `collect_set(source)` (collect_set dedups, so Catalyst folds the
-    * distinct into the partial aggregate — one shuffle whose rows are
-    * (gram, ≤n_sources array)). Both outputs derive from that
-    * relation: the pair matrix expands ordered pairs from the bounded
-    * array (no gram-keyed self-join, never all-pairs over docs) and
-    * the per-source denominators re-explode the same sets (a gram
-    * counts once per member source ⇔ distinct-gram count). The two
-    * consumers share the shingle exchange via ReuseExchange. Counts
-    * are exact integers → the ratio is a bit-identical cross-engine
-    * double.
+    * Scale shape (r16, guide §2.3/§2.4): the corpus is shingled ONCE
+    * into a gram-keyed `collect_set(source)` (collect_set dedups, so
+    * Catalyst folds the distinct into the partial aggregate — one
+    * shuffle whose rows are (gram, ≤n_sources array)), and that
+    * relation immediately collapses into a SOURCE-SET HISTOGRAM:
+    * `groupBy(sorted srcs).count()`, at most 2^n_sources rows (and
+    * partial aggregation shrinks it to that bound per map task before
+    * the exchange). Everything downstream — ordered-pair expansion AND
+    * the per-source denominators — runs over the tiny histogram, so
+    * the gram-scale relation has exactly ONE consumer and is never
+    * re-shingled (the r15 plan showed the dual consumers re-running
+    * the corpus scan when ReuseExchange declined to unify the two
+    * differently-pruned subtrees). n_grams(a) rides beside each pair
+    * row via a src_a-partitioned window over the ≤ n_sources² expanded
+    * rows (bounded by construction). Counts are exact integers → the
+    * ratio is a bit-identical cross-engine double.
     */
   def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
                     n: Int = 3): DataFrame = {
     val bySrc = docs.select(col(sourceCol).as("source"),
         explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .groupBy("gram").agg(collect_set(col("source")).as("srcs"))
-    val per = bySrc.select(explode(col("srcs")).as("src_a"))
-      .groupBy("src_a").agg(count(lit(1)).as("n_grams"))
-    bySrc
-      .where(size(col("srcs")) > 1)
-      .select(explode(col("srcs")).as("src_a"), col("srcs"))
-      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .groupBy("gram")
+      // sort_array canonicalizes the set (collect_set order is
+      // partition-dependent) so equal source sets histogram together
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val hist = bySrc.groupBy("srcs").agg(count(lit(1)).as("cnt"))
+    // ordered pairs INCLUDING the (a, a) diagonal: the diagonal row's
+    // sum is exactly n_grams(a) (every gram of a counts once), so one
+    // expansion feeds both outputs and no second gram-scale pass exists
+    val expanded = hist
+      .select(explode(col("srcs")).as("src_a"), col("srcs"), col("cnt"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"), col("cnt"))
+      .groupBy("src_a", "src_b").agg(sum(col("cnt")).as("c"))
+    val w = Window.partitionBy("src_a")
+    expanded
+      .withColumn("n_grams",
+        max(when(col("src_a") === col("src_b"), col("c"))).over(w))
       .where(col("src_a") =!= col("src_b"))
-      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(per), "src_a") // n_sources rows — always tiny
-      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_grams"),
-        (col("n_shared").cast(DoubleType) / col("n_grams").cast(DoubleType))
+      .select(col("src_a"), col("src_b"), col("c").as("n_shared"),
+        col("n_grams"),
+        (col("c").cast(DoubleType) / col("n_grams").cast(DoubleType))
           .as("containment"))
   }
 

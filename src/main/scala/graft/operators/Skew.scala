@@ -18,8 +18,34 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** `hotCap > 0` (r16, guide §2.5 "salt only demonstrably hot keys"):
+    * two-path split. One map-side-combined pass counts rows per key on
+    * the large side; keys with >= hotCap rows (capped at maxHot,
+    * biggest first — beyond that salting stops being a targeted fix)
+    * are joined salted, everything else takes the PLAIN sort-merge
+    * join with no replication at all. With no hot keys the salted leg
+    * is empty and the whole ×salts dim replication — the dominant cost
+    * of the unconditional form — never happens. Semantics identical:
+    * the two legs partition the large side by key membership, and both
+    * compute the same inner join.
+    */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-                 salts: Int = 16, shuffleHash: Boolean = false): DataFrame = {
+                 salts: Int = 16, shuffleHash: Boolean = false,
+                 hotCap: Long = 0, maxHot: Int = 1 << 20): DataFrame = {
+    if (hotCap > 0) {
+      val hot = large.groupBy(col(key)).agg(count(lit(1)).as("_cnt"))
+        .where(col("_cnt") >= hotCap)
+        .orderBy(col("_cnt").desc, col(key)).limit(maxHot)
+        .select(col(key))
+      val hotLeg = saltedJoin(
+        large.join(broadcast(hot), Seq(key), "left_semi"),
+        small.join(broadcast(hot), Seq(key), "left_semi"),
+        key, salts, shuffleHash)
+      val coldSmall = small.hint(if (shuffleHash) "shuffle_hash" else "merge")
+      val coldLeg = large.join(broadcast(hot), Seq(key), "left_anti")
+        .join(coldSmall, Seq(key))
+      return coldLeg.unionByName(hotLeg)
+    }
     val salted = large.withColumn("_salt",
       (rand(seed = 42) * salts).cast("int"))
     // Join strategy (r9 sf3 lesson): the earlier unconditional

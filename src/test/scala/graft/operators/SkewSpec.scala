@@ -19,6 +19,27 @@ class SkewSpec extends SparkSpec {
     assert(plain.count(_.head == 1L) == 101)
   }
 
+  test("saltedJoin hotCap two-path: hot keys salted, cold keys plain, " +
+    "identical rows to the plain join") {
+    // key 1 is genuinely hot (101 rows >= hotCap 50), keys 2/3 are cold
+    val large = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = large.join(small, "k").select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val twoPath = Skew.saltedJoin(large, small, "k", salts = 8, hotCap = 50)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(twoPath == plain)
+    // cap excludes everything → degenerates to exactly the plain join
+    val noHot = Skew.saltedJoin(large, small, "k", salts = 8, hotCap = 1000)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(noHot == plain)
+    // cap of 1 makes every key hot → still identical (pure salted path)
+    val allHot = Skew.saltedJoin(large, small, "k", salts = 8, hotCap = 1)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(allHot == plain)
+  }
+
   test("AQE splits a skewed sort-merge join partition (OptimizeSkewedJoin fires)") {
     // SURVEY §4 claims AQE handles fact-fact skew at runtime; this
     // proves it on a deliberately skewed key, with thresholds scaled
