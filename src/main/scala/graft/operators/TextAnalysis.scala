@@ -344,14 +344,13 @@ object TextAnalysis {
   def bigramNextTokens(df: DataFrame, textCol: String, k: Int = 3,
                        minHeadCount: Long = 20L): DataFrame = {
     require(k > 0 && minHeadCount >= 0, s"bad k=$k / minHeadCount=$minHeadCount")
-    val t = tokens(col(textCol))
-    val pairs = df
-      .select(zip_with(
-        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
-        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-        (a, b) => struct(a.as("w1"), b.as("w2"))).as("ps"))
-      .select(explode(col("ps")).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // r16: native BigramPairs generator — the zip_with(slice, slice) →
+    // struct → explode chain was ~90% of q_bigram_lm at sf3 (OptProbeR16
+    // blm_pairs 5.08 s vs blm_tokens 0.63 s); same (w1, w2) rows
+    val pairs = df.select(graft.functions.exprs.toColumn(
+      graft.functions.BigramPairs(
+        graft.functions.exprs.toExpr(tokens(col(textCol)))))
+      .as(Seq("w1", "w2")))
     val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
     val byHead = Window.partitionBy("w1")
     counts
@@ -386,17 +385,14 @@ object TextAnalysis {
     * partition on 'the' cannot be split).
     */
   private def bigramPairs(docs: DataFrame, idCol: String,
-                          textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    docs
-      .select(col(idCol).as("doc_id"),
-        zip_with(
-          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
-          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-          (a, b) => struct(a.as("w1"), b.as("w2"))).as("ps"))
-      .select(col("doc_id"), explode(col("ps")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-  }
+                          textCol: String): DataFrame =
+    // r16: native BigramPairs generator (see bigramNextTokens) — the
+    // HOF chain it replaces dominated BOTH halves of
+    // q_bigram_perplexity (stats build AND scoring pass, OptProbeR16)
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.exprs.toColumn(graft.functions.BigramPairs(
+        graft.functions.exprs.toExpr(tokens(col(textCol)))))
+        .as(Seq("w1", "w2")))
 
   /** The trained LM half of [[bigramDocScore]]: one (w1, w2, c12, c1,
     * v) relation — vocab²-bounded, so the per-head window runs over

@@ -49,6 +49,74 @@ object OptProbeR16 {
     legs("hy_full") = () => noop(
       Similarity.rrfFuse(Seq(cosLeg, lexLeg), k = 60, topK = 10))
 
+    // ---- q_bigram_lm decomposition ---------------------------------
+    def tok = org.apache.spark.sql.functions.split(
+      trim(lower(col("text"))), "\\s+")
+    legs("blm_tokens") = () => noop(docs.select(tok.as("t")))
+    legs("blm_pairs") = () => {
+      val t = tok
+      noop(docs.select(zip_with(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2"))).as("ps"))
+        .select(explode(col("ps")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2")))
+    }
+    legs("blm_counts") = () => {
+      val t = tok
+      noop(docs.select(zip_with(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2"))).as("ps"))
+        .select(explode(col("ps")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt")))
+    }
+    legs("blm_full") = () => noop(TextAnalysis.bigramNextTokens(
+      docs, "text", k = 3, minHeadCount = 20L))
+
+    // ---- q_surprisal decomposition ----------------------------------
+    legs("sur_dt") = () => noop(docs
+      .select(col("doc_id"), explode(tok).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf_dt")))
+    legs("sur_full") = () => noop(TextAnalysis.unigramSurprisal(
+      docs, "doc_id", "text"))
+
+    // ---- q_bigram_perplexity: score pass alone (stats pre-built) ----
+    legs("bpx_stats") = () => noop(TextAnalysis.bigramStats(
+      docs, "doc_id", "text"))
+    legs("bpx_score") = () => {
+      val st = TextAnalysis.bigramStats(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      st.count()
+      val t0 = System.nanoTime()
+      noop(TextAnalysis.bigramDocScore(docs, "doc_id", "text",
+        stats = Some(st)))
+      println(f"[r16probe]   bpx_score-inner ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      st.unpersist()
+    }
+
+    // ---- q_dedup_simhash decomposition ------------------------------
+    legs("sh_sigs") = () => noop(graft.operators.Dedup.simhash(
+      docs, "doc_id", "text"))
+    legs("sh_found") = () => noop(graft.operators.Dedup.simhashNearDupsFromSigs(
+      graft.operators.Dedup.simhash(docs, "doc_id", "text"), maxHamming = 3))
+
+    // ---- q_media_neardup decomposition ------------------------------
+    legs("mn_sigs") = () => {
+      import graft.operators.Multimodal
+      val base = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      noop(base.select(col("doc_id"),
+        array_sort(array_distinct(Multimodal.byteWindowHashes(
+          col("blob"), 64, 32))).as("hs")))
+    }
+    legs("mn_pairs") = () => {
+      import graft.operators.Multimodal
+      val base = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      noop(Multimodal.mediaNearDups(base, "doc_id", "blob",
+        threshold = 0.5, verifyB = 0))
+    }
+
     // ---- executed-plan scan/reuse census over the slow set ---------
     legs("peek") = () => {
       Seq("q_tpch21", "q_source_overlap", "q_surprisal", "q_tfidf_top",

@@ -166,6 +166,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getString(2) == "/a/b")
   }
 
+  test("BigramPairs generator: row-identical to the zip_with/slice/explode form") {
+    // fuzz: random token arrays incl. the edge shapes the generator
+    // special-cases (empty text -> [''] single token, 1-token, long,
+    // repeated tokens)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "d", "e")
+    val texts = Seq("", "solo", "x y") ++ (0 until 50).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val t = TextAnalysis.tokens(col("text"))
+    val legacy = docs
+      .select(col("doc_id"), zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))).as("ps"))
+      .select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val native = docs
+      .select(col("doc_id"), graft.functions.exprs.toColumn(
+        graft.functions.BigramPairs(
+          graft.functions.exprs.toExpr(t))).as(Seq("w1", "w2")))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(native == legacy)
+  }
+
   test("bigramNextTokens ranks continuations with exact conditional probabilities") {
     // heads: "a" -> b,b,c (cnt_w1=3); "b" -> a (via "b a"), ...
     val docs = Seq("a b a b", "a c b a").toDF("text")
