@@ -226,24 +226,34 @@ object Dedup {
     */
   def simhashNearDupsFromSigs(sigs: DataFrame,
                               maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
-    val banded = sigs.select(col("doc_id"),
+    // r16 (guide §2.4): the signature RIDES the bucket rows, so pair
+    // expansion emits (id, simhash) for both sides directly and the
+    // hamming verify is a pure map — the r15 shape re-attached
+    // signatures with TWO id-keyed shuffled joins (each recomputing
+    // the corpus sig projection). Bucket rows carry one extra long;
+    // sort_array on struct(doc_id, simhash) orders by the unique
+    // doc_id, so pair order is unchanged.
+    val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bits").as("bits"))
-    val cands = banded.groupBy("band", "bits")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
-    val h = sigs.select(col("doc_id"), col("simhash"))
-    cands
-      .join(h.withColumnRenamed("doc_id", "id_a").withColumnRenamed("simhash", "sh_a"), "id_a")
-      .join(h.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "sh_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val sorted = sort_array(col("entries"))
+    val pairs = flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + 2, greatest(size(sorted) - i - 1, lit(0))),
+        y => struct(x.getField("doc_id").as("id_a"),
+          x.getField("simhash").as("sh_a"),
+          y.getField("doc_id").as("id_b"),
+          y.getField("simhash").as("sh_b")))))
+    banded.groupBy("band", "bits")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("entries"))
+      .where(size(col("entries")).between(2, maxBucket))
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
   }
 

@@ -714,36 +714,39 @@ object TextAnalysis {
                    idCol: String, textCol: String,
                    k1: Double = 1.2, b: Double = 0.75,
                    topK: Int = 20): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val qt = tokenStream(queries, idCol, textCol)
       .select(col("doc_id").as("qid"), col("term")).distinct()
-    // the query term bag is bounded by contract (what a user types /
-    // the handful of example docs): collect it once so df comes from
-    // the bounded-key statsAndDf aggregate, never a term-partitioned
-    // window (r9 hot-head fix — one common query term used to put the
-    // whole corpus in a single window partition)
-    val bag = qt.select("term").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val (nDocs, sumDl, dfs) = statsAndDf(corpus, textCol, bag)
-    val dfTab = bag.map(t => (t, dfs.getOrElse(t, 0L))).toDF("term", "df")
-    // example-doc bags can hold hundreds of terms, so tf comes from the
-    // exploded stream rather than per-row array counting: dl attaches
-    // map-side BEFORE the explode, the broadcast df join doubles as the
-    // bag filter, and the aggregation key CONTAINS doc_id — no term,
-    // however common, can concentrate a partition
-    val rel = corpus
+    // r16 (guide §1.2/§2.3): fully lazy, and the second corpus
+    // tokenize pass is gone. The old shape ran statsAndDf — a whole
+    // extra tokenize + array_intersect + explode + driver collect —
+    // just to learn (n_docs, sum_dl, df). Now: the corpus scalars come
+    // from an explode-free length pass (one row, broadcast via
+    // crossJoin); the bag filter is a broadcast SEMI join against qt's
+    // distinct terms (map-side, bounded by contract — never a
+    // term-partitioned window, the r9 hot-head fix stands); and df is
+    // re-derived from the matched (doc, term) relation itself, where
+    // its rows are already distinct per doc. Aggregation keys still
+    // CONTAIN doc_id, so no term can concentrate a partition.
+    val scalars = corpus
+      .select(size(filteredTokens(col(textCol))).cast(LongType).as("dl"))
+      .where(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+    val matched = corpus
       .select(col(idCol).as("doc_id"),
         filteredTokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
         explode(col("toks")).as("term"))
-      .join(broadcast(dfTab), "term")
-      .groupBy(col("doc_id"), col("dl"), col("term"), col("df"))
+      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val scored = rel.join(broadcast(qt), "term")
+    // df = docs containing the term = matched rows per term (the
+    // (doc, term) key is distinct post-agg) — a bag-bounded aggregate
+    val dfTab = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = matched.join(broadcast(dfTab), "term")
+      .join(broadcast(qt), "term")
       .where(col("doc_id") =!= col("qid"))
-      .withColumn("n_docs", lit(nDocs))
-      .withColumn("sum_dl", lit(sumDl))
+      .crossJoin(broadcast(scalars))
       .withColumn("s", bm25TermScore(k1, b))
       .groupBy(col("qid"), col("doc_id").as("nid"))
       .agg(sum(col("s")).cast(DoubleType).as("bm25"))

@@ -117,6 +117,23 @@ object OptProbeR16 {
         threshold = 0.5, verifyB = 0))
     }
 
+    // ---- ObjectHashAggregate fallback probe: TopKAgg groups (qids)
+    // exceed the 128-key default, so partial aggregation degenerates
+    // to an external SORT of the full pair stream ------------------
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    legs("mmr_topk_fb128") = () => {
+      spark.conf.set(fbKey, "128")
+      noop(Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") % 37 === 0), k = 8, roundCosTo = 6))
+      spark.conf.unset(fbKey)
+    }
+    legs("mmr_topk_fb1m") = () => {
+      spark.conf.set(fbKey, (1 << 20).toString)
+      noop(Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") % 37 === 0), k = 8, roundCosTo = 6))
+      spark.conf.unset(fbKey)
+    }
+
     // ---- executed-plan scan/reuse census over the slow set ---------
     legs("peek") = () => {
       Seq("q_tpch21", "q_source_overlap", "q_surprisal", "q_tfidf_top",

@@ -49,7 +49,11 @@ class PlanBudgetSpec extends SparkSpec {
     // (dl/tf inside each row's token array, df/scalars as literals from
     // the eager bounded statsAndDf pass) + ONE agg shuffle + TakeOrdered
     "q_dup_ngrams" -> (2, 1, 1), // window-over-gram: ONE corpus scan
-    "q_source_overlap" -> (3, 1, 1), // ONE shingle pass, reused exchange
+    "q_source_overlap" -> (4, 1, 1), // r16: ONE shingle pass collapsing
+    // into the source-set histogram; the extra hash exchanges beyond
+    // the gram agg (histogram, pair expansion, n_grams window) all
+    // carry <= 2^n_sources (or n_sources^2) rows — the r15 form's 3
+    // exchanges included a SECOND corpus-scale shingle pass instead
     "q_shard_plan" -> (1, 1, 1), // pure map + one agg
     "q_source_drift" -> (5, 1, 1), // ONE tokenize pass feeds all aggs
     "q_dedup_simhash" -> (6, 1, 6), // static view: 6 signature consumers;
