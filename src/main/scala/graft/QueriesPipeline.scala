@@ -690,10 +690,17 @@ object QueriesPipeline {
         val docs = Tables.documents(s, d)
         val filtered = docs
           .where(round(TextAnalysis.qualityScore(col("text")), 6) >= 0.5)
-        val keep = filtered
-          .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
-          .select("doc_id")
-        filtered.join(keep, "doc_id")
+        // r16 (guide §2.4): keep the min-doc_id row's payload IN the
+        // dedup aggregate — min(struct) is lexicographic and doc_id
+        // (unique) leads, so it selects exactly the row the old
+        // keep-then-self-join picked, without the second corpus scan
+        // that re-ran the quality kernel and the doc_id-keyed join
+        val kept = filtered
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(struct(col("doc_id"), col("lang"), col("n_chars"))).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+            col("r.n_chars").as("n_chars"))
+        kept
           .where(Curation.sampleKey(col("doc_id")) < "80")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))

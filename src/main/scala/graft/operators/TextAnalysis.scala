@@ -223,7 +223,12 @@ object TextAnalysis {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf_dt"))
     val tf = dt.groupBy("term").agg(sum(col("tf_dt")).as("tf"))
     val total = tf.agg(sum(col("tf")).as("n_total"))
-    dt.join(tf, "term").join(broadcast(total))
+    // r16 (guide §3.1): shuffled-hash hint on the vocab-bounded tf
+    // side — the sort-merge default paid a full sort of the corpus
+    // (doc, term) relation on term; the hash build side is one
+    // partition's slice of the vocab table, which spills-safe at any
+    // scale, and the exchange stays AQE-skew-splittable
+    dt.join(tf.hint("shuffle_hash"), "term").join(broadcast(total))
       .withColumn("c",
         round(col("tf_dt").cast(DoubleType)
           * -log(col("tf").cast(DoubleType) / col("n_total").cast(DoubleType)),
