@@ -40,7 +40,12 @@ object QueriesFormats {
         // value (tasks × values small files — the classic partitioned-
         // write mistake at scale; at 100 TB add a bucketing secondary
         // key to cap per-task volume)
+        // r16 (guide §2.3, project before the exchange/sink): the demo
+        // dataset only ever serves the pruned read below, so writing
+        // the other six order columns was pure write amplification the
+        // optimizer cannot remove through a sink
         Tables.orders(s, d)
+          .select("o_orderstatus", "o_orderpriority", "o_totalprice")
           .repartition(col("o_orderstatus"))
           .write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
         s.read.parquet(dir)

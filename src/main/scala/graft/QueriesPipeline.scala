@@ -923,10 +923,16 @@ object QueriesPipeline {
         // 16-byte truncation (Jaccard 0 — a false red on correct code
         // at small scales); both engines apply the identical floor so
         // n_sources stays mirrored at every sf
+        // r16: persist the 20-row source set — it feeds trunc,
+        // appended, the two pair probes AND the n_sources scalar, and
+        // without materialization each consumer re-ran the full-corpus
+        // TakeOrdered subtree (5 of the executed plan's corpus scans;
+        // same bounded-persist discipline as mediaNearDups' sigs)
         val src = base
           .where(expr("octet_length(blob)") >= 512)
           .orderBy(expr("octet_length(blob)").desc, col("doc_id"))
           .limit(20)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val trunc = src.select((col("doc_id") + 1000000).as("doc_id"),
           expr("substring(blob, 1, octet_length(blob) - 16)").as("blob"))
         val appended = src.select((col("doc_id") + 2000000).as("doc_id"),

@@ -735,12 +735,19 @@ object QueriesRelational {
     // relationally that's EXCEPT/INTERSECT)
     QueryDef("q_set_ops",
       (s, d) => {
-        val f = Tables.orders(s, d).where(col("o_orderstatus") === "F")
-          .select(col("o_custkey").as("k"))
-        val o = Tables.orders(s, d).where(col("o_orderstatus") === "O")
-          .select(col("o_custkey").as("k"))
-        f.except(o).withColumn("tag", lit("f_only"))
-          .unionAll(f.intersect(o).withColumn("tag", lit("both")))
+        // r16 (guide §2.4): EXCEPT and INTERSECT over the same two
+        // filtered key sets are one membership aggregate — one orders
+        // scan and one map-side-combined exchange instead of two scans
+        // per branch and two distinct-join shuffles. A distinct F-key
+        // is 'both' iff it also appears under O, else 'f_only' —
+        // exactly the union of f.except(o) and f.intersect(o).
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("k"))
+          .agg(max(when(col("o_orderstatus") === "F", 1)).as("in_f"),
+            max(when(col("o_orderstatus") === "O", 1)).as("in_o"))
+          .where(col("in_f") === 1)
+          .select(col("k"),
+            when(col("in_o") === 1, "both").otherwise("f_only").as("tag"))
           .orderBy("tag", "k")
       },
       Some("""SELECT k, 'f_only' AS tag FROM (
