@@ -483,20 +483,26 @@ object Dedup {
     // over Window.partitionBy("h") — a navigation chunk repeated in
     // every document put the whole corpus's copies into one
     // unsplittable window partition (the H12/K15 hot-head shape).
-    // Now the winner per hash is a map-side-combined
+    // The winner per hash is a map-side-combined
     // min(struct(doc_id, chunk_idx)) aggregate (same total order as
-    // the old orderBy), and survivors are a semi join on the UNIQUE
-    // (doc_id, chunk_idx) key — skew-impossible. The only remaining
-    // window partitions by doc_id, bounded by chunks-per-document.
-    val wDoc = Window.partitionBy("doc_id")
-    val hashed = ch
-      .withColumn("n_chunks", count(lit(1)).over(wDoc))
-      .withColumn("h", md5(col("chunk")))
+    // the old orderBy), and survivors are a semi join — skew handled
+    // by AQE at the join, never a window.
+    //
+    // r16 (guide §2.4): callers now deliver n_chunks pre-explode (it
+    // is just the chunk-array size — a free map column), which deletes
+    // the doc_id window's full chunk-stream shuffle+sort; and the
+    // semi join is keyed on h (with the (doc, idx) equality as a
+    // residual condition against the unique winner row), so it shares
+    // the hash exchange the winner aggregate already pays instead of
+    // re-shuffling the stream by (doc_id, chunk_idx).
+    val hashed = ch.withColumn("h", md5(col("chunk")))
     val first = hashed.groupBy("h")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
-      .select(col("f.doc_id").as("f_doc"), col("f.chunk_idx").as("f_idx"))
+      .select(col("h").as("f_h"), col("f.doc_id").as("f_doc"),
+        col("f.chunk_idx").as("f_idx"))
     hashed.join(first,
-        col("doc_id") === col("f_doc") && col("chunk_idx") === col("f_idx"),
+        col("h") === col("f_h") &&
+          col("doc_id") === col("f_doc") && col("chunk_idx") === col("f_idx"),
         "left_semi")
       .groupBy("doc_id")
       .agg(max(col("n_chunks")).as("n_chunks"),
@@ -507,10 +513,26 @@ object Dedup {
   }
 
   def dedupChunks(docs: DataFrame, idCol: String, textCol: String,
-                  chunkSize: Int = 32): DataFrame =
-    dedupChunked(
-      TextAnalysis.chunkDocs(docs, idCol, textCol, chunkSize, overlap = 0),
-      sep = " ")
+                  chunkSize: Int = 32): DataFrame = {
+    // chunkDocs' shape with the chunk COUNT carried from the
+    // pre-explode array (dedupChunked needs it; the public chunkDocs
+    // schema stays untouched for its own oracle-pinned consumers)
+    val stride = chunkSize
+    val toks = TextAnalysis.tokens(col(textCol))
+    val ch = docs.select(col(idCol).as("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
+          lit(stride))).as("s0"),
+        col("t"),
+        (floor((greatest(size(col("t")) - 1, lit(0))) / stride) + 1)
+          .cast(LongType).as("n_chunks"))
+      .select(col("doc_id"),
+        (col("s0") / stride).cast(LongType).as("chunk_idx"),
+        concat_ws(" ", slice(col("t"), col("s0") + 1, lit(chunkSize)))
+          .as("chunk"),
+        col("n_chunks"))
+    dedupChunked(ch, sep = " ")
+  }
 
   /** [[dedupChunks]] over content-defined boundaries (F9 ∘ H15): the
     * same first-occurrence-keeps + rebuild pass, but chunk edges come
@@ -522,11 +544,19 @@ object Dedup {
     */
   def dedupChunksCdc(docs: DataFrame, idCol: String, textCol: String,
                      targetSize: Int = 64, minSize: Int = 16,
-                     maxSize: Int = 256): DataFrame =
-    dedupChunked(
-      TextAnalysis.chunkDocsCdc(docs, idCol, textCol,
-        targetSize, minSize, maxSize),
-      sep = "")
+                     maxSize: Int = 256): DataFrame = {
+    // chunkDocsCdc's shape + the pre-explode chunk count (see
+    // dedupChunks — the public operator's schema stays untouched)
+    val chunks = TextAnalysis.cdcChunks(col(textCol), targetSize,
+      minSize, maxSize)
+    val ch = docs
+      .select(col(idCol).as("doc_id"), chunks.as("cs"))
+      .select(col("doc_id"), size(col("cs")).cast(LongType).as("n_chunks"),
+        posexplode(col("cs")).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("chunk"), col("n_chunks"))
+    dedupChunked(ch, sep = "")
+  }
 
   /** Corpus-frequency line filter (F10): drop EVERY copy of any line
     * that occurs in at least `minDocs` distinct documents, and rebuild
