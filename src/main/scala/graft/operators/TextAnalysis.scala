@@ -223,12 +223,15 @@ object TextAnalysis {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf_dt"))
     val tf = dt.groupBy("term").agg(sum(col("tf_dt")).as("tf"))
     val total = tf.agg(sum(col("tf")).as("n_total"))
-    // r16 (guide §3.1): shuffled-hash hint on the vocab-bounded tf
-    // side — the sort-merge default paid a full sort of the corpus
-    // (doc, term) relation on term; the hash build side is one
-    // partition's slice of the vocab table, which spills-safe at any
-    // scale, and the exchange stays AQE-skew-splittable
-    dt.join(tf.hint("shuffle_hash"), "term").join(broadcast(total))
+    // r16 MEASURED NEGATIVE (kept for the record): a shuffle_hash hint
+    // on the vocab-bounded tf side — rationale was dropping the
+    // sort-merge's sort of the corpus (doc, term) relation — measured
+    // 3.24 s vs 2.92 s warm at sf3 on a quiet box (solo A/B, reps 3)
+    // and grew the static plan by one exchange. The planner's SMJ
+    // amortizes its sort across the downstream doc_id aggregate
+    // better than the hash build pays off at this vocab size. Plain
+    // join stands.
+    dt.join(tf, "term").join(broadcast(total))
       .withColumn("c",
         round(col("tf_dt").cast(DoubleType)
           * -log(col("tf").cast(DoubleType) / col("n_total").cast(DoubleType)),
