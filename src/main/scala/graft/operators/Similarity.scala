@@ -976,7 +976,32 @@ object Similarity {
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
         round(dot(col("q.embedding"), col("c.embedding")) /
           (col("q.nrm") * col("c.nrm")), 6).as("cos"))
-    screenNegatives(joined, positives, k, minMargin, dropAbovePos)
+    // r16: the baseline only needs the BOUNDED positive pairs, so score
+    // them directly — one corpus scan hash-pruned by the broadcast
+    // positive set (|pos| cosines) — instead of deriving it by filtering
+    // a SECOND full |corpus|×|queries| cosine pass out of `joined`
+    // (Catalyst shares no exchange between the two consumers; the pair
+    // scan ran twice). Same cosine expression over the same embedding
+    // and norm values as `joined`, so the baseline is bit-identical:
+    // pos ∩ scored-pairs = pos rows with qid ∈ queries ∧ nid ∈ corpus,
+    // exactly what the two inner joins below keep.
+    // broadcast the BARE id-pair set (not pair-with-embedding — |pos|
+    // can be ≫ |queries|, and a per-pair query embedding would scale
+    // the broadcast by dim); query embeddings attach by a second
+    // bounded broadcast keyed qid.
+    val pos = distinctPositives(positives)
+    val base = c.as("c")
+      .join(broadcast(pos.as("p")), col("p.nid") === col("c.vec_id"))
+      .join(broadcast(q.select(col("vec_id").as("q_qid"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))),
+        col("p.qid") === col("q_qid"))
+      .select(col("p.qid").as("qid"),
+        round(dot(col("q_emb"), col("c.embedding")) /
+          (col("q_nrm") * col("c.nrm")), 6).as("cos"))
+      .groupBy("qid")
+      .agg(min(col("cos")).as("pos_min"), max(col("cos")).as("pos_max"))
+    screenNegatives(joined, positives, k, minMargin, dropAbovePos,
+      baseOverride = Some(base))
   }
 
   /** [[hardNegatives]] over a CALLER-SUPPLIED scored candidate
@@ -1007,18 +1032,28 @@ object Similarity {
     * aggregate (map-side partials — a corpus-sized candidate relation
     * never lands on one reducer). Positives and baseline broadcast.
     */
+  private def distinctPositives(positives: DataFrame): DataFrame =
+    positives.select(col("qid"), col("nid"))
+      .where(col("qid") =!= col("nid")).distinct()
+
   private def screenNegatives(scored: DataFrame, positives: DataFrame,
                               k: Int, minMargin: Option[Double],
-                              dropAbovePos: Boolean): DataFrame = {
-    val pos = positives.select(col("qid"), col("nid"))
-      .where(col("qid") =!= col("nid")).distinct()
+                              dropAbovePos: Boolean,
+                              baseOverride: Option[DataFrame] = None): DataFrame = {
+    val pos = distinctPositives(positives)
     val marked = scored
       .join(broadcast(pos.withColumn("is_pos", lit(true))),
         Seq("qid", "nid"), "left")
       .withColumn("is_pos", coalesce(col("is_pos"), lit(false)))
-    val base = marked.where(col("is_pos"))
+    // baseOverride: a caller that can score the bounded positive set
+    // directly (hardNegatives) passes the (qid, pos_min, pos_max)
+    // baseline in, so `marked` — the expensive scored pair relation —
+    // is consumed ONCE; the default derives it by filtering `marked`
+    // (hardNegativesFrom, where candidates are already a bounded
+    // retriever output and the double consumer is cheap).
+    val base = baseOverride.getOrElse(marked.where(col("is_pos"))
       .groupBy("qid")
-      .agg(min(col("cos")).as("pos_min"), max(col("cos")).as("pos_max"))
+      .agg(min(col("cos")).as("pos_min"), max(col("cos")).as("pos_max")))
     val floor = minMargin.fold(lit(true))(m =>
       col("pos_min").isNull || col("cos") >= round(col("pos_min") - m, 6))
     val ceil = if (!dropAbovePos) lit(true)

@@ -117,6 +117,20 @@ object OptProbeR16 {
         threshold = 0.5, verifyB = 0))
     }
 
+    // ---- hardNegatives at a query count where the pair scan is the
+    // cost (the 8-query gate shape is constants-bound): 512 queries ×
+    // corpus — the second baseline pass the r16 rewrite removes is a
+    // full extra |q|×|corpus| cosine scan here -----------------------
+    legs("hn_wide") = () => {
+      val q = emb.where(col("vec_id") % 117 === 0)
+      val pos = q.select(col("vec_id").as("qid"), col("label"))
+        .join(emb.where(col("vec_id") % 7 === 0)
+          .select(col("vec_id").as("nid"), col("label")), "label")
+        .select("qid", "nid")
+      noop(Similarity.hardNegatives(emb, q, pos, k = 10,
+        minMargin = Some(0.05), dropAbovePos = true))
+    }
+
     // ---- ObjectHashAggregate fallback probe: TopKAgg groups (qids)
     // exceed the 128-key default, so partial aggregation degenerates
     // to an external SORT of the full pair stream ------------------
