@@ -1270,6 +1270,17 @@ object Curation {
       // by the SAME Spark expressions over the collected histogram
       // (the centroid-sanctioned bounded collect), so round/Decimal
       // semantics are unchanged. Oracle-gated (q_dsir_weights).
+      //
+      // EAGERNESS CONTRACT (r16, VERDICT r15 #4): this exactHash path
+      // runs Spark jobs AT PLAN-CONSTRUCTION TIME (the .head() and
+      // .collect() below) — it does NOT compose into foreachBatch or
+      // other lazy pipelines the way curriculumBucketsApprox
+      // advertises. That is deliberate and confined: exactHash=true
+      // exists only for the DuckDB oracle gate (q_dsir_weights); every
+      // composed consumer (the curation pipeline, streaming ingest)
+      // uses the default lazy murmur3 path below, which builds no
+      // driver-side table. Callers needing a lazy exact-md5 form
+      // should memoize the lr table per (session, input) instead.
       val spark = docs.sparkSession
       import graft.functions.{exprs, DsirHistAgg, DsirScore}
       val base = docs

@@ -135,13 +135,17 @@ class PlanBudgetSpec extends SparkSpec {
     "q_dedup_lines_doc" -> (0, 1, 1), // F11 is strictly map-only: one
     // corpus scan, zero hash exchanges; the range exchange is the
     // gate's output orderBy
-    "q_hard_negatives" -> (3, 1, 5), // positives distinct + baseline
-    // agg + rank window; queries/positives/baseline all broadcast —
+    "q_hard_negatives" -> (3, 1, 6), // positives distinct + baseline
+    // agg + rank aggregate; queries/positives/baseline all broadcast —
     // the CORPUS never hash-shuffles (the three hash exchanges move
-    // qid-keyed bounded relations). 5 scans of the one embeddings
-    // table: candidate pairs, baseline pairs, query side ×2, and the
-    // positives build — every one but the candidate pass is bounded
-    // by the query/positive sets
+    // qid-keyed bounded relations). 6 scans of the one embeddings
+    // table: candidate pairs, the baseline's corpus side (r16: a
+    // hash-pruned equi-join scan that REPLACED the second full
+    // |corpus|×|queries| BNLJ cosine pass — one static scan MORE, one
+    // corpus-scale pair pass FEWER at runtime), query side ×3 (the
+    // baseline now attaches query embeddings by its own bounded
+    // broadcast), and the positives build — every one but the
+    // candidate pass is bounded by the query/positive sets
     "q_bigram_perplexity" -> (13, 1, 10) // static view: the stats lineage
     // appears in the pair-join branch, the HEAD-table branch (r8: seen
     // heads with novel continuations take c1 from a w1-keyed head
